@@ -1,0 +1,184 @@
+"""DockTable maintenance — the reference's hardest pipeline, fully native.
+
+Reference pipeline (citibike_data_process/table_updating/update_dockmap.py):
+- starts/ends per (station, year, month) with ANY_VALUE attrs (A3/A4, :54-81)
+- FULL OUTER join + COALESCE station union (J1, :82-96)
+- month → year rollup (A5, :110-129)
+- json_group_object month map + json_group_array year collect (A6/A7,
+  :119-126, :148-159)
+- driver-side Python year-map merge + deep merge with the existing table
+  (X1/X2, :146-196, :214-251) and correlated-subquery UPDATE (J6, :260-284)
+
+Spark re-expression: station_data is a *native* column
+``MapType(year -> struct(year_starts, year_ends, months: MapType(month ->
+struct(month_total, month_starts, month_ends))))``. The reference's
+fetchall → dict.update → executemany loops (X1/X2) become
+``map_from_entries`` + ``map_zip_with`` — zero driver round-trips, zero
+Python in the executor hot path. JSON text exists only at export
+(``to_json``), matching SURVEY.md §1.2's guidance.
+
+Determinism: ANY_VALUE becomes max() so DuckDB-oracle hashes are stable
+(SURVEY.md §4).
+
+Scale notes: the whole pipeline is two shuffles — one hash aggregation to
+(station, year, month) grain (map-side combined), one re-agg to station
+grain. The deep merge joins on station_name only; the delta (one month of
+stations, ~2k rows) is broadcast so the existing 100 TB-scale table never
+reshuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _side_aggregate(trips: DataFrame, side: str) -> DataFrame:
+    """A4: per (station, year, month) count + deterministic attrs for one
+    trip end (side in {'start','end'})."""
+    return (
+        trips.filter(F.col(f"{side}_station_name").isNotNull())
+        .groupBy(
+            F.col(f"{side}_station_name").alias("station_name"), "year", "month"
+        )
+        .agg(
+            F.count("*").alias(f"month_{side}s"),
+            F.max(f"{side}_station_id").alias("station_id"),
+            F.max(f"{side}_station_latitude").alias("station_latitude"),
+            F.max(f"{side}_station_longitude").alias("station_longitude"),
+        )
+    )
+
+
+def dock_monthly(trips: DataFrame) -> DataFrame:
+    """A4 + J1: starts ⟗ ends per (station, year, month), attrs coalesced
+    starts-first (update_dockmap.py:54-96)."""
+    starts = _side_aggregate(trips, "start")
+    ends = _side_aggregate(trips, "end")
+    joined = starts.alias("s").join(
+        ends.alias("e"), ["station_name", "year", "month"], "full_outer"
+    )
+    return joined.select(
+        "station_name",
+        "year",
+        "month",
+        F.coalesce(F.col("s.station_id"), F.col("e.station_id")).alias("station_id"),
+        F.coalesce(F.col("s.station_latitude"), F.col("e.station_latitude")).alias(
+            "station_latitude"
+        ),
+        F.coalesce(F.col("s.station_longitude"), F.col("e.station_longitude")).alias(
+            "station_longitude"
+        ),
+        F.coalesce(F.col("s.month_starts"), F.lit(0)).alias("month_starts"),
+        F.coalesce(F.col("e.month_ends"), F.lit(0)).alias("month_ends"),
+        (
+            F.coalesce(F.col("s.month_starts"), F.lit(0))
+            + F.coalesce(F.col("e.month_ends"), F.lit(0))
+        ).alias("month_total"),
+    )
+
+
+def dock_yearly(monthly: DataFrame) -> DataFrame:
+    """A5 + A6: month → year rollup; the months map replaces DuckDB's
+    json_group_object (update_dockmap.py:110-129)."""
+    return monthly.groupBy("station_name", "year").agg(
+        F.max("station_id").alias("station_id"),
+        F.max("station_latitude").alias("station_latitude"),
+        F.max("station_longitude").alias("station_longitude"),
+        F.sum("month_starts").alias("year_starts"),
+        F.sum("month_ends").alias("year_ends"),
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("month").alias("key"),
+                        F.struct(
+                            "month_total", "month_starts", "month_ends"
+                        ).alias("value"),
+                    )
+                )
+            )
+        ).alias("months"),
+    )
+
+
+def dock_station(yearly: DataFrame) -> DataFrame:
+    """A7 + X1: collect each station's year-objects into one map — the
+    reference's json_group_array + Python dict.update loop
+    (update_dockmap.py:146-196), as map_from_entries over sorted entries."""
+    # sort_array can't order structs containing maps (the months sub-map),
+    # so sort with an explicit key comparator instead.
+    entries = F.collect_list(
+        F.struct(
+            F.col("year").alias("key"),
+            F.struct("year_starts", "year_ends", "months").alias("value"),
+        )
+    )
+    by_key = F.array_sort(
+        entries,
+        lambda a, b: F.when(a.key < b.key, -1).when(a.key > b.key, 1).otherwise(0),
+    )
+    return yearly.groupBy("station_name").agg(
+        F.max("station_id").alias("station_id"),
+        F.max("station_latitude").alias("station_latitude"),
+        F.max("station_longitude").alias("station_longitude"),
+        F.map_from_entries(by_key).alias("station_data"),
+    )
+
+
+def dock_aggregate(trips: DataFrame) -> DataFrame:
+    """Full new-data pipeline: trips → per-station nested station_data."""
+    return dock_station(dock_yearly(dock_monthly(trips)))
+
+
+def dock_merge(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """X2 deep merge (update_dockmap.py:214-251) + J3 anti-insert + J6
+    update, as ONE full-outer join:
+
+    - year level: new year's year_starts/year_ends *replace* existing,
+    - month level: months union with new-wins (:229-234),
+    - attrs: new wins when present,
+    - stations only in one side pass through.
+    """
+    if existing is None:
+        return delta
+    merged_months = F.map_zip_with(
+        F.col("e.station_data"),
+        F.col("d.station_data"),
+        lambda _y, old, new: F.when(new.isNull(), old).otherwise(
+            F.struct(
+                new.year_starts.alias("year_starts"),
+                new.year_ends.alias("year_ends"),
+                F.when(old.isNull(), new.months)
+                .otherwise(
+                    F.map_zip_with(
+                        old.months, new.months, lambda _m, mo, mn: F.coalesce(mn, mo)
+                    )
+                )
+                .alias("months"),
+            )
+        ),
+    )
+    joined = existing.alias("e").join(
+        F.broadcast(delta).alias("d"), "station_name", "full_outer"
+    )
+    return joined.select(
+        "station_name",
+        F.coalesce(F.col("d.station_id"), F.col("e.station_id")).alias("station_id"),
+        F.coalesce(F.col("d.station_latitude"), F.col("e.station_latitude")).alias(
+            "station_latitude"
+        ),
+        F.coalesce(F.col("d.station_longitude"), F.col("e.station_longitude")).alias(
+            "station_longitude"
+        ),
+        F.when(F.col("e.station_data").isNull(), F.col("d.station_data"))
+        .when(F.col("d.station_data").isNull(), F.col("e.station_data"))
+        .otherwise(merged_months)
+        .alias("station_data"),
+    )
+
+
+def dock_export_json(dock: DataFrame) -> DataFrame:
+    """Edge serialization: nested MapType → JSON text, only at the sink
+    (parity with the reference's stored JSON column, table_list.py:42)."""
+    return dock.withColumn("station_data", F.to_json("station_data"))

@@ -1,0 +1,181 @@
+"""TripTable maintenance (A8 + W1 + X3 route enrichment + I3 merge).
+
+Reference (citibike_data_process/table_updating/update_tripsmap.py):
+- self-loop filter (P7, :74-75)
+- group by (year, start/end station name+lat+lon, rideable_type) →
+  COUNT(*) trip_count, MIN(start_time) trip_time (A8, :60-85)
+- ROW_NUMBER top-30 per year (W1, :86-95)
+- per-trip Mapbox Directions enrichment → waypoints JSON (X3, :100-221)
+- UPDATE-add + anti-join INSERT into TripTable (J2/J4, :37-55)
+
+X3 becomes an Arrow-batched ``mapInPandas`` with an injectable geometry
+provider. The default provider is the reference's *offline* fallback
+semantics made deterministic: straight-line interpolation between the
+endpoints with the same densification rule (haversine distance 0.2–0.37 km
+→ 2 intermediate points, >0.37 km → 4; coordinates rounded to 5 dp;
+synthetic timestamps start + i hours as seconds-of-day — :158-221). The
+Mapbox HTTP call is a pluggable provider so correctness never needs
+network; retries/batching live inside the UDF batch, replacing the
+reference's ThreadPoolExecutor (:101-106).
+
+Scale: enrichment runs strictly AFTER the top-30-per-year gate (cost
+gating preserved, :94), so the pandas path only ever sees ~30×years rows.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .topk import top_k_per_group
+from .upsert import additive_upsert
+
+GROUP_COLS = [
+    "year",
+    "start_station_name",
+    "start_station_latitude",
+    "start_station_longitude",
+    "end_station_name",
+    "end_station_latitude",
+    "end_station_longitude",
+    "rideable_type",
+]
+
+WAYPOINTS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("timestamp", T.DoubleType()),
+            T.StructField("coordinates", T.ArrayType(T.DoubleType())),
+        ]
+    )
+)
+
+
+def trip_aggregate(trips: DataFrame) -> DataFrame:
+    """P7 + A8: non-self-loop trips grouped to route grain."""
+    return (
+        trips.filter(F.col("start_station_name") != F.col("end_station_name"))
+        .groupBy(*GROUP_COLS)
+        .agg(
+            F.count("*").alias("trip_count"),
+            F.min("start_time").alias("trip_time"),
+        )
+    )
+
+
+def top_trips(aggregated: DataFrame, k: int = 30) -> DataFrame:
+    """W1: top-k routes per year by trip_count, with deterministic
+    tiebreaks (the reference has none — SURVEY.md §4)."""
+    return top_k_per_group(
+        aggregated,
+        group_by=["year"],
+        order_by=[
+            F.col("trip_count").desc(),
+            F.col("start_station_name"),
+            F.col("end_station_name"),
+            F.col("rideable_type"),
+        ],
+        k=k,
+    )
+
+
+def haversine_km(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
+    """Great-circle distance (km) — stand-in for the reference's geopy
+    geodesic call (update_tripsmap.py:158-163)."""
+    rlat1, rlat2 = math.radians(lat1), math.radians(lat2)
+    dlat = rlat2 - rlat1
+    dlon = math.radians(lon2 - lon1)
+    a = math.sin(dlat / 2) ** 2 + math.cos(rlat1) * math.cos(rlat2) * math.sin(dlon / 2) ** 2
+    return 2 * 6371.0088 * math.asin(math.sqrt(a))
+
+
+def straight_line_geometry(
+    lat1: float, lon1: float, lat2: float, lon2: float
+) -> list[list[float]]:
+    """Deterministic offline geometry provider: endpoint pair as [lon, lat]
+    coordinates (the shape Mapbox Directions returns)."""
+    return [[lon1, lat1], [lon2, lat2]]
+
+
+def densify(coords: list[list[float]]) -> list[list[float]]:
+    """Reference densification (update_tripsmap.py:166-203): per segment,
+    distance 0.2–0.37 km → 2 interpolated points, >0.37 km → 4; linear
+    interpolation, 5-dp rounding; endpoints kept."""
+    out: list[list[float]] = []
+    for (lon1, lat1), (lon2, lat2) in zip(coords, coords[1:]):
+        out.append([round(lon1, 5), round(lat1, 5)])
+        dist = haversine_km(lat1, lon1, lat2, lon2)
+        n = 0
+        if 0.2 <= dist <= 0.37:
+            n = 2
+        elif dist > 0.37:
+            n = 4
+        for i in range(1, n + 1):
+            f = i / (n + 1)
+            out.append([round(lon1 + (lon2 - lon1) * f, 5), round(lat1 + (lat2 - lat1) * f, 5)])
+    last = coords[-1]
+    out.append([round(last[0], 5), round(last[1], 5)])
+    return out
+
+
+def attach_timestamps(
+    coords: list[list[float]], start_seconds_of_day: float
+) -> list[dict]:
+    """Synthetic waypoint times: start + i hours, wrapped as seconds-of-day
+    (update_tripsmap.py:205-221)."""
+    return [
+        {
+            "timestamp": float((start_seconds_of_day + i * 3600) % 86400),
+            "coordinates": c,
+        }
+        for i, c in enumerate(coords)
+    ]
+
+
+GeometryProvider = Callable[[float, float, float, float], list[list[float]]]
+
+
+def enrich_routes(
+    top: DataFrame, geometry_provider: GeometryProvider | None = None
+) -> DataFrame:
+    """X3 as mapInPandas: adds a ``waypoints`` ArrayType(Struct) column.
+
+    ``geometry_provider`` is injectable (Mapbox HTTP in production, offline
+    straight-line by default) so tests are hermetic.
+    """
+    provider = geometry_provider or straight_line_geometry
+    schema = T.StructType(top.schema.fields + [T.StructField("waypoints", WAYPOINTS_TYPE)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            waypoints = []
+            for row in pdf.itertuples(index=False):
+                coords = provider(
+                    row.start_station_latitude,
+                    row.start_station_longitude,
+                    row.end_station_latitude,
+                    row.end_station_longitude,
+                )
+                ts = row.trip_time
+                secs = float(ts.hour * 3600 + ts.minute * 60 + ts.second)
+                waypoints.append(attach_timestamps(densify(coords), secs))
+            pdf = pdf.copy()
+            pdf["waypoints"] = waypoints
+            yield pdf
+
+    return top.mapInPandas(run, schema=schema)
+
+
+def tripsmap_update(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """I3: additive merge on route identity (J2+J4,
+    update_tripsmap.py:37-55)."""
+    if existing is None:
+        return delta
+    keys = ["year", "start_station_name", "end_station_name"]
+    return additive_upsert(existing, delta, keys=keys, counters=["trip_count"])
