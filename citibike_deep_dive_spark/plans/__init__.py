@@ -1,0 +1,7 @@
+"""Query catalog: the driver-facing inventory of implemented operators.
+
+Each entry pairs an idiomatic-Spark DataFrame builder with the equivalent
+ANSI SQL for the DuckDB oracle (driver contract in __spark_entry__.py).
+"""
+
+from .catalog import CATALOG, QuerySpec, table  # noqa: F401
