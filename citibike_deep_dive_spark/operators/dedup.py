@@ -1,0 +1,208 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard — all expressed as
+declarative DataFrame plans over the ``documents`` table.
+
+Portability: hashes are md5-based (same hex on any engine) so every
+operator has an exact DuckDB oracle; no engine-specific hash functions.
+
+Scale notes (100 TB corpus):
+- exact dedup is one hash-aggregate on md5(text) — map-side combined,
+  one shuffle keyed by digest (uniform, skew-free).
+- MinHash: signatures are per-row (no shuffle); LSH banding turns the
+  quadratic all-pairs problem into an equi-join on (band, hash) buckets —
+  the canonical shuffle-friendly near-dup plan. Bucket sizes are bounded
+  by band width; skewed buckets (boilerplate docs) are handled by AQE
+  skew-join splitting.
+- SimHash: token explode + conditional sums stays in whole-stage codegen;
+  the per-doc regroup is the only shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_WIDTH = 3
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound per-row work parallelizes.
+
+    A small parquet file arrives as ONE input partition; hash/shingle math
+    would then run on a single core regardless of cluster size. Repartition
+    up to the session's default parallelism when the scan is narrower.
+    (At real scale the scan already has thousands of partitions and this
+    is a no-op.)
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(text), " ")
+
+
+def shingles(text: Column, width: int = SHINGLE_WIDTH) -> Column:
+    """Distinct word n-gram shingles of ``text`` (0-based slicing)."""
+    toks = _tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - width)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(width)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= width, grams).otherwise(F.array(F.lower(text)))
+    )
+
+
+def shingle_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) with the shingle array built in parallel, exactly once.
+
+    Two plan tricks, both load-bearing:
+    - repartition FIRST: a small parquet file is one input partition, and
+      shingle construction is the CPU-heavy step — build it on every core
+      (at real scale the scan is already wide and this shuffle of raw text
+      is the cheap part).
+    - explode(array(sh)) as a barrier: higher-order functions are
+      interpreted (no codegen, no subexpression elimination), so if the
+      downstream k salted min-hashes referenced a collapsed projection,
+      each would rebuild the whole array. The Generate node blocks
+      CollapseProject, so ``sh`` is evaluated once per row and consumed as
+      data.
+    """
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(target).select(
+        "doc_id", F.explode(F.array(shingles(F.col("text")))).alias("sh")
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups: md5(text) digest → keeper (min doc_id) and
+    duplicate count. One hash aggregation; digest keys shuffle uniformly."""
+    return (
+        spread(docs).select("doc_id", F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 4) -> DataFrame:
+    """Per-doc MinHash signature: k salted-md5 min-hashes over shingles.
+
+    min(md5(salt || shingle)) is a valid min-wise hash family (md5 orders
+    shingles pseudo-randomly per salt); identical text → identical
+    signature, Jaccard-similar text → likely-equal components.
+    Entirely per-row — no shuffle.
+    """
+    def salted(i: int):
+        # single-arg lambda: F.transform would pass the array index as a
+        # second argument and shadow the salt otherwise
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    sigs = [
+        F.array_min(F.transform(F.col("sh"), salted(i))).alias(f"sig{i}")
+        for i in range(k)
+    ]
+    return shingle_frame(docs).select("doc_id", *sigs)
+
+
+def lsh_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Band the signature: hash each group of ``rows_per_band`` components
+    into a bucket key. Output: (doc_id, band, band_hash)."""
+    sig_cols = [c for c in signatures.columns if c.startswith("sig")]
+    n_bands = len(sig_cols) // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(*[F.col(sig_cols[b * rows_per_band + r]) for r in range(rows_per_band)])
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        signatures.select("doc_id", F.explode(bands).alias("b"))
+        .select("doc_id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, k: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Near-duplicate candidate pairs: docs sharing any LSH band bucket.
+
+    The bucket equi-join replaces the quadratic cross-join — the scale
+    path for 100 TB corpora.
+    """
+    bands = lsh_bands(minhash_signatures(docs, k), rows_per_band)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (the verify
+    stage after LSH candidate generation)."""
+    with_sh = shingle_frame(docs)
+    a = with_sh.alias("sa")
+    b = with_sh.alias("sb")
+    joined = (
+        pairs.join(a, pairs.doc_id_a == F.col("sa.doc_id"))
+        .join(b, pairs.doc_id_b == F.col("sb.doc_id"))
+    )
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
+    return joined.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per hash-bit, sum +1/-1 votes over distinct
+    tokens; bit set iff the vote is positive.
+
+    Bit j of a token = LSB of hex digit j of md5(token) — portable to any
+    engine with md5 + substring. Explode + conditional aggregation keeps
+    the whole plan in codegen; one shuffle on doc_id.
+    """
+    toks = spread(docs).select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
+    )
+    digest = F.md5("tok")
+    hexpos = F.lit("0123456789abcdef")
+    votes = [
+        F.sum(
+            F.when(
+                ((F.instr(hexpos, F.substring(digest, j + 1, 1)) - 1) % 2) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return per_doc.select("doc_id", fp.cast("long").alias("simhash"))

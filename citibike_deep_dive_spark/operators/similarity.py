@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference surface (BASELINE.json north star): brute-force cosine
+top-k as the exact baseline, and an IVF-style cell-restricted variant as
+the scale path.
+
+All vector math is native higher-order functions (zip_with + aggregate)
+on array<double> — JVM-side, no Python in the hot path.
+
+Scale notes (billions of vectors):
+- brute force is one broadcast (queries) + one scan + one top-k shuffle
+  keyed by query id. Exact, O(N·Q) — right for small Q or as rerank.
+- IVF: vectors are pre-assigned to cells (here the ``label`` column; in a
+  full system, nearest-centroid assignment at ingest). Search touches
+  only the probed cell(s): with the table partitioned/bucketed by cell,
+  partition pruning skips everything else — the classic
+  inverted-file-index trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import spread
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
+    return spread(df).withColumn(col, F.col(col).cast("array<double>"))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is small → broadcast; the corpus is scanned once. Rounded
+    similarity + id tiebreak keeps ranking deterministic across engines.
+    """
+    corpus = _as_double(embeddings).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cand_vec")
+    )
+    qs = _as_double(queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("cand_vec"), F.col("query_vec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """IVF-style ANN: each query searches only its own cell (``label``).
+
+    With the corpus bucketed by cell, this prunes (cells-1)/cells of the
+    scan; the join key (label) co-locates candidates with queries.
+    """
+    corpus = _as_double(embeddings).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("cand_vec"),
+    )
+    qs = _as_double(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("query_vec"),
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("cand_vec"), F.col("query_vec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_cosine_near_dups(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, cell-bucketed (label) so the
+    pair join never goes quadratic across the whole corpus."""
+    e = _as_double(embeddings)
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("cell"), F.col("embedding").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("cell"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,469 @@
+"""Training-data-pipeline query catalog (BASELINE.json north star):
+dedup, similarity search, text analysis, multimodal plumbing, and the
+streaming-analog batch queries. Registered into the same CATALOG as the
+reference-parity queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.multimodal import extract_features, frame_sample_plan, synthesize_media
+from ..operators.similarity import brute_force_topk, embedding_cosine_near_dups, ivf_topk
+from ..operators.textstats import STOPWORDS, TOKEN_REGEX, fingerprints, quality_scores, token_counts, language_id
+from .catalog import register, table
+
+# Shared SQL fragments -------------------------------------------------------
+
+# Distinct word-3-gram shingles, 1-based DuckDB list indexing (mirrors
+# dedup.shingles which uses 0-based Spark sequence/element_at).
+_SHINGLES_CTE = """
+    shingled AS (
+        SELECT doc_id, text,
+               list_distinct(
+                   CASE WHEN len(w) >= 3
+                        THEN list_transform(generate_series(1, len(w) - 2),
+                                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                        ELSE [lower(text)] END
+               ) AS sh
+        FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)
+    )
+"""
+
+_SIGS_SQL = ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS sig{i}" for i in range(4)
+)
+
+_MINHASH_CTE = f"""
+    sigs AS (
+        SELECT doc_id, {_SIGS_SQL} FROM shingled
+    )
+"""
+
+_BANDS_CTE = """
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || sig1) AS band_hash FROM sigs
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(sig2 || sig3) AS band_hash FROM sigs
+    )
+"""
+
+_PAIRS_CTE = """
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+"""
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round({_DOT.format(a=a, b=b)} / "
+        f"({_NORM.format(a=a)} * {_NORM.format(a=b)}), 4)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+    tags=("X-dedup-exact",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"WITH {_SHINGLES_CTE}, {_MINHASH_CTE} SELECT doc_id, sig0, sig1, sig2, sig3 FROM sigs",
+    tags=("X-dedup-minhash",),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(table(spark, sf_dir, "documents"), k=4)
+
+
+@register(
+    "dedup_lsh_candidate_pairs",
+    f"WITH {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_PAIRS_CTE} "
+    "SELECT doc_id_a, doc_id_b FROM pairs",
+    tags=("X-dedup-lsh",),
+)
+def dedup_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(table(spark, sf_dir, "documents"), k=4, rows_per_band=2)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_PAIRS_CTE}
+    SELECT p.doc_id_a, p.doc_id_b,
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4)
+               AS jaccard
+    FROM pairs p
+    JOIN shingled sa ON p.doc_id_a = sa.doc_id
+    JOIN shingled sb ON p.doc_id_b = sb.doc_id
+    """,
+    tags=("X-dedup-jaccard",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, lsh_candidate_pairs(docs, k=4, rows_per_band=2))
+
+
+_SIMHASH_VOTES = ",\n           ".join(
+    "sum(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), %d, 1)) - 1) %% 2 = 1 "
+    "THEN 1 ELSE -1 END) AS v%d" % (j + 1, j)
+    for j in range(16)
+)
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+        FROM documents
+    ), votes AS (
+        SELECT doc_id,
+           {_SIMHASH_VOTES}
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM votes
+    """,
+    tags=("X-dedup-simhash",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(table(spark, sf_dir, "documents"), bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS_PAIR = _cos_sql("a.embedding", "q.embedding")
+
+
+@register(
+    "ann_brute_force_topk",
+    f"""
+    SELECT query_id, cand_id, cos_sim, rank FROM (
+        SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+               {_COS_PAIR} AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS_PAIR} DESC, a.vec_id
+               ) AS rank
+        FROM embeddings a
+        JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+          ON a.vec_id <> q.vec_id
+    ) WHERE rank <= 10
+    """,
+    tags=("X-ann-brute",),
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).select(
+        "query_id", "cand_id", "cos_sim", "rank"
+    )
+
+
+@register(
+    "ann_ivf_label_topk",
+    f"""
+    SELECT query_id, cand_id, cos_sim, rank FROM (
+        SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+               {_COS_PAIR} AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS_PAIR} DESC, a.vec_id
+               ) AS rank
+        FROM embeddings a
+        JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+          ON a.label = q.label AND a.vec_id <> q.vec_id
+    ) WHERE rank <= 10
+    """,
+    tags=("X-ann-ivf",),
+)
+def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).select(
+        "query_id", "cand_id", "cos_sim", "rank"
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_sql("a.embedding", "b.embedding")} AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.8
+    """,
+    tags=("X-dedup-embedding",),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_cosine_near_dups(table(spark, sf_dir, "embeddings"), threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+    tags=("X-text-tokens",),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(table(spark, sf_dir, "documents"))
+
+
+_QS_STOP = "len(list_filter(string_split(lower(text), ' '), t -> list_contains(['the','a','of','and','is'], t)))"
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    WITH raw AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) AS punct,
+               CAST({_QS_STOP} AS DOUBLE) AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(n_chars / n_tokens, 4) AS mean_token_len,
+           round(punct / n_chars, 4) AS punct_ratio,
+           round(stop_hits / n_tokens, 4) AS stopword_ratio,
+           round(least(n_tokens / 64.0, 1.0) * 0.4
+                 + least(stop_hits / n_tokens * 4.0, 1.0) * 0.4
+                 + (1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2, 4) AS quality_score
+    FROM raw
+    """,
+    tags=("X-text-quality",),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(table(spark, sf_dir, "documents"))
+
+
+_LANG_HITS = ",\n           ".join(
+    "CAST(len(list_filter(string_split(lower(text), ' '), "
+    f"t -> list_contains({list(words)!r}, t))) AS INT) AS hits_{lang}".replace("'", "'")
+    for lang, words in STOPWORDS.items()
+)
+_LANG_BEST = "greatest(" + ", ".join(f"hits_{lang}" for lang in STOPWORDS) + ")"
+_LANG_PRED = (
+    "CASE "
+    + " ".join(f"WHEN hits_{lang} = {_LANG_BEST} THEN '{lang}'" for lang in STOPWORDS)
+    + " END"
+)
+
+
+@register(
+    "text_language_id",
+    f"""
+    WITH hits AS (
+        SELECT doc_id, lang AS labeled_lang,
+           {_LANG_HITS}
+        FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           {", ".join(f"hits_{lang}" for lang in STOPWORDS)},
+           {_LANG_PRED} AS predicted_lang
+    FROM hits
+    """,
+    tags=("X-text-langid",),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    f"""
+    WITH {_SHINGLES_CTE}
+    SELECT d.doc_id,
+           md5(regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g')) AS content_fp,
+           list_min(list_transform(s.sh, x -> md5(x))) AS min_shingle_fp
+    FROM documents d JOIN shingled s ON d.doc_id = s.doc_id
+    """,
+    tags=("X-text-fingerprint",),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# JSON column handling (events.props — reference's JSON columns, F6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("F6",),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_total"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns; decode stubbed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+    tags=("X-multimodal",),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(table(spark, sf_dir, "documents"))
+    return extract_features(media, deterministic_fake=True).select(
+        "media_id", "kind", "n_bytes", "digest"
+    )
+
+
+@register(
+    "multimodal_frame_sampling",
+    """
+    SELECT doc_id AS media_id,
+           CAST(unnest(generate_series(0, n_chars * 40, 1000)) AS BIGINT) AS frame_ts_ms
+    FROM documents
+    WHERE (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] = 'video'
+    """,
+    tags=("X-multimodal-frames",),
+)
+def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(table(spark, sf_dir, "documents"))
+    return frame_sample_plan(media, every_ms=1000).withColumn(
+        "frame_ts_ms", F.col("frame_ts_ms").cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-analog batch queries (tumbling window, sessionization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tumbling_window_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS total_count
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("X-stream-window", "A2"),
+)
+def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("total_count"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "total_count",
+        )
+    )
+
+
+@register(
+    "session_windows_batch",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM seq
+    ), sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS events_in_session,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("X-stream-session",),
+)
+def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w2))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("events_in_session"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )

@@ -1,0 +1,78 @@
+"""Streaming ingest: the reference's file-batch incrementality as
+Structured Streaming.
+
+The reference's StatusDataTable + per-file loop (SURVEY.md I1-I4) is a
+hand-rolled version of what Structured Streaming gives natively: the file
+source's seen-files log (= StatusData), watermarked windowed aggregation
+(= per-period counts), and idempotent sinks via checkpointing (= the
+double-append guard).
+
+These builders return streaming DataFrames; callers attach writeStream
+with a checkpoint dir. Tested with trigger(availableNow=True) against the
+batch equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns epoch (parquet TIMESTAMP_NANOS)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path_glob: str) -> DataFrame:
+    """File-source stream over event parquet files. The source's log of
+    processed files replaces the reference's StatusDataTable diff (I1)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path_glob)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window per-type counts with late-data watermark — the
+    streaming analog of HeatMapTable's (year, month, hour) counts (A2/I3):
+    state-store merge replaces the UPDATE-add + anti-insert pair."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("total_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "total_count",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (gap-based) — the stateful custom-operator
+    pattern (applyInPandasWithState alternative: built-in session_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("events_in_session"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "events_in_session",
+        )
+    )

@@ -1,0 +1,116 @@
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from citibike_deep_dive_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from citibike_deep_dive_spark.operators.multimodal import (
+    decode_stub,
+    extract_features,
+    synthesize_media,
+)
+from citibike_deep_dive_spark.operators.similarity import brute_force_topk, ivf_topk
+
+
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat", "en"),  # near dup
+        (4, "completely different words entirely unrelated text here", "en"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedup_groups(spark):
+    out = {r.keeper_doc_id: r.dup_count for r in exact_dedup(docs_df(spark)).collect()}
+    assert out[1] == 2  # docs 1+2 identical, keeper is min id
+    assert out[3] == 1
+    assert out[4] == 1
+
+
+def test_minhash_identical_and_near(spark):
+    sigs = {r.doc_id: (r.sig0, r.sig1, r.sig2, r.sig3)
+            for r in minhash_signatures(docs_df(spark)).collect()}
+    assert sigs[1] == sigs[2]  # identical docs -> identical signature
+    # near-dup shares most shingles -> at least one matching component
+    assert any(a == b for a, b in zip(sigs[1], sigs[3]))
+    # unrelated doc shares nothing
+    assert all(a != b for a, b in zip(sigs[1], sigs[4]))
+
+
+def test_lsh_and_jaccard(spark):
+    docs = docs_df(spark)
+    pairs = lsh_candidate_pairs(docs)
+    got = {(r.doc_id_a, r.doc_id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dups always bucket together
+    jac = {(r.doc_id_a, r.doc_id_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs, pairs).collect()}
+    assert jac[(1, 2)] == 1.0
+    for pair, j in jac.items():
+        assert 0.0 <= j <= 1.0
+
+
+def test_simhash_similarity_ordering(spark):
+    out = {r.doc_id: r.simhash for r in simhash(docs_df(spark)).collect()}
+    assert out[1] == out[2]  # identical docs -> identical fingerprint
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    # near-dup closer in hamming space than unrelated doc
+    assert hamming(out[1], out[3]) < hamming(out[1], out[4])
+
+
+def emb_df(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),   # close to 0
+        (2, [0.0, 1.0, 0.0], 0),   # orthogonal to 0
+        (3, [1.0, 0.05, 0.0], 1),  # close to 0 but a different label
+        (4, [0.0, 0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    return df.withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+
+def test_brute_force_topk_ordering(spark):
+    emb = emb_df(spark)
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert [r.cand_id for r in ranked] == [3, 1]  # cos: 3≈0.9988 > 1≈0.9939
+    assert ranked[0].cos_sim > ranked[1].cos_sim
+
+
+def test_ivf_restricts_to_cell(spark):
+    emb = emb_df(spark)
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") == 0), k=5).collect()
+    # label-0 cell only: candidates 1 and 2; 3 excluded despite high cosine
+    assert sorted(r.cand_id for r in out) == [1, 2]
+
+
+def test_multimodal_stub_and_features(spark):
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"bytes", "image")
+
+    docs = docs_df(spark).withColumn("n_chars", F.length("text"))
+    media = synthesize_media(docs)
+    kinds = {r.media_id: r.kind for r in media.collect()}
+    assert set(kinds.values()) <= {"image", "audio", "video"}
+
+    feats = extract_features(media).collect()
+    assert len(feats) == 4
+    for r in feats:
+        assert len(r.features) == 8
+        assert all(0.0 <= v <= 1.0 for v in r.features)
+    # identical payloads -> identical digests and features
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[1].digest == by_id[2].digest
+    assert by_id[1].features == by_id[2].features
