@@ -178,7 +178,40 @@ def dock_merge(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
     )
 
 
-def dock_export_json(dock: DataFrame) -> DataFrame:
+def _sort_entries_by_key(entries):
+    """Sort array<struct<key,...>> by key only — structs holding maps are
+    not orderable, so sort_array can't be used after a map_zip_with."""
+    return F.array_sort(
+        entries,
+        lambda a, b: F.when(a.key < b.key, -1).when(a.key > b.key, 1).otherwise(0),
+    )
+
+
+def canonical_station_data(col):
+    """Re-sort both map levels by key so ``to_json`` output is canonical.
+
+    map_zip_with emits union keys in first-map-then-extras order, which is
+    not sorted after a merge; the oracle hash check (and any downstream
+    consumer diffing JSON text) needs deterministic key order.
+    """
+    entries = F.transform(
+        F.map_entries(col),
+        lambda kv: F.struct(
+            kv.key.alias("key"),
+            F.struct(
+                kv.value.year_starts.alias("year_starts"),
+                kv.value.year_ends.alias("year_ends"),
+                F.map_from_entries(
+                    _sort_entries_by_key(F.map_entries(kv.value.months))
+                ).alias("months"),
+            ).alias("value"),
+        ),
+    )
+    return F.map_from_entries(_sort_entries_by_key(entries))
+
+
+def dock_export_json(dock: DataFrame, canonical: bool = False) -> DataFrame:
     """Edge serialization: nested MapType → JSON text, only at the sink
     (parity with the reference's stored JSON column, table_list.py:42)."""
-    return dock.withColumn("station_data", F.to_json("station_data"))
+    col = canonical_station_data(F.col("station_data")) if canonical else F.col("station_data")
+    return dock.withColumn("station_data", F.to_json(col))
