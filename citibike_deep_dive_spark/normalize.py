@@ -47,8 +47,21 @@ def normalize_headers(df: DataFrame) -> DataFrame:
 
 
 def _parse_ts(col: Column) -> Column:
-    """Multi-format timestamp parse (clean_up.py:47-50): try each format."""
-    return F.coalesce(*[F.try_to_timestamp(col, F.lit(fmt)) for fmt in TS_FORMATS])
+    """Multi-format timestamp parse (clean_up.py:47-50).
+
+    A failed ``try_to_timestamp`` attempt is ~10× the cost of a successful
+    one (exception-driven), so dispatch on a cheap structural predicate —
+    era formats use '/' dates, ISO uses '-' — and only try the formats
+    that can match. Same semantics as coalescing over all formats because
+    the format families are mutually exclusive on the separator.
+    """
+    us = F.coalesce(
+        *[F.try_to_timestamp(col, F.lit(f)) for f in TS_FORMATS if "/" in f]
+    )
+    iso = F.coalesce(
+        *[F.try_to_timestamp(col, F.lit(f)) for f in TS_FORMATS if "/" not in f]
+    )
+    return F.when(col.contains("/"), us).otherwise(iso)
 
 
 def conform_schema(df: DataFrame) -> DataFrame:

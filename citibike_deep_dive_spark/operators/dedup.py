@@ -95,24 +95,43 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = 4) -> DataFrame:
-    """Per-doc MinHash signature: k salted-md5 min-hashes over shingles.
+# Modulus for the Carter–Wegman hash family: 2^60 keeps a + i·b far from
+# signed-64 overflow for any practical k (a, b < 2^60; k ≤ 8 ⇒ < 2^63).
+MINHASH_MOD = 1 << 60
 
-    min(md5(salt || shingle)) is a valid min-wise hash family (md5 orders
-    shingles pseudo-randomly per salt); identical text → identical
-    signature, Jaccard-similar text → likely-equal components.
+
+def minhash_signatures(docs: DataFrame, k: int = 4) -> DataFrame:
+    """Per-doc MinHash signature: k min-hashes over shingles from ONE md5
+    per shingle (Carter–Wegman family h_i(s) = (a + i·b) mod 2^60, where
+    a/b are the two 60-bit halves of md5(s)).
+
+    One base hash + cheap integer arithmetic per extra permutation — at
+    100 TB this is k× less hashing than salted-md5-per-permutation, and
+    the family is portable (DuckDB: ('0x' || substr(md5(s),…))::BIGINT).
     Entirely per-row — no shuffle.
     """
-    def salted(i: int):
-        # single-arg lambda: F.transform would pass the array index as a
-        # second argument and shadow the salt otherwise
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+    # single-arg lambdas throughout: a 2-arg lambda would make F.transform
+    # pass the array index as the second argument and shadow the closure
+    def hash_pair(s):
+        h = F.md5(s)
+        return F.struct(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("a"),
+            F.conv(F.substring(h, 17, 15), 16, 10).cast("long").alias("b"),
+        )
 
-    sigs = [
-        F.array_min(F.transform(F.col("sh"), salted(i))).alias(f"sig{i}")
-        for i in range(k)
-    ]
-    return shingle_frame(docs).select("doc_id", *sigs)
+    # explode(array(...)) barrier again: evaluate the hash-pair array once,
+    # then derive all k signature components from it (see shingle_frame).
+    pairs = shingle_frame(docs).select(
+        "doc_id", F.explode(F.array(F.transform(F.col("sh"), hash_pair))).alias("hp")
+    )
+
+    def sig(i: int):
+        def derived(x):
+            return (x.a + F.lit(i) * x.b) % F.lit(MINHASH_MOD)
+
+        return F.array_min(F.transform(F.col("hp"), derived)).alias(f"sig{i}")
+
+    return pairs.select("doc_id", *[sig(i) for i in range(k)])
 
 
 def lsh_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
@@ -125,7 +144,13 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(
-                    F.concat(*[F.col(sig_cols[b * rows_per_band + r]) for r in range(rows_per_band)])
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(sig_cols[b * rows_per_band + r]).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
                 ).alias("band_hash"),
             )
             for b in range(n_bands)

@@ -37,21 +37,27 @@ _SHINGLES_CTE = """
     )
 """
 
+# Carter–Wegman minhash family (mirrors dedup.minhash_signatures): one md5
+# per shingle, k permutations via (a + i*b) mod 2^60 on its 60-bit halves.
+_MINHASH_MOD = 1 << 60
 _SIGS_SQL = ", ".join(
-    f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS sig{i}" for i in range(4)
+    f"list_min(list_transform(hs, h -> (('0x' || substr(h, 1, 15))::BIGINT"
+    f" + {i} * ('0x' || substr(h, 17, 15))::BIGINT) % {_MINHASH_MOD})) AS sig{i}"
+    for i in range(4)
 )
 
 _MINHASH_CTE = f"""
     sigs AS (
-        SELECT doc_id, {_SIGS_SQL} FROM shingled
+        SELECT doc_id, {_SIGS_SQL}
+        FROM (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM shingled)
     )
 """
 
 _BANDS_CTE = """
     bands AS (
-        SELECT doc_id, 0 AS band, md5(sig0 || sig1) AS band_hash FROM sigs
+        SELECT doc_id, 0 AS band, md5(sig0 || ':' || sig1) AS band_hash FROM sigs
         UNION ALL
-        SELECT doc_id, 1 AS band, md5(sig2 || sig3) AS band_hash FROM sigs
+        SELECT doc_id, 1 AS band, md5(sig2 || ':' || sig3) AS band_hash FROM sigs
     )
 """
 
