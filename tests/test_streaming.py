@@ -71,3 +71,73 @@ def test_sessionize_stream_runs(spark, tmp_path):
     assert rows
     assert all(r.events_in_session >= 1 for r in rows)
     assert all(r.session_end >= r.session_start for r in rows)
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState exact-dedup: first occurrence of each digest
+    survives, across micro-batches; output digest set == batch-distinct."""
+    from citibike_deep_dive_spark.streaming.stateful import streaming_first_seen
+
+    stream = read_event_stream(spark, _stage_dir(tmp_path)).withColumn(
+        "digest", F.md5(F.concat_ws(":", "event_type", (F.col("user_id") % 5)))
+    )
+    q = (
+        streaming_first_seen(stream, digest_col="digest")
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT digest FROM dedup_test").collect()
+    digests = [r.digest for r in rows]
+    assert len(digests) == len(set(digests)), "emitted duplicates"
+
+    from citibike_deep_dive_spark.plans.catalog import table
+
+    ev = table(spark, SF_DIR, "events").withColumn(
+        "digest", F.md5(F.concat_ws(":", "event_type", (F.col("user_id") % 5)))
+    )
+    want = ev.select("digest").distinct().count()
+    assert len(digests) == want
+
+
+def test_additive_upsert_sink_matches_batch(spark, tmp_path):
+    """foreachBatch I3 sink: after the stream drains, the parquet table
+    equals the batch aggregate (windows still open at end are absent from
+    append output, so compare on the emitted subset)."""
+    from citibike_deep_dive_spark.streaming.stateful import additive_upsert_sink
+
+    target = str(tmp_path / "counts_table")
+    stream = read_event_stream(spark, _stage_dir(tmp_path))
+    q = (
+        windowed_counts(stream)
+        .writeStream.foreachBatch(
+            additive_upsert_sink(target, keys=["window_start", "event_type"],
+                                 counters=["total_count"])
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from citibike_deep_dive_spark.plans.catalog import table
+
+    ev = table(spark, SF_DIR, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("total_count"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "total_count")
+    )
+    want = {(r.window_start, r.event_type): r.total_count for r in batch.collect()}
+    got = {
+        (r.window_start, r.event_type): r.total_count
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
