@@ -123,3 +123,45 @@ def embedding_cosine_near_dups(
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def sign_lsh_bucket(vec: Column, bits: int = 16) -> Column:
+    """Random-hyperplane LSH bucket for cosine similarity, using the first
+    ``bits`` axis-aligned hyperplanes (sign of each leading component).
+
+    Vectors with high cosine similarity agree on most component signs, so
+    near-duplicates land in the same bucket with high probability. Pure
+    column arithmetic — portable to any SQL engine — and a uniform join
+    key at 100 TB (no label/cell metadata needed, unlike the IVF variant).
+    """
+    total = F.lit(0).cast("long")
+    for j in range(bits):  # static unroll — stays in whole-stage codegen
+        total = total + F.when(
+            F.element_at(vec, j + 1) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return total
+
+
+def embedding_near_dups_sign_lsh(
+    embeddings: DataFrame, threshold: float = 0.8, bits: int = 16
+) -> DataFrame:
+    """Near-duplicate pairs via sign-LSH bucketing: candidates must share
+    the full sign bucket, then exact cosine verifies. The bucket equi-join
+    replaces the quadratic all-pairs comparison — the metadata-free scale
+    path for embedding dedup."""
+    e = _as_double(embeddings).withColumn(
+        "bucket", sign_lsh_bucket(F.col("embedding"), bits)
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), "bucket", F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), "bucket", F.col("embedding").alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "bucket",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

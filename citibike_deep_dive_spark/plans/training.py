@@ -473,3 +473,72 @@ def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("events_in_session"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew + embedding-LSH scale paths
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_aggregate",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DOUBLE)) AS DOUBLE) AS value_sum,
+           min(user_id) AS first_user,
+           max(user_id) AS last_user
+    FROM events GROUP BY event_type
+    """,
+    tags=("X-skew-salting", "A2"),
+)
+def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — result-identical to the plain
+    GROUP BY (the oracle) but immune to single-hot-key reducer skew."""
+    from ..operators.skew import salted_aggregate
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("double")
+    )
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            ("count", "*", "n"),
+            ("sum", "value", "value_sum"),
+            ("min", "user_id", "first_user"),
+            ("max", "user_id", "last_user"),
+        ],
+        salt_buckets=32,
+    )
+    return out.withColumn("value_sum", F.col("value_sum").cast("double"))
+
+
+_SIGN_BUCKET = (
+    "list_sum(list_transform(generate_series(1, 16), "
+    "j -> CASE WHEN embedding[j] > 0 THEN 1 << (j - 1) ELSE 0 END))"
+)
+
+
+@register(
+    "embedding_near_dup_sign_lsh",
+    f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               CAST({_SIGN_BUCKET} AS BIGINT) AS bucket
+        FROM embeddings
+    )
+    SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_sql("a.embedding", "b.embedding")} AS cos_sim
+    FROM bucketed a
+    JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.8
+    """,
+    tags=("X-dedup-embedding-lsh",),
+)
+def embedding_near_dup_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dups_sign_lsh
+
+    return embedding_near_dups_sign_lsh(
+        table(spark, sf_dir, "embeddings"), threshold=0.8, bits=16
+    )

@@ -114,3 +114,71 @@ def test_multimodal_stub_and_features(spark):
     by_id = {r.media_id: r for r in feats}
     assert by_id[1].digest == by_id[2].digest
     assert by_id[1].features == by_id[2].features
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from citibike_deep_dive_spark.operators.skew import salted_aggregate
+
+    df = spark.range(0, 1000).selectExpr(
+        "CAST(id % 3 AS STRING) AS k", "id AS v"
+    )
+    got = {
+        r.k: (r.n, r.v_sum, r.v_min, r.v_max)
+        for r in salted_aggregate(
+            df,
+            keys=["k"],
+            aggs=[("count", "*", "n"), ("sum", "v", "v_sum"),
+                  ("min", "v", "v_min"), ("max", "v", "v_max")],
+            salt_buckets=8,
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        r.k: (r.n, r.v_sum, r.v_min, r.v_max)
+        for r in df.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("v_sum"),
+            F.min("v").alias("v_min"), F.max("v").alias("v_max")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_salted_aggregate_rejects_nondecomposable(spark):
+    from citibike_deep_dive_spark.operators.skew import salted_aggregate
+
+    df = spark.range(10).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_aggregate(df, ["k"], [("avg", "v", "a")])
+
+
+def test_sign_lsh_bucket_groups_identical_vectors(spark):
+    from pyspark.sql import functions as F
+    from citibike_deep_dive_spark.operators.similarity import (
+        embedding_near_dups_sign_lsh,
+        sign_lsh_bucket,
+    )
+
+    rows = [
+        (1, [0.5, -0.2, 0.1, 0.9]),
+        (2, [0.5, -0.2, 0.1, 0.9]),   # identical -> same bucket, cos=1
+        (3, [0.51, -0.19, 0.12, 0.88]),  # near-dup, same signs
+        (4, [-0.5, 0.2, -0.1, -0.9]),  # opposite signs -> other bucket
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    buckets = {
+        r.vec_id: r.b
+        for r in df.select("vec_id", sign_lsh_bucket(F.col("embedding"), 4).alias("b")).collect()
+    }
+    assert buckets[1] == buckets[2] == buckets[3]
+    assert buckets[4] != buckets[1]
+
+    pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_dups_sign_lsh(df, threshold=0.9, bits=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+    assert all(4 not in p for p in pairs)
