@@ -48,6 +48,8 @@ HEADLINE = [
     "normalize_trips_pipeline",
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",
+    "skew_salted_aggregate",
+    "embedding_near_dup_sign_lsh",
 ]
 
 

@@ -79,10 +79,21 @@ def additive_upsert_sink(
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function: merge each micro-batch delta into the parquet
     table at ``table_path`` (I3 semantics: matching keys add counters,
-    new keys insert). Atomic via write-temp-then-swap."""
+    new keys insert). Atomic via write-temp-then-swap.
+
+    Exactly-once despite foreachBatch's at-least-once replay: the applied
+    batch id is committed INSIDE the table directory (``_last_batch_id``,
+    ignored by parquet readers), in the same atomic swap as the data — a
+    replayed batch sees its own id and no-ops instead of double-adding.
+    """
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        marker = os.path.join(table_path, "_last_batch_id")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # replayed batch already applied
         if os.path.exists(table_path):
             existing = spark.read.parquet(table_path)
             merged = additive_upsert(existing, batch_df, keys=keys, counters=counters)
@@ -90,6 +101,8 @@ def additive_upsert_sink(
             merged = batch_df
         tmp = table_path + f"__tmp_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_last_batch_id"), "w") as fh:
+            fh.write(str(batch_id))
         if os.path.exists(table_path):
             shutil.rmtree(table_path)
         os.replace(tmp, table_path)

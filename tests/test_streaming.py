@@ -141,3 +141,20 @@ def test_additive_upsert_sink_matches_batch(spark, tmp_path):
     assert got
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_additive_upsert_sink_replay_is_noop(spark, tmp_path):
+    """foreachBatch replay guard: re-applying the same batch_id must not
+    double-count (at-least-once delivery -> exactly-once table)."""
+    from citibike_deep_dive_spark.streaming.stateful import additive_upsert_sink
+
+    target = str(tmp_path / "replay_table")
+    sink = additive_upsert_sink(target, keys=["k"], counters=["n"])
+    delta = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "n"])
+    sink(delta, 0)
+    sink(delta, 0)  # replay of batch 0 -> no-op
+    got = {r.k: r.n for r in spark.read.parquet(target).collect()}
+    assert got == {"a": 1, "b": 2}
+    sink(delta, 1)  # genuinely new batch -> adds
+    got = {r.k: r.n for r in spark.read.parquet(target).collect()}
+    assert got == {"a": 2, "b": 4}
