@@ -50,6 +50,7 @@ HEADLINE = [
     "route_waypoints_enrichment",
     "skew_salted_aggregate",
     "embedding_near_dup_sign_lsh",
+    "training_corpus_prep",
 ]
 
 

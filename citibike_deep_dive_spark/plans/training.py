@@ -542,3 +542,82 @@ def embedding_near_dup_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups_sign_lsh(
         table(spark, sf_dir, "embeddings"), threshold=0.8, bits=16
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: full training-corpus preparation in ONE lazy plan —
+# quality gate → exact dedup (keep min doc_id) → LSH near-dup removal
+# (greedy keep-lower) → per-(lang, source) corpus stats.
+# ---------------------------------------------------------------------------
+
+_QUALITY_SCORE_SQL = (
+    "round(least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 64.0, 1.0) * 0.4"
+    f" + least(CAST({_QS_STOP} AS DOUBLE)"
+    " / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 4.0, 1.0) * 0.4"
+    " + (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)"
+    " / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2, 4)"
+)
+
+_CORPUS_PREP_ORACLE = f"""
+    WITH qualified AS (
+        SELECT * FROM documents WHERE {_QUALITY_SCORE_SQL} >= 0.5
+    ),
+    dedup AS (
+        SELECT doc_id, text, lang, source FROM (
+            SELECT q.*, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+            FROM qualified q
+        ) WHERE doc_id = keeper
+    ),
+    {_SHINGLES_CTE.replace("FROM documents", "FROM dedup")},
+    {_MINHASH_CTE},
+    {_BANDS_CTE},
+    {_PAIRS_CTE},
+    jacc AS (
+        SELECT p.doc_id_a, p.doc_id_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+                   AS jaccard
+        FROM pairs p
+        JOIN shingled sa ON p.doc_id_a = sa.doc_id
+        JOIN shingled sb ON p.doc_id_b = sb.doc_id
+    ),
+    drops AS (SELECT DISTINCT doc_id_b AS doc_id FROM jacc WHERE jaccard >= 0.6),
+    corpus AS (
+        SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS ws_tokens
+    FROM corpus GROUP BY 1, 2
+"""
+
+
+@register(
+    "training_corpus_prep",
+    _CORPUS_PREP_ORACLE,
+    tags=("X-corpus-prep", "X-dedup-exact", "X-dedup-lsh", "X-text-quality"),
+)
+def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole data-prep funnel as one Catalyst plan: every stage is a
+    DataFrame transform, so filters/projections fuse and the only shuffles
+    are the dedup hash-agg, the LSH band join, and the final stats agg."""
+    docs = table(spark, sf_dir, "documents")
+    q = quality_scores(docs)
+    qualified = docs.join(
+        q.filter(F.col("quality_score") >= 0.5).select("doc_id"), "doc_id"
+    )
+    keepers = exact_dedup(qualified).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    uniq = qualified.join(keepers, "doc_id")
+    pairs = ngram_jaccard_pairs(uniq, lsh_candidate_pairs(uniq, k=4, rows_per_band=2))
+    drops = (
+        pairs.filter(F.col("jaccard") >= 0.6)
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+    )
+    corpus = uniq.join(drops, "doc_id", "left_anti")
+    return corpus.groupBy("lang", "source").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size(F.split(F.lower("text"), " "))).alias("ws_tokens"),
+    )
