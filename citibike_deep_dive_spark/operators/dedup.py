@@ -231,3 +231,65 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return per_doc.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve duplicate-pair edges into clusters: (doc_id, cluster_id)
+    with cluster_id = min doc_id reachable through the pair graph.
+
+    Iterative min-label propagation over symmetrized edges — the standard
+    distributed connected-components loop (converges in O(graph diameter)
+    iterations, each one join + one aggregation). This is how LSH candidate
+    pairs become dedup GROUPS at 100 TB: greedy pairwise drops miss
+    transitive duplicates (a~b, b~c but a≁c); components don't.
+
+    Driver only controls the loop; all data stays distributed. Each
+    iteration's result is cached and the previous uncached to keep the
+    lineage short.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.s == labels.id)
+            .groupBy(F.col("d").alias("id2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == F.col("id2"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

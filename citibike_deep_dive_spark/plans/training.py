@@ -18,6 +18,7 @@ from ..operators.dedup import (
 from ..operators.multimodal import extract_features, frame_sample_plan, synthesize_media
 from ..operators.similarity import brute_force_topk, embedding_cosine_near_dups, ivf_topk
 from ..operators.textstats import STOPWORDS, TOKEN_REGEX, fingerprints, quality_scores, token_counts, language_id
+from ..normalize import month_abbrev
 from .catalog import register, table
 
 # Shared SQL fragments -------------------------------------------------------
@@ -620,4 +621,130 @@ def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.groupBy("lang", "source").agg(
         F.count("*").alias("docs"),
         F.sum(F.size(F.split(F.lower("text"), " "))).alias("ws_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster resolution (iterative connected components) + analytic
+# extensions: exact percentiles, rollup, corpus n-gram top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_PAIRS_CTE},
+    sym AS (
+        SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+        UNION
+        SELECT doc_id_b AS s, doc_id_a AS d FROM pairs
+    ),
+    reach AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+    )
+    SELECT s AS doc_id,
+           least(s, min(d)) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+    tags=("X-dedup-components",),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs resolved into duplicate CLUSTERS via iterative
+    min-label propagation (transitive: a~b~c groups even when a≁c).
+    The DuckDB oracle computes the same components with a recursive CTE."""
+    from ..operators.dedup import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    return connected_components(lsh_candidate_pairs(docs, k=4, rows_per_band=2))
+
+
+@register(
+    "value_percentiles_exact",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM (SELECT event_type, CAST(value AS DOUBLE) AS value FROM events)
+    GROUP BY event_type
+    """,
+    tags=("X-percentiles",),
+)
+def value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont: both linear interpolation over the sorted set). The
+    approx_percentile/t-digest variant is the scale path when one pass
+    over 100 TB must avoid a full sort — swap in F.approx_percentile."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("double")
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "rollup_year_month",
+    """
+    SELECT strftime(o_orderdate, '%Y') AS year,
+           CASE WHEN GROUPING(strftime(o_orderdate, '%b')) = 1 THEN NULL
+                ELSE strftime(o_orderdate, '%b') END AS month,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(GROUPING(strftime(o_orderdate, '%Y')) * 2
+                + GROUPING(strftime(o_orderdate, '%b')) AS INT) AS lvl
+    FROM orders
+    GROUP BY ROLLUP (strftime(o_orderdate, '%Y'), strftime(o_orderdate, '%b'))
+    """,
+    tags=("X-rollup", "A5"),
+)
+def rollup_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native rollup: month/year/grand-total grains in one pass (the
+    reference hand-rolls the month→year re-aggregation, A5 — rollup is
+    the engine form with map-side partial aggregation at every grain)."""
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.date_format("o_orderdate", "yyyy").alias("year"),
+        month_abbrev(F.col("o_orderdate")).alias("month"),
+    )
+    return base.rollup("year", "month").agg(
+        F.count("*").alias("n"),
+        (F.grouping("year") * 2 + F.grouping("month")).cast("int").alias("lvl"),
+    )
+
+
+@register(
+    "corpus_top_ngrams",
+    f"""
+    WITH {_SHINGLES_CTE},
+    grams AS (SELECT unnest(sh) AS gram FROM shingled),
+    counted AS (
+        SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq FROM grams GROUP BY gram
+    )
+    SELECT gram, doc_freq, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT gram, doc_freq,
+               ROW_NUMBER() OVER (ORDER BY doc_freq DESC, gram) AS rnk
+        FROM counted
+    ) WHERE rnk <= 20
+    """,
+    tags=("X-text-ngrams",),
+)
+def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram document frequencies, global top-20. The
+    explode→count is map-side combined; the global top-k is a single-key
+    window over the (tiny) aggregated set — WindowGroupLimit keeps only
+    20 rows per partition before the final merge."""
+    from ..operators.dedup import shingle_frame
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    grams = shingle_frame(docs).select(F.explode("sh").alias("gram"))
+    counted = grams.groupBy("gram").agg(F.count("*").alias("doc_freq"))
+    w = W.orderBy(F.col("doc_freq").desc(), F.col("gram"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
     )

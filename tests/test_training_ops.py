@@ -182,3 +182,14 @@ def test_sign_lsh_bucket_groups_identical_vectors(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
     assert (1, 3) in pairs
     assert all(4 not in p for p in pairs)
+
+
+def test_connected_components_transitive(spark):
+    from citibike_deep_dive_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], ["doc_id_a", "doc_id_b"]
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    # {1,2,3,9} one cluster (transitively), {5,6} another
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
