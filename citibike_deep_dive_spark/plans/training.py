@@ -748,3 +748,75 @@ def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 20)
     )
+
+
+@register(
+    "asof_join_latest_profile",
+    """
+    WITH l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_id % 7 = 0
+    ),
+    r AS (
+        SELECT user_id, ts, round(max(CAST(value AS DOUBLE)), 4) AS profile_value
+        FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           r.profile_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    tags=("X-asof-join",),
+)
+def asof_join_latest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event gets the latest prior profile
+    value for its user (union+window as-of join vs DuckDB's native ASOF)."""
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_id") % 7 == 0).select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max(F.col("value").cast("double")), 4).alias("profile_value"))
+    )
+    out = asof_join(left, right, on="ts", by=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "profile_value",
+    )
+
+
+@register(
+    "range_join_interval",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS shipped_within_90d
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+    tags=("X-range-join",),
+)
+def range_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join: the equi key (orderkey) carries the
+    shuffle — Catalyst plans a hash join with the range condition as a
+    post-join filter, so it never goes quadratic (a pure range join
+    without an equi key would need bucketed interval binning instead)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("shipped_within_90d"))
+    )

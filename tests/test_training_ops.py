@@ -193,3 +193,25 @@ def test_connected_components_transitive(spark):
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     # {1,2,3,9} one cluster (transitively), {5,6} another
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+    from citibike_deep_dive_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, "u1", t("2024-01-01 10:00:00")),
+         (2, "u1", t("2024-01-01 12:00:00")),
+         (3, "u2", t("2024-01-01 09:00:00"))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("u1", t("2024-01-01 09:30:00"), 10.0),
+         ("u1", t("2024-01-01 11:00:00"), 20.0),
+         ("u1", t("2024-01-01 12:00:00"), 30.0),  # equal ts visible (<=)
+         ("u2", t("2024-01-01 09:30:00"), 99.0)],  # after u2's event
+        ["user_id", "ts", "v"],
+    )
+    got = {r.event_id: r.v for r in asof_join(left, right, on="ts", by=["user_id"]).collect()}
+    assert got == {1: 10.0, 2: 30.0, 3: None}
