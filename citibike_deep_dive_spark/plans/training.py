@@ -690,8 +690,9 @@ def value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rollup_year_month",
     """
-    SELECT strftime(o_orderdate, '%Y') AS year,
-           CASE WHEN GROUPING(strftime(o_orderdate, '%b')) = 1 THEN NULL
+    SELECT CASE WHEN GROUPING(strftime(o_orderdate, '%Y')) = 1 THEN '<all>'
+                ELSE strftime(o_orderdate, '%Y') END AS year,
+           CASE WHEN GROUPING(strftime(o_orderdate, '%b')) = 1 THEN '<all>'
                 ELSE strftime(o_orderdate, '%b') END AS month,
            CAST(count(*) AS BIGINT) AS n,
            CAST(GROUPING(strftime(o_orderdate, '%Y')) * 2
@@ -710,9 +711,15 @@ def rollup_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy").alias("year"),
         month_abbrev(F.col("o_orderdate")).alias("month"),
     )
-    return base.rollup("year", "month").agg(
+    out = base.rollup("year", "month").agg(
         F.count("*").alias("n"),
         (F.grouping("year") * 2 + F.grouping("month")).cast("int").alias("lvl"),
+    )
+    return out.select(
+        F.coalesce("year", F.lit("<all>")).alias("year"),
+        F.coalesce("month", F.lit("<all>")).alias("month"),
+        "n",
+        "lvl",
     )
 
 
@@ -819,4 +826,129 @@ def range_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("shipped_within_90d"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frames / lag-lead / distinct aggregates / cube — analytic surface
+# beyond the reference's single ROW_NUMBER window (SURVEY.md §2.5 note)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "running_total_frame",
+    """
+    SELECT event_id, user_id,
+           round(sum(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS running_value
+    FROM events
+    """,
+    tags=("X-window-frame",),
+)
+def running_total_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user sum with an explicit ROWS frame (deterministic
+    tiebreak on event_id so the frame contents are engine-stable)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast("double")).over(w), 4).alias(
+            "running_value"
+        ),
+    )
+
+
+@register(
+    "lag_lead_gaps",
+    """
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS gap_us,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_event_type
+    FROM events
+    """,
+    tags=("X-lag-lead",),
+)
+def lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap + next-event lookahead per user — the lag/lead
+    building blocks of telemetry sessionization and funnel analysis."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).cast("long").alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+@register(
+    "distinct_aggregates",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS active_days,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("X-count-distinct",),
+)
+def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregation (Spark expands to a
+    single multi-phase plan; the approx_count_distinct HLL swap is the
+    one-pass variant at 100 TB when exactness isn't required)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.countDistinct(F.date_format("ts", "yyyy-MM-dd")).alias("active_days"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "cube_type_day",
+    """
+    SELECT CASE WHEN GROUPING(event_type) = 1 THEN '<all>' ELSE event_type END
+               AS event_type,
+           CASE WHEN GROUPING(strftime(ts, '%a')) = 1 THEN '<all>'
+                ELSE strftime(ts, '%a') END AS dow,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(GROUPING(event_type) * 2
+                + GROUPING(strftime(ts, '%a')) AS INT) AS lvl
+    FROM events
+    GROUP BY CUBE (event_type, strftime(ts, '%a'))
+    """,
+    tags=("X-cube",),
+)
+def cube_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (event_type, day-of-week): all four grains in one
+    pass with map-side partials (locale-proof literal dow abbreviations)."""
+    ev = table(spark, sf_dir, "events")
+    dow = F.element_at(
+        F.array(*[F.lit(d) for d in ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]]),
+        F.weekday("ts") + 1,
+    )
+    base = ev.select(F.col("event_type"), dow.alias("dow"))
+    out = base.cube("event_type", "dow").agg(
+        F.count("*").alias("n"),
+        (F.grouping("event_type") * 2 + F.grouping("dow")).cast("int").alias("lvl"),
+    )
+    # '<all>' instead of NULL grain markers: source cols are never null, so
+    # this is exact — and null-vs-string sort order stops mattering in any
+    # downstream comparator.
+    return out.select(
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        F.coalesce("dow", F.lit("<all>")).alias("dow"),
+        "n",
+        "lvl",
     )
