@@ -100,7 +100,9 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 MINHASH_MOD = 1 << 60
 
 
-def minhash_signatures(docs: DataFrame, k: int = 4) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = 4, shingles: DataFrame | None = None
+) -> DataFrame:
     """Per-doc MinHash signature: k min-hashes over shingles from ONE md5
     per shingle (Carter–Wegman family h_i(s) = (a + i·b) mod 2^60, where
     a/b are the two 60-bit halves of md5(s)).
@@ -121,7 +123,8 @@ def minhash_signatures(docs: DataFrame, k: int = 4) -> DataFrame:
 
     # explode(array(...)) barrier again: evaluate the hash-pair array once,
     # then derive all k signature components from it (see shingle_frame).
-    pairs = shingle_frame(docs).select(
+    sh = shingles if shingles is not None else shingle_frame(docs)
+    pairs = sh.select(
         "doc_id", F.explode(F.array(F.transform(F.col("sh"), hash_pair))).alias("hp")
     )
 
@@ -162,13 +165,18 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, k: int = 4, rows_per_band: int = 2) -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    rows_per_band: int = 2,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """Near-duplicate candidate pairs: docs sharing any LSH band bucket.
 
     The bucket equi-join replaces the quadratic cross-join — the scale
     path for 100 TB corpora.
     """
-    bands = lsh_bands(minhash_signatures(docs, k), rows_per_band)
+    bands = lsh_bands(minhash_signatures(docs, k, shingles=shingles), rows_per_band)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -185,10 +193,18 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 4, rows_per_band: int = 2) -> 
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame, shingles: DataFrame | None = None
+) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (the verify
-    stage after LSH candidate generation)."""
-    with_sh = shingle_frame(docs)
+    stage after LSH candidate generation).
+
+    Pass a cached ``shingles`` frame (from ``shingle_frame``) when the
+    caller also ran LSH: the shingle build is the CPU-heavy step, and an
+    explicitly persisted shared intermediate beats recomputing it in
+    every self-join branch (Catalyst does not dedupe aliased subplans).
+    """
+    with_sh = shingles if shingles is not None else shingle_frame(docs)
     a = with_sh.alias("sa")
     b = with_sh.alias("sb")
     joined = (

@@ -611,7 +611,14 @@ def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keeper_doc_id").alias("doc_id")
     )
     uniq = qualified.join(keepers, "doc_id")
-    pairs = ngram_jaccard_pairs(uniq, lsh_candidate_pairs(uniq, k=4, rows_per_band=2))
+    # the shingle build is the CPU-heavy step and feeds THREE consumers
+    # (LSH bands + both jaccard sides); persist it once
+    from ..operators.dedup import shingle_frame
+
+    sh = shingle_frame(uniq).persist()
+    pairs = ngram_jaccard_pairs(
+        uniq, lsh_candidate_pairs(uniq, k=4, rows_per_band=2, shingles=sh), shingles=sh
+    )
     drops = (
         pairs.filter(F.col("jaccard") >= 0.6)
         .select(F.col("doc_id_b").alias("doc_id"))
