@@ -76,3 +76,20 @@ def sessionize(
             "events_in_session",
         )
     )
+
+
+def enrich_stream_static(stream: DataFrame, dim: DataFrame, keys: list[str]) -> DataFrame:
+    """Stream-static join: every micro-batch joins against the (small)
+    static dimension — broadcast, so the stream never shuffles. The
+    streaming analog of the pipeline's J5 enrichment joins."""
+    return stream.join(F.broadcast(dim), keys, "left")
+
+
+def dedup_within_watermark(
+    stream: DataFrame, cols: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Built-in streaming dedup: drops repeats of ``cols`` arriving within
+    the watermark horizon — bounded state, unlike dropDuplicates' forever
+    state. Complements the custom applyInPandasWithState first-seen
+    operator (stateful.streaming_first_seen) which never expires."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(cols)

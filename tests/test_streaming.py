@@ -158,3 +158,48 @@ def test_additive_upsert_sink_replay_is_noop(spark, tmp_path):
     sink(delta, 1)  # genuinely new batch -> adds
     got = {r.k: r.n for r in spark.read.parquet(target).collect()}
     assert got == {"a": 2, "b": 4}
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    from citibike_deep_dive_spark.streaming.ingest import enrich_stream_static
+
+    dim = spark.createDataFrame(
+        [(i, "tier%d" % (i % 3)) for i in range(200)], ["user_id", "tier"]
+    )
+    stream = read_event_stream(spark, _stage_dir(tmp_path))
+    q = (
+        enrich_stream_static(stream, dim, ["user_id"])
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt5"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM enrich_test").collect()
+    assert rows
+    assert all(r.tier is not None for r in rows)
+
+    from citibike_deep_dive_spark.plans.catalog import table
+
+    assert len(rows) == table(spark, SF_DIR, "events").count()
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    from citibike_deep_dive_spark.streaming.ingest import dedup_within_watermark
+
+    stream = read_event_stream(spark, _stage_dir(tmp_path)).withColumn(
+        "digest", F.md5(F.concat_ws(":", "event_type", (F.col("user_id") % 5)))
+    )
+    q = (
+        dedup_within_watermark(stream, ["digest"])
+        .writeStream.format("memory")
+        .queryName("wmdedup_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt6"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    digests = [r.digest for r in spark.sql("SELECT digest FROM wmdedup_test").collect()]
+    assert len(digests) == len(set(digests))
+    assert digests  # non-empty
