@@ -959,3 +959,77 @@ def cube_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "lvl",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting / source mixing (hash-based — the
+# reproducible-at-100TB alternative to partition-dependent random sampling)
+# ---------------------------------------------------------------------------
+
+_HASH_BUCKET = "(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 8))::BIGINT % 10000)"
+
+
+@register(
+    "deterministic_sample",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_HASH_BUCKET.format(k="doc_id")} < 2000
+    """,
+    tags=("X-sampling",),
+)
+def deterministic_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import deterministic_sample
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return deterministic_sample(docs, key="doc_id", rate=0.2)
+
+
+@register(
+    "train_val_test_split",
+    f"""
+    SELECT split, CAST(count(*) AS BIGINT) AS docs,
+           CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM (
+        SELECT doc_id,
+               CASE WHEN {_HASH_BUCKET.format(k="doc_id")} < 1000 THEN 'val'
+                    WHEN {_HASH_BUCKET.format(k="doc_id")} < 2000 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    )
+    GROUP BY split
+    """,
+    tags=("X-split",),
+)
+def train_val_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import train_val_test_split
+
+    docs = table(spark, sf_dir, "documents")
+    split = train_val_test_split(docs, key="doc_id", val=0.1, test=0.1)
+    return split.groupBy("split").agg(
+        F.count("*").alias("docs"), F.min("doc_id").alias("min_id")
+    )
+
+
+@register(
+    "weighted_source_mix",
+    f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS kept
+    FROM documents
+    WHERE {_HASH_BUCKET.format(k="doc_id")} <
+          CASE WHEN source = 'src0' THEN 10000
+               WHEN source = 'src1' THEN 5000
+               WHEN source = 'src2' THEN 1000
+               ELSE NULL END
+    GROUP BY source
+    """,
+    tags=("X-dataset-mixing",),
+)
+def weighted_source_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_source_mix
+
+    docs = table(spark, sf_dir, "documents")
+    mixed = weighted_source_mix(
+        docs, source_col="source", key="doc_id",
+        weights={"src0": 1.0, "src1": 0.5, "src2": 0.1},
+    )
+    return mixed.groupBy("source").agg(F.count("*").alias("kept"))

@@ -215,3 +215,31 @@ def test_asof_join_semantics(spark):
     )
     got = {r.event_id: r.v for r in asof_join(left, right, on="ts", by=["user_id"]).collect()}
     assert got == {1: 10.0, 2: 30.0, 3: None}
+
+
+def test_hash_split_stable_and_disjoint(spark):
+    from citibike_deep_dive_spark.operators.sampling import (
+        deterministic_sample,
+        train_val_test_split,
+    )
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s1 = set(r.doc_id for r in deterministic_sample(df, "doc_id", 0.2).collect())
+    s2 = set(
+        r.doc_id
+        for r in deterministic_sample(df.repartition(7), "doc_id", 0.2).collect()
+    )
+    assert s1 == s2, "sample must be partition-layout independent"
+    assert 0.15 < len(s1) / 5000 < 0.25
+
+    split = train_val_test_split(df, "doc_id")
+    counts = {r.split: r.n for r in split.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # growing the corpus never moves an existing row's split
+    bigger = train_val_test_split(
+        spark.range(0, 10000).withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+    small_map = {r.doc_id: r.split for r in split.collect()}
+    big_map = {r.doc_id: r.split for r in bigger.collect()}
+    assert all(big_map[k] == v for k, v in small_map.items())
