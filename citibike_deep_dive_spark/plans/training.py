@@ -1033,3 +1033,62 @@ def weighted_source_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights={"src0": 1.0, "src1": 0.5, "src2": 0.1},
     )
     return mixed.groupBy("source").agg(F.count("*").alias("kept"))
+
+
+@register(
+    "pivot_type_by_dow",
+    """
+    SELECT strftime(ts, '%a') AS dow,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+    FROM events GROUP BY 1
+    """,
+    tags=("X-pivot",),
+)
+def pivot_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): one row per day-of-week, one column per event
+    type. Explicit value list ⇒ single-pass plan (no extra distinct scan
+    to discover pivot columns — required at 100 TB)."""
+    ev = table(spark, sf_dir, "events")
+    dow = F.element_at(
+        F.array(*[F.lit(d) for d in ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]]),
+        F.weekday("ts") + 1,
+    )
+    return (
+        ev.select(dow.alias("dow"), "event_type")
+        .groupBy("dow")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "from_json_struct",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                      THEN 1 END) AS BIGINT) AS k_over_50
+    FROM events GROUP BY event_type
+    """,
+    tags=("X-from-json", "F6"),
+)
+def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with an explicit schema turns the
+    props column into a real struct ONCE; downstream references are plain
+    column accesses (vs re-parsing per json_extract call)."""
+    from pyspark.sql import types as T
+
+    ev = table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = ev.withColumn("p", F.from_json("props", schema))
+    return parsed.groupBy("event_type").agg(
+        F.sum("p.k").alias("k_sum"),
+        F.max("p.k").alias("k_max"),
+        F.count(F.when(F.col("p.k") > 50, 1)).alias("k_over_50"),
+    )
