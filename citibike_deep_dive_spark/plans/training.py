@@ -1092,3 +1092,122 @@ def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p.k").alias("k_max"),
         F.count(F.when(F.col("p.k") > 50, 1)).alias("k_over_50"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / null-safe equality / positional explode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "intersect_except_customers",
+    """
+    WITH y95 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE strftime(o_orderdate, '%Y') = '1995'
+    ),
+    y96 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE strftime(o_orderdate, '%Y') = '1996'
+    ),
+    both_years AS (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96),
+    only_95 AS (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+    SELECT 'both' AS cohort, CAST(count(*) AS BIGINT) AS customers,
+           CAST(min(o_custkey) AS BIGINT) AS min_key
+    FROM both_years
+    UNION ALL
+    SELECT 'only_1995', CAST(count(*) AS BIGINT), CAST(min(o_custkey) AS BIGINT)
+    FROM only_95
+    """,
+    tags=("X-set-ops",),
+)
+def intersect_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (absent from the reference, SURVEY §2.7 note):
+    retention cohorts — customers ordering in both years vs churned."""
+    orders = table(spark, sf_dir, "orders")
+    year = F.date_format("o_orderdate", "yyyy")
+    y95 = orders.filter(year == "1995").select("o_custkey").distinct()
+    y96 = orders.filter(year == "1996").select("o_custkey").distinct()
+    both = y95.intersect(y96).agg(
+        F.count("*").alias("customers"), F.min("o_custkey").alias("min_key")
+    ).select(F.lit("both").alias("cohort"), "customers", "min_key")
+    only95 = y95.exceptAll(y96).agg(
+        F.count("*").alias("customers"), F.min("o_custkey").alias("min_key")
+    ).select(F.lit("only_1995").alias("cohort"), "customers", "min_key")
+    return both.unionByName(only95)
+
+
+@register(
+    "null_safe_equality_join",
+    """
+    WITH l AS (
+        SELECT event_id,
+               CASE WHEN event_id % 5 = 0 THEN NULL
+                    ELSE CAST(user_id % 10 AS BIGINT) END AS k
+        FROM events WHERE event_id % 3 = 0
+    ),
+    r AS (
+        SELECT CASE WHEN g = 10 THEN NULL ELSE CAST(g AS BIGINT) END AS k,
+               'grp' || CASE WHEN g = 10 THEN 'null' ELSE CAST(g AS VARCHAR) END
+                   AS grp_name
+        FROM (SELECT unnest(generate_series(0, 10)) AS g)
+    )
+    SELECT l.event_id, r.grp_name
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+    tags=("X-null-safe-eq", "J3"),
+)
+def null_safe_equality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM): null keys MATCH
+    each other — the semantics NOT IN gets wrong (SURVEY §2.3 J3 note:
+    the reference's anti-joins only coincide with left_anti because nulls
+    are pre-filtered; this entry demonstrates the engine handling them)."""
+    ev = table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise((F.col("user_id") % 10).cast("long"))
+        .alias("k"),
+    )
+    right = (
+        table(spark, sf_dir, "events")
+        .sparkSession.range(0, 11)
+        .select(
+            F.when(F.col("id") == 10, F.lit(None).cast("long"))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(
+                F.lit("grp"),
+                F.when(F.col("id") == 10, F.lit("null")).otherwise(
+                    F.col("id").cast("string")
+                ),
+            ).alias("grp_name"),
+        )
+    )
+    return left.join(F.broadcast(right), left.k.eqNullSafe(right.k)).select(
+        "event_id", "grp_name"
+    )
+
+
+@register(
+    "posexplode_tokens",
+    """
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS pos,
+           w[i] AS token
+    FROM (
+        SELECT doc_id, string_split(lower(text), ' ') AS w
+        FROM documents WHERE doc_id < 50
+    ), LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+    """,
+    tags=("X-posexplode",),
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (table function): token + its position — the
+    order-preserving flatten that shingling, windowed token stats, and
+    span labeling build on."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token"),
+    )
