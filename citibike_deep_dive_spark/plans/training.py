@@ -1211,3 +1211,127 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF / histograms / vector normalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(n.n_docs / df.df), 4) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk FROM (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+    tags=("X-tfidf",),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-3 terms per document. Shuffle inventory: one agg to
+    (doc, term) grain, one to term grain (the df side — tiny, broadcast
+    back), one window by doc. The n_docs scalar rides along as a literal
+    cross join (computed once, broadcast)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(floor(CAST(value AS DOUBLE) / 10.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(CAST(value AS DOUBLE)), 4) AS bin_min,
+           round(max(CAST(value AS DOUBLE)), 4) AS bin_max
+    FROM events GROUP BY 1
+    """,
+    tags=("X-histogram",),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: binning is pure column math so the whole
+    histogram is ONE map-side-combined aggregation (no sort, no
+    percentile pass) — the way to profile a 100 TB column."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("double")
+    )
+    return (
+        ev.withColumn("bin", F.floor(F.col("value") / 10.0).cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("bin_min"),
+            F.round(F.max("value"), 4).alias("bin_max"),
+        )
+    )
+
+
+@register(
+    "embedding_l2_normalize",
+    f"""
+    SELECT vec_id,
+           round({_NORM.format(a="embedding")}, 4) AS l2_norm,
+           round(CAST(embedding[1] AS DOUBLE) / {_NORM.format(a="embedding")}, 4)
+               AS u0,
+           round(CAST(embedding[2] AS DOUBLE) / {_NORM.format(a="embedding")}, 4)
+               AS u1
+    FROM embeddings
+    """,
+    tags=("X-vector-normalize",),
+)
+def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-L2 normalization (the precompute that turns cosine top-k into
+    dot-product top-k): per-row higher-order array math, zero shuffles."""
+    from ..operators.similarity import _norm as l2
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+    n = l2(F.col("e"))
+    return emb.select(
+        "vec_id",
+        F.round(n, 4).alias("l2_norm"),
+        F.round(F.element_at("e", 1) / n, 4).alias("u0"),
+        F.round(F.element_at("e", 2) / n, 4).alias("u1"),
+    )
