@@ -1335,3 +1335,92 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("e", 1) / n, 4).alias("u0"),
         F.round(F.element_at("e", 2) / n, 4).alias("u1"),
     )
+
+
+@register(
+    "conversion_funnel",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS users,
+           CAST(count(first_view) AS BIGINT) AS viewed,
+           CAST(count(CASE WHEN first_click > first_view THEN 1 END) AS BIGINT)
+               AS clicked_after_view,
+           CAST(count(CASE WHEN first_purchase > first_click
+                       AND first_click > first_view THEN 1 END) AS BIGINT)
+               AS full_funnel
+    FROM per_user
+    """,
+    tags=("X-funnel",),
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: one conditional-min aggregation per
+    user, then ordering predicates — no self-joins, no windows, ONE
+    shuffle (the classic scale-safe funnel formulation)."""
+    ev = table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        first("view").alias("first_view"),
+        first("click").alias("first_click"),
+        first("purchase").alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("users"),
+        F.count("first_view").alias("viewed"),
+        F.count(
+            F.when(F.col("first_click") > F.col("first_view"), 1)
+        ).alias("clicked_after_view"),
+        F.count(
+            F.when(
+                (F.col("first_purchase") > F.col("first_click"))
+                & (F.col("first_click") > F.col("first_view")),
+                1,
+            )
+        ).alias("full_funnel"),
+    )
+
+
+@register(
+    "zscore_outliers",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               round(avg(CAST(value AS DOUBLE)), 4) AS mean_v,
+               round(stddev_samp(CAST(value AS DOUBLE)), 4) AS std_v
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, s.mean_v, s.std_v,
+           CAST(count(CASE WHEN abs((CAST(e.value AS DOUBLE) - s.mean_v) / s.std_v)
+                            > 2.0 THEN 1 END) AS BIGINT) AS outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type, s.mean_v, s.std_v
+    """,
+    tags=("X-zscore",),
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier counts: stats pass (broadcast back) +
+    flag pass. Stats are rounded BEFORE the z comparison so the flag is a
+    pure function of engine-agreed values (float-sum ordering noise can't
+    flip boundary rows differently per engine)."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("double")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("mean_v"),
+        F.round(F.stddev_samp("value"), 4).alias("std_v"),
+    )
+    z = F.abs((F.col("value") - F.col("mean_v")) / F.col("std_v"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "mean_v", "std_v")
+        .agg(
+            F.count(F.when(z > 2.0, 1)).alias("outliers"),
+            F.count("*").alias("n"),
+        )
+    )
