@@ -610,9 +610,11 @@ def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = exact_dedup(qualified).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
-    uniq = qualified.join(keepers, "doc_id")
-    # the shingle build is the CPU-heavy step and feeds THREE consumers
-    # (LSH bands + both jaccard sides); persist it once
+    # uniq feeds four consumers (shingles, the pairs join, the anti-join
+    # left side, the final stats) and the shingle frame feeds three (LSH
+    # bands + both jaccard sides) — persist both shared intermediates so
+    # the quality/dedup subplan and the CPU-heavy shingling run once
+    uniq = qualified.join(keepers, "doc_id").persist()
     from ..operators.dedup import shingle_frame
 
     sh = shingle_frame(uniq).persist()
