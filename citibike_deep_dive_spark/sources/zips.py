@@ -106,3 +106,33 @@ def read_zips_distributed(spark: SparkSession, glob: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["archive", "member", "csv"])
 
     return binary.select("path", "content").mapInPandas(explode, CSV_LINES_SCHEMA)
+
+
+def parse_csv_members_distributed(
+    members: DataFrame, columns: list[str]
+) -> DataFrame:
+    """Complete S4 path 2: parse each extracted CSV member's bytes into
+    rows, all executor-side (pandas read_csv per member inside the Arrow
+    batch — never touches the driver or a staging filesystem).
+
+    ``columns`` fixes the output schema (all strings — the canonical
+    typed cast happens downstream in normalize_trips, exactly like the
+    staged path). Members missing a column yield nulls; extra columns are
+    dropped — the P2 pad / P3 project semantics at the parse edge.
+    """
+    out_schema = T.StructType([T.StructField(c, T.StringType()) for c in columns])
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                df = pd.read_csv(io.BytesIO(row.csv), dtype=str)
+                df.columns = [str(c) for c in df.columns]
+                for c in columns:
+                    if c not in df.columns:
+                        df[c] = None
+                frames.append(df[columns])
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return members.mapInPandas(parse, out_schema)

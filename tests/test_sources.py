@@ -110,3 +110,34 @@ def test_zip_distributed_read(spark, tmp_path):
     out = read_zips_distributed(spark, str(tmp_path / "*.zip")).collect()
     assert sorted(r.member for r in out) == ["m1.csv", "m2.csv"]
     assert all(r.csv.startswith(b"a,b") for r in out)
+
+
+def test_distributed_zip_to_trips_end_to_end(spark, tmp_path):
+    """S4 path 2 complete: binaryFile → executor-side unzip → executor-side
+    CSV parse → normalize_trips; row-parity with the staged path."""
+    import zipfile as zf
+
+    from citibike_deep_dive_spark.normalize import normalize_trips
+    from citibike_deep_dive_spark.sources.zips import (
+        extract_to_staging,
+        parse_csv_members_distributed,
+        read_staged_csvs,
+        read_zips_distributed,
+    )
+    from tests.trips_fixture import modern_era_pdf
+
+    pdf = modern_era_pdf()
+    zpath = tmp_path / "202307-citibike-tripdata.csv.zip"
+    with zf.ZipFile(zpath, "w") as z:
+        z.writestr("202307-citibike-tripdata.csv", pdf.to_csv(index=False))
+
+    members = read_zips_distributed(spark, str(tmp_path / "*.zip"))
+    raw = parse_csv_members_distributed(members, [str(c) for c in pdf.columns])
+    distributed = normalize_trips(raw, file_year="2023")
+
+    staged = extract_to_staging(str(zpath), str(tmp_path / "staging"))
+    via_staging = normalize_trips(read_staged_csvs(spark, staged), file_year="2023")
+
+    d = sorted(repr(r) for r in distributed.collect())
+    s = sorted(repr(r) for r in via_staging.collect())
+    assert d == s and len(d) > 0
