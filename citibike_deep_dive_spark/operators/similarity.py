@@ -165,3 +165,90 @@ def embedding_near_dups_sign_lsh(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def kmeans(
+    embeddings: DataFrame, k: int = 8, iters: int = 3, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic mini k-means over the embedding column: centroids
+    seeded from the k lowest ids, ``iters`` rounds of assign→mean.
+
+    The iterative driver loop is how Spark expresses fixed-point
+    algorithms (same shape as connected_components): each round is one
+    broadcast join (assignment — centroids are tiny) + one aggregation
+    (new means). Used to build REAL IVF cells instead of relying on a
+    label column; at 100 TB you run this on a sample, then one final
+    assignment pass over the corpus.
+
+    Returns (cluster_id, centroid: array<double>, n_members).
+    """
+    e = _as_double(embeddings).select(
+        F.col(id_col).alias("__id"), F.col("embedding").alias("v")
+    )
+    centroids = (
+        e.orderBy("__id")
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("__id"))
+            .cast("int")
+            .alias("cluster_id"),
+            F.col("v").alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign(e, centroids)
+        # New means via posexplode → per-(cluster, dim) avg: per-group state
+        # is bounded by the embedding dimension, never by cluster size —
+        # collect_list of whole vectors would OOM on a skewed cell at scale.
+        counts = assigned.groupBy("cluster_id").agg(
+            F.count("*").alias("n_members")
+        )
+        centroids = (
+            assigned.select(
+                "cluster_id", F.posexplode("v").alias("pos", "val")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .join(counts, "cluster_id")
+            .select("cluster_id", "n_members", "centroid")
+        )
+    return centroids
+
+
+def _assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (squared L2; rounded + id tiebreak for
+    engine-stable argmin)."""
+    dist2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.crossJoin(F.broadcast(centroids.select("cluster_id", "centroid"))).select(
+        "__id", "v", "cluster_id", F.round(dist2, 6).alias("d2")
+    )
+    w = Window.partitionBy("__id").orderBy("d2", "cluster_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("__id", "v", "cluster_id")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Final IVF cell assignment: (id, cell) for every vector."""
+    e = _as_double(embeddings).select(
+        F.col(id_col).alias("__id"), F.col("embedding").alias("v")
+    )
+    return _assign(e, centroids).select(
+        F.col("__id").alias(id_col), F.col("cluster_id").alias("cell")
+    )

@@ -1426,3 +1426,108 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means IVF cells (iterative) + fixed-centroid assignment (oracle-backed)
+# + per-group quota sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivf_kmeans_cells",
+    None,  # iterative fixed-point — genuinely non-SQL-expressible; rows-only
+    tags=("X-kmeans",),
+)
+def ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real IVF: 3-round deterministic k-means builds the cells, then the
+    full corpus is assigned. Rows-only check (the driver records the
+    weaker gate); the assignment step itself is oracle-checked separately
+    in ivf_fixed_centroid_assignment."""
+    from ..operators.similarity import ivf_assign, kmeans
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = kmeans(emb, k=8, iters=3)
+    assigned = ivf_assign(emb, centroids)
+    return assigned.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+# fixed centroids: the embeddings of vec_id 0..7 — deterministic on both
+# engines, so nearest-centroid assignment is exactly SQL-expressible
+_ASSIGN_ORACLE = """
+    WITH c AS (
+        SELECT vec_id AS cluster_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cluster_id,
+               round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))
+                      * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)))), 6)
+                   AS d2
+        FROM embeddings e CROSS JOIN c
+    )
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id
+    FROM (
+        SELECT vec_id, cluster_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    GROUP BY cell
+"""
+
+
+@register("ivf_fixed_centroid_assignment", _ASSIGN_ORACLE, tags=("X-ivf-assign",))
+def ivf_fixed_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment against 8 fixed centroids (vectors of
+    vec_id 0..7): the per-vector argmin broadcast join that IVF ingest
+    runs over the whole corpus."""
+    from ..operators.similarity import ivf_assign
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").cast("int").alias("cluster_id"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    assigned = ivf_assign(emb, centroids)
+    return assigned.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+@register(
+    "per_group_quota_sample",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS kept,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 25
+    GROUP BY source
+    """,
+    tags=("X-quota-sample",),
+)
+def per_group_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic N-per-group sample: hash-priority ranking gives every
+    source an unbiased, reproducible 25-doc quota (per-source caps are how
+    mixture recipes bound dominant sources)."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .groupBy("source")
+        .agg(F.count("*").alias("kept"), F.min("doc_id").alias("min_doc"))
+    )

@@ -243,3 +243,19 @@ def test_hash_split_stable_and_disjoint(spark):
     small_map = {r.doc_id: r.split for r in split.collect()}
     big_map = {r.doc_id: r.split for r in bigger.collect()}
     assert all(big_map[k] == v for k, v in small_map.items())
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from citibike_deep_dive_spark.operators.similarity import ivf_assign, kmeans
+
+    # two tight blobs around (0,0,...) and (10,10,...)
+    rows = [(i, [0.0 + i * 0.01] * 8) for i in range(10)] + [
+        (100 + i, [10.0 + i * 0.01] * 8) for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    centroids = kmeans(emb, k=2, iters=3)
+    assert centroids.count() == 2
+    cells = {r.vec_id: r.cell for r in ivf_assign(emb, centroids).collect()}
+    low = {cells[i] for i in range(10)}
+    high = {cells[100 + i] for i in range(10)}
+    assert len(low) == 1 and len(high) == 1 and low != high
