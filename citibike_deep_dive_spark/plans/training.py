@@ -1531,3 +1531,140 @@ def per_group_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("kept"), F.min("doc_id").alias("min_doc"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy dedup, calendar-spine gap fill, retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_dedup_levenshtein",
+    """
+    WITH blocked AS (
+        SELECT doc_id, source, substr(text, 1, 40) AS prefix,
+               source || '|' || lang || '|' || CAST(n_chars // 40 AS VARCHAR) AS blk
+        FROM documents
+    )
+    SELECT a.source,
+           CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(count(*) FILTER (WHERE levenshtein(a.prefix, b.prefix) <= 10)
+                AS BIGINT) AS n_close_pairs,
+           CAST(min(levenshtein(a.prefix, b.prefix)) AS BIGINT) AS min_dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+    GROUP BY a.source
+    """,
+    tags=("X-fuzzy-dedup",),
+)
+def fuzzy_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance fuzzy dedup: pairs are only formed inside a
+    (source, lang, length-bucket) block, which bounds the quadratic pair
+    space — the same blocking discipline that makes fuzzy dedup feasible
+    at 100 TB (block on a MinHash band there). Distance runs on a 40-char
+    prefix so cost is O(40^2) per pair regardless of document length.
+    levenshtein() is exact on both engines, so this is fully oracle-hashed."""
+    docs = table(spark, sf_dir, "documents")
+    blocked = docs.select(
+        "doc_id",
+        "source",
+        F.substring("text", 1, 40).alias("prefix"),
+        F.concat_ws(
+            "|", "source", "lang", (F.col("n_chars") / 40).cast("long").cast("string")
+        ).alias("blk"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    return pairs.groupBy(F.col("a.source").alias("source")).agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.count(F.when(dist <= 10, 1)).alias("n_close_pairs"),
+        F.min(dist).cast("long").alias("min_dist"),
+    )
+
+
+@register(
+    "time_spine_gap_fill",
+    """
+    WITH bounds AS (
+        SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS lo,
+               CAST(date_trunc('day', max(ts)) AS DATE) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.day, t.event_type, COALESCE(a.n_events, 0) AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN actual a ON a.day = s.day AND a.event_type = t.event_type
+    """,
+    tags=("X-gap-fill",),
+)
+def time_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar spine with zero-filled gaps: sequence() builds the
+    day spine from the observed bounds (one tiny aggregate, broadcast),
+    cross-joined with the distinct event types, then left-joined to the
+    real daily counts. The spine side is tiny (days x types), so Spark
+    broadcasts it and the only real shuffle is the daily aggregation of
+    the fact table — the shape that survives a 100 TB event log."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("lo"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    return (
+        spine.crossJoin(types)
+        .join(actual, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n_events", F.lit(0)).alias("n_events"))
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+                CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("X-retention",),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: cohort = week of a user's first event,
+    offset = weeks since that cohort, metric = distinct active users.
+    Two shuffles total (first-event-per-user, then the cohort/offset
+    distinct-count); the firsts table is keyed by user_id so the join back
+    to events co-partitions on the same key — no extra exchange under AQE."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    joined = ev.join(firsts, "user_id")
+    week_offset = (
+        F.datediff(F.date_trunc("week", "ts").cast("date"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return joined.groupBy(
+        "cohort_week", week_offset.alias("week_offset")
+    ).agg(F.countDistinct("user_id").alias("active_users"))
