@@ -1668,3 +1668,132 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "cohort_week", week_offset.alias("week_offset")
     ).agg(F.countDistinct("user_id").alias("active_users"))
+
+
+# ---------------------------------------------------------------------------
+# Context-window prep: doc chunking + sequential token packing; equi-depth
+# histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_chunking",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+           CAST(len(w[start:start+31]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(w[start:start+31], ' ')) AS chunk_hash
+    FROM (
+        SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) AS start
+        FROM toks
+    )
+    """,
+    tags=("X-chunking",),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: 32-token windows with stride
+    24 (8-token overlap), the standard prep for packing long documents
+    into a fixed training context. Pure higher-order array functions —
+    sequence() emits the chunk starts, posexplode fans them out, slice()
+    cuts the window — so the whole thing stays in whole-stage codegen
+    with zero Python and zero shuffle (narrow transform of the scan)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    fan = toks.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.size("w"), F.lit(24))).alias("start"),
+    )
+    chunk = F.slice("w", F.col("start"), 32)
+    return fan.select(
+        "doc_id",
+        ((F.col("start") - 1) / 24).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+@register(
+    "token_packing",
+    """
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, n_tokens,
+               CAST((sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_tokens) // 2000 AS BIGINT) AS pack_id
+        FROM toks
+    )
+    SELECT source, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY source, pack_id
+    """,
+    tags=("X-packing",),
+)
+def token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential greedy packing of documents into ~2000-token training
+    packs: a running token total per source (one window shuffle, keyed by
+    source) assigns each doc a pack by its starting offset. Deterministic
+    (doc_id order), single pass, and the pack assignment parallelizes per
+    source — the degenerate giant-source case is handled at scale by
+    salting the partition key with a coarse doc_id range."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = toks.select(
+        "source",
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2000)
+        .cast("long")
+        .alias("pack_id"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("pack_tokens")
+    )
+
+
+@register(
+    "equi_depth_histogram",
+    """
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM (
+        SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+        FROM events WHERE value IS NOT NULL
+    ) GROUP BY bucket
+    """,
+    tags=("X-equidepth",),
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram over event values: ntile(10)
+    with a full deterministic ordering (value, event_id tiebreak) gives
+    identical bucket boundaries on any engine. The global sort is the
+    cost — at 100 TB you'd swap ntile for approx_percentile boundaries
+    (sketch-mergeable, no global sort) and keep this exact form for
+    validation samples."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
