@@ -58,3 +58,40 @@ def salted_aggregate(
         final_exprs.append(final(f"__p_{alias}").alias(alias))
     partials = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_exprs)
     return partials.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_buckets: int = 8,
+    salt_col: Column | None = None,
+) -> DataFrame:
+    """Skew-proof inner equi-join: salt the big side, replicate the small
+    side once per salt bucket, join on (key, salt).
+
+    A hot key that would land its entire partition on one reducer is
+    split across ``salt_buckets`` tasks; the small side grows by the same
+    factor (fine — it's the small side). Result-identical to the plain
+    join: every big row still meets every matching small row exactly
+    once, under exactly one salt value. Prefer AQE skew-join splitting
+    when it fires; explicit salting is for the cases it can't see
+    (e.g. skew introduced by an upstream transform, or non-shuffle-file
+    stats). Salt defaults to a deterministic hash of the big row so
+    speculative retries agree.
+    """
+    salt = (
+        salt_col
+        if salt_col is not None
+        else F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    )
+    salted_big = big.withColumn("__salt", salt)
+    replicated_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    joined = salted_big.join(
+        replicated_small,
+        (F.col(big_key) == F.col(small_key)) & (salted_big["__salt"] == replicated_small["__salt"]),
+    )
+    return joined.drop("__salt")

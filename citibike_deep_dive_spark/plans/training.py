@@ -1797,3 +1797,74 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-proof join + sketch aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_skew_join",
+    """
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 4) AS total_value,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    tags=("X-salted-join",),
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof join, oracle-checked against the PLAIN join: the big
+    (events) side is salted into 8 deterministic buckets, the small
+    (customer) side replicated once per bucket, and the join runs on
+    (key, salt) — a hot user_id spreads over 8 reducers instead of one.
+    The identical-result property is the point of the oracle here."""
+    from ..operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = salted_join(ev, cust, "user_id", "c_custkey", salt_buckets=8)
+    return joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "approx_distinct_hll",
+    None,  # HLL sketches differ across engines — pytest bounds the error vs exact
+    tags=("X-hll",),
+)
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch per event type, next to the
+    exact count. At 100 TB approx_count_distinct is the only sane
+    default: it's mergeable (one pass, map-side partials, no distinct
+    shuffle of the raw keys) at ~2% error. Cross-engine sketch values
+    differ, so the driver records the rows-only gate; the pytest bound
+    asserts |approx - exact| / exact <= 5% per group."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
+    "approx_quantiles_sketch",
+    None,  # sketch-based; pytest bounds the rank error vs exact percentiles
+    tags=("X-quantile-sketch",),
+)
+def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (Greenwald-Khanna style) per event type:
+    percentile_approx with accuracy 1000 — one pass, no global sort,
+    the scale path the equi_depth_histogram docstring points at. Exact
+    percentile_cont runs alongside for the pytest error bound."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 1000).alias("approx_q"),
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("exact_q"),
+    )

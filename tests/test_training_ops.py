@@ -259,3 +259,60 @@ def test_kmeans_separates_obvious_clusters(spark):
     low = {cells[i] for i in range(10)}
     high = {cells[100 + i] for i in range(10)}
     assert len(low) == 1 and len(high) == 1 and low != high
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from citibike_deep_dive_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 5, float(i)) for i in range(200)], ["k", "v"]
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(7)], ["sk", "name"])
+    plain = (
+        big.join(small, big.k == small.sk)
+        .groupBy("name")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+    salted = (
+        salted_join(big, small, "k", "sk", salt_buckets=4)
+        .groupBy("name")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_sketch_aggregates_bounded_error(spark):
+    from citibike_deep_dive_spark.plans.catalog import CATALOG
+    from tests.conftest import SF_DIR as sf_dir
+
+    hll = CATALOG["approx_distinct_hll"].build(spark, sf_dir).collect()
+    assert hll
+    for r in hll:
+        assert abs(r.approx_users - r.exact_users) <= max(1, 0.05 * r.exact_users)
+
+    # percentile_approx returns a member value (rank error is what the GK
+    # sketch bounds); exact percentile interpolates — so assert on RANK.
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    from citibike_deep_dive_spark.plans.catalog import table
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vals = {
+        r.event_type: sorted(r.vs)
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    q = CATALOG["approx_quantiles_sketch"].build(spark, sf_dir).collect()
+    assert q
+    for r in q:
+        sv = vals[r.event_type]
+        n = len(sv)
+        for phi, approx in zip([0.5, 0.9, 0.99], r.approx_q):
+            lo = bisect.bisect_left(sv, approx)
+            hi = bisect.bisect_right(sv, approx)
+            assert lo - 2 <= phi * n <= hi + 2
