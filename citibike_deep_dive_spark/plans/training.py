@@ -1868,3 +1868,193 @@ def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.9, 0.99], 1000).alias("approx_q"),
         F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("exact_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / repetition quality / Z-order layout
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "pii_redaction",
+    f"""
+    WITH pii AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id::VARCHAR || '@example.com or +1-212-'
+                    || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text_pii
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text_pii, '{_EMAIL_RE}')) - 1 AS BIGINT) AS n_emails,
+           CAST(len(regexp_split_to_array(text_pii, '{_PHONE_RE}')) - 1 AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(text_pii, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM pii
+    """,
+    tags=("X-pii",),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus: regex redaction of emails/phones with
+    per-doc match counts. A deterministic synthetic email+phone is first
+    appended per doc (the synthetic corpus has none), so the redaction is
+    observable and oracle-checkable. Entirely JVM-side regexp_replace /
+    split inside whole-stage codegen — a narrow, shuffle-free map that
+    scales linearly to 100 TB; the regex dialect is kept in the RE2 ∩
+    Java-regex intersection so the DuckDB oracle runs the same patterns."""
+    docs = table(spark, sf_dir, "documents")
+    text_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-212-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    with_pii = docs.select("doc_id", text_pii.alias("text_pii"))
+    return with_pii.select(
+        "doc_id",
+        (F.size(F.split(F.col("text_pii"), _EMAIL_RE)) - 1).cast("long").alias("n_emails"),
+        (F.size(F.split(F.col("text_pii"), _PHONE_RE)) - 1).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text_pii"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "doc_repetition_stats",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws
+        FROM documents
+        WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    g AS (
+        SELECT doc_id, ws,
+               list_transform(generate_series(1, len(ws) - 2),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS grams
+        FROM w
+    ),
+    gr AS (
+        SELECT doc_id,
+               round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6) AS dup_3gram_ratio,
+               ws
+        FROM g
+    ),
+    wf AS (
+        SELECT doc_id, dup_3gram_ratio, unnest(ws) AS word
+        FROM gr
+    ),
+    counts AS (
+        SELECT doc_id, dup_3gram_ratio, word, count(*) AS c
+        FROM wf GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, dup_3gram_ratio,
+           round(max(c)::DOUBLE / sum(c), 6) AS top_word_ratio,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           (dup_3gram_ratio <= 0.2 AND round(max(c)::DOUBLE / sum(c), 6) <= 0.1) AS keep
+    FROM counts
+    GROUP BY 1, 2
+    """,
+    tags=("X-repetition",),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition quality gate (Gopher/C4-style): duplicate
+    word-3-gram fraction (computed narrowly with array HOFs — no shuffle)
+    and top-word frequency ratio (one explode + two-level agg, partial
+    aggregation map-side), with a boolean keep flag at the usual
+    repetition thresholds. At 100 TB the explode path is the only
+    shuffle, keyed by doc_id (uniform — no skew); everything else is
+    whole-stage codegen over arrays."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.col("text")), " ")
+    grams = F.expr(
+        "transform(sequence(1, size(ws) - 2), "
+        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"
+    )
+    base = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 6
+            ).alias("dup_3gram_ratio"),
+            "ws",
+        )
+    )
+    counts = (
+        base.select("doc_id", "dup_3gram_ratio", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "dup_3gram_ratio", "word")
+        .count()
+    )
+    top_ratio = F.round(F.max("count").cast("double") / F.sum("count"), 6)
+    return counts.groupBy("doc_id", "dup_3gram_ratio").agg(
+        top_ratio.alias("top_word_ratio"),
+        F.sum("count").cast("long").alias("n_words"),
+        ((F.col("dup_3gram_ratio") <= 0.2) & (top_ratio <= 0.1)).alias("keep"),
+    )
+
+
+def _morton_sql(x: str, y: str, bits: int = 8) -> str:
+    """DuckDB-side Morton interleave via shift operators."""
+    terms = [
+        f"((({x} >> {i}) & 1) << {2 * i}) | ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def _morton_col(x, y, bits: int = 8):
+    """Spark-side Morton interleave via shiftleft/shiftright Column ops."""
+    import functools
+
+    terms = []
+    for i in range(bits):
+        xb = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        yb = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        terms.extend([xb, yb])
+    return functools.reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+@register(
+    "zorder_clustering_buckets",
+    f"""
+    WITH dims AS (
+        SELECT user_id % 256 AS x, CAST(hour(ts) AS BIGINT) AS y FROM events
+    ),
+    keyed AS (
+        SELECT x, y, {_morton_sql('x', 'y')} AS morton FROM dims
+    )
+    SELECT morton >> 6 AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM keyed
+    GROUP BY 1
+    """,
+    tags=("X-zorder",),
+)
+def zorder_clustering_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-interleaved) clustering key over two dimensions
+    (user bucket, hour-of-day), grouped into file-sized buckets with the
+    per-bucket min/max of BOTH dims — the bounds parquet would store as
+    column stats. The point at 100 TB: repartitionByRange(morton) +
+    sortWithinPartitions(morton) before the write gives every file a
+    tight bounding box in x AND y, so predicates on either dimension
+    prune files; a single-column sort only prunes one. The bucket rows
+    here make that locality measurable (and oracle-checkable)."""
+    ev = table(spark, sf_dir, "events")
+    dims = ev.select(
+        (F.col("user_id") % 256).alias("x"), F.hour("ts").cast("long").alias("y")
+    )
+    keyed = dims.withColumn("morton", _morton_col(F.col("x"), F.col("y")))
+    return keyed.groupBy(F.shiftright("morton", 6).alias("bucket")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )

@@ -316,3 +316,28 @@ def test_sketch_aggregates_bounded_error(spark):
             lo = bisect.bisect_left(sv, approx)
             hi = bisect.bisect_right(sv, approx)
             assert lo - 2 <= phi * n <= hi + 2
+
+
+def test_zorder_buckets_bound_both_dims(spark):
+    from citibike_deep_dive_spark.plans.catalog import CATALOG
+    from tests.conftest import SF_DIR as sf_dir
+
+    rows = CATALOG["zorder_clustering_buckets"].build(spark, sf_dir).collect()
+    assert rows
+    # bucket = morton >> 6 fixes all but the low 6 interleaved bits, i.e.
+    # 3 low bits of x and 3 of y — so every bucket's bounding box is at
+    # most 8 wide in BOTH dimensions. This is the pruning guarantee a
+    # single-column sort cannot give.
+    for r in rows:
+        assert r.max_x - r.min_x < 8
+        assert r.max_y - r.min_y < 8
+
+
+def test_pii_redaction_removes_all_matches(spark):
+    from citibike_deep_dive_spark.plans.catalog import CATALOG
+    from tests.conftest import SF_DIR as sf_dir
+
+    df = CATALOG["pii_redaction"].build(spark, sf_dir)
+    rows = df.collect()
+    assert rows and all(r.n_emails >= 1 and r.n_phones >= 1 for r in rows)
+    assert all("@" not in r.redacted and "<EMAIL>" in r.redacted for r in rows)
