@@ -505,8 +505,13 @@ _NORMALIZE_ORACLE = f"""
 def normalize_trips_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """normalize_trips() — the heart of ingestion — over a synthesized
     modern-era raw frame (era headers, swapped lat/lng, blacklist hits,
-    empty ids, zero coords, mixed-case user types)."""
-    ev = table(spark, sf_dir, "events")
+    empty ids, zero coords, mixed-case user types). The input is fanned
+    out first: this is a pure narrow pipeline (no exchange anywhere), so
+    on an under-split input every string/timestamp op would otherwise
+    run on a single core end-to-end."""
+    from ..operators.fanout import fan_out
+
+    ev = fan_out(table(spark, sf_dir, "events"))
     raw = ev.select(
         F.col("event_id").cast("string").alias("ride_id"),
         F.when(F.col("event_id") % 2 == 0, "classic_bike")

@@ -18,6 +18,7 @@ from ..operators.dedup import (
 from ..operators.multimodal import extract_features, frame_sample_plan, synthesize_media
 from ..operators.similarity import brute_force_topk, embedding_cosine_near_dups, ivf_topk
 from ..operators.textstats import STOPWORDS, TOKEN_REGEX, fingerprints, quality_scores, token_counts, language_id
+from ..operators.fanout import fan_out
 from ..normalize import month_abbrev
 from .catalog import register, table
 
@@ -109,7 +110,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("X-dedup-minhash",),
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(table(spark, sf_dir, "documents"), k=4)
+    return minhash_signatures(fan_out(table(spark, sf_dir, "documents")), k=4)
 
 
 @register(
@@ -119,7 +120,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("X-dedup-lsh",),
 )
 def dedup_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_candidate_pairs(table(spark, sf_dir, "documents"), k=4, rows_per_band=2)
+    return lsh_candidate_pairs(fan_out(table(spark, sf_dir, "documents")), k=4, rows_per_band=2)
 
 
 @register(
@@ -137,7 +138,7 @@ def dedup_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("X-dedup-jaccard",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     return ngram_jaccard_pairs(docs, lsh_candidate_pairs(docs, k=4, rows_per_band=2))
 
 
@@ -167,7 +168,7 @@ _SIMHASH_BITS = " + ".join(
     tags=("X-dedup-simhash",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(table(spark, sf_dir, "documents"), bits=16)
+    return simhash(fan_out(table(spark, sf_dir, "documents")), bits=16)
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +196,7 @@ _COS_PAIR = _cos_sql("a.embedding", "q.embedding")
     tags=("X-ann-brute",),
 )
 def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).select(
         "query_id", "cand_id", "cos_sim", "rank"
     )
@@ -602,7 +603,7 @@ def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole data-prep funnel as one Catalyst plan: every stage is a
     DataFrame transform, so filters/projections fuse and the only shuffles
     are the dedup hash-agg, the LSH band join, and the final stats agg."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     q = quality_scores(docs)
     qualified = docs.join(
         q.filter(F.col("quality_score") >= 0.5).select("doc_id"), "doc_id"
@@ -1904,7 +1905,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     split inside whole-stage codegen — a narrow, shuffle-free map that
     scales linearly to 100 TB; the regex dialect is kept in the RE2 ∩
     Java-regex intersection so the DuckDB oracle runs the same patterns."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     text_pii = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -1968,7 +1969,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition thresholds. At 100 TB the explode path is the only
     shuffle, keyed by doc_id (uniform — no skew); everything else is
     whole-stage codegen over arrays."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     ws = F.split(F.lower(F.col("text")), " ")
     grams = F.expr(
         "transform(sequence(1, size(ws) - 2), "
