@@ -129,17 +129,16 @@ def add_partition_columns(df: DataFrame) -> DataFrame:
 
 
 def clean_filters(df: DataFrame, file_year: str | None = None) -> DataFrame:
-    """P6: multi-predicate load filter (db_importing.py:76-88).
+    """P6: multi-predicate load filter (db_importing.py:76-88), verbatim.
 
-    - non-empty station names/ids, non-zero/non-null coordinates,
-    - station names not in the depot/test blacklist,
+    - non-empty START station name/id (the reference does not require the
+      end-side name/id to be non-empty), non-zero/non-null coordinates,
+    - neither station name in the depot/test blacklist,
     - rows whose start year matches the file's year (when given).
     """
     cond = (
         (F.col("start_station_name") != "")
-        & (F.col("end_station_name") != "")
         & (F.col("start_station_id") != "")
-        & (F.col("end_station_id") != "")
         & (F.col("start_station_latitude") != 0)
         & (F.col("end_station_latitude") != 0)
         & ~F.col("start_station_name").isin(STATION_BLACKLIST)

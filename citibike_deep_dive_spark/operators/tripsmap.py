@@ -103,32 +103,56 @@ def straight_line_geometry(
     return [[lon1, lat1], [lon2, lat2]]
 
 
-def densify(coords: list[list[float]]) -> list[list[float]]:
-    """Reference densification (update_tripsmap.py:166-203): per segment,
-    distance 0.2–0.37 km → 2 interpolated points, >0.37 km → 4; linear
-    interpolation, 5-dp rounding; endpoints kept."""
-    out: list[list[float]] = []
-    for (lon1, lat1), (lon2, lat2) in zip(coords, coords[1:]):
-        out.append([round(lon1, 5), round(lat1, 5)])
-        dist = haversine_km(lat1, lon1, lat2, lon2)
-        n = 0
-        if 0.2 <= dist <= 0.37:
-            n = 2
-        elif dist > 0.37:
-            n = 4
-        for i in range(1, n + 1):
-            f = i / (n + 1)
-            out.append([round(lon1 + (lon2 - lon1) * f, 5), round(lat1 + (lat2 - lat1) * f, 5)])
-    last = coords[-1]
-    out.append([round(last[0], 5), round(last[1], 5)])
+def _divide_points(
+    lat1: float, lon1: float, lat2: float, lon2: float, num_sections: int
+) -> list[list[float]]:
+    """np.linspace(0, 1, n) interpolation INCLUDING both endpoints
+    (update_tripsmap.py:166-173): n=2 yields exactly the two endpoints,
+    n=4 yields endpoints + two interior thirds. 5-dp rounding."""
+    out = []
+    for i in range(num_sections):
+        f = i / (num_sections - 1)
+        out.append([round(lon1 + (lon2 - lon1) * f, 5), round(lat1 + (lat2 - lat1) * f, 5)])
     return out
+
+
+def densify(coords: list[list[float]]) -> list[list[float]]:
+    """Exact replica of the reference's ``extend_shape``
+    (update_tripsmap.py:176-203), quirks preserved deliberately:
+
+    - the distance call transposes lat/lon (``get_distance(lon1, lat1, …)``
+      feeds [lon, lat] pairs into a (lat, lon) API — :183, a reference bug
+      we reproduce for output parity),
+    - STRICT bounds ``0.2 < d < 0.37`` → linspace(0,1,2) = the two
+      endpoints (no interior points!); ``d > 0.37`` → linspace(0,1,4) =
+      endpoints + 2 interior; else only the segment start is kept,
+    - the final ``append([lon2, lat2])`` after the loop DUPLICATES the last
+      point whenever the last segment was densified (:194),
+    - 5-dp rounding on every emitted pair.
+    """
+    out: list[list[float]] = []
+    lon2 = lat2 = None
+    for (lon1, lat1), (lon2, lat2) in zip(coords, coords[1:]):
+        # reference bug kept: lon/lat swapped into the distance function
+        dist = haversine_km(lon1, lat1, lon2, lat2)
+        if 0.2 < dist < 0.37:
+            out.extend(_divide_points(lat1, lon1, lat2, lon2, 2))
+        elif dist > 0.37:
+            out.extend(_divide_points(lat1, lon1, lat2, lon2, 4))
+        else:
+            out.append([round(lon1, 5), round(lat1, 5)])
+    if lon2 is None:  # single-point shape: reference would crash; keep point
+        return [[round(coords[0][0], 5), round(coords[0][1], 5)]]
+    out.append([round(lon2, 5), round(lat2, 5)])
+    return [[round(x, 5) for x in p] for p in out]
 
 
 def attach_timestamps(
     coords: list[list[float]], start_seconds_of_day: float
 ) -> list[dict]:
     """Synthetic waypoint times: start + i hours, wrapped as seconds-of-day
-    (update_tripsmap.py:205-221)."""
+    (update_tripsmap.py:205-221; the reference's get_time_of_day_seconds
+    keeps fractional microseconds, which survive the wrap unchanged)."""
     return [
         {
             "timestamp": float((start_seconds_of_day + i * 3600) % 86400),
@@ -163,7 +187,9 @@ def enrich_routes(
                     row.end_station_longitude,
                 )
                 ts = row.trip_time
-                secs = float(ts.hour * 3600 + ts.minute * 60 + ts.second)
+                secs = float(
+                    ts.hour * 3600 + ts.minute * 60 + ts.second + ts.microsecond / 1e6
+                )
                 waypoints.append(attach_timestamps(densify(coords), secs))
             pdf = pdf.copy()
             pdf["waypoints"] = waypoints

@@ -31,17 +31,22 @@ def additive_upsert(
     keys: Sequence[str],
     counters: Sequence[str],
     broadcast_delta: bool = True,
+    delta_wins: bool = False,
 ) -> DataFrame:
     """UPDATE-add + INSERT-missing as one full-outer merge (J4+J2 / I3).
 
     Rows matching on ``keys`` get ``main.counter + delta.counter``; rows
     only in one side pass through (coalesce with 0). Non-key non-counter
-    columns resolve delta-first (new data wins), matching the reference's
-    INSERT of unseen rows.
+    columns resolve main-first by default — the reference's UPDATE touches
+    only the counter, so an already-present row KEEPS its other columns
+    (e.g. waypoints, update_tripsmap.py:38-44) and only unseen rows take
+    the delta's values via the INSERT. Pass ``delta_wins=True`` for
+    newest-data-wins merges.
     """
     d = F.broadcast(delta) if broadcast_delta else delta
     joined = main.alias("m").join(d.alias("d"), list(keys), "full_outer")
     others = [c for c in main.columns if c not in keys and c not in counters]
+    first, second = ("d", "m") if delta_wins else ("m", "d")
     cols = [F.col(k) for k in keys]
     cols += [
         (
@@ -49,7 +54,10 @@ def additive_upsert(
         ).alias(c)
         for c in counters
     ]
-    cols += [F.coalesce(F.col(f"d.{c}"), F.col(f"m.{c}")).alias(c) for c in others]
+    cols += [
+        F.coalesce(F.col(f"{first}.{c}"), F.col(f"{second}.{c}")).alias(c)
+        for c in others
+    ]
     return joined.select(*cols)
 
 

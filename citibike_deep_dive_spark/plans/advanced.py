@@ -339,23 +339,25 @@ _ROUTE_ORACLE = """
                + extract(second FROM trip_time) AS s0
         FROM top
     )
+    -- extend_shape parity (update_tripsmap.py:176-203): every synthesized
+    -- segment is > 0.37 km even under the reference's transposed-distance
+    -- call, so the shape is linspace(0,1,4) = fractions {0, 1/3, 2/3, 1}
+    -- PLUS the loop-exit append that duplicates the endpoint → 5 points.
     SELECT year, start_station_name, end_station_name, rideable_type,
            trip_count, CAST(rn AS INT) AS rn,
            strftime(trip_time, '%Y-%m-%d %H:%M:%S') AS trip_time,
-           '[' || array_to_string(list_transform(generate_series(0, 5), i ->
+           '[' || array_to_string(list_transform(generate_series(0, 4), i ->
                '{"timestamp":' || CAST(CAST((s0 + i * 3600) % 86400 AS DOUBLE) AS VARCHAR)
                || ',"coordinates":['
-               || CAST(CASE WHEN i = 0 THEN round(start_station_longitude, 5)
-                            WHEN i = 5 THEN round(end_station_longitude, 5)
+               || CAST(CASE WHEN i = 4 THEN round(end_station_longitude, 5)
                             ELSE round(start_station_longitude
                                  + (end_station_longitude - start_station_longitude)
-                                   * (i / 5.0::DOUBLE), 5) END AS VARCHAR)
+                                   * (i / 3.0::DOUBLE), 5) END AS VARCHAR)
                || ','
-               || CAST(CASE WHEN i = 0 THEN round(start_station_latitude, 5)
-                            WHEN i = 5 THEN round(end_station_latitude, 5)
+               || CAST(CASE WHEN i = 4 THEN round(end_station_latitude, 5)
                             ELSE round(start_station_latitude
                                  + (end_station_latitude - start_station_latitude)
-                                   * (i / 5.0::DOUBLE), 5) END AS VARCHAR)
+                                   * (i / 3.0::DOUBLE), 5) END AS VARCHAR)
                || ']}'), ',') || ']' AS waypoints
     FROM secs
 """
@@ -406,7 +408,7 @@ _RAW_TRIPS_SQL = """
                     ELSE 'electric_bike' END AS rideable_type,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS started_at,
                strftime(ts + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS ended_at,
-               CASE WHEN user_id % 29 = 0 THEN 'NYCBS Depot - DEL'
+               CASE WHEN user_id % 29 = 0 THEN '8D OPS 01'
                     ELSE 'S' || (user_id % 50) END AS start_station_name,
                CASE WHEN event_id % 101 = 0 THEN ''
                     ELSE 'I' || (user_id % 50) END AS start_station_id,
@@ -428,7 +430,8 @@ _RAW_TRIPS_SQL = """
 _NORMALIZE_ORACLE = f"""
     WITH {_RAW_TRIPS_SQL},
     -- P1+P2+P3: CLEAN_DICT routes start_lng→latitude col / start_lat→
-    -- longitude col (the reference's deliberate swap, clean_up.py:8-11)
+    -- longitude col (the reference's deliberate START-side swap,
+    -- clean_up.py:8-13; the END side maps straight through)
     conformed AS (
         SELECT strptime(started_at, '%Y-%m-%d %H:%M:%S') AS start_time,
                strptime(ended_at, '%Y-%m-%d %H:%M:%S') AS end_time,
@@ -436,8 +439,8 @@ _NORMALIZE_ORACLE = f"""
                end_station_name, end_station_id,
                start_lng AS start_station_latitude,
                start_lat AS start_station_longitude,
-               end_lng AS end_station_latitude,
-               end_lat AS end_station_longitude,
+               end_lat AS end_station_latitude,
+               end_lng AS end_station_longitude,
                member_casual AS user_type,
                rideable_type
         FROM raw
@@ -446,20 +449,20 @@ _NORMALIZE_ORACLE = f"""
     repaired AS (
         SELECT start_time, end_time, start_station_name, start_station_id,
                end_station_name, end_station_id,
-               CASE WHEN start_station_latitude BETWEEN 40.478399 AND 40.989527
-                         AND start_station_longitude BETWEEN -74.254265 AND -73.591514
+               CASE WHEN start_station_latitude BETWEEN 40.478245113529454 AND 40.98852055760176
+                         AND start_station_longitude BETWEEN -74.25383719445274 AND -73.59127683334592
                     THEN start_station_latitude ELSE start_station_longitude
                END AS start_station_latitude,
-               CASE WHEN start_station_latitude BETWEEN 40.478399 AND 40.989527
-                         AND start_station_longitude BETWEEN -74.254265 AND -73.591514
+               CASE WHEN start_station_latitude BETWEEN 40.478245113529454 AND 40.98852055760176
+                         AND start_station_longitude BETWEEN -74.25383719445274 AND -73.59127683334592
                     THEN start_station_longitude ELSE start_station_latitude
                END AS start_station_longitude,
-               CASE WHEN end_station_latitude BETWEEN 40.478399 AND 40.989527
-                         AND end_station_longitude BETWEEN -74.254265 AND -73.591514
+               CASE WHEN end_station_latitude BETWEEN 40.478245113529454 AND 40.98852055760176
+                         AND end_station_longitude BETWEEN -74.25383719445274 AND -73.59127683334592
                     THEN end_station_latitude ELSE end_station_longitude
                END AS end_station_latitude,
-               CASE WHEN end_station_latitude BETWEEN 40.478399 AND 40.989527
-                         AND end_station_longitude BETWEEN -74.254265 AND -73.591514
+               CASE WHEN end_station_latitude BETWEEN 40.478245113529454 AND 40.98852055760176
+                         AND end_station_longitude BETWEEN -74.25383719445274 AND -73.59127683334592
                     THEN end_station_longitude ELSE end_station_latitude
                END AS end_station_longitude,
                CASE WHEN lower(user_type) = 'member' THEN 'subscriber'
@@ -478,17 +481,17 @@ _NORMALIZE_ORACLE = f"""
            strftime(start_time, '%Y') AS year,
            strftime(start_time, '%b') AS month
     FROM repaired
-    WHERE start_station_name <> '' AND end_station_name <> ''
-      AND start_station_id <> '' AND end_station_id <> ''
+    WHERE start_station_name <> ''
+      AND start_station_id <> ''
       AND start_station_latitude <> 0 AND end_station_latitude <> 0
       AND start_station_name NOT IN (
-          'JC013', 'JC013 Test Station', '8D QC Station 01', 'Lab - NYC',
-          'NYCBS Depot - DEL', 'NYCBS Depot - PIT', 'NYCBS Depot - STY',
-          'Bike Mechanics HQ')
+          '8D QC Station 01', 'SSP - Basement',
+          'NYCBS Depot - STY - Valet Scan',
+          '333 Johnson TEST 1', '8D Mobile 01', '8D OPS 01')
       AND end_station_name NOT IN (
-          'JC013', 'JC013 Test Station', '8D QC Station 01', 'Lab - NYC',
-          'NYCBS Depot - DEL', 'NYCBS Depot - PIT', 'NYCBS Depot - STY',
-          'Bike Mechanics HQ')
+          '8D QC Station 01', 'SSP - Basement',
+          'NYCBS Depot - STY - Valet Scan',
+          '333 Johnson TEST 1', '8D Mobile 01', '8D OPS 01')
       AND start_station_latitude IS NOT NULL
       AND start_station_longitude IS NOT NULL
       AND end_station_latitude IS NOT NULL
@@ -521,7 +524,7 @@ def normalize_trips_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(
             F.col("ts") + F.expr("INTERVAL 10 MINUTES"), "yyyy-MM-dd HH:mm:ss"
         ).alias("ended_at"),
-        F.when(F.col("user_id") % 29 == 0, "NYCBS Depot - DEL")
+        F.when(F.col("user_id") % 29 == 0, "8D OPS 01")
         .otherwise(F.concat(F.lit("S"), (F.col("user_id") % 50).cast("string")))
         .alias("start_station_name"),
         F.when(F.col("event_id") % 101 == 0, "")

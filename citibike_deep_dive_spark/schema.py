@@ -34,10 +34,11 @@ TRIP_SCHEMA = T.StructType(
 
 CANONICAL_COLUMNS = [f.name for f in TRIP_SCHEMA.fields]
 
-# Header rename map (clean_up.py:6-18). NOTE the reference's deliberate
-# quirk: modern-era ``start_lng``/``start_lat`` land in *swapped* canonical
-# columns; the bbox repair below un-swaps them row-wise (clean_up.py:8-11 +
-# db_importing.py:45-71). We preserve that two-step behavior.
+# Header rename map (clean_up.py:6-18), verbatim. NOTE the reference's
+# deliberate quirk: modern-era ``start_lng``/``start_lat`` land in *swapped*
+# canonical columns (START side only — the END side maps straight through);
+# the bbox repair below un-swaps the start pair row-wise (clean_up.py:8-13 +
+# db_importing.py:45-71). We preserve that two-step behavior exactly.
 CLEAN_DICT = {
     "member_casual": "user_type",
     "usertype": "user_type",
@@ -45,27 +46,26 @@ CLEAN_DICT = {
     "starttime": "start_time",
     "ended_at": "end_time",
     "stoptime": "end_time",
+    "stop_time": "end_time",
     "start_lng": "start_station_latitude",
     "start_lat": "start_station_longitude",
-    "end_lng": "end_station_latitude",
-    "end_lat": "end_station_longitude",
+    "end_lat": "end_station_latitude",
+    "end_lng": "end_station_longitude",
 }
 
-# NYC bounding box used by the coordinate auto-repair
-# (db_importing.py:49-50): lat in [40.478, 40.989], lon in [-74.254, -73.591].
-NYC_LAT_MIN, NYC_LAT_MAX = 40.478399, 40.989527
-NYC_LON_MIN, NYC_LON_MAX = -74.254265, -73.591514
+# NYC bounding box used by the coordinate auto-repair, literals verbatim
+# from db_importing.py:48-71.
+NYC_LAT_MIN, NYC_LAT_MAX = 40.478245113529454, 40.98852055760176
+NYC_LON_MIN, NYC_LON_MAX = -74.25383719445274, -73.59127683334592
 
-# Station blacklist applied at load (db_importing.py:16-23).
+# Station blacklist applied at load (db_importing.py:16-21), verbatim.
 STATION_BLACKLIST = [
-    "JC013",
-    "JC013 Test Station",
     "8D QC Station 01",
-    "Lab - NYC",
-    "NYCBS Depot - DEL",
-    "NYCBS Depot - PIT",
-    "NYCBS Depot - STY",
-    "Bike Mechanics HQ",
+    "SSP - Basement",
+    "NYCBS Depot - STY - Valet Scan",
+    "333 Johnson TEST 1",
+    "8D Mobile 01",
+    "8D OPS 01",
 ]
 
 # user_type normalization CASE (db_importing.py:11-14,25-28):

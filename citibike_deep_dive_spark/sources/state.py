@@ -1,16 +1,24 @@
 """StatusData ingestion state machine (I1/I2, J7, S12).
 
 Reference: citibike_data_process/data_processing/ingestion/new_file_check.py
-+ table_updating/update_status_data.py. One row per year:
-(year INT, month INT|NULL, complete BOOL) — a monthly file sets
-(year, month, complete=false); a yearly file sets (year, NULL, true).
-A candidate is NEW iff no state row covers it:
-- covered if its year is marked complete,
-- covered if monthly and state.month >= candidate.month for that year.
++ table_updating/update_status_data.py. State rows are
+(year INT, month INT|NULL, complete BOOL): one row per ingested monthly
+file (year, month, complete=false) plus at most one completion row per
+year (year, NULL, complete=true) once a yearly archive lands.
+
+Gate semantics follow the reference's exact-match rule
+(new_file_check.py:27-43): a candidate is covered iff
+- yearly candidate: the year has a complete row,
+- monthly candidate: that exact (year, month) was ingested (or the year
+  is complete).
+Unlike a max-month watermark, an out-of-order month (month 3 published
+after month 5 was ingested) is still detected as NEW — the reference
+reprocesses it and so do we (ADVICE r1: the watermark variant silently
+dropped it).
 
 This is the batch analog of Structured Streaming's file-source seen-files
-log (SURVEY.md §2.10 I1). The state table is tiny (one row/year), so the
-diff is driver-side; persistence is a small Parquet table.
+log (SURVEY.md §2.10 I1). The state table is tiny (≤ years × 12 rows), so
+the diff is driver-side; persistence is a small Parquet table.
 
 Reference bugs fixed, not replicated (SURVEY.md §7): the walrus-shadowing
 listcomp and the ``False``-instead-of-empty-list return
@@ -19,7 +27,7 @@ listcomp and the ``False``-instead-of-empty-list return
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -37,9 +45,12 @@ STATE_SCHEMA = T.StructType(
 
 @dataclass(frozen=True)
 class YearState:
+    """Ingestion state for one year: the exact set of monthly files seen,
+    plus whether a yearly (complete) archive was ingested."""
+
     year: int
-    month: int | None
-    complete: bool
+    months: frozenset[int] = field(default_factory=frozenset)
+    complete: bool = False
 
 
 def load_state(spark: SparkSession, path: str) -> dict[int, YearState]:
@@ -49,11 +60,23 @@ def load_state(spark: SparkSession, path: str) -> dict[int, YearState]:
         rows = spark.read.schema(STATE_SCHEMA).parquet(path).collect()
     except Exception:
         return {}
-    return {r.year: YearState(r.year, r.month, r.complete) for r in rows}
+    state: dict[int, YearState] = {}
+    for r in rows:
+        st = state.get(r.year, YearState(r.year))
+        if r.month is None:
+            st = YearState(st.year, st.months, True)
+        else:
+            st = YearState(st.year, st.months | {r.month}, st.complete)
+        state[r.year] = st
+    return state
 
 
 def save_state(spark: SparkSession, state: dict[int, YearState], path: str) -> None:
-    rows = [(s.year, s.month, s.complete) for s in state.values()]
+    rows = []
+    for s in state.values():
+        rows.extend((s.year, m, False) for m in sorted(s.months))
+        if s.complete:
+            rows.append((s.year, None, True))
     spark.createDataFrame(rows, STATE_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(path)
@@ -64,7 +87,10 @@ def new_files(
 ) -> list[CandidateFile]:
     """I1 diff: candidates not yet covered by state, chronological order.
 
-    Returns an empty list (never ``False``) when everything is covered.
+    Exact-match gate (new_file_check.py:27-43): a monthly candidate is
+    covered only by its own (year, month) row or a complete year; a yearly
+    candidate only by a complete row. Returns an empty list (never
+    ``False``) when everything is covered.
     """
     out = []
     for cand in candidates:
@@ -73,7 +99,7 @@ def new_files(
             out.append(cand)
         elif st.complete:
             continue  # year fully ingested (yearly archive seen)
-        elif cand.month is None or st.month is None or cand.month > st.month:
+        elif cand.month is None or cand.month not in st.months:
             out.append(cand)
     return sorted(out, key=lambda f: f.sort_key)
 
@@ -81,16 +107,15 @@ def new_files(
 def advance_state(
     state: dict[int, YearState], processed: CandidateFile
 ) -> dict[int, YearState]:
-    """I2 upsert: yearly file → (month=None, complete=true); monthly file →
-    (month=max seen, complete=false). One row per year invariant."""
+    """I2 upsert: yearly file → complete=true; monthly file → add the exact
+    month to the year's ingested set (update_status_data.py:26-50, with the
+    month-set refinement the reference's one-row UPDATE loses)."""
     new = dict(state)
+    prev = state.get(processed.year, YearState(processed.year))
     if processed.month is None:
-        new[processed.year] = YearState(processed.year, None, True)
+        new[processed.year] = YearState(processed.year, prev.months, True)
     else:
-        prev = state.get(processed.year)
-        month = processed.month
-        if prev is not None and prev.month is not None:
-            month = max(prev.month, processed.month)
-        complete = prev.complete if prev else False
-        new[processed.year] = YearState(processed.year, month, complete)
+        new[processed.year] = YearState(
+            processed.year, prev.months | {processed.month}, prev.complete
+        )
     return new

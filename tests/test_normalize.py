@@ -40,6 +40,9 @@ def test_legacy_era_normalization(spark):
     # headers with spaces normalized; Usertype lower-cased passthrough map
     assert rows[0].user_type == "subscriber"
     assert rows[1].user_type == "customer"
+    # 'Stop Time' → stop_time → end_time (clean_up.py:16 'stop_time' entry;
+    # without it end_time would silently null-pad — ADVICE r1)
+    assert rows[0].end_time is not None and rows[0].end_time.minute == 10
     # legacy coords were already correctly oriented — repair is a no-op
     assert rows[0].start_station_latitude == LAT_A
     # both M/D/YYYY H:MM:SS and H:MM formats parsed

@@ -88,11 +88,30 @@ def test_route_enrichment_offline(spark):
 
 
 def test_densify_rules():
-    # ~0.56 km apart -> >0.37 km -> 4 interpolated points + 2 endpoints
-    coords = [[-73.99, 40.75], [-73.99, 40.755]]
-    assert len(densify(coords)) == 6
-    # tiny hop -> no interpolation
-    assert len(densify([[-73.99, 40.75], [-73.9901, 40.7501]])) == 2
+    """extend_shape parity (update_tripsmap.py:176-203): distances are
+    computed with the reference's transposed lat/lon call, linspace
+    INCLUDES endpoints, and the loop-exit append duplicates the last point
+    of a densified final segment."""
+    # 0.006° of real longitude = 0.006° of transposed latitude ≈ 0.67 km
+    # > 0.37 → linspace(0,1,4) (endpoints + 2 interior) + duplicate end
+    far = densify([[-73.99, 40.75], [-73.996, 40.75]])
+    assert len(far) == 5
+    assert far[0] == [-73.99, 40.75]
+    assert far[2] == [round(-73.99 + (-0.006) * (2 / 3), 5), 40.75]
+    assert far[3] == far[4] == [-73.996, 40.75]
+    # 0.0025° real longitude ≈ 0.28 km: strict middle band → linspace(0,1,2)
+    # = just the two endpoints (no interior!) + duplicate end
+    mid = densify([[-73.99, 40.75], [-73.9925, 40.75]])
+    assert mid == [[-73.99, 40.75], [-73.9925, 40.75], [-73.9925, 40.75]]
+    # tiny hop → segment start kept + final append, no duplication
+    assert densify([[-73.99, 40.75], [-73.9901, 40.7501]]) == [
+        [-73.99, 40.75],
+        [-73.9901, 40.7501],
+    ]
+    # real-LATITUDE spans are shrunk by cos(~74°) under the transposed
+    # call: 0.005° of latitude reads as ~0.15 km → NOT densified (the old
+    # correct-distance code would have split this 0.56 km hop)
+    assert len(densify([[-73.99, 40.75], [-73.99, 40.755]])) == 2
 
 
 def test_tripsmap_update(spark):

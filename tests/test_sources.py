@@ -60,9 +60,9 @@ def test_state_machine_gate():
     # process the 2022 yearly file -> complete
     state = advance_state(state, fresh[0])
     assert state[2022].complete
-    # process 2023-01 -> month watermark 1, incomplete
+    # process 2023-01 -> month set {1}, incomplete
     state = advance_state(state, fresh[1])
-    assert state[2023] == YearState(2023, 1, False)
+    assert state[2023] == YearState(2023, frozenset({1}), False)
     # re-diff: only 2023-02 is new; replay returns empty list (never False)
     remaining = new_files(candidates, state)
     assert [(f.year, f.month) for f in remaining] == [(2023, 2)]
@@ -70,10 +70,27 @@ def test_state_machine_gate():
     assert new_files(candidates, state) == []
 
 
+def test_state_gate_out_of_order_month():
+    """Exact-match gate (new_file_check.py:27-43): a month published AFTER a
+    later month was ingested is still NEW — a max-month watermark would
+    silently drop it (ADVICE r1)."""
+    state: dict[int, YearState] = {}
+    state = advance_state(state, CandidateFile("202305-...", 2023, 5))
+    late = CandidateFile("202303-...", 2023, 3)
+    fresh = new_files([late, CandidateFile("202305-...", 2023, 5)], state)
+    assert [(f.year, f.month) for f in fresh] == [(2023, 3)]
+    state = advance_state(state, late)
+    assert state[2023] == YearState(2023, frozenset({3, 5}), False)
+    assert new_files([late], state) == []
+
+
 def test_state_roundtrip(spark, tmp_path):
     path = str(tmp_path / "status_state")
     assert load_state(spark, path) == {}  # missing table -> empty, no crash
-    state = {2023: YearState(2023, 7, False), 2022: YearState(2022, None, True)}
+    state = {
+        2023: YearState(2023, frozenset({3, 7}), False),
+        2022: YearState(2022, frozenset(), True),
+    }
     save_state(spark, state, path)
     assert load_state(spark, path) == state
 

@@ -50,10 +50,10 @@ def modern_era_pdf() -> pd.DataFrame:
              end_station_name="Alpha", end_station_id="A1",
              start_lat=LAT_A, start_lng=LON_A, end_lat=LAT_A, end_lng=LON_A,
              member_casual="casual"),
-        # blacklisted depot station (filtered)
+        # blacklisted depot station (filtered; db_importing.py:16-21)
         dict(ride_id="r5", rideable_type="classic_bike",
              started_at="2023-07-05 11:00:00", ended_at="2023-07-05 11:30:00",
-             start_station_name="NYCBS Depot - DEL", start_station_id="D1",
+             start_station_name="NYCBS Depot - STY - Valet Scan", start_station_id="D1",
              end_station_name="Beta", end_station_id="B1",
              start_lat=LAT_A, start_lng=LON_A, end_lat=LAT_B, end_lng=LON_B,
              member_casual="member"),
