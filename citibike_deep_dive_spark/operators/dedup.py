@@ -24,22 +24,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
+
 SHINGLE_WIDTH = 3
-
-
-def spread(df: DataFrame) -> DataFrame:
-    """Ensure CPU-bound per-row work parallelizes.
-
-    A small parquet file arrives as ONE input partition; hash/shingle math
-    would then run on a single core regardless of cluster size. Repartition
-    up to the session's default parallelism when the scan is narrower.
-    (At real scale the scan already has thousands of partitions and this
-    is a no-op.)
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def _tokens(text: Column) -> Column:
@@ -65,10 +52,10 @@ def shingle_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, sh) with the shingle array built in parallel, exactly once.
 
     Two plan tricks, both load-bearing:
-    - repartition FIRST: a small parquet file is one input partition, and
-      shingle construction is the CPU-heavy step — build it on every core
-      (at real scale the scan is already wide and this shuffle of raw text
-      is the cheap part).
+    - fan_out FIRST: a small parquet file is one input partition, and
+      shingle construction is the CPU-heavy step — build it on every core.
+      fan_out is metadata-only and a no-op at real scale, where the scan
+      is already wide and the raw-text shuffle would be pure waste.
     - explode(array(sh)) as a barrier: higher-order functions are
       interpreted (no codegen, no subexpression elimination), so if the
       downstream k salted min-hashes referenced a collapsed projection,
@@ -76,8 +63,7 @@ def shingle_frame(docs: DataFrame) -> DataFrame:
       CollapseProject, so ``sh`` is evaluated once per row and consumed as
       data.
     """
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.repartition(target).select(
+    return fan_out(docs).select(
         "doc_id", F.explode(F.array(shingles(F.col("text")))).alias("sh")
     )
 
@@ -86,7 +72,7 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups: md5(text) digest → keeper (min doc_id) and
     duplicate count. One hash aggregation; digest keys shuffle uniformly."""
     return (
-        spread(docs).select("doc_id", F.md5("text").alias("digest"))
+        fan_out(docs).select("doc_id", F.md5("text").alias("digest"))
         .groupBy("digest")
         .agg(
             F.min("doc_id").alias("keeper_doc_id"),
@@ -228,7 +214,7 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     engine with md5 + substring. Explode + conditional aggregation keeps
     the whole plan in codegen; one shuffle on doc_id.
     """
-    toks = spread(docs).select(
+    toks = fan_out(docs).select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
     )
     digest = F.md5("tok")

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import spread
+from .fanout import fan_out
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -41,7 +41,7 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
-    return spread(df).withColumn(col, F.col(col).cast("array<double>"))
+    return fan_out(df).withColumn(col, F.col(col).cast("array<double>"))
 
 
 def brute_force_topk(

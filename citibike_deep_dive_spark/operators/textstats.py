@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import spread
+from .fanout import fan_out
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Order matters: deterministic argmax tie-break is list order.
@@ -38,7 +38,7 @@ def _stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
 
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count per document."""
-    return spread(docs).select(
+    return fan_out(docs).select(
         "doc_id",
         F.size(_words(F.col("text"))).alias("ws_tokens"),
         F.regexp_count(F.col("text"), F.lit(TOKEN_REGEX)).cast("long").alias("bpe_tokens"),
@@ -66,7 +66,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.4
         + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
     )
-    return spread(docs).select(
+    return fan_out(docs).select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
@@ -84,7 +84,7 @@ def language_id(docs: DataFrame) -> DataFrame:
         lang: _stopword_hits(F.col("text"), words).alias(f"hits_{lang}")
         for lang, words in STOPWORDS.items()
     }
-    scored = spread(docs).select("doc_id", "lang", *hit_cols.values())
+    scored = fan_out(docs).select("doc_id", "lang", *hit_cols.values())
     langs = list(STOPWORDS)
     best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
     pred = F.lit(None).cast("string")
@@ -104,7 +104,7 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     from .dedup import shingles
 
     normalized = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
-    return spread(docs).select(
+    return fan_out(docs).select(
         "doc_id",
         F.md5(normalized).alias("content_fp"),
         F.array_min(F.transform(shingles(F.col("text")), F.md5)).alias("min_shingle_fp"),

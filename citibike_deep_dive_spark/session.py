@@ -52,6 +52,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Deterministic timestamp semantics vs the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP_NANOS; Spark 4 reads it only as
+        # long under this legacy conf (plans/catalog.table() converts to
+        # TimestampType). Set here once; table() guards the vanilla-session
+        # case without re-mutating configured sessions.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for the pandas-UDF edges (route enrichment, multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -341,3 +341,20 @@ def test_pii_redaction_removes_all_matches(spark):
     rows = df.collect()
     assert rows and all(r.n_emails >= 1 and r.n_phones >= 1 for r in rows)
     assert all("@" not in r.redacted and "<EMAIL>" in r.redacted for r in rows)
+
+
+def test_equi_depth_histogram_no_global_sort(spark):
+    """VERDICT r1: the ntile form pinned the whole table on one reducer.
+    The rewritten plan must contain no Window and no single-partition
+    global sort — only the broadcast of the 1-row boundary aggregate."""
+    from citibike_deep_dive_spark.plans.catalog import CATALOG
+
+    df = CATALOG["equi_depth_histogram"].build(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    counts = {r.bucket: r.n for r in df.collect()}
+    assert sorted(counts) == list(range(1, 11))
+    total = sum(counts.values())
+    # equi-depth: every bucket within a few rows of total/10
+    assert all(abs(n - total / 10) <= max(2, total * 0.02) for n in counts.values())
