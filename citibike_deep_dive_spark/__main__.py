@@ -1,11 +1,19 @@
 """CLI entry point — the reference's
-``python -m citibike_data_process --file-local --read-local --make-local``
-(citibike_data_process/main.py:27-43) re-expressed for the Spark engine:
+``python -m citibike_data_process --file-{local,remote} --read-local
+--make-local`` (citibike_data_process/main.py:27-51) re-expressed for the
+Spark engine:
 
+    # local mode (--file-local analog)
     python -m citibike_deep_dive_spark \
         --input-dir ./archives --warehouse ./warehouse \
         [--export-db ./CitibikeData.db] [--s3-bucket B --s3-key K] \
         [--top-k 30] [--cpus 8]
+
+    # remote mode (--file-remote analog: bucket listing -> state-gated
+    # download -> same pipeline; ingestion.py:61-102)
+    python -m citibike_deep_dive_spark \
+        --remote-listing-url https://host/bucket/ --warehouse ./warehouse \
+        [--download-dir ./downloads] [--workers 5] ...
 """
 
 from __future__ import annotations
@@ -17,8 +25,21 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="citibike_deep_dive_spark")
-    p.add_argument("--input-dir", required=True, help="directory of trip-data zips")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input-dir", help="directory of trip-data zips (local mode)")
+    src.add_argument(
+        "--remote-listing-url",
+        help="bucket-listing URL to fetch archives from (remote mode)",
+    )
     p.add_argument("--warehouse", required=True, help="parquet warehouse directory")
+    p.add_argument(
+        "--download-dir",
+        default=None,
+        help="remote mode: archive cache dir (default: <warehouse>/_downloads)",
+    )
+    p.add_argument(
+        "--workers", type=int, default=5, help="remote mode: parallel downloads"
+    )
     p.add_argument("--state", default=None, help="state table path (default: <warehouse>/_state)")
     p.add_argument("--export-db", default=None, help="also export a DuckDB file artifact")
     p.add_argument("--s3-bucket", default=None, help="upload the DuckDB file to this bucket")
@@ -39,15 +60,28 @@ def main(argv: list[str] | None = None) -> int:
     )
     spark.sparkContext.setLogLevel("WARN")
 
-    from .pipeline import run_pipeline
+    if args.remote_listing_url:
+        from .sources.remote import run_remote_pipeline
 
-    result = run_pipeline(
-        spark,
-        input_dir=args.input_dir,
-        warehouse_dir=args.warehouse,
-        state_path=args.state,
-        top_k=args.top_k,
-    )
+        result = run_remote_pipeline(
+            spark,
+            listing_url=args.remote_listing_url,
+            warehouse_dir=args.warehouse,
+            state_path=args.state,
+            download_dir=args.download_dir,
+            top_k=args.top_k,
+            workers=args.workers,
+        )
+    else:
+        from .pipeline import run_pipeline
+
+        result = run_pipeline(
+            spark,
+            input_dir=args.input_dir,
+            warehouse_dir=args.warehouse,
+            state_path=args.state,
+            top_k=args.top_k,
+        )
     print(
         f"processed {len(result.processed)} new archive(s), "
         f"skipped {result.skipped} already-ingested"

@@ -190,7 +190,12 @@ def enrich_routes(
                 secs = float(
                     ts.hour * 3600 + ts.minute * 60 + ts.second + ts.microsecond / 1e6
                 )
-                waypoints.append(attach_timestamps(densify(coords), secs))
+                # an HTTP provider returns [] once retries are exhausted —
+                # the route row still lands, with no waypoints
+                # (update_tripsmap.py:148-153)
+                waypoints.append(
+                    attach_timestamps(densify(coords), secs) if coords else []
+                )
             pdf = pdf.copy()
             pdf["waypoints"] = waypoints
             yield pdf

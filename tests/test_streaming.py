@@ -203,3 +203,55 @@ def test_dedup_within_watermark(spark, tmp_path):
     digests = [r.digest for r in spark.sql("SELECT digest FROM wmdedup_test").collect()]
     assert len(digests) == len(set(digests))
     assert digests  # non-empty
+
+
+def test_partitioned_upsert_sink_touches_only_delta_partitions(spark, tmp_path):
+    """Scale form of the upsert sink (VERDICT r1): a micro-batch must
+    rewrite ONLY the partitions its delta touches — untouched partition
+    files stay byte-identical on disk — and replay stays a no-op."""
+    import os
+
+    from citibike_deep_dive_spark.streaming.stateful import partitioned_upsert_sink
+
+    target = str(tmp_path / "ptable")
+    sink = partitioned_upsert_sink(target, keys=["day", "k"], counters=["n"])
+
+    b0 = spark.createDataFrame(
+        [("d1", "a", 1), ("d1", "b", 2), ("d2", "c", 3)], ["day", "k", "n"]
+    )
+    sink(b0, 0)
+
+    def files_in(part):
+        d = os.path.join(target, f"day={part}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    d1_before, d2_before = files_in("d1"), files_in("d2")
+
+    # batch 1 touches only d2
+    sink(spark.createDataFrame([("d2", "c", 10), ("d2", "d", 5)], ["day", "k", "n"]), 1)
+
+    assert files_in("d1") == d1_before, "untouched partition d1 was rewritten"
+    assert files_in("d2") != d2_before, "touched partition d2 was not rewritten"
+
+    got = {(r.day, r.k): r.n for r in spark.read.parquet(target).collect()}
+    assert got == {("d1", "a"): 1, ("d1", "b"): 2, ("d2", "c"): 13, ("d2", "d"): 5}
+
+    # replay of batch 1 -> no-op everywhere
+    d2_after = files_in("d2")
+    sink(spark.createDataFrame([("d2", "c", 10)], ["day", "k", "n"]), 1)
+    assert files_in("d2") == d2_after
+    got = {(r.day, r.k): r.n for r in spark.read.parquet(target).collect()}
+    assert got[("d2", "c")] == 13
+
+
+def test_partitioned_upsert_sink_rejects_bad_partition_col(spark):
+    import pytest as _pytest
+
+    from citibike_deep_dive_spark.streaming.stateful import partitioned_upsert_sink
+
+    with _pytest.raises(ValueError):
+        partitioned_upsert_sink("/tmp/x", keys=["k"], counters=["n"], partition_col="z")
