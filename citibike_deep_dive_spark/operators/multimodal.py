@@ -2,8 +2,12 @@
 metadata (BASELINE.json north star).
 
 The Spark-side plumbing — schema, batching, partitioning, UDF signatures —
-is real and tested; the actual media decoding is STUBBED (the image/audio
-libraries are not in this container): ``decode_stub`` raises
+is real and tested. Image METADATA decode is also real:
+``parse_image_dimensions`` reads PNG/GIF/JPEG/BMP headers with pure
+Python (no codec libraries needed), and ``image_dimensions`` runs it as
+an Arrow-batched operator, so ``meta_width``/``meta_height`` come from
+actual payload bytes. Full pixel/audio/video decoding stays STUBBED
+(those libs are not in this container): ``decode_stub`` raises
 NotImplementedError unless ``deterministic_fake=True``, which produces a
 seeded fake feature vector from the bytes (md5-derived), keeping every
 downstream operator testable.
@@ -66,6 +70,82 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
         (F.col("n_chars") % 1024).cast("int").alias("meta_height"),
         (F.col("n_chars") * 40).cast("int").alias("meta_duration_ms"),
     )
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
+    """REAL image metadata decode, pure Python: (format, width, height)
+    from the container header bytes, or None if the payload is not a
+    recognized image. Formats: PNG (IHDR), GIF (logical screen), JPEG
+    (SOF segment walk), BMP (BITMAPINFOHEADER)."""
+    if len(payload) >= 24 and payload[:8] == _PNG_MAGIC and payload[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+        )
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "gif",
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+        )
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        # walk marker segments to the first SOFn (C0-CF minus C4/C8/CC)
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    "jpeg",
+                    int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    int.from_bytes(payload[i + 5 : i + 7], "big"),
+                )
+            i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+        return None
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        return (
+            "bmp",
+            int.from_bytes(payload[18:22], "little", signed=True),
+            abs(int.from_bytes(payload[22:26], "little", signed=True)),
+        )
+    return None
+
+
+IMAGE_DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def image_dimensions(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL header decode: meta from payload bytes, null
+    columns for unrecognized payloads (rows are kept — corpus triage
+    wants to count the undecodable, not silently drop them)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["payload"].map(
+                lambda b: parse_image_dimensions(bytes(b)) if b is not None else None
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fmt": parsed.map(lambda t: t[0] if t else None),
+                    "width": parsed.map(lambda t: t[1] if t else None),
+                    "height": parsed.map(lambda t: t[2] if t else None),
+                }
+            )
+
+    return media.mapInPandas(run, IMAGE_DIMS_SCHEMA)
 
 
 def decode_stub(payload: bytes, kind: str, deterministic_fake: bool = False) -> list[float]:

@@ -385,6 +385,38 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_dimensions",
+    """
+    SELECT doc_id AS media_id,
+           'png' AS fmt,
+           CAST(doc_id % 1920 + 16 AS INT) AS width,
+           CAST(doc_id % 1080 + 16 AS INT) AS height
+    FROM documents
+    """,
+    tags=("X-multimodal-dims",),
+)
+def multimodal_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL header decode end to end: valid PNG IHDR headers are
+    synthesized per document (magic + length + 'IHDR' + big-endian dims,
+    all native column expressions), then ``image_dimensions`` parses the
+    width/height back OUT OF THE BYTES executor-side. The oracle computes
+    the same dims arithmetically — a mismatch anywhere in the binary
+    plumbing or the parser breaks the hash."""
+    from ..operators.multimodal import image_dimensions
+
+    docs = table(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 1920 + 16).cast("int")
+    h = (F.col("doc_id") % 1080 + 16).cast("int")
+    payload = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+        F.unhex(F.lpad(F.hex(w), 8, "0")),
+        F.unhex(F.lpad(F.hex(h), 8, "0")),
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return image_dimensions(media)
+
+
+@register(
     "multimodal_frame_sampling",
     """
     SELECT doc_id AS media_id,

@@ -358,3 +358,48 @@ def test_equi_depth_histogram_no_global_sort(spark):
     total = sum(counts.values())
     # equi-depth: every bucket within a few rows of total/10
     assert all(abs(n - total / 10) <= max(2, total * 0.02) for n in counts.values())
+
+
+def test_parse_image_dimensions_all_formats():
+    """Real header decode from handcrafted bytes — no codec libs."""
+    from citibike_deep_dive_spark.operators.multimodal import parse_image_dimensions
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"
+    )
+    assert parse_image_dimensions(png) == ("png", 640, 480)
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\xf7\x00\x00"
+    assert parse_image_dimensions(gif) == ("gif", 320, 200)
+
+    # JPEG: SOI, APP0 segment, then SOF0 with height=600 width=800
+    # length field counts itself + payload: 16 = 2 (len) + 14 payload bytes
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (600).to_bytes(2, "big") + (800).to_bytes(2, "big") + b"\x03"
+    )
+    assert parse_image_dimensions(b"\xff\xd8" + app0 + sof0) == ("jpeg", 800, 600)
+
+    bmp = b"BM" + b"\x00" * 16 + (1024).to_bytes(4, "little") + (-768).to_bytes(4, "little", signed=True)
+    assert parse_image_dimensions(bmp) == ("bmp", 1024, 768)  # top-down BMP: |height|
+
+    assert parse_image_dimensions(b"not an image at all") is None
+    assert parse_image_dimensions(b"") is None
+
+
+def test_image_dimensions_operator(spark):
+    from citibike_deep_dive_spark.operators.multimodal import image_dimensions
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (99).to_bytes(4, "big") + (77).to_bytes(4, "big")
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"garbage"))], "media_id long, payload binary"
+    )
+    rows = {r.media_id: r for r in image_dimensions(media).collect()}
+    assert (rows[1].fmt, rows[1].width, rows[1].height) == ("png", 99, 77)
+    assert rows[2].fmt is None and rows[2].width is None
