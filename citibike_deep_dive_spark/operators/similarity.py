@@ -252,3 +252,56 @@ def ivf_assign(
     return _assign(e, centroids).select(
         F.col("__id").alias(id_col), F.col("cluster_id").alias("cell")
     )
+
+
+def dim_covariance(embeddings: DataFrame, d: int = 16) -> DataFrame:
+    """Covariance matrix of the first ``d`` embedding dimensions.
+
+    The distributed-linear-algebra prep step for PCA / whitening: one
+    narrow pass emits d(d+1)/2 (i, j, x_i·x_j, x_i, x_j) structs per row,
+    then a single map-side-combined aggregation to (i, j) grain computes
+    cov = E[x_i x_j] − E[x_i]E[x_j] (E[x_i] within group (i, j) IS the
+    dim-i mean — same multiset). Shuffle volume is bounded by
+    partitions × d², never by row count; no driver-side matrix.
+    """
+    e = F.slice("embedding", 1, d)
+
+    def pair_row(i: Column) -> Column:
+        xi = F.element_at(e, (i + 1).cast("int")).cast("double")
+
+        def inner(j: Column) -> Column:
+            xj = F.element_at(e, (j + 1).cast("int")).cast("double")
+            return F.struct(
+                i.cast("int").alias("i"),
+                j.cast("int").alias("j"),
+                (xi * xj).alias("xy"),
+                xi.alias("xi"),
+                xj.alias("xj"),
+            )
+
+        return F.transform(F.sequence(i, F.lit(d - 1)), inner)
+
+    pairs = F.flatten(F.transform(F.sequence(F.lit(0), F.lit(d - 1)), pair_row))
+    return (
+        fan_out(embeddings)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .agg(
+            F.round(F.avg("p.xy") - F.avg("p.xi") * F.avg("p.xj"), 5).alias("cov")
+        )
+    )
+
+
+def matryoshka_renormalize(embeddings: DataFrame, k: int = 16) -> DataFrame:
+    """Truncate each embedding to its first ``k`` dims and L2-renormalize
+    (matryoshka-representation serving: shorter prefixes as cheaper
+    vectors). Pure per-row array math — no shuffle at any scale."""
+    e = F.transform(F.slice("embedding", 1, k), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return fan_out(embeddings).select(
+        "vec_id",
+        F.round(norm, 5).alias("norm_k"),
+        F.transform(e, lambda x: F.round(x / norm, 5)).alias("renorm"),
+    )

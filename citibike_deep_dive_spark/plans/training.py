@@ -2115,3 +2115,184 @@ def zorder_clustering_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level cross-set ops: decontamination, incremental dedup, mixing,
+# vocabulary coverage (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decontamination_ngram_overlap",
+    f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (
+        SELECT DISTINCT unnest(sh) AS g FROM shingled WHERE doc_id % 29 = 0
+    ),
+    train AS (
+        SELECT doc_id, unnest(sh) AS g FROM shingled WHERE doc_id % 29 <> 0
+    )
+    SELECT t.doc_id, CAST(count(DISTINCT t.g) AS BIGINT) AS contaminated_grams
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY 1
+    """,
+    tags=("X-decontamination",),
+)
+def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 3-gram
+    with the (broadcast) benchmark shingle set, with the count of
+    contaminated grams per doc."""
+    from ..operators.corpus import benchmark_decontaminate
+
+    return benchmark_decontaminate(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "incremental_dedup_exact",
+    """
+    SELECT d.doc_id, md5(d.text) AS digest
+    FROM documents d
+    WHERE d.doc_id % 10 = 7
+      AND NOT EXISTS (
+            SELECT 1 FROM documents c
+            WHERE c.doc_id % 10 <> 7 AND md5(c.text) = md5(d.text)
+      )
+    """,
+    tags=("X-dedup-incremental",),
+)
+def incremental_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest exact dedup: new-batch docs whose digest is absent from
+    the existing corpus (digest anti-join)."""
+    from ..operators.corpus import incremental_exact_survivors
+
+    return incremental_exact_survivors(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "incremental_dedup_neardup",
+    f"""
+    WITH {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE},
+    hits AS (
+        SELECT DISTINCT a.doc_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+        WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 10 = 7
+      AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
+    """,
+    tags=("X-dedup-incremental",),
+)
+def incremental_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-set near-dup: new-batch docs sharing no LSH band bucket with
+    the corpus (minhash bands → distinct corpus buckets → semi/anti join)."""
+    from ..operators.corpus import incremental_neardup_survivors
+
+    return incremental_neardup_survivors(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "temperature_source_mix",
+    """
+    WITH per_src AS (
+        SELECT source, count(*) AS n_docs, pow(count(*), 0.7) AS w_raw
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(w_raw) AS w_tot FROM per_src)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round(w_raw / w_tot, 6) AS weight,
+           CAST(round(1000000.0 * w_raw / w_tot) AS BIGINT) AS token_budget
+    FROM per_src, tot
+    """,
+    tags=("X-dataset-mixing",),
+)
+def temperature_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing: w_s ∝ n_s^0.7 normalized,
+    plus each source's share of a 1M-token budget."""
+    from ..operators.corpus import temperature_mix
+
+    return temperature_mix(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "vocab_coverage_topk",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+    total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts),
+    top AS (
+        SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 100
+    )
+    SELECT token,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+           round(sum(cnt) OVER (ORDER BY cnt DESC, token
+                                ROWS UNBOUNDED PRECEDING)
+                 / (SELECT total FROM total), 6) AS coverage
+    FROM top
+    """,
+    tags=("X-vocab",),
+)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 vocabulary with cumulative corpus coverage (distributed
+    TakeOrdered top-k; the window runs over exactly k rows)."""
+    from ..operators.corpus import vocab_coverage
+
+    return vocab_coverage(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding linear algebra: PCA-prep covariance, matryoshka truncation
+# (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_covariance",
+    """
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           round(avg(CAST(list_extract(embedding, i + 1) AS DOUBLE)
+                     * CAST(list_extract(embedding, j + 1) AS DOUBLE))
+                 - avg(CAST(list_extract(embedding, i + 1) AS DOUBLE))
+                   * avg(CAST(list_extract(embedding, j + 1) AS DOUBLE)), 5)
+               AS cov
+    FROM embeddings, range(0, 16) t1(i), range(0, 16) t2(j)
+    WHERE j >= i
+    GROUP BY 1, 2
+    """,
+    tags=("X-embedding-linalg",),
+)
+def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangular covariance of the first 16 embedding dims — the
+    distributed PCA/whitening prep pass (shuffle bounded by d², not rows)."""
+    from ..operators.similarity import dim_covariance
+
+    return dim_covariance(table(spark, sf_dir, "embeddings"), d=16)
+
+
+@register(
+    "matryoshka_truncate_renormalize",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding[1:16],
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 5) AS norm_k,
+           list_transform(embedding[1:16],
+                 x -> round(CAST(x AS DOUBLE)
+                      / sqrt(list_sum(list_transform(embedding[1:16],
+                            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 5))
+               AS renorm
+    FROM embeddings
+    """,
+    tags=("X-embedding-linalg",),
+)
+def matryoshka_truncate_renormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka serving prep: truncate embeddings to the 16-dim prefix
+    and L2-renormalize — per-row array math, zero shuffle."""
+    from ..operators.similarity import matryoshka_renormalize
+
+    return matryoshka_renormalize(table(spark, sf_dir, "embeddings"), k=16)

@@ -403,3 +403,99 @@ def test_image_dimensions_operator(spark):
     rows = {r.media_id: r for r in image_dimensions(media).collect()}
     assert (rows[1].fmt, rows[1].width, rows[1].height) == ("png", 99, 77)
     assert rows[2].fmt is None and rows[2].width is None
+
+
+# --- corpus-level cross-set ops (operators/corpus.py) ----------------------
+
+
+def test_decontamination_flags_only_overlapping_docs(spark):
+    from citibike_deep_dive_spark.operators.corpus import benchmark_decontaminate
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),          # benchmark (0 % 29 == 0)
+        (1, "zzz alpha beta gamma yyy"),                # shares shingle "alpha beta gamma"
+        (2, "totally unrelated words in this doc"),     # clean
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.contaminated_grams for r in benchmark_decontaminate(docs).collect()}
+    assert got == {1: 1}
+
+
+def test_incremental_exact_drops_known_digests(spark):
+    from citibike_deep_dive_spark.operators.corpus import incremental_exact_survivors
+
+    rows = [
+        (1, "existing corpus doc one"),
+        (2, "existing corpus doc two"),
+        (7, "existing corpus doc one"),   # new batch, exact dup of corpus
+        (17, "a genuinely new document"), # new batch, novel
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    survivors = {r.doc_id for r in incremental_exact_survivors(docs).collect()}
+    assert survivors == {17}
+
+
+def test_incremental_neardup_drops_identical_text(spark):
+    from citibike_deep_dive_spark.operators.corpus import incremental_neardup_survivors
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (7, "the quick brown fox jumps over the lazy dog"),       # all bands match doc 1
+        (17, "completely different words entirely unrelated text"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    survivors = {r.doc_id for r in incremental_neardup_survivors(docs).collect()}
+    assert 7 not in survivors and 17 in survivors
+
+
+def test_temperature_mix_upsamples_small_sources(spark):
+    from citibike_deep_dive_spark.operators.corpus import temperature_mix
+
+    rows = [(i, "x", "big" if i < 90 else "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r for r in temperature_mix(docs).collect()}
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 1e-5
+    assert abs(out["big"].token_budget + out["small"].token_budget - 1_000_000) <= 1
+    # alpha < 1: the small source gets MORE than its proportional share
+    assert out["small"].weight > 10 / 100
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    from citibike_deep_dive_spark.operators.corpus import vocab_coverage
+
+    rows = [(1, "a a a b b c"), (2, "a b c d e f g")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = vocab_coverage(docs, top_k=3).orderBy("rank").collect()
+    assert [r.token for r in out] == ["a", "b", "c"]
+    cov = [r.coverage for r in out]
+    assert cov == sorted(cov) and cov[-1] <= 1.0
+    assert abs(cov[-1] - 9 / 13) < 1e-5
+
+
+def test_dim_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from citibike_deep_dive_spark.operators.similarity import dim_covariance
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(50, 16)).astype("float32")
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(50)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r.i, r.j): r.cov for r in dim_covariance(emb, d=16).collect()}
+    expected = np.cov(mat.astype("float64"), rowvar=False, bias=True)
+    assert len(got) == 16 * 17 // 2
+    for (i, j), v in got.items():
+        assert i <= j
+        assert abs(v - expected[i, j]) < 1e-4
+
+
+def test_matryoshka_renorm_is_unit_length(spark):
+    from citibike_deep_dive_spark.operators.similarity import matryoshka_renormalize
+
+    rows = [(1, [3.0, 4.0] + [0.0] * 30), (2, [1.0] * 32)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in matryoshka_renormalize(emb, k=16).collect()}
+    assert abs(out[1].norm_k - 5.0) < 1e-9
+    assert out[1].renorm[:2] == [0.6, 0.8]
+    for r in out.values():
+        assert abs(sum(x * x for x in r.renorm) - 1.0) < 1e-3
