@@ -93,3 +93,46 @@ def dedup_within_watermark(
     state. Complements the custom applyInPandasWithState first-seen
     operator (stateful.streaming_first_seen) which never expires."""
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(cols)
+
+
+def attribute_conversions(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: attribute each purchase to
+    the same user's click(s) within ``horizon`` before it.
+
+    Both sides carry watermarks and the join condition bounds the event
+    times on BOTH sides, so Spark can expire buffered state — the state
+    store holds at most (watermark + horizon) of either stream per key,
+    regardless of total stream length. The batch analog is the
+    conversion_funnel catalog entry.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c_user = p_user
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL {horizon}
+            """
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+    )

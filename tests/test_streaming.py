@@ -255,3 +255,54 @@ def test_partitioned_upsert_sink_rejects_bad_partition_col(spark):
 
     with _pytest.raises(ValueError):
         partitioned_upsert_sink("/tmp/x", keys=["k"], counters=["n"], partition_col="z")
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from citibike_deep_dive_spark.streaming.ingest import attribute_conversions
+
+    src = _stage_dir(tmp_path)
+    clicks = read_event_stream(spark, src).filter(F.col("event_type") == "click")
+    purchases = read_event_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        attribute_conversions(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from citibike_deep_dive_spark.plans.catalog import table
+
+    ev = table(spark, SF_DIR, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            F.expr(
+                "c_user = p_user AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + INTERVAL 10 minutes"
+            ),
+        ).collect()
+    }
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    }
+    # append mode may hold back pairs the watermark hasn't closed, but with
+    # availableNow over a finite file the final watermark releases them all
+    assert got == want and len(want) > 0
