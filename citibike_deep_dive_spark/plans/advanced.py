@@ -511,10 +511,12 @@ def normalize_trips_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty ids, zero coords, mixed-case user types). The input is fanned
     out first: this is a pure narrow pipeline (no exchange anywhere), so
     on an under-split input every string/timestamp op would otherwise
-    run on a single core end-to-end."""
+    run on a single core end-to-end. barrier=True keeps clean_filters'
+    year predicate (a timestamp round-trip per row) from being pushed
+    back below the exchange onto the single scan task."""
     from ..operators.fanout import fan_out
 
-    ev = fan_out(table(spark, sf_dir, "events"))
+    ev = fan_out(table(spark, sf_dir, "events"), barrier=True)
     raw = ev.select(
         F.col("event_id").cast("string").alias("ride_id"),
         F.when(F.col("event_id") % 2 == 0, "classic_bike")

@@ -63,3 +63,33 @@ def test_filters_are_pushed_into_scan(spark, tmp_path):
     assert "PushedFilters: [" in plan
     # at least the notnull/non-empty filters are pushed down
     assert "IsNotNull" in plan
+
+
+def test_normalize_pipeline_filter_not_pushed_below_fanout(spark):
+    """The year predicate (timestamp round-trip per row) must evaluate
+    ABOVE the fan-out exchange — pushed below, the whole narrow pipeline
+    re-runs single-core on the one-file scan (the plan the barrier in
+    fan_out(barrier=True) exists to prevent)."""
+    from citibike_deep_dive_spark.plans import CATALOG
+
+    df = CATALOG["normalize_trips_pipeline"].build(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    filter_pos = plan.find("Filter")
+    exchange_pos = plan.find("Exchange")
+    assert exchange_pos != -1, "fan_out should repartition the 1-file scan"
+    assert filter_pos != -1 and filter_pos < exchange_pos, (
+        "clean_filters was pushed below the fan-out exchange (single-task scan)"
+    )
+
+
+def test_pushdown_barrier_preserves_values_and_blocks_pushdown(spark):
+    from pyspark.sql import functions as F
+
+    from citibike_deep_dive_spark.operators.fanout import pushdown_barrier
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    wrapped = pushdown_barrier(df)
+    assert wrapped.columns == df.columns
+    assert wrapped.exceptAll(df).count() == 0 and df.exceptAll(wrapped).count() == 0
