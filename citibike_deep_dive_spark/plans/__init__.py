@@ -7,3 +7,4 @@ ANSI SQL for the DuckDB oracle (driver contract in __spark_entry__.py).
 from .catalog import CATALOG, QuerySpec, table  # noqa: F401
 from . import training  # noqa: F401  (registers the training-data queries)
 from . import advanced  # noqa: F401  (registers the composed-parity queries)
+from . import olap  # noqa: F401  (registers the multi-join OLAP suite)

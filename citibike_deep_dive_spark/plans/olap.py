@@ -1,0 +1,357 @@
+"""Classic multi-join OLAP suite over the TPC-H-shaped testdata.
+
+The reference engine's analytic surface is single-table GROUP BYs plus
+two-table joins (SURVEY.md §2.4-2.5); a user replacing it with this repo
+also gets the canonical decision-support shapes — multi-way join chains,
+semi-join existence checks, conditional-share aggregates, and global
+top-k — expressed so Catalyst picks the right physical strategy:
+
+- Tiny dims (region, nation) are broadcast explicitly: replicated hash
+  joins, zero shuffle of the fact side for those hops.
+- Fact-fact hops (orders ⋈ lineitem, lineitem ⋈ part) stay as shuffle
+  hash/sort-merge joins on the key — the only strategy that scales to
+  100 TB — with AQE free to re-plan skew at runtime.
+- Global top-k is ORDER BY + LIMIT, which Spark executes as
+  TakeOrderedAndProject (per-partition heap + driver merge of k rows),
+  never a full sort shuffle.
+- Determinism (SURVEY.md §4): double sums rounded, counts cast to
+  BIGINT on the DuckDB side, timestamps emitted as formatted strings,
+  every LIMIT ranked with an explicit unique-key tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register, table
+
+
+# ---------------------------------------------------------------------------
+# Q1 shape — pricing summary report: single-pass hash aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary_report",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("X-olap-q1",),
+)
+def pricing_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical scan-filter-aggregate. The shipdate
+    predicate reaches the parquet scan (PushedFilters) and the 6-entry
+    group-by is a pure map-side-combine hash aggregate — at 100 TB this
+    is one scan, one 6-row shuffle."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 shape — shipping priority: 3-way join chain + global top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority_topk",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY l_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("X-olap-q3",),
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with per-table
+    pushed filters, then global top-10 by revenue. Both joins are
+    key-shuffle joins (customer and orders are fact-sized at 100 TB, so
+    no broadcast); AQE coalesces the post-filter sides. The final
+    ORDER BY+LIMIT compiles to TakeOrderedAndProject — k rows to the
+    driver, no global sort. Revenue is rounded before ranking and
+    l_orderkey breaks ties so the top-10 set is engine-stable."""
+    cutoff = F.lit("1998-07-01 00:00:00").cast("timestamp")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey).join(
+        li, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return (
+        joined.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape — order priority checking: EXISTS with a non-equi correlate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_priority_semi",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    tags=("X-olap-q4", "J7"),
+)
+def order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated *non-equi* predicate
+    (l_shipdate > o_orderdate) on top of the key equality. Spark plans
+    this as a LEFT SEMI shuffle join on l_orderkey with the inequality
+    as a join residual — dedup-free existence semantics at any scale."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    probed = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return probed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape — local supplier volume: 6-way join with broadcast dims
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("X-olap-q5",),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the full 6-way chain. region and nation are
+    O(10²)-row dims at ANY scale factor — broadcast explicitly, so the
+    region filter prunes suppliers without shuffling them. The three
+    fact hops (customer⋈orders, ⋈lineitem, ⋈supplier) shuffle on their
+    keys; the c_nationkey = s_nationkey residual rides the supplier
+    join. One aggregation, ≤25 output rows."""
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    # Dim pre-join is driver-cheap: nation ⋈ region is 25 × 5 rows.
+    local_nations = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    supplier = table(spark, sf_dir, "supplier").join(
+        local_nations, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape — returned items: 4-way join + per-customer top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "returned_items_topk",
+    """
+    SELECT c_custkey,
+           c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(c_acctbal, 2) AS acctbal,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("X-olap-q10",),
+)
+def returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last half-year.
+    nation broadcasts (25 rows); customer⋈orders⋈lineitem shuffle on
+    keys with the returnflag + orderdate filters pushed to the scans.
+    Top-20 via TakeOrderedAndProject on rounded revenue with c_custkey
+    tiebreak."""
+    nation = F.broadcast(
+        table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp"))
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape — promo revenue share: join + conditional-share scalar
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-02-01 00:00:00'
+    GROUP BY ALL
+    """,
+    tags=("X-olap-q14",),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: what fraction of this month's revenue came from
+    promo parts. lineitem ⋈ part shuffles on partkey (part is
+    fact-sized at 100 TB — no broadcast); the month filter prunes the
+    lineitem scan first. The conditional numerator and denominator
+    compute in ONE aggregation pass — no second scan, no self-join."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-02-01 00:00:00").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0))
+            / F.sum(disc_price),
+            4,
+        ).alias("promo_share_pct")
+    )
