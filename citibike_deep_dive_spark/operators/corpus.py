@@ -163,3 +163,168 @@ def vocab_coverage(docs: DataFrame, top_k: int = 100) -> DataFrame:
             F.sum("cnt").over(cum) / F.col("total").cast("double"), 6
         ).alias("coverage"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame, min_count: int = 5, top_k: int = 30
+) -> DataFrame:
+    """Top-k word-bigram collocations ranked by pointwise mutual
+    information — the classic phrase-mining pass (word2vec phrase
+    joining, tokenizer-merge candidates) over a training corpus.
+
+    PMI = log2( P(w1,w2) / (P(w1) P(w2)) ) from exact corpus counts.
+
+    Scale shape (100 TB): bigrams materialize per-row via an array
+    transform (no shuffle), then ONE shuffle each for bigram and unigram
+    counts (both map-side combined). The ``min_count`` gate prunes the
+    bigram table *before* the two unigram joins, so the join input is
+    the collocation candidates, not the raw bigram stream. Corpus
+    totals ride along as broadcast scalars (the tfidf pattern). Final
+    ranking is TakeOrdered on the rounded score with (w1, w2) tiebreak.
+    """
+    toks = fan_out(docs).select(F.split(F.lower(F.col("text")), " ").alias("ws"))
+    pairs = F.expr(
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+    )
+    bigrams = (
+        toks.filter(F.size("ws") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    big_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    uni_counts = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n1 = uni_counts.agg(F.sum("c").cast("double").alias("n1"))
+    n2 = big_counts.agg(F.sum("pair_count").cast("double").alias("n2"))
+    u1 = uni_counts.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni_counts.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log2(
+        F.col("pair_count")
+        * F.col("n1")
+        * F.col("n1")
+        / (F.col("n2") * F.col("c1") * F.col("c2"))
+    )
+    return (
+        big_counts.filter(F.col("pair_count") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def word_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution — a
+    repetitiveness/quality signal orthogonal to the dup-n-gram gate
+    (doc_repetition_stats): low entropy = spammy keyword stuffing,
+    near-log2(n) entropy = natural text.
+
+    Uses H = log2(n) - (Σ c·log2(c))/n so the aggregate is a pure
+    map-side-combinable sum. Two keyed shuffles (doc_id, word) →
+    (doc_id), both uniform — no global state, scales with the corpus.
+    """
+    counts = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    clogc = F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("distinct_words"),
+        F.round(F.log2(n) - clogc / n, 5).alias("entropy_bits"),
+    )
+
+
+def repeated_segment_stats(docs: DataFrame, seg_len: int = 16) -> DataFrame:
+    """Cross-document repeated-segment detection (MassiveText-style):
+    chop each doc into non-overlapping ``seg_len``-word segments, hash
+    them, and report per-doc how many of its segments also occur in at
+    least one OTHER document — the boilerplate/template signal that
+    whole-doc dedup misses.
+
+    Scale shape: segments materialize narrowly (array transform + one
+    explode keyed by doc_id); the frequency pass shuffles on the segment
+    md5 (uniform by construction); the verdict join is segment-hash
+    equi-join back to the per-doc segments. No driver state, no
+    all-pairs anything.
+    """
+    ws = F.split(F.lower(F.col("text")), " ")
+    segs_expr = F.expr(
+        f"transform(sequence(0, size(ws) div {seg_len} - 1), "
+        f"i -> md5(concat_ws(' ', slice(ws, i * {seg_len} + 1, {seg_len}))))"
+    )
+    segs = (
+        fan_out(docs)
+        .select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= seg_len)
+        .select("doc_id", F.explode(segs_expr).alias("seg_hash"))
+    )
+    freq = segs.groupBy("seg_hash").agg(
+        F.count_distinct("doc_id").alias("n_docs_with_seg")
+    )
+    flagged = segs.join(freq, "seg_hash").select(
+        "doc_id", (F.col("n_docs_with_seg") >= 2).alias("shared")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum(F.col("shared").cast("long")).cast("long").alias("shared_segments"),
+        F.round(
+            F.sum(F.col("shared").cast("double")) / F.count("*"), 6
+        ).alias("shared_frac"),
+    )
+
+
+def vocab_growth_by_source(docs: DataFrame) -> DataFrame:
+    """Heaps-law vocabulary growth per source: for each source, how many
+    NEW words each document contributes (at its first occurrence) and
+    the cumulative vocabulary size in doc_id ingest order — the
+    diminishing-returns curve that sizes tokenizer vocab and dedup
+    budgets per source.
+
+    Scale shape: first-occurrence is min(doc_id) per (source, word) —
+    one uniform shuffle; the cumulative window partitions BY SOURCE
+    (keyed, never global — this is the equi_depth lesson applied), and
+    runs over one row per (source, contributing doc), not per word.
+    """
+    first_seen = (
+        fan_out(docs)
+        .select(
+            "source",
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_doc = first_seen.groupBy("source", "first_doc").agg(
+        F.count("*").cast("long").alias("new_words")
+    )
+    cum = (
+        Window.partitionBy("source")
+        .orderBy("first_doc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_doc.select(
+        "source",
+        F.col("first_doc").alias("doc_id"),
+        "new_words",
+        F.sum("new_words").over(cum).cast("long").alias("cum_vocab"),
+    )

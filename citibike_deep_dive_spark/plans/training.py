@@ -2296,3 +2296,138 @@ def matryoshka_truncate_renormalize(spark: SparkSession, sf_dir: str) -> DataFra
     from ..operators.similarity import matryoshka_renormalize
 
     return matryoshka_renormalize(table(spark, sf_dir, "embeddings"), k=16)
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics II: collocation mining, entropy quality, cross-doc
+# segment repetition, vocabulary growth (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pmi_bigram_collocations",
+    """
+    WITH toks AS (
+        SELECT string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    uc AS (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(ws) AS w FROM toks)
+        GROUP BY 1
+    ),
+    n1 AS (SELECT CAST(sum(c) AS DOUBLE) AS n1 FROM uc),
+    bg AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+              FROM toks WHERE len(ws) >= 2)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS pair_count FROM bg GROUP BY 1, 2),
+    n2 AS (SELECT CAST(sum(pair_count) AS DOUBLE) AS n2 FROM bc)
+    SELECT bc.w1, bc.w2,
+           CAST(bc.pair_count AS BIGINT) AS pair_count,
+           round(log2(bc.pair_count * n1.n1 * n1.n1
+                      / (n2.n2 * u1.c * u2.c)), 4) AS pmi
+    FROM bc
+    JOIN uc u1 ON bc.w1 = u1.w
+    JOIN uc u2 ON bc.w2 = u2.w
+    CROSS JOIN n1 CROSS JOIN n2
+    WHERE bc.pair_count >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 30
+    """,
+    tags=("X-collocations",),
+)
+def pmi_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 PMI collocations (phrase-mining / tokenizer-merge pass)."""
+    from ..operators.corpus import pmi_collocations
+
+    return pmi_collocations(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_word_entropy",
+    """
+    WITH counts AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS distinct_words,
+           round(log2(CAST(sum(c) AS DOUBLE))
+                 - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                   / CAST(sum(c) AS DOUBLE), 5) AS entropy_bits
+    FROM counts
+    GROUP BY 1
+    """,
+    tags=("X-entropy",),
+)
+def doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the word distribution (quality gate)."""
+    from ..operators.corpus import word_entropy
+
+    return word_entropy(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "repeated_segment_stats",
+    """
+    WITH segs AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(0, len(ws) // 16 - 1),
+                   i -> md5(array_to_string(
+                       list_slice(ws, i * 16 + 1, i * 16 + 16), ' ')))) AS seg_hash
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+        WHERE len(ws) >= 16
+    ),
+    freq AS (
+        SELECT seg_hash, count(DISTINCT doc_id) AS n_docs_with_seg
+        FROM segs GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN f.n_docs_with_seg >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared_segments,
+           round(sum(CASE WHEN f.n_docs_with_seg >= 2 THEN 1.0 ELSE 0.0 END)
+                 / count(*), 6) AS shared_frac
+    FROM segs s JOIN freq f USING (seg_hash)
+    GROUP BY 1
+    """,
+    tags=("X-segment-dedup",),
+)
+def repeated_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc repeated 16-word-segment stats (boilerplate signal)."""
+    from ..operators.corpus import repeated_segment_stats as _op
+
+    return _op(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "vocab_growth_by_source",
+    """
+    WITH first_seen AS (
+        SELECT source, w, min(doc_id) AS first_doc
+        FROM (SELECT source, doc_id,
+                     unnest(list_distinct(string_split(lower(text), ' '))) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    per_doc AS (
+        SELECT source, first_doc, CAST(count(*) AS BIGINT) AS new_words
+        FROM first_seen GROUP BY 1, 2
+    )
+    SELECT source, first_doc AS doc_id, new_words,
+           CAST(sum(new_words) OVER (PARTITION BY source ORDER BY first_doc
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+    FROM per_doc
+    """,
+    tags=("X-vocab-growth",),
+)
+def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth per source (keyed cumulative window)."""
+    from ..operators.corpus import vocab_growth_by_source as _op
+
+    return _op(table(spark, sf_dir, "documents"))
