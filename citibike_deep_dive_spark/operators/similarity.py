@@ -305,3 +305,62 @@ def matryoshka_renormalize(embeddings: DataFrame, k: int = 16) -> DataFrame:
         F.round(norm, 5).alias("norm_k"),
         F.transform(e, lambda x: F.round(x / norm, 5)).alias("renorm"),
     )
+
+
+def int8_quantize(emb: DataFrame, levels: int = 255) -> DataFrame:
+    """Per-vector scalar int8 quantization (min/max affine) — the serving
+    compression pass that shrinks an embedding store 4× before ANN.
+
+    Emits the quant params (lo, scale), the quantized codes, and the max
+    absolute reconstruction error per vector. Pure per-row array math:
+    zero shuffle, whole-stage codegen, scales linearly at any corpus
+    size. Rounding is the engine-portable ``floor(x + 0.5)`` so Spark
+    and the DuckDB oracle agree exactly (Spark's double→int CAST
+    truncates while DuckDB's rounds — never CAST a non-integral).
+    """
+    xs = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("xs"),
+    ).select(
+        "vec_id",
+        "xs",
+        F.array_min("xs").alias("lo"),
+        ((F.array_max("xs") - F.array_min("xs")) / float(levels)).alias("scale"),
+    )
+    qvals = F.expr(
+        "CASE WHEN scale > 0 THEN "
+        "transform(xs, v -> CAST(floor((v - lo) / scale + 0.5D) AS INT)) "
+        "ELSE transform(xs, v -> 0) END"
+    )
+    err = F.expr(
+        "CASE WHEN scale > 0 THEN "
+        "round(array_max(transform(xs, v -> "
+        "abs(lo + CAST(floor((v - lo) / scale + 0.5D) AS INT) * scale - v))), 5) "
+        "ELSE 0.0D END"
+    )
+    return xs.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round("lo", 6).alias("lo"),
+        qvals.alias("qvals"),
+        err.alias("max_abs_err"),
+    )
+
+
+def sign_projection_sketch(emb: DataFrame, k: int = 8, d: int = 64) -> DataFrame:
+    """Johnson-Lindenstrauss sign-random-projection sketch: project each
+    ``d``-dim embedding to ``k`` dims against a deterministic ±1 matrix
+    derived from an LCG on (j, k) — no stored projection matrix, any
+    executor regenerates it, so the op broadcasts nothing at 100 TB.
+
+    Per-row fold over the array (no shuffle). The (j,k) hash is BIGINT
+    arithmetic on both engines (int32 would overflow at j*1103515245).
+    """
+    proj = F.expr(
+        f"transform(sequence(0, {k - 1}), k -> round("
+        f"aggregate(sequence(1, {d}), 0D, (acc, j) -> "
+        "acc + CAST(element_at(embedding, j) AS DOUBLE) * "
+        "(CASE WHEN (CAST(j AS BIGINT) * 1103515245 + k * 12345) % 65536 < 32768 "
+        f"THEN 1.0D ELSE -1.0D END)) / sqrt(CAST({d} AS DOUBLE)), 5))"
+    )
+    return emb.select("vec_id", proj.alias("sketch"))

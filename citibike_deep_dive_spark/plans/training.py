@@ -2431,3 +2431,95 @@ def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import vocab_growth_by_source as _op
 
     return _op(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows (batch analog) + embedding compression
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sliding_window_counts",
+    """
+    SELECT strftime(make_timestamp(
+               (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - i * 900) * 1000000),
+               '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS total_count
+    FROM (SELECT ts, event_type, unnest(generate_series(0, 3)) AS i FROM events)
+    GROUP BY 1, 2
+    """,
+    tags=("X-stream-window",),
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 1-hour windows sliding every 15 minutes (4 windows per
+    event) — the batch analog of the streaming sliding-window aggregate,
+    via F.window's slideDuration. Group keys are (window, type): partial
+    aggregation map-side, one shuffle, state bounded by windows × types."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("total_count"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "total_count",
+        )
+    )
+
+
+@register(
+    "embedding_int8_quantize",
+    """
+    WITH x AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, xs,
+               list_min(xs) AS lo,
+               (list_max(xs) - list_min(xs)) / 255.0 AS scale
+        FROM x
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           round(lo, 6) AS lo,
+           CASE WHEN scale > 0
+                THEN list_transform(xs, v -> CAST(floor((v - lo) / scale + 0.5) AS INT))
+                ELSE list_transform(xs, v -> 0) END AS qvals,
+           CASE WHEN scale > 0
+                THEN round(list_max(list_transform(xs, v ->
+                     abs(lo + CAST(floor((v - lo) / scale + 0.5) AS INT) * scale - v))), 5)
+                ELSE 0.0 END AS max_abs_err
+    FROM s
+    """,
+    tags=("X-embedding-quantize",),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization with reconstruction error."""
+    from ..operators.similarity import int8_quantize
+
+    return int8_quantize(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "random_projection_sketch",
+    """
+    SELECT vec_id,
+           list_transform(generate_series(0, 7), k ->
+               round(list_sum(list_transform(generate_series(1, 64), j ->
+                   CAST(embedding[j] AS DOUBLE) *
+                   (CASE WHEN (CAST(j AS BIGINT) * 1103515245 + k * 12345) % 65536 < 32768
+                         THEN 1.0 ELSE -1.0 END))) / sqrt(64.0), 5)) AS sketch
+    FROM embeddings
+    """,
+    tags=("X-embedding-projection",),
+)
+def random_projection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign-projection of 64-dim embeddings to 8 dims (matrix-free)."""
+    from ..operators.similarity import sign_projection_sketch
+
+    return sign_projection_sketch(table(spark, sf_dir, "embeddings"))
