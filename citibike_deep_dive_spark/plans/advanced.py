@@ -568,3 +568,80 @@ def normalize_trips_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "year",
         "month",
     )
+
+
+# ---------------------------------------------------------------------------
+# Reshaping surface: unpivot (wide→long melt) and grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey, l_linenumber, metric, round(val, 2) AS val
+    FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    )
+    WHERE l_orderkey % 100 = 0
+    """,
+    tags=("X-unpivot",),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the four lineitem measures via DataFrame.unpivot
+    (Spark's Expand operator: one scan emits all metric rows — NOT four
+    scans like the naive UNION ALL — so at 100 TB the fact table is read
+    once). The modulo filter keeps the fixture output bounded; it rides
+    the scan before the Expand."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("substring(metric, 3)").alias("metric"),
+        F.round("val", 2).alias("val"),
+    )
+
+
+@register(
+    "grouping_sets_doc_counts",
+    """
+    SELECT coalesce(source, 'ALL') AS source_key,
+           coalesce(lang, 'ALL') AS lang_key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((source), (lang), ())
+    """,
+    tags=("X-grouping-sets",),
+)
+def grouping_sets_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain corpus accounting in ONE pass: per-source, per-lang,
+    and grand totals via GROUPING SETS (Spark's Expand + single
+    aggregate — not three scans). source/lang are non-null in the data,
+    so the COALESCE sentinel unambiguously marks the rolled-up grain."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupingSets([["source"], ["lang"], []], "source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source_key"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang_key"),
+            "n_docs",
+            "total_chars",
+        )
+    )
