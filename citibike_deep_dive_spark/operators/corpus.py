@@ -328,3 +328,62 @@ def vocab_growth_by_source(docs: DataFrame) -> DataFrame:
         "new_words",
         F.sum("new_words").over(cum).cast("long").alias("cum_vocab"),
     )
+
+
+def countmin_heavy_hitters(
+    docs: DataFrame, depth: int = 4, width: int = 1024, top_k: int = 20
+) -> DataFrame:
+    """Count-min sketch built as PURE relational ops, validated against
+    exact counts for the top-k tokens.
+
+    The sketch is a (depth × width) counter grid: token t increments
+    cell (i, h_i(t)) for each of ``depth`` portable Carter–Wegman rows
+    (md5-hex → BIGINT, the engine-portable hash). Built here FROM the
+    exact per-token counts — same cells, one less explode — the sketch
+    table is ≤ depth·width rows regardless of corpus size, and because
+    it's a sum-grid it MERGES across shards/streams by cell-wise
+    addition: the one-pass 100 TB path. The top-k exact side
+    (TakeOrdered) exists to expose the estimate quality (CMS never
+    undercounts; overcount = collision mass).
+    """
+    toks = fan_out(docs).select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    tok_counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    hashed = tok_counts.select(
+        "w",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("i"), F.col("w"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % width,
+    )
+    sketch = hashed.groupBy("i", "bucket").agg(F.sum("c").alias("cell"))
+    top = tok_counts.orderBy(F.col("c").desc(), "w").limit(top_k)
+    top_cells = top.select(
+        "w", "c", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i")
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("i"), F.col("w"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % width,
+    )
+    return (
+        top_cells.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("w", "c")
+        .agg(F.min("cell").alias("cms_estimate"))
+        .select(
+            F.col("w").alias("word"),
+            F.col("c").cast("long").alias("exact_count"),
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("c")).cast("long").alias("overcount"),
+        )
+    )

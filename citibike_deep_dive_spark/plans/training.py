@@ -2523,3 +2523,40 @@ def random_projection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import sign_projection_sketch
 
     return sign_projection_sketch(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "countmin_heavy_hitters",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    tc AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+    hashed AS (
+        SELECT w, c, i,
+               ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || w), 1, 15))::BIGINT
+                   % 1024 AS bucket
+        FROM (SELECT w, c, unnest(generate_series(0, 3)) AS i FROM tc)
+    ),
+    sketch AS (SELECT i, bucket, sum(c) AS cell FROM hashed GROUP BY 1, 2),
+    top AS (SELECT w, c FROM tc ORDER BY c DESC, w LIMIT 20),
+    tcells AS (
+        SELECT w, c, i,
+               ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || w), 1, 15))::BIGINT
+                   % 1024 AS bucket
+        FROM (SELECT w, c, unnest(generate_series(0, 3)) AS i FROM top)
+    )
+    SELECT t.w AS word,
+           CAST(t.c AS BIGINT) AS exact_count,
+           CAST(min(s.cell) AS BIGINT) AS cms_estimate,
+           CAST(min(s.cell) - t.c AS BIGINT) AS overcount
+    FROM tcells t JOIN sketch s ON t.i = s.i AND t.bucket = s.bucket
+    GROUP BY t.w, t.c
+    """,
+    tags=("X-sketch-cms",),
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational count-min sketch + exact-vs-estimate for top-20 tokens."""
+    from ..operators.corpus import countmin_heavy_hitters as _op
+
+    return _op(table(spark, sf_dir, "documents"))
