@@ -350,18 +350,15 @@ def countmin_heavy_hitters(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
     )
     tok_counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    from ..functions import portable_hash64
+
     hashed = tok_counts.select(
         "w",
         "c",
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i"),
     ).withColumn(
         "bucket",
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.col("i"), F.col("w"))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % width,
+        portable_hash64(F.concat_ws(":", F.col("i"), F.col("w"))) % width,
     )
     sketch = hashed.groupBy("i", "bucket").agg(F.sum("c").alias("cell"))
     top = tok_counts.orderBy(F.col("c").desc(), "w").limit(top_k)
@@ -369,12 +366,7 @@ def countmin_heavy_hitters(
         "w", "c", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i")
     ).withColumn(
         "bucket",
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.col("i"), F.col("w"))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % width,
+        portable_hash64(F.concat_ws(":", F.col("i"), F.col("w"))) % width,
     )
     return (
         top_cells.join(F.broadcast(sketch), ["i", "bucket"])

@@ -100,6 +100,9 @@ def minhash_signatures(
     """
     # single-arg lambdas throughout: a 2-arg lambda would make F.transform
     # pass the array index as the second argument and shadow the closure
+    # Two windows of ONE md5 digest (functions.portable_hash64 semantics,
+    # inlined so the digest is computed once inside the transform lambda —
+    # CSE is not guaranteed across lambda-scoped expressions).
     def hash_pair(s):
         h = F.md5(s)
         return F.struct(

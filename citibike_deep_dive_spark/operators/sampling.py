@@ -25,10 +25,9 @@ _BUCKETS = 10_000
 
 def hash_bucket(key: Column, buckets: int = _BUCKETS) -> Column:
     """Stable bucket in [0, buckets) from md5 of the key's string form."""
-    return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
-        % buckets
-    )
+    from ..functions import portable_hash64
+
+    return portable_hash64(key.cast("string"), width=8) % buckets
 
 
 def deterministic_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
@@ -66,3 +65,31 @@ def weighted_source_mix(
     for src, w in weights.items():
         expr = F.when(F.col(source_col) == src, F.lit(int(w * _BUCKETS))).otherwise(expr)
     return df.filter(hash_bucket(F.col(key)) < expr)
+
+
+def weighted_sample_wor(
+    df: DataFrame, key: str, weight: Column, k: int = 50
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis): each row ranks by ln(u)/w for a hash-seeded
+    uniform u — the top-k by that key is an exact weighted sample, no
+    sequential draw. The curation workhorse for "sample 10M docs
+    proportional to quality score".
+
+    Distributed shape: the rank key is per-row (no shuffle); selection
+    is TakeOrdered top-k (per-partition heap). Replays identically on
+    any cluster AND on the DuckDB oracle (portable hash-derived u).
+    """
+    from ..functions import portable_unit_uniform
+
+    u = portable_unit_uniform(F.col(key).cast("string"))
+    rank_key = F.log(u) / weight
+    return (
+        df.select(
+            F.col(key),
+            weight.cast("double").alias("weight"),
+            F.round(rank_key, 10).alias("rank_key"),
+        )
+        .orderBy(F.col("rank_key").desc(), F.col(key))
+        .limit(k)
+    )

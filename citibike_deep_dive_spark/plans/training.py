@@ -2560,3 +2560,58 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import countmin_heavy_hitters as _op
 
     return _op(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "weighted_sample_wor",
+    """
+    SELECT doc_id,
+           CAST(n_chars AS DOUBLE) AS weight,
+           round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+                     + 0.5) / 1152921504606846976.0) / n_chars, 10) AS rank_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY rank_key DESC, doc_id
+    LIMIT 50
+    """,
+    tags=("X-weighted-sample",),
+)
+def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample (k=50, weight=n_chars) —
+    deterministic, single-pass, TakeOrdered selection."""
+    from ..operators.sampling import weighted_sample_wor as _op
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return _op(docs, "doc_id", F.col("n_chars"), k=50)
+
+
+@register(
+    "rolling_7day_range_frame",
+    """
+    SELECT event_id, user_id,
+           round(sum(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW), 4)
+               AS rolling_7d_value
+    FROM events
+    """,
+    tags=("X-window-range-frame",),
+)
+def rolling_7day_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 7-day rolling sum with a RANGE (value-interval) frame —
+    the time-based sibling of the ROWS frame in running_total_frame:
+    peers at the same instant aggregate together, and the frame width
+    follows event TIME, not row count. Keyed window (user_id) — scales."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast("double")).over(w), 4).alias(
+            "rolling_7d_value"
+        ),
+    )
