@@ -65,7 +65,12 @@ def _parse_ts(col: Column) -> Column:
 
 
 def conform_schema(df: DataFrame) -> DataFrame:
-    """P2+P3: null-pad missing canonical columns, project, cast to TRIP_SCHEMA."""
+    """P2+P3: null-pad missing canonical columns, project, cast to TRIP_SCHEMA.
+
+    Casts are ``try_cast``: under Spark 4's default ANSI mode a plain
+    cast ABORTS THE JOB on the first malformed value — at 100 TB one
+    garbage CSV cell must quarantine one row (NULL → dropped by the P6
+    gate, pinned in tests/test_normalize.py), never kill the ingest."""
     cols = []
     for field in TRIP_SCHEMA.fields:
         if field.name not in df.columns:
@@ -73,7 +78,9 @@ def conform_schema(df: DataFrame) -> DataFrame:
         elif field.dataType.typeName() == "timestamp" and dict(df.dtypes)[field.name] == "string":
             cols.append(_parse_ts(F.col(field.name)).alias(field.name))
         else:
-            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+            cols.append(
+                F.col(field.name).try_cast(field.dataType).alias(field.name)
+            )
     return df.select(*cols)
 
 

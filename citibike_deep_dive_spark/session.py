@@ -9,7 +9,9 @@ Scale notes (100 TB target):
 - AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
   and dynamic broadcast conversion replace the reference's hand-rolled
   per-year chunking (citibike_data_process/table_updating/update_dockmap.py:45-51).
-- Timezone pinned UTC and ANSI off so timestamp semantics match the
+- Timezone pinned UTC (ANSI stays at the Spark 4 default ON — strict on
+  query paths; the ingest edge uses try_cast/try_to_timestamp so dirty
+  rows quarantine instead of aborting) so timestamp semantics match the
   reference's naive ``pa.timestamp("ns")`` columns
   (citibike_data_process/data_processing/setup/clean_up.py:21-22) and the
   DuckDB oracle.

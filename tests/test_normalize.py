@@ -93,3 +93,36 @@ def test_pushdown_barrier_preserves_values_and_blocks_pushdown(spark):
     wrapped = pushdown_barrier(df)
     assert wrapped.columns == df.columns
     assert wrapped.exceptAll(df).count() == 0 and df.exceptAll(wrapped).count() == 0
+
+
+def test_malformed_csv_rows_drop_deterministically(spark, tmp_path):
+    """Ingestion robustness policy: a ragged/garbage CSV row becomes
+    all-string nulls under PERMISSIVE parsing (read_staged_csvs is
+    schema-less strings), timestamps fail to try_to_timestamp → NULL,
+    and the P6 multi-predicate gate drops the row. Good rows around it
+    survive. This pins the quarantine-by-filter behavior so a reader
+    change (e.g. FAILFAST) can't silently alter ingestion semantics."""
+    from citibike_deep_dive_spark.normalize import normalize_trips
+    from citibike_deep_dive_spark.sources.zips import read_staged_csvs
+
+    p = tmp_path / "202301-citibike-tripdata.csv"
+    header = (
+        "ride_id,rideable_type,started_at,ended_at,start_station_name,"
+        "start_station_id,end_station_name,end_station_id,start_lat,"
+        "start_lng,end_lat,end_lng,member_casual"
+    )
+    good = (
+        "R1,electric_bike,2023-01-05 10:00:00,2023-01-05 10:20:00,A St,"
+        "100,B St,200,40.7,-74.0,40.71,-74.01,member"
+    )
+    ragged = "R2,electric_bike,2023-01-05 11:00:00"  # truncated row
+    garbage = "R3,electric_bike,not-a-date,also-not,A St,100,B St,200,xx,yy,zz,ww,member"
+    p.write_text("\n".join([header, good, ragged, garbage]) + "\n")
+
+    raw = read_staged_csvs(spark, [str(p)])
+    assert raw.count() == 3  # PERMISSIVE: nothing rejected at read time
+    clean = normalize_trips(raw, file_year="2023")
+    rows = clean.collect()
+    assert len(rows) == 1
+    assert rows[0]["start_station_name"] == "A St"
+    assert rows[0]["user_type"] == "subscriber"  # F3 CASE normalization
