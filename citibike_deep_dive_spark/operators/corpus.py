@@ -379,3 +379,59 @@ def countmin_heavy_hitters(
             (F.col("cms_estimate") - F.col("c")).cast("long").alias("overcount"),
         )
     )
+
+
+def bigram_cross_entropy(docs: DataFrame, k_smooth: float = 0.5) -> DataFrame:
+    """Per-document cross-entropy under an add-k-smoothed corpus bigram
+    LM — the classic perplexity-style quality filter (ccnet/KenLM
+    pattern): documents whose bigram stream is improbable under the
+    corpus model are gibberish or boilerplate outliers.
+
+    CE(doc) = -Σ c_doc(w1,w2)·log2 P(w2|w1) / Σ c_doc(w1,w2),
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V).
+
+    Distributed shape: corpus bigram/unigram counts are the PMI
+    shuffles (map-side combined); V rides as a broadcast scalar; the
+    per-doc bigram table joins corpus probabilities on (w1,w2) — a
+    uniform equi-join — then one keyed agg by doc_id. No model state
+    anywhere: the "LM" is a DataFrame.
+    """
+    toks = fan_out(docs).select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    pairs = F.expr(
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+    )
+    doc_bigrams = (
+        toks.filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .groupBy("doc_id", "p.w1", "p.w2")
+        .agg(F.count("*").alias("dc"))
+    )
+    corpus_bigrams = doc_bigrams.groupBy("w1", "w2").agg(F.sum("dc").alias("cb"))
+    unigrams = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    vocab = unigrams.agg(F.count("*").cast("double").alias("V"))
+    probs = (
+        corpus_bigrams.join(unigrams.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("cb") + F.lit(k_smooth))
+                / (F.col("cu") + F.lit(k_smooth) * F.col("V"))
+            ).alias("p"),
+        )
+    )
+    scored = doc_bigrams.join(probs, ["w1", "w2"])
+    return scored.groupBy("doc_id").agg(
+        F.sum("dc").cast("long").alias("n_bigrams"),
+        F.round(
+            -F.sum(F.col("dc") * F.log2("p")) / F.sum("dc"), 5
+        ).alias("cross_entropy_bits"),
+    )

@@ -298,3 +298,36 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, pairs: DataFrame, shingles: DataFrame | None = None
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT for candidate pairs:
+    |A∩B| / min(|A|,|B|). The asymmetric sibling of Jaccard — it catches
+    excerpt/quote/subset duplication (a doc wholly contained in a longer
+    one scores ~1.0 while its Jaccard stays low), the case whole-doc
+    near-dup thresholds systematically miss in training corpora.
+
+    Same distributed shape as the Jaccard verify: pairs-only equi-joins
+    against the (optionally shared/persisted) shingle frame.
+    """
+    with_sh = shingles if shingles is not None else shingle_frame(docs)
+    a = with_sh.alias("sa")
+    b = with_sh.alias("sb")
+    joined = (
+        pairs.join(a, pairs.doc_id_a == F.col("sa.doc_id"))
+        .join(b, pairs.doc_id_b == F.col("sb.doc_id"))
+    )
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    smaller = F.least(
+        F.size(F.array_distinct(F.col("sa.sh"))),
+        F.size(F.array_distinct(F.col("sb.sh"))),
+    )
+    return joined.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(inter.cast("double") / smaller.cast("double"), 4).alias(
+            "containment"
+        ),
+    )

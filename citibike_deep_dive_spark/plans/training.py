@@ -2615,3 +2615,185 @@ def rolling_7day_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_7d_value"
         ),
     )
+
+
+@register(
+    "dedup_ngram_containment",
+    f"""
+    WITH {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_PAIRS_CTE}
+    SELECT p.doc_id_a, p.doc_id_b,
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / CAST(least(len(list_distinct(sa.sh)),
+                              len(list_distinct(sb.sh))) AS DOUBLE), 4)
+               AS containment
+    FROM pairs p
+    JOIN shingled sa ON p.doc_id_a = sa.doc_id
+    JOIN shingled sb ON p.doc_id_b = sb.doc_id
+    """,
+    tags=("X-dedup-containment",),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment verify over LSH candidates (excerpt dedup)."""
+    from ..operators.dedup import lsh_candidate_pairs, ngram_containment_pairs
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return ngram_containment_pairs(
+        docs, lsh_candidate_pairs(docs, k=4, rows_per_band=2)
+    )
+
+
+@register(
+    "bigram_lm_cross_entropy",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    doc_bi AS (
+        SELECT doc_id, w1, w2, count(*) AS dc
+        FROM (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+              FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM toks WHERE len(ws) >= 2))
+        GROUP BY 1, 2, 3
+    ),
+    cb AS (SELECT w1, w2, sum(dc) AS cb FROM doc_bi GROUP BY 1, 2),
+    cu AS (
+        SELECT w, count(*) AS cu
+        FROM (SELECT unnest(ws) AS w FROM toks)
+        GROUP BY 1
+    ),
+    v AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM cu),
+    probs AS (
+        SELECT cb.w1, cb.w2,
+               (cb.cb + 0.5) / (cu.cu + 0.5 * v.V) AS p
+        FROM cb JOIN cu ON cb.w1 = cu.w CROSS JOIN v
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.dc) AS BIGINT) AS n_bigrams,
+           round(-sum(d.dc * log2(p.p)) / sum(d.dc), 5) AS cross_entropy_bits
+    FROM doc_bi d JOIN probs p ON d.w1 = p.w1 AND d.w2 = p.w2
+    GROUP BY d.doc_id
+    """,
+    tags=("X-lm-quality",),
+)
+def bigram_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under a smoothed corpus bigram LM."""
+    from ..operators.corpus import bigram_cross_entropy
+
+    return bigram_cross_entropy(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "top_ngrams_per_source",
+    """
+    WITH grams AS (
+        SELECT source, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gram
+        FROM (SELECT source, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+              FROM (SELECT source, string_split(lower(text), ' ') AS ws
+                    FROM documents)
+              WHERE len(ws) >= 3)
+    ),
+    counts AS (SELECT source, gram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+    SELECT source, gram, CAST(cnt AS BIGINT) AS cnt,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT source, gram, cnt,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY cnt DESC, gram) AS rnk
+          FROM counts)
+    WHERE rnk <= 5
+    """,
+    tags=("X-keyed-topk",),
+)
+def top_ngrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word-3-grams PER SOURCE — the keyed (partitioned) top-k:
+    the window runs per source key, so state never exceeds one group;
+    Spark additionally pre-prunes with WindowGroupLimit below the
+    exchange (only candidate rows shuffle)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    ws = F.split(F.lower(F.col("text")), " ")
+    grams_expr = F.expr(
+        "transform(sequence(1, size(ws) - 2), "
+        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), "
+        "element_at(ws, i + 2)))"
+    )
+    counts = (
+        docs.select("source", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("source", F.explode(grams_expr).alias("gram"))
+        .groupBy("source", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), "gram")
+    return (
+        counts.select(
+            "source",
+            "gram",
+            "cnt",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH med AS (
+        SELECT event_type,
+               quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+        FROM events GROUP BY 1
+    ),
+    mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(CAST(e.value AS DOUBLE) - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY 1
+    )
+    SELECT e.event_type,
+           round(m.med, 4) AS med,
+           round(d.mad, 4) AS mad,
+           CAST(sum(CASE WHEN round(abs(CAST(e.value AS DOUBLE) - m.med)
+                                    / (1.4826 * d.mad), 6) > 3.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("X-robust-stats",),
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation robust outlier counts per event type —
+    the robust sibling of zscore_outliers (means/stddevs move with the
+    outliers they hunt; medians don't). Two grouped exact percentiles
+    (keyed — the approx_percentile swap is the one-pass 100 TB form)
+    broadcast back as ≤|event_type| rows; the verdict pass is one scan."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("double")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    score = F.round(
+        F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 6
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+        )
+        .agg(
+            F.sum(F.when(score > 3.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
