@@ -43,14 +43,20 @@ def read_event_stream(spark: SparkSession, path_glob: str) -> DataFrame:
 
 
 def windowed_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window per-type counts with late-data watermark — the
-    streaming analog of HeatMapTable's (year, month, hour) counts (A2/I3):
-    state-store merge replaces the UPDATE-add + anti-insert pair."""
+    """Tumbling (or, with ``slide``, overlapping sliding) window per-type
+    counts with late-data watermark — the streaming analog of
+    HeatMapTable's (year, month, hour) counts (A2/I3): state-store merge
+    replaces the UPDATE-add + anti-insert pair. Sliding mode keeps
+    window/slide windows of state per key, still watermark-bounded."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(F.count("*").alias("total_count"))
         .select(
             F.col("w.start").alias("window_start"),
@@ -100,6 +106,7 @@ def attribute_conversions(
     purchases: DataFrame,
     horizon: str = "10 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: attribute each purchase to
     the same user's click(s) within ``horizon`` before it.
@@ -120,8 +127,8 @@ def attribute_conversions(
         F.col("ts").alias("purchase_ts"),
         F.col("event_id").alias("purchase_id"),
     )
-    return c.join(
-        p,
+    joined = p.join(
+        c,
         F.expr(
             f"""
             c_user = p_user
@@ -129,8 +136,13 @@ def attribute_conversions(
             AND purchase_ts <= click_ts + INTERVAL {horizon}
             """
         ),
-    ).select(
-        F.col("c_user").alias("user_id"),
+        how,
+    )
+    # ``how="left_outer"`` makes PURCHASES the preserved side: an
+    # unattributed purchase emits (null click) once the watermark passes
+    # its join horizon — bounded state, late-but-complete semantics.
+    return joined.select(
+        F.col("p_user").alias("user_id"),
         "click_id",
         "purchase_id",
         "click_ts",

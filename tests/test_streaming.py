@@ -306,3 +306,100 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     # append mode may hold back pairs the watermark hasn't closed, but with
     # availableNow over a finite file the final watermark releases them all
     assert got == want and len(want) > 0
+
+
+def test_sliding_windowed_counts_stream_matches_batch(spark, tmp_path):
+    """Sliding (1h window / 15m slide) streaming counts must equal the
+    batch sliding-window analog (the sliding_window_counts catalog
+    entry's shape): 4 overlapping windows per event, watermark-bounded
+    state."""
+    stream = read_event_stream(spark, _stage_dir(tmp_path))
+    q = (
+        windowed_counts(stream, slide="15 minutes")
+        .writeStream.format("memory")
+        .queryName("slide_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from citibike_deep_dive_spark.plans.catalog import table
+
+    ev = table(spark, SF_DIR, "events")
+    want = {
+        (r.window_start, r.event_type, r.total_count)
+        for r in ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("total_count"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "total_count"
+        )
+        .collect()
+    }
+    got = {
+        (r.window_start, r.event_type, r.total_count)
+        for r in spark.sql("SELECT * FROM slide_test").collect()
+    }
+    # append-mode emits only watermark-closed windows: a subset, and every
+    # emitted window must carry the exact batch count.
+    assert got, "no sliding windows emitted"
+    assert got <= want
+    batch_by_key = {(w, t): c for (w, t, c) in want}
+    for w, t, c in got:
+        assert batch_by_key[(w, t)] == c
+
+
+def test_stream_stream_left_outer_interval_join_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER interval join: an unattributed purchase must emit with
+    null click columns once the watermark passes its horizon — the
+    late-but-complete attribution semantics inner joins can't give."""
+    import datetime as dt
+
+    from citibike_deep_dive_spark.streaming.ingest import attribute_conversions
+
+    def ns(t: dt.datetime) -> int:  # ts column is ns-epoch LongType on disk
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000_000)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # matched pair: click then purchase 5 min later (user 1)
+        (1, ns(t0), 1, "click", 1.0, None),
+        (2, ns(t0 + dt.timedelta(minutes=5)), 1, "purchase", 9.9, None),
+        # unmatched purchase (user 2, no click at all)
+        (3, ns(t0 + dt.timedelta(minutes=7)), 2, "purchase", 5.0, None),
+        # far-future events on BOTH types push both watermarks way past t0
+        (4, ns(t0 + dt.timedelta(days=2)), 3, "click", 0.0, None),
+        (5, ns(t0 + dt.timedelta(days=2)), 3, "purchase", 0.0, None),
+    ]
+    src = tmp_path / "lo_src"
+    src.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).write.parquet(str(src / "events.parquet"))
+
+    # write.parquet made a DIRECTORY; the file stream source doesn't
+    # recurse into non-partition subdirs, so point it at that dir itself.
+    stream = read_event_stream(spark, str(src / "events.parquet"))
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    q = (
+        attribute_conversions(clicks, purchases, how="left_outer")
+        .writeStream.format("memory")
+        .queryName("lo_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM lo_test").collect()
+    }
+    assert (2, 1) in got  # attributed purchase
+    assert (3, None) in got  # unmatched purchase emitted with null click
