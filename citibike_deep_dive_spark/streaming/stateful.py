@@ -46,6 +46,30 @@ from ..operators.upsert import additive_upsert
 
 _STATE_SCHEMA = T.StructType([T.StructField("seen", T.ArrayType(T.StringType()))])
 
+# State-store provider for large stateful streams: RocksDB keeps state on
+# local disk with incremental checkpointing instead of the default
+# in-JVM-heap HDFSBackedStateStoreProvider — the difference between
+# "state must fit in executor heap" and "state must fit on executor
+# disk". Pass to writeStream.option() per query (provider is a per-query
+# option in Spark ≥3.2) or set session-wide via get_spark(extra_conf=
+# rocksdb_state_conf()).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_conf(changelog_checkpointing: bool = True) -> dict[str, str]:
+    """Session conf enabling the RocksDB state backend — the scale form of
+    ``streaming_first_seen`` state (module docstring: wider digest prefix
+    + RocksDB). Changelog checkpointing uploads per-batch deltas instead
+    of RocksDB snapshots, keeping commit latency flat as state grows."""
+    conf = {"spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER}
+    if changelog_checkpointing:
+        conf[
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        ] = "true"
+    return conf
+
 
 def streaming_first_seen(
     df: DataFrame, digest_col: str = "digest", prefix_width: int = 2

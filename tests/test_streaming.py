@@ -403,3 +403,54 @@ def test_stream_stream_left_outer_interval_join_emits_unmatched(spark, tmp_path)
     }
     assert (2, 1) in got  # attributed purchase
     assert (3, None) in got  # unmatched purchase emitted with null click
+
+
+def test_streaming_first_seen_rocksdb_backend(spark, tmp_path):
+    """Same first-seen dedup, state held by the RocksDB provider (the
+    100 TB state path: disk-backed store + changelog checkpoints instead
+    of JVM-heap HDFSBacked state). Provider is read per-query at start,
+    so a conf set/restore around .start() scopes it to this query."""
+    from citibike_deep_dive_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        rocksdb_state_conf,
+        streaming_first_seen,
+    )
+
+    stream = read_event_stream(spark, _stage_dir(tmp_path)).withColumn(
+        "digest", F.md5(F.concat_ws(":", "event_type", (F.col("user_id") % 7)))
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    for k, v in rocksdb_state_conf().items():
+        spark.conf.set(k, v)
+    try:
+        q = (
+            streaming_first_seen(stream, digest_col="digest", prefix_width=3)
+            .writeStream.format("memory")
+            .queryName("dedup_rocks")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.lastProgress["stateOperators"][0]["customMetrics"].get(
+            "rocksdbSstFileSize", None
+        ) is not None or ROCKSDB_PROVIDER in str(
+            spark.conf.get(key)
+        ), "RocksDB provider not active"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    digests = [r.digest for r in spark.sql("SELECT digest FROM dedup_rocks").collect()]
+    assert len(digests) == len(set(digests)), "emitted duplicates"
+
+    from citibike_deep_dive_spark.plans.catalog import table
+
+    ev = table(spark, SF_DIR, "events").withColumn(
+        "digest", F.md5(F.concat_ws(":", "event_type", (F.col("user_id") % 7)))
+    )
+    assert len(digests) == ev.select("digest").distinct().count()
