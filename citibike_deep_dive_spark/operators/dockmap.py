@@ -33,48 +33,70 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _side_aggregate(trips: DataFrame, side: str) -> DataFrame:
-    """A4: per (station, year, month) count + deterministic attrs for one
-    trip end (side in {'start','end'})."""
-    return (
-        trips.filter(F.col(f"{side}_station_name").isNotNull())
-        .groupBy(
-            F.col(f"{side}_station_name").alias("station_name"), "year", "month"
-        )
-        .agg(
-            F.count("*").alias(f"month_{side}s"),
-            F.max(f"{side}_station_id").alias("station_id"),
-            F.max(f"{side}_station_latitude").alias("station_latitude"),
-            F.max(f"{side}_station_longitude").alias("station_longitude"),
-        )
-    )
-
-
 def dock_monthly(trips: DataFrame) -> DataFrame:
     """A4 + J1: starts ⟗ ends per (station, year, month), attrs coalesced
-    starts-first (update_dockmap.py:54-96)."""
-    starts = _side_aggregate(trips, "start")
-    ends = _side_aggregate(trips, "end")
-    joined = starts.alias("s").join(
-        ends.alias("e"), ["station_name", "year", "month"], "full_outer"
+    starts-first (update_dockmap.py:54-96).
+
+    Fused single-scan form: instead of two side aggregations full-outer
+    joined back together (two scans of the trips + a shuffle join), unpivot
+    each trip into its start/end station rows and aggregate once. The
+    conditional aggregates reproduce the join+coalesce semantics exactly —
+    ``max(when(is_start...))`` is the starts-side attr (null when the
+    station-month has no starts, falling through to the ends side, which
+    is what COALESCE over the full-outer join did), and the side-filtered
+    counts are 0-defaulted just like ``coalesce(month_starts, 0)``.
+    Output is column- and type-identical to the joined form; year/month
+    are non-null by construction upstream (derived from started_at after
+    the P6 gate), which is the one case where groupBy (null-safe) and a
+    USING join (null-dropping) would differ.
+
+    Scale: one scan, one map-side-combined shuffle — at 100 TB this
+    halves the input volume and removes the (station, year, month)
+    shuffle join entirely.
+    """
+
+    def _side(side: str, is_start: int):
+        return F.struct(
+            F.lit(is_start).alias("is_start"),
+            F.col(f"{side}_station_name").alias("station_name"),
+            F.col(f"{side}_station_id").alias("station_id"),
+            F.col(f"{side}_station_latitude").alias("station_latitude"),
+            F.col(f"{side}_station_longitude").alias("station_longitude"),
+        )
+
+    sides = trips.select(
+        "year",
+        "month",
+        F.explode(F.array(_side("start", 1), _side("end", 0))).alias("s"),
+    ).filter(F.col("s.station_name").isNotNull())
+
+    start = F.col("s.is_start") == 1
+
+    def _attr(name: str):
+        return F.coalesce(
+            F.max(F.when(start, F.col(f"s.{name}"))),
+            F.max(F.when(~start, F.col(f"s.{name}"))),
+        ).alias(name)
+
+    agg = sides.groupBy(
+        F.col("s.station_name").alias("station_name"), "year", "month"
+    ).agg(
+        _attr("station_id"),
+        _attr("station_latitude"),
+        _attr("station_longitude"),
+        F.sum("s.is_start").cast("long").alias("month_starts"),
+        F.count("*").alias("month_total"),
     )
-    return joined.select(
+    return agg.select(
         "station_name",
         "year",
         "month",
-        F.coalesce(F.col("s.station_id"), F.col("e.station_id")).alias("station_id"),
-        F.coalesce(F.col("s.station_latitude"), F.col("e.station_latitude")).alias(
-            "station_latitude"
-        ),
-        F.coalesce(F.col("s.station_longitude"), F.col("e.station_longitude")).alias(
-            "station_longitude"
-        ),
-        F.coalesce(F.col("s.month_starts"), F.lit(0)).alias("month_starts"),
-        F.coalesce(F.col("e.month_ends"), F.lit(0)).alias("month_ends"),
-        (
-            F.coalesce(F.col("s.month_starts"), F.lit(0))
-            + F.coalesce(F.col("e.month_ends"), F.lit(0))
-        ).alias("month_total"),
+        "station_id",
+        "station_latitude",
+        "station_longitude",
+        "month_starts",
+        (F.col("month_total") - F.col("month_starts")).alias("month_ends"),
+        "month_total",
     )
 
 
