@@ -3,7 +3,7 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
 
 Each query is executed with a noop-sink write that forces full
 materialization of the result (collect to driver is excluded — we measure
-engine work, not py4j transfer). Every query runs twice and the faster
+engine work, not py4j transfer). Every query runs three times and the fastest
 run is reported: the first run pays one-time whole-stage-codegen javac/JIT
 compilation (~1-3 s per distinct plan shape), a fixed cost that is
 irrelevant at the 100 TB design point, so steady-state is the honest
@@ -67,7 +67,7 @@ def main() -> None:
         spec = CATALOG[name]
         df = spec.build(spark, SF_DIR)
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()  # full materialization
             runs.append(time.perf_counter() - start)
