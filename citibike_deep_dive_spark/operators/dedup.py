@@ -341,3 +341,42 @@ def ngram_containment_pairs(
             "containment"
         ),
     )
+
+
+def cluster_keepers(
+    components: DataFrame, quality: DataFrame
+) -> DataFrame:
+    """Resolve dedup clusters into keep/drop decisions: per cluster, the
+    highest-quality doc (doc_id ascending as tiebreak) is the keeper;
+    every other member is a drop.
+
+    This is the final stage of the near-dup funnel (LSH pairs →
+    connected components → ONE survivor per cluster) — pairwise drops
+    alone either over-delete (both sides of every pair) or under-delete
+    (miss transitive duplicates); rank-within-cluster does neither.
+
+    ``components`` is ``connected_components`` output (doc_id,
+    cluster_id); ``quality`` is ``textstats.quality_scores`` output (or
+    any frame with doc_id + quality_score).
+
+    Scale: one broadcast-able join (components is pairs-sized, tiny next
+    to the corpus) and one window keyed by cluster_id — partition-local
+    rank, no global sort. Cluster sizes are LSH-bucket-bounded so no
+    single key skews the window.
+    """
+    from pyspark.sql import Window
+
+    scored = components.join(
+        quality.select("doc_id", "quality_score"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    keeper = F.first("doc_id").over(w)
+    return scored.select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        keeper.alias("keeper_doc_id"),
+        (F.col("doc_id") == keeper).cast("int").alias("is_keeper"),
+    )

@@ -109,3 +109,43 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.md5(normalized).alias("content_fp"),
         F.array_min(F.transform(shingles(F.col("text")), F.md5)).alias("min_shingle_fp"),
     )
+
+
+def boilerplate_prefix_scrub(
+    docs: DataFrame, width: int = 8, min_docs: int = 5
+) -> DataFrame:
+    """Strip repeated leading boilerplate: when a document's first
+    ``width`` whitespace tokens occur as the prefix of ≥ ``min_docs``
+    documents from the same source, drop that prefix from the text.
+
+    The flat-text analogue of frequent-line boilerplate removal
+    (headers, nav bars, license banners): boilerplate is whatever leading
+    content repeats across a source's documents far more often than
+    organic text would.
+
+    Scale: one (source, prefix) hash aggregation over the corpus (keys
+    uniform — prefixes are near-unique outside boilerplate), then the
+    frequent-prefix set — tiny by construction — broadcasts back; no
+    corpus reshuffle.
+    """
+    prefix = F.array_join(F.slice(F.split(F.col("text"), " "), 1, width), " ")
+    with_prefix = fan_out(docs).select(
+        "doc_id", "source", "text", prefix.alias("prefix")
+    )
+    frequent = (
+        with_prefix.groupBy("source", "prefix")
+        .count()
+        .filter(F.col("count") >= min_docs)
+        .select("source", "prefix")
+        .withColumn("is_boiler", F.lit(1))
+    )
+    joined = with_prefix.join(F.broadcast(frequent), ["source", "prefix"], "left")
+    hit = F.col("is_boiler").isNotNull()
+    return joined.select(
+        "doc_id",
+        "source",
+        hit.cast("int").alias("has_boilerplate"),
+        F.when(hit, F.substring(F.col("text"), F.length("prefix") + 2, 1 << 30))
+        .otherwise(F.col("text"))
+        .alias("text_clean"),
+    )

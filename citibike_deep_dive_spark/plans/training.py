@@ -2794,3 +2794,195 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup funnel resolution: cluster → keeper decisions
+# ---------------------------------------------------------------------------
+
+_QUALITY_CTE = f"""
+    qraw AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) AS punct,
+               CAST({_QS_STOP} AS DOUBLE) AS stop_hits
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id,
+               round(least(n_tokens / 64.0, 1.0) * 0.4
+                     + least(stop_hits / n_tokens * 4.0, 1.0) * 0.4
+                     + (1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2,
+                     4) AS quality_score
+        FROM qraw
+    )
+"""
+
+
+@register(
+    "dedup_cluster_keepers",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_PAIRS_CTE},
+    sym AS (
+        SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+        UNION
+        SELECT doc_id_b AS s, doc_id_a AS d FROM pairs
+    ),
+    reach AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+    ),
+    comps AS (
+        SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+        FROM reach GROUP BY s
+    ),
+    {_QUALITY_CTE}
+    SELECT c.doc_id, c.cluster_id, q.quality_score,
+           first_value(c.doc_id) OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY q.quality_score DESC, c.doc_id
+           ) AS keeper_doc_id,
+           CAST(c.doc_id = first_value(c.doc_id) OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY q.quality_score DESC, c.doc_id
+           ) AS INT) AS is_keeper
+    FROM comps c JOIN quality q USING (doc_id)
+    """,
+    tags=("X-dedup-keepers",),
+)
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the near-dup funnel: LSH candidate pairs → connected
+    components → ONE quality-ranked survivor per cluster, with explicit
+    keep/drop verdicts for every clustered doc."""
+    from ..operators.dedup import cluster_keepers, connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    comps = connected_components(lsh_candidate_pairs(docs, k=4, rows_per_band=2))
+    return cluster_keepers(comps, quality_scores(docs))
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal: frequent leading-prefix scrub per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "boilerplate_prefix_scrub",
+    """
+    WITH p AS (
+        SELECT doc_id, source, text,
+               array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix
+        FROM documents
+    ),
+    c AS (
+        SELECT source, prefix, count(*) AS n
+        FROM p GROUP BY 1, 2
+    )
+    SELECT doc_id, p.source,
+           CAST(CASE WHEN n >= 5 THEN 1 ELSE 0 END AS INT) AS has_boilerplate,
+           CASE WHEN n >= 5 THEN substr(text, length(prefix) + 2)
+                ELSE text END AS text_clean
+    FROM p JOIN c USING (source, prefix)
+    """,
+    tags=("X-boilerplate",),
+)
+def boilerplate_prefix_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import boilerplate_prefix_scrub
+
+    return boilerplate_prefix_scrub(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Quality calibration: per-source percentile gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_percentile_gate",
+    f"""
+    WITH {_QUALITY_CTE.strip().lstrip()},
+    src AS (
+        SELECT d.doc_id, d.source, q.quality_score
+        FROM documents d JOIN quality q USING (doc_id)
+    )
+    SELECT doc_id, source, quality_score,
+           round(percent_rank() OVER (
+               PARTITION BY source ORDER BY quality_score), 4) AS quality_pct,
+           CAST(CASE WHEN percent_rank() OVER (
+               PARTITION BY source ORDER BY quality_score) >= 0.75
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM src
+    """,
+    tags=("X-quality-gate",),
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score calibration the way corpus curation actually applies it:
+    absolute quality thresholds drift across sources (a median forum post
+    and a median paper score very differently), so the keep gate is a
+    PERCENTILE within source, not a global cut.
+
+    Scale: one window keyed by source — partition-local sort; skewed
+    giant sources are the documented salting candidate."""
+    docs = table(spark, sf_dir, "documents")
+    q = quality_scores(docs).join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy("quality_score")
+    pct = F.percent_rank().over(w)
+    return q.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.round(pct, 4).alias("quality_pct"),
+        (pct >= 0.75).cast("int").alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics: first-order transition matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, event_type, transitions,
+           round(transitions / CAST(sum(transitions) OVER (
+               PARTITION BY prev_type) AS DOUBLE), 4) AS prob
+    FROM t
+    """,
+    tags=("X-transition-matrix",),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (lag window keyed by user, then a tiny |types|² aggregate).
+
+    Scale: the sequence window shuffles once on user_id (uniform); the
+    transition frame is types² rows, so the normalizing window is free."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("transitions")
+    )
+    total = F.sum("transitions").over(Window.partitionBy("prev_type"))
+    return t.select(
+        "prev_type",
+        "event_type",
+        "transitions",
+        F.round(F.col("transitions") / total.cast("double"), 4).alias("prob"),
+    )

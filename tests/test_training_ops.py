@@ -499,3 +499,58 @@ def test_matryoshka_renorm_is_unit_length(spark):
     assert out[1].renorm[:2] == [0.6, 0.8]
     for r in out.values():
         assert abs(sum(x * x for x in r.renorm) - 1.0) < 1e-3
+
+
+def test_cluster_keepers_picks_highest_quality(spark):
+    from citibike_deep_dive_spark.operators.dedup import cluster_keepers
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)], ["doc_id", "cluster_id"]
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (9, 0.5)],
+        ["doc_id", "quality_score"],
+    )
+    rows = {r.doc_id: r for r in cluster_keepers(comps, quality).collect()}
+    # quality tie between 2 and 3 → lower doc_id wins
+    assert rows[2].is_keeper == 1 and rows[2].keeper_doc_id == 2
+    assert rows[1].is_keeper == 0 and rows[1].keeper_doc_id == 2
+    assert rows[3].is_keeper == 0
+    # second cluster: tie between 7 and 9 → 7
+    assert rows[7].is_keeper == 1 and rows[9].keeper_doc_id == 7
+
+
+def test_boilerplate_prefix_scrub_strips_frequent_prefix(spark):
+    from citibike_deep_dive_spark.operators.textstats import boilerplate_prefix_scrub
+
+    banner = "terms of service apply to all content here"
+    rows = [(i, f"{banner} body {i} varies", "web") for i in range(5)]
+    rows.append((99, "organic doc with no repeated header at all", "web"))
+    rows.append((100, f"{banner} body x varies", "books"))  # other source: only 1×
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.doc_id: r for r in boilerplate_prefix_scrub(docs, width=8, min_docs=5).collect()}
+    assert out[0].has_boilerplate == 1
+    assert out[0].text_clean == "body 0 varies"  # 8-token prefix stripped
+    assert out[99].has_boilerplate == 0
+    assert out[99].text_clean == "organic doc with no repeated header at all"
+    assert out[100].has_boilerplate == 0  # below threshold in its source
+
+
+def test_quality_percentile_gate_keeps_top_quartile_per_source(spark):
+    from citibike_deep_dive_spark.plans import CATALOG
+    df = CATALOG["quality_percentile_gate"].build(spark, "/root/testdata/sf0.001")
+    agg = df.groupBy("source").agg(
+        F.avg("kept").alias("frac"), F.count("*").alias("n")
+    )
+    for r in agg.collect():
+        # percent_rank >= .75 keeps ~25% (ties can widen slightly)
+        assert 0.1 <= r.frac <= 0.45, r
+
+
+def test_event_transition_matrix_probs_sum_to_one(spark):
+    from citibike_deep_dive_spark.plans import CATALOG
+    df = CATALOG["event_transition_matrix"].build(spark, "/root/testdata/sf0.001")
+    sums = df.groupBy("prev_type").agg(F.sum("prob").alias("p")).collect()
+    assert sums, "matrix must be non-empty"
+    for r in sums:
+        assert abs(r.p - 1.0) < 0.01, r
