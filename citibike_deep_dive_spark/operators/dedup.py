@@ -380,3 +380,53 @@ def cluster_keepers(
         keeper.alias("keeper_doc_id"),
         (F.col("doc_id") == keeper).cast("int").alias("is_keeper"),
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the symmetrized duplicate-pair graph: which docs sit
+    at the CENTER of near-dup neighborhoods (template hubs, mirror sets)
+    vs on the periphery. Curation uses this to rank boilerplate families
+    by blast radius — a high-rank hub with 500 satellites is a template
+    to strip, a rank-flat pair is an honest near-dup.
+
+    Fixed ``iterations`` power steps of
+    ``r' = (1-d)/N + d * Σ_in r(u)/outdeg(u)`` — deterministic, so it has
+    an exact (unrolled) SQL oracle, unlike convergence-threshold variants.
+
+    Scale: each step is one join keyed on the edge src + one aggregation
+    keyed on dst — the standard distributed PageRank shape. State per
+    step is one (node, rank) frame; cache/unpersist keeps lineage O(1).
+    Degrees and N are computed once.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .cache()
+    )
+    deg = edges.groupBy("s").agg(F.count("*").alias("outdeg")).cache()
+    n = deg.count()  # every node has outgoing edges (symmetric graph)
+    ranks = deg.select("s", F.lit(1.0 / n).alias("r")).cache()
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, "s")
+            .join(deg, "s")
+            .groupBy(F.col("d").alias("s"))
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("inflow"))
+        )
+        new_ranks = contribs.select(
+            "s", (F.lit(base) + F.lit(damping) * F.col("inflow")).alias("r")
+        ).cache()
+        ranks.unpersist()
+        ranks = new_ranks
+    out = ranks.select(F.col("s").alias("doc_id"), F.round("r", 6).alias("pagerank"))
+    edges.unpersist()
+    deg.unpersist()
+    return out

@@ -2986,3 +2986,51 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transitions",
         F.round(F.col("transitions") / total.cast("double"), 4).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph centrality over the near-dup graph: PageRank (fixed power steps)
+# ---------------------------------------------------------------------------
+
+_PR_DAMP = 0.85
+_PR_ITERS = 5
+
+_PR_STEPS = ",\n".join(
+    f"""
+    r{i + 1} AS (
+        SELECT e.dst AS id,
+               (SELECT (1 - {_PR_DAMP}) / c FROM n)
+               + {_PR_DAMP} * sum(p.r / d.outdeg) AS r
+        FROM sym e
+        JOIN r{i} p ON e.src = p.id
+        JOIN deg d ON e.src = d.id
+        GROUP BY e.dst
+    )"""
+    for i in range(_PR_ITERS)
+)
+
+
+@register(
+    "dedup_pagerank_hubs",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_PAIRS_CTE},
+    sym AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+        UNION
+        SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS outdeg FROM sym GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM deg),
+    r0 AS (SELECT id, 1.0 / (SELECT c FROM n) AS r FROM deg),
+    {_PR_STEPS}
+    SELECT id AS doc_id, round(r, 6) AS pagerank FROM r{_PR_ITERS}
+    """,
+    tags=("X-pagerank",),
+)
+def dedup_pagerank_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality of each doc inside its near-dup neighborhood (template
+    hubs rank high). Fixed 5 power iterations — exact unrolled oracle."""
+    from ..operators.dedup import pagerank
+
+    docs = table(spark, sf_dir, "documents")
+    return pagerank(lsh_candidate_pairs(docs, k=4, rows_per_band=2))

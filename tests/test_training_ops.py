@@ -554,3 +554,17 @@ def test_event_transition_matrix_probs_sum_to_one(spark):
     assert sums, "matrix must be non-empty"
     for r in sums:
         assert abs(r.p - 1.0) < 0.01, r
+
+
+def test_pagerank_star_hub_ranks_highest_and_sums_to_one(spark):
+    from citibike_deep_dive_spark.operators.dedup import pagerank
+
+    # star: 1 is the hub of 2..6, plus a detached pair (8, 9)
+    pairs = spark.createDataFrame(
+        [(1, i) for i in range(2, 7)] + [(8, 9)], ["doc_id_a", "doc_id_b"]
+    )
+    rows = {r.doc_id: r.pagerank for r in pagerank(pairs).collect()}
+    assert abs(sum(rows.values()) - 1.0) < 1e-4
+    assert rows[1] > rows[2]  # hub beats satellites
+    assert rows[2] == rows[6]  # satellites symmetric
+    assert rows[8] == rows[9]
