@@ -93,3 +93,37 @@ def weighted_sample_wor(
         .orderBy(F.col("rank_key").desc(), F.col(key))
         .limit(k)
     )
+
+
+def corpus_shuffle_shards(
+    df: DataFrame, key: str, shards: int = 16
+) -> DataFrame:
+    """Deterministic global shuffle + sharding: the step between curation
+    and training that breaks source/time locality (a corpus written in
+    crawl order trains badly) and fixes each example's shard and position
+    so every re-run, resume, and distributed reader sees the SAME order.
+
+    Hash-derived sort key → shard = h mod ``shards``, pos = rank within
+    shard. Pure function of the key: append-safe and replayable.
+
+    Scale: one shuffle keyed by shard (uniform by construction — the
+    hash is uniform), then a partition-local sort per shard; no global
+    sort. ``shards`` should be O(reader parallelism), keeping each
+    in-shard sort bounded.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import portable_hash64
+
+    h = portable_hash64(F.concat(F.lit("shuffle:"), F.col(key).cast("string")))
+    keyed = df.select(F.col(key), h.alias("__h"))
+    shard = (F.col("__h") % shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("__h", key)
+    return (
+        keyed.withColumn("shard", shard)
+        .select(
+            F.col(key),
+            "shard",
+            F.row_number().over(w).alias("pos"),
+        )
+    )

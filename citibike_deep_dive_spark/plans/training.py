@@ -3034,3 +3034,77 @@ def dedup_pagerank_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return pagerank(lsh_candidate_pairs(docs, k=4, rows_per_band=2))
+
+
+# ---------------------------------------------------------------------------
+# Training-order shuffle + eval-integrity audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_shuffle_shards",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM documents
+    )
+    SELECT doc_id, CAST(hv % 16 AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY hv % 16 ORDER BY hv, doc_id) AS INT) AS pos
+    FROM h
+    """,
+    tags=("X-shuffle-shards",),
+)
+def corpus_shuffle_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import corpus_shuffle_shards
+
+    return corpus_shuffle_shards(
+        table(spark, sf_dir, "documents"), key="doc_id", shards=16
+    )
+
+
+@register(
+    "cross_split_contamination",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_PAIRS_CTE},
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN {_HASH_BUCKET.format(k="doc_id")} < 1000 THEN 'val'
+                    WHEN {_HASH_BUCKET.format(k="doc_id")} < 2000 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT p.doc_id_a, p.doc_id_b, sa.split AS split_a, sb.split AS split_b
+    FROM pairs p
+    JOIN splits sa ON p.doc_id_a = sa.doc_id
+    JOIN splits sb ON p.doc_id_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    """,
+    tags=("X-split-contamination",),
+)
+def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity audit: near-dup pairs that STRADDLE split
+    boundaries — the leakage that silently inflates eval scores. Composes
+    the LSH candidate generator with the hash-split assignment; at scale
+    the pair set is tiny and broadcasts against the split map."""
+    from ..operators.sampling import train_val_test_split
+
+    docs = table(spark, sf_dir, "documents")
+    splits = train_val_test_split(docs, key="doc_id", val=0.1, test=0.1).select(
+        "doc_id", "split"
+    )
+    pairs = lsh_candidate_pairs(docs, k=4, rows_per_band=2)
+    sa = splits.alias("sa")
+    sb = splits.alias("sb")
+    return (
+        pairs.join(sa, pairs.doc_id_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_id_b == F.col("sb.doc_id"))
+        .filter(F.col("sa.split") != F.col("sb.split"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.col("sa.split").alias("split_a"),
+            F.col("sb.split").alias("split_b"),
+        )
+    )

@@ -568,3 +568,20 @@ def test_pagerank_star_hub_ranks_highest_and_sums_to_one(spark):
     assert rows[1] > rows[2]  # hub beats satellites
     assert rows[2] == rows[6]  # satellites symmetric
     assert rows[8] == rows[9]
+
+
+def test_corpus_shuffle_shards_contiguous_and_balanced(spark):
+    from citibike_deep_dive_spark.operators.sampling import corpus_shuffle_shards
+
+    df = spark.range(0, 2000).selectExpr("id AS doc_id")
+    out = corpus_shuffle_shards(df, key="doc_id", shards=8)
+    per = out.groupBy("shard").agg(
+        F.count("*").alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi")
+    ).collect()
+    assert len(per) == 8
+    for r in per:
+        assert r.lo == 1 and r.hi == r.n  # positions contiguous 1..n
+        assert 150 <= r.n <= 350  # roughly uniform (2000/8 = 250)
+    # deterministic: same input -> same assignment
+    again = corpus_shuffle_shards(df, key="doc_id", shards=8)
+    assert out.exceptAll(again).count() == 0
