@@ -645,3 +645,61 @@ def grouping_sets_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_chars",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Geo analytics: haversine trip distances (columnar twin of
+# tripsmap.haversine_km — reference update_tripsmap.py:107-118)
+# ---------------------------------------------------------------------------
+
+_HAVERSINE_SQL = """
+    2 * 6371.0088 * asin(sqrt(
+        pow(sin(radians(end_station_latitude - start_station_latitude) / 2), 2)
+        + cos(radians(start_station_latitude)) * cos(radians(end_station_latitude))
+          * pow(sin(radians(end_station_longitude - start_station_longitude) / 2), 2)
+    ))
+"""
+
+
+def _haversine_km_col():
+    dlat = F.radians(F.col("end_station_latitude") - F.col("start_station_latitude"))
+    dlon = F.radians(F.col("end_station_longitude") - F.col("start_station_longitude"))
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians("start_station_latitude"))
+        * F.cos(F.radians("end_station_latitude"))
+        * F.pow(F.sin(dlon / 2), 2)
+    )
+    return 2 * 6371.0088 * F.asin(F.sqrt(a))
+
+
+@register(
+    "trip_distance_stats",
+    f"""
+    WITH {_DOCK_TRIPS_SQL.strip()},
+    d AS (SELECT year, {_HAVERSINE_SQL} AS km FROM trips)
+    SELECT year, CAST(count(*) AS BIGINT) AS trips,
+           round(avg(km), 4) AS avg_km,
+           round(max(km), 4) AS max_km,
+           CAST(count(CASE WHEN km = 0 THEN 1 END) AS BIGINT) AS self_loops
+    FROM d GROUP BY year
+    """,
+    tags=("X-geo-distance",),
+)
+def trip_distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year haversine distance profile of the synthesized trips —
+    the columnar (whole-stage-codegen) twin of the pandas-path
+    haversine_km used by route densification. Pure column math: no
+    shuffle beyond the final year rollup."""
+    trips = _synth_dock_trips(table(spark, sf_dir, "orders"))
+    km = _haversine_km_col()
+    return (
+        trips.select("year", km.alias("km"))
+        .groupBy("year")
+        .agg(
+            F.count("*").alias("trips"),
+            F.round(F.avg("km"), 4).alias("avg_km"),
+            F.round(F.max("km"), 4).alias("max_km"),
+            F.count(F.when(F.col("km") == 0, 1)).alias("self_loops"),
+        )
+    )

@@ -3108,3 +3108,78 @@ def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sb.split").alias("split_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Regression as aggregation: per-type OLS trend of event values over time
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_trend_by_type",
+    """
+    WITH t0 AS (SELECT min(epoch(ts)) / 86400.0 AS d0 FROM events),
+    xy AS (
+        SELECT event_type,
+               epoch(ts) / 86400.0 - (SELECT d0 FROM t0) AS x,
+               CAST(value AS DOUBLE) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM xy GROUP BY 1
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_day,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    tags=("X-ols-trend",),
+)
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend (slope/intercept/r²) of value over time,
+    computed from the five decomposable sums — regression WITHOUT
+    collecting series to a driver or a pandas group: every sum is
+    map-side combinable, so this is one aggregation at any scale. x is
+    centered on the corpus start (days) to kill the catastrophic
+    cancellation that raw epoch seconds would cause in n·Σx² − (Σx)²."""
+    return ols_trend(table(spark, sf_dir, "events"), "event_type", "ts", "value")
+
+
+def ols_trend(
+    df: DataFrame, group_col: str, ts_col: str, val_col: str
+) -> DataFrame:
+    """Least-squares y = a·x + b per group from decomposable sums; see
+    ``value_trend_by_type``. x is days since the frame-wide min ts."""
+    d0 = df.agg((F.min(F.col(ts_col).cast("double")) / 86400.0).alias("d0"))
+    xy = df.join(F.broadcast(d0)).select(
+        group_col,
+        (F.col(ts_col).cast("double") / 86400.0 - F.col("d0")).alias("x"),
+        F.col(val_col).cast("double").alias("y"),
+    )
+    s = xy.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        group_col,
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

@@ -585,3 +585,18 @@ def test_corpus_shuffle_shards_contiguous_and_balanced(spark):
     # deterministic: same input -> same assignment
     again = corpus_shuffle_shards(df, key="doc_id", shards=8)
     assert out.exceptAll(again).count() == 0
+
+
+def test_value_trend_recovers_known_slope(spark):
+    from datetime import datetime, timedelta
+
+    from citibike_deep_dive_spark.plans.training import ols_trend
+
+    base = datetime(2024, 1, 1)
+    rows = [("a", base + timedelta(days=i), 3.0 * i + 7.0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    r = ols_trend(df, "event_type", "ts", "value").collect()[0]
+    assert r.n == 10
+    assert abs(r.slope_per_day - 3.0) < 1e-6
+    assert abs(r.intercept - 7.0) < 1e-6
+    assert abs(r.r2 - 1.0) < 1e-6
