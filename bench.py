@@ -63,29 +63,37 @@ def main() -> None:
     spark.range(1).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        spec = CATALOG[name]
-        df = spec.build(spark, SF_DIR)
-        runs = []
-        for _ in range(3):
-            start = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()  # full materialization
-            runs.append(time.perf_counter() - start)
-        timings[name] = round(min(runs), 3)
+        # One broken query must cost its own slot, not the whole bench
+        # line (r02 lost the entire BENCH file to a single
+        # AnalysisException raised at build time).
+        try:
+            spec = CATALOG[name]
+            df = spec.build(spark, SF_DIR)
+            runs = []
+            for _ in range(3):
+                start = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()  # full materialization
+                runs.append(time.perf_counter() - start)
+            timings[name] = round(min(runs), 3)
+        except Exception as exc:  # noqa: BLE001 — report and move on
+            errors[name] = str(exc).splitlines()[0][:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -22,24 +22,22 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import ntz_from_nanos
 from ..normalize import month_abbrev
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a testdata table; normalizes events.ts (parquet TIMESTAMP_NANOS,
-    which Spark 4 only reads as long via the legacy conf) to TimestampType
-    so downstream plans see a real timestamp, matching DuckDB's view."""
-    if name == "events":
-        # session.py sets this at build time; only a VANILLA session (the
-        # driver harness constructs its own) needs the runtime fallback,
-        # so configured sessions are never mutated from inside a plan.
-        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load a testdata table; normalizes events.ts (parquet
+    TIMESTAMP_NANOS) to a naive wall-clock timestamp matching DuckDB's
+    reading. Spark 4.1+ reads the column natively as TIMESTAMP_NTZ —
+    already the right semantics, pass through. Older runtimes surface it
+    as ``bigint`` ns-since-epoch (under the legacy ``nanosAsLong`` conf);
+    convert that to NTZ so plans see one type everywhere. No session conf
+    is touched here — plan builders must not mutate the caller's session."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", ntz_from_nanos("ts"))
+    return df
 
 
 @dataclass(frozen=True)

@@ -19,6 +19,7 @@ from ..operators.multimodal import extract_features, frame_sample_plan, synthesi
 from ..operators.similarity import brute_force_topk, embedding_cosine_near_dups, ivf_topk
 from ..operators.textstats import STOPWORDS, TOKEN_REGEX, fingerprints, quality_scores, token_counts, language_id
 from ..operators.fanout import fan_out
+from ..functions.timeutil import ts_micros
 from ..normalize import month_abbrev
 from .catalog import register, table
 
@@ -491,7 +492,7 @@ def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
+    us = ts_micros(ev)
     flagged = ev.withColumn(
         "new_session",
         F.when(
@@ -925,7 +926,7 @@ def lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     building blocks of telemetry sessionization and funnel analysis."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
+    us = ts_micros(ev)
     return ev.select(
         "event_id",
         "user_id",
@@ -2604,7 +2605,7 @@ def rolling_7day_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(ts_micros(ev))
         .rangeBetween(-7 * 86400 * 1_000_000, 0)
     )
     return ev.select(
@@ -3156,10 +3157,11 @@ def ols_trend(
 ) -> DataFrame:
     """Least-squares y = a·x + b per group from decomposable sums; see
     ``value_trend_by_type``. x is days since the frame-wide min ts."""
-    d0 = df.agg((F.min(F.col(ts_col).cast("double")) / 86400.0).alias("d0"))
+    secs = ts_micros(df, ts_col) / F.lit(1_000_000.0)
+    d0 = df.agg((F.min(secs) / 86400.0).alias("d0"))
     xy = df.join(F.broadcast(d0)).select(
         group_col,
-        (F.col(ts_col).cast("double") / 86400.0 - F.col("d0")).alias("x"),
+        (secs / 86400.0 - F.col("d0")).alias("x"),
         F.col(val_col).cast("double").alias("y"),
     )
     s = xy.groupBy(group_col).agg(

@@ -52,13 +52,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Deterministic timestamp semantics vs the DuckDB oracle.
+        # Deterministic timestamp semantics vs the DuckDB oracle. The
+        # events TIMESTAMP_NANOS column needs no conf: Spark 4.1+ reads it
+        # natively as TIMESTAMP_NTZ (naive wall clock, same as DuckDB),
+        # and plans use functions/timeutil.ts_micros for epoch arithmetic
+        # so they are immune to both the reader flavor and this timezone.
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet carries TIMESTAMP_NANOS; Spark 4 reads it only as
-        # long under this legacy conf (plans/catalog.table() converts to
-        # TimestampType). Set here once; table() guards the vanilla-session
-        # case without re-mutating configured sessions.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for the pandas-UDF edges (route enrichment, multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -75,7 +75,12 @@ def read_table(
         raise ValueError(f"unsupported format {fmt!r} (supported: {SUPPORTED_FORMATS})")
     reader = spark.read
     if fmt in ("csv", "json"):
-        reader = reader.option("timestampFormat", _TS_FORMAT)
+        # NTZ columns (e.g. events.ts) are parsed via the separate
+        # timestampNTZFormat option; without it Spark falls back to a
+        # millis-precision default and sub-ms digits are lost.
+        reader = reader.option("timestampFormat", _TS_FORMAT).option(
+            "timestampNTZFormat", _TS_FORMAT
+        )
     if fmt == "csv":
         reader = reader.option("header", "true")
         if schema is not None:
@@ -110,7 +115,9 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if fmt in ("csv", "json"):
-        writer = writer.option("timestampFormat", _TS_FORMAT)
+        writer = writer.option("timestampFormat", _TS_FORMAT).option(
+            "timestampNTZFormat", _TS_FORMAT
+        )
     if fmt == "csv":
         writer = writer.option("header", "true")
     writer.format(fmt).save(path)

@@ -21,7 +21,9 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns epoch (parquet TIMESTAMP_NANOS)
+        # parquet TIMESTAMP_NANOS: Spark 4.1+ reads it as NTZ
+        # (micros-truncated), matching the batch-side table() reading.
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -32,14 +34,18 @@ EVENTS_SCHEMA = T.StructType(
 
 def read_event_stream(spark: SparkSession, path_glob: str) -> DataFrame:
     """File-source stream over event parquet files. The source's log of
-    processed files replaces the reference's StatusDataTable diff (I1)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    processed files replaces the reference's StatusDataTable diff (I1).
+
+    ``ts`` is cast NTZ -> TIMESTAMP because watermarks require an LTZ
+    event-time column (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise).
+    session.py pins the session timezone to UTC, so the cast is a pure
+    relabeling — wall-clock values are unchanged."""
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 4)
         .parquet(path_glob)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(

@@ -360,25 +360,22 @@ def test_stream_stream_left_outer_interval_join_emits_unmatched(spark, tmp_path)
 
     from citibike_deep_dive_spark.streaming.ingest import attribute_conversions
 
-    def ns(t: dt.datetime) -> int:  # ts column is ns-epoch LongType on disk
-        return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000_000)
-
-    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)  # naive wall clock, like events.ts
     rows = [
         # matched pair: click then purchase 5 min later (user 1)
-        (1, ns(t0), 1, "click", 1.0, None),
-        (2, ns(t0 + dt.timedelta(minutes=5)), 1, "purchase", 9.9, None),
+        (1, t0, 1, "click", 1.0, None),
+        (2, t0 + dt.timedelta(minutes=5), 1, "purchase", 9.9, None),
         # unmatched purchase (user 2, no click at all)
-        (3, ns(t0 + dt.timedelta(minutes=7)), 2, "purchase", 5.0, None),
+        (3, t0 + dt.timedelta(minutes=7), 2, "purchase", 5.0, None),
         # far-future events on BOTH types push both watermarks way past t0
-        (4, ns(t0 + dt.timedelta(days=2)), 3, "click", 0.0, None),
-        (5, ns(t0 + dt.timedelta(days=2)), 3, "purchase", 0.0, None),
+        (4, t0 + dt.timedelta(days=2), 3, "click", 0.0, None),
+        (5, t0 + dt.timedelta(days=2), 3, "purchase", 0.0, None),
     ]
     src = tmp_path / "lo_src"
     src.mkdir()
     spark.createDataFrame(
         rows,
-        "event_id LONG, ts LONG, user_id LONG, event_type STRING,"
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING,"
         " value DOUBLE, props STRING",
     ).write.parquet(str(src / "events.parquet"))
 
