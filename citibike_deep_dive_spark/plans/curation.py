@@ -1,0 +1,337 @@
+"""Round-3 curation & analytics queries.
+
+Corpus-filtering heuristics in the published-pipeline mold (Gopher /
+C4-style rule stacks), dataset profiling, the moment/rank aggregate
+surface, and leakage-safe splitting at near-dup-cluster granularity.
+All pure column expressions / keyed windows — no Python in the hot path,
+every entry backed by an exact DuckDB oracle.
+
+Reference scope note: the reference engine (gabrielAHN/Citibike-Deep-Dive)
+stops at BI-shape aggregations; these extend the same QuerySpec contract
+to the training-data-pipeline surface (SURVEY.md §2 "beyond-reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import portable_hash64, portable_hash64_sql
+from ..operators.fanout import fan_out
+from .catalog import register, table
+from .training import _BANDS_CTE, _MINHASH_CTE, _PAIRS_CTE, _SHINGLES_CTE
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule stack (Rae et al. 2021 §A1.1 heuristics,
+# re-expressed as one narrow projection). Thresholds are tuned to the
+# synthetic corpus (words 10-99, median 56) so both branches occur.
+# ---------------------------------------------------------------------------
+
+_W = "string_split(lower(text), ' ')"
+
+
+@register(
+    "gopher_quality_rules",
+    f"""
+    SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           round(mwl, 4) AS mean_word_len,
+           round(fdup, 4) AS frac_dup_words,
+           CAST(CASE WHEN nw BETWEEN 25 AND 90
+                      AND mwl BETWEEN 4.2 AND 5.2
+                      AND fdup < 0.6 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM (
+        SELECT doc_id,
+               len(w) AS nw,
+               CAST(list_aggregate(list_transform(w, x -> len(x)), 'sum')
+                    AS DOUBLE) / len(w) AS mwl,
+               1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS fdup
+        FROM (SELECT doc_id, {_W} AS w FROM documents)
+    )
+    """,
+    tags=("X-gopher-rules",),
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality gate: word-count bounds, mean
+    word length window, duplicate-word fraction cap -> keep flag. Array
+    HOFs only — one narrow pass, no explode, no shuffle."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    w = F.split(F.lower("text"), " ")
+    nw = F.size(w)
+    mwl = F.expr(
+        "aggregate(split(lower(text), ' '), 0L, (a, x) -> a + length(x))"
+    ).cast("double") / nw
+    fdup = F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / nw
+    keep = (
+        nw.between(25, 90) & mwl.between(4.2, 5.2) & (fdup < 0.6)
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(fdup, 4).alias("frac_dup_words"),
+        keep.alias("keep"),
+    )
+
+
+@register(
+    "c4_style_filters",
+    f"""
+    SELECT doc_id,
+           CAST(too_short AS INT) AS too_short,
+           CAST(has_blacklist_term AS INT) AS has_blacklist_term,
+           CAST(excessive_repetition AS INT) AS excessive_repetition,
+           CAST(CASE WHEN NOT (too_short OR has_blacklist_term
+                               OR excessive_repetition)
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM (
+        SELECT doc_id,
+               len(w) < 25 AS too_short,
+               list_contains(w, 'lorem') OR list_contains(w, 'javascript')
+                   AS has_blacklist_term,
+               CAST(list_max(list_transform(list_distinct(w),
+                        d -> len(list_filter(w, x -> x = d)))) AS DOUBLE)
+                   / len(w) > 0.15 AS excessive_repetition
+        FROM (SELECT doc_id, {_W} AS w FROM documents)
+    )
+    """,
+    tags=("X-c4-filters",),
+)
+def c4_style_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule flags (Raffel et al. 2020 §2.2): minimum length,
+    blacklist terms, single-token domination. The max-frequency scan is
+    an array HOF (O(distinct·n) per doc on <=100-word docs) — stays
+    inside whole-stage codegen instead of paying an explode + groupBy
+    shuffle per document."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    w = F.split(F.lower("text"), " ")
+    too_short = F.size(w) < 25
+    blacklist = F.array_contains(w, "lorem") | F.array_contains(w, "javascript")
+    max_freq = F.expr(
+        "array_max(transform(array_distinct(split(lower(text), ' ')),"
+        " d -> size(filter(split(lower(text), ' '), x -> x = d))))"
+    ).cast("double") / F.size(w)
+    rep = max_freq > 0.15
+    keep = (~(too_short | blacklist | rep)).cast("int")
+    return docs.select(
+        "doc_id",
+        too_short.cast("int").alias("too_short"),
+        blacklist.cast("int").alias("has_blacklist_term"),
+        rep.cast("int").alias("excessive_repetition"),
+        keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset profiling: ANALYZE-style per-column stats in ONE scan.
+# ---------------------------------------------------------------------------
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@register(
+    "column_profile",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(count(*) - count({c}) AS BIGINT) AS null_count,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS distinct_count,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM documents
+        """
+        for c in _PROFILE_COLS
+    ),
+    tags=("X-column-profile",),
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile (null count, exact distinct, min/max) of the
+    documents table in a SINGLE scan: one wide aggregation row, then a
+    stack() unpivot of the 5x4 stat cells. The oracle spells it as 5
+    UNION ALL passes; Catalyst's multi-distinct Expand keeps ours at one
+    scan. min/max aggregate on the native type, THEN cast to string —
+    lexicographic min of a bigint would be wrong."""
+    docs = table(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        col = F.col(c)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"nc_{c}"),
+            F.countDistinct(col).alias(f"dc_{c}"),
+            F.min(col).cast("string").alias(f"mn_{c}"),
+            F.max(col).cast("string").alias(f"mx_{c}"),
+        ]
+    wide = docs.agg(*aggs)
+    cells = ", ".join(
+        f"'{c}', nc_{c}, dc_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {cells}) AS "
+            "(col_name, null_count, distinct_count, min_value, max_value)"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moment aggregates + rank-function window surface.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "moment_aggregates",
+    """
+    SELECT l_returnflag,
+           round(median(l_quantity), 4) AS qty_median,
+           round(stddev_samp(l_discount), 4) AS disc_stddev,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("X-moment-aggs",),
+)
+def moment_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / sample stddev / correlation / covariance per group —
+    Spark and DuckDB share the interpolated-median and sample-moment
+    definitions, so these hash-match exactly at 4 dp. corr/covar are
+    single-pass co-moment aggregations (decomposable, map-side
+    combinable); median is the only sort-bearing one and it is grouped,
+    not global."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("qty_median"),
+        F.round(F.stddev_samp("l_discount"), 4).alias("disc_stddev"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(
+            F.covar_samp("l_quantity", "l_extendedprice"), 4
+        ).alias("qty_price_covar"),
+    )
+
+
+@register(
+    "rank_function_suite",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    """,
+    tags=("X-rank-functions",),
+)
+def rank_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile over a KEYED window with a full
+    deterministic tiebreak (price, orderkey, linenumber) — rank functions
+    are only reproducible across engines when the ORDER BY is a total
+    order. Partitioned by returnflag: no global sort at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "revenue_share_of_total",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(rev, 2) AS revenue,
+           round(rev / sum(rev) OVER (), 6) AS share
+    FROM (
+        SELECT l_returnflag, l_linestatus,
+               sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    """,
+    tags=("X-share-of-total",),
+)
+def revenue_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total: the unpartitioned window runs AFTER the group-by,
+    over |returnflag x linestatus| ~ 6 rows — a single-reducer window on
+    an aggregated frame is free at any input scale (the aggregation
+    itself is the distributed part)."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe splitting: assign near-dup CLUSTERS, not documents, to
+# train/val/test, so no split ever sees a near-duplicate of another's doc.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cluster_safe_split",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_PAIRS_CTE},
+    sym AS (
+        SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+        UNION
+        SELECT doc_id_b AS s, doc_id_a AS d FROM pairs
+    ),
+    reach AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+    ),
+    comp AS (
+        SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+        FROM reach GROUP BY s
+    )
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN {portable_hash64_sql(
+               "'csplit:' || CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)"
+           )} % 10 < 8 THEN 'train'
+                WHEN {portable_hash64_sql(
+               "'csplit:' || CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)"
+           )} % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+    tags=("X-cluster-safe-split",),
+)
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split at near-dup-CLUSTER granularity:
+    LSH pairs -> connected components -> every member of a cluster hashes
+    to the SAME split (singletons are their own cluster). This closes the
+    contamination channel a doc-level split leaves open: near-identical
+    docs landing on both sides of the train/eval fence. The split hash is
+    the portable md5 family, so the assignment replays identically on both
+    engines, across retries, and at any parallelism."""
+    from ..operators.dedup import connected_components, lsh_candidate_pairs
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    comp = connected_components(lsh_candidate_pairs(docs, k=4, rows_per_band=2))
+    joined = docs.select("doc_id").join(comp, "doc_id", "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = portable_hash64(
+        F.concat(F.lit("csplit:"), cluster.cast("string"))
+    ) % 10
+    return joined.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

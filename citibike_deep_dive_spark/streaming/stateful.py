@@ -99,6 +99,98 @@ def streaming_first_seen(
     )
 
 
+_QUOTA_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+
+
+def streaming_quota_gate(df: DataFrame, key_col: str, quota: int) -> DataFrame:
+    """Per-key admission quota across the stream lifetime: the first
+    ``quota`` rows of each key pass, later rows are dropped — the
+    streaming form of the batch per-source document cap
+    (per_group_quota_sample): a training-corpus intake that must stop
+    over-represented sources AT INGEST, before they hit disk.
+
+    State per key is ONE long — at 100 TB-stream scale the state store
+    holds |keys| counters, not row data, so this is as cheap as custom
+    state gets. Admission inside a batch follows the frame's arrival
+    order; across batches the counter persists via state store +
+    checkpoint. See ``streaming_quota_gate_tws`` for the same operator
+    on the Spark 4 arbitrary-state API.
+    """
+    out_schema = df.schema
+    out_cols = [f.name for f in df.schema.fields]
+
+    def gate(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if n >= quota:
+                break
+            take = pdf.iloc[: quota - n]
+            n += len(take)
+            if len(take):
+                yield take[out_cols]
+        state.update((n,))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        gate, out_schema, _QUOTA_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_quota_gate_tws(df: DataFrame, key_col: str, quota: int) -> DataFrame:
+    """``streaming_quota_gate`` on transformWithStateInPandas — Spark 4's
+    arbitrary-state API (typed ValueState, state-schema evolution, RocksDB
+    native). Functionally identical to the applyInPandasWithState form.
+
+    The TWS state protocol needs the ``protobuf`` package at runtime
+    (``pyspark.sql.streaming.proto``); this container does not ship it, so
+    the import is checked eagerly and raises a clear error instead of a
+    mid-query worker crash. On a cluster with protobuf installed this is
+    the preferred form.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "transformWithStateInPandas requires the protobuf package; "
+            "use streaming_quota_gate (applyInPandasWithState) here"
+        ) from exc
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = df.schema
+    out_cols = [f.name for f in df.schema.fields]
+
+    class QuotaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", _QUOTA_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            existing = self._count.get()
+            n = existing[0] if existing is not None else 0
+            for pdf in rows:
+                if n >= quota:
+                    break
+                take = pdf.iloc[: quota - n]
+                n += len(take)
+                if len(take):
+                    yield take[out_cols]
+            self._count.update((n,))
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=QuotaProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def additive_upsert_sink(
     table_path: str, keys: list[str], counters: list[str]
 ) -> Callable[[DataFrame, int], None]:

@@ -451,3 +451,61 @@ def test_streaming_first_seen_rocksdb_backend(spark, tmp_path):
         "digest", F.md5(F.concat_ws(":", "event_type", (F.col("user_id") % 7)))
     )
     assert len(digests) == ev.select("digest").distinct().count()
+
+
+def test_streaming_quota_gate_caps_per_key(spark, tmp_path):
+    """transformWithStateInPandas per-key quota: across micro-batches each
+    event_type emits exactly min(quota, total) rows, every emitted row is
+    a real input row, and no duplicates are admitted."""
+    from citibike_deep_dive_spark.streaming.stateful import streaming_quota_gate
+
+    # Stage as 8 part files -> availableNow with maxFilesPerTrigger=4
+    # processes them in 2 micro-batches, exercising cross-batch state.
+    src = tmp_path / "quota_src"
+    full = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    full.repartition(8).write.parquet(str(src / "events.parquet"))
+
+    stream = read_event_stream(spark, str(src / "events.parquet"))
+    quota = 100
+    q = (
+        streaming_quota_gate(stream, key_col="event_type", quota=quota)
+        .writeStream.format("memory")
+        .queryName("quota_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_quota"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.sql("SELECT * FROM quota_test").collect()
+    got = {}
+    ids = set()
+    for r in out:
+        got[r.event_type] = got.get(r.event_type, 0) + 1
+        ids.add(r.event_id)
+    assert len(ids) == len(out), "duplicate rows admitted"
+    want = {
+        r.event_type: min(quota, r.n)
+        for r in full.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+    valid_ids = {r.event_id for r in full.select("event_id").collect()}
+    assert ids <= valid_ids
+
+
+def test_streaming_quota_gate_tws_requires_protobuf(spark):
+    """The TWS variant either works (protobuf present) or fails fast with
+    a clear error — never a mid-query worker crash."""
+    import pytest
+
+    from citibike_deep_dive_spark.streaming.stateful import streaming_quota_gate_tws
+
+    try:
+        import google.protobuf  # noqa: F401
+        pytest.skip("protobuf available; TWS covered by cluster runs")
+    except ImportError:
+        pass
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(RuntimeError, match="protobuf"):
+        streaming_quota_gate_tws(df, "value", 10)
