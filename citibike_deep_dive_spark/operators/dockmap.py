@@ -33,9 +33,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def dock_monthly(trips: DataFrame) -> DataFrame:
+def dock_monthly(trips: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """A4 + J1: starts ⟗ ends per (station, year, month), attrs coalesced
-    starts-first (update_dockmap.py:54-96).
+    starts-first (update_dockmap.py:54-96). ``extra_keys`` prepends extra
+    grouping columns (e.g. a side tag) so several logical pipelines share
+    ONE physical scan+shuffle — see dock_deep_merge_nested_maps.
 
     Fused single-scan form: instead of two side aggregations full-outer
     joined back together (two scans of the trips + a shuffle join), unpivot
@@ -65,6 +67,7 @@ def dock_monthly(trips: DataFrame) -> DataFrame:
         )
 
     sides = trips.select(
+        *extra_keys,
         "year",
         "month",
         F.explode(F.array(_side("start", 1), _side("end", 0))).alias("s"),
@@ -79,7 +82,7 @@ def dock_monthly(trips: DataFrame) -> DataFrame:
         ).alias(name)
 
     agg = sides.groupBy(
-        F.col("s.station_name").alias("station_name"), "year", "month"
+        *extra_keys, F.col("s.station_name").alias("station_name"), "year", "month"
     ).agg(
         _attr("station_id"),
         _attr("station_latitude"),
@@ -88,6 +91,7 @@ def dock_monthly(trips: DataFrame) -> DataFrame:
         F.count("*").alias("month_total"),
     )
     return agg.select(
+        *extra_keys,
         "station_name",
         "year",
         "month",
@@ -100,10 +104,10 @@ def dock_monthly(trips: DataFrame) -> DataFrame:
     )
 
 
-def dock_yearly(monthly: DataFrame) -> DataFrame:
+def dock_yearly(monthly: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """A5 + A6: month → year rollup; the months map replaces DuckDB's
     json_group_object (update_dockmap.py:110-129)."""
-    return monthly.groupBy("station_name", "year").agg(
+    return monthly.groupBy(*extra_keys, "station_name", "year").agg(
         F.max("station_id").alias("station_id"),
         F.max("station_latitude").alias("station_latitude"),
         F.max("station_longitude").alias("station_longitude"),
@@ -124,7 +128,7 @@ def dock_yearly(monthly: DataFrame) -> DataFrame:
     )
 
 
-def dock_station(yearly: DataFrame) -> DataFrame:
+def dock_station(yearly: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """A7 + X1: collect each station's year-objects into one map — the
     reference's json_group_array + Python dict.update loop
     (update_dockmap.py:146-196), as map_from_entries over sorted entries."""
@@ -140,7 +144,7 @@ def dock_station(yearly: DataFrame) -> DataFrame:
         entries,
         lambda a, b: F.when(a.key < b.key, -1).when(a.key > b.key, 1).otherwise(0),
     )
-    return yearly.groupBy("station_name").agg(
+    return yearly.groupBy(*extra_keys, "station_name").agg(
         F.max("station_id").alias("station_id"),
         F.max("station_latitude").alias("station_latitude"),
         F.max("station_longitude").alias("station_longitude"),
@@ -148,25 +152,20 @@ def dock_station(yearly: DataFrame) -> DataFrame:
     )
 
 
-def dock_aggregate(trips: DataFrame) -> DataFrame:
+def dock_aggregate(trips: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """Full new-data pipeline: trips → per-station nested station_data."""
-    return dock_station(dock_yearly(dock_monthly(trips)))
+    return dock_station(
+        dock_yearly(dock_monthly(trips, extra_keys), extra_keys), extra_keys
+    )
 
 
-def dock_merge(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
-    """X2 deep merge (update_dockmap.py:214-251) + J3 anti-insert + J6
-    update, as ONE full-outer join:
-
-    - year level: new year's year_starts/year_ends *replace* existing,
-    - month level: months union with new-wins (:229-234),
-    - attrs: new wins when present,
-    - stations only in one side pass through.
-    """
-    if existing is None:
-        return delta
-    merged_months = F.map_zip_with(
-        F.col("e.station_data"),
-        F.col("d.station_data"),
+def _merged_station_data(e_data, d_data):
+    """X2 deep-merge expression over two station_data maps: year attrs
+    replace (new wins), months union with new-wins, one-sided stations
+    pass through (update_dockmap.py:214-251)."""
+    merged = F.map_zip_with(
+        e_data,
+        d_data,
         lambda _y, old, new: F.when(new.isNull(), old).otherwise(
             F.struct(
                 new.year_starts.alias("year_starts"),
@@ -181,6 +180,24 @@ def dock_merge(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
             )
         ),
     )
+    return (
+        F.when(e_data.isNull(), d_data)
+        .when(d_data.isNull(), e_data)
+        .otherwise(merged)
+    )
+
+
+def dock_merge(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """X2 deep merge (update_dockmap.py:214-251) + J3 anti-insert + J6
+    update, as ONE full-outer join:
+
+    - year level: new year's year_starts/year_ends *replace* existing,
+    - month level: months union with new-wins (:229-234),
+    - attrs: new wins when present,
+    - stations only in one side pass through.
+    """
+    if existing is None:
+        return delta
     joined = existing.alias("e").join(
         F.broadcast(delta).alias("d"), "station_name", "full_outer"
     )
@@ -193,10 +210,72 @@ def dock_merge(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
         F.coalesce(F.col("d.station_longitude"), F.col("e.station_longitude")).alias(
             "station_longitude"
         ),
-        F.when(F.col("e.station_data").isNull(), F.col("d.station_data"))
-        .when(F.col("d.station_data").isNull(), F.col("e.station_data"))
-        .otherwise(merged_months)
-        .alias("station_data"),
+        _merged_station_data(
+            F.col("e.station_data"), F.col("d.station_data")
+        ).alias("station_data"),
+    )
+
+
+def dock_merge_tagged(
+    yearly: DataFrame,
+    side_col: str = "side",
+    existing_tag: str = "e",
+    delta_tag: str = "d",
+) -> DataFrame:
+    """dock_station + dock_merge in ONE aggregation, for the fused
+    single-scan form where existing and delta are one ``side``-tagged
+    pipeline (see dock_deep_merge_nested_maps).
+
+    ``yearly`` is dock_yearly output with the side tag still in the key.
+    Grouping by station alone and building each side's station_data from
+    side-filtered collect_lists replaces {second station-grain shuffle per
+    side + full-outer join} with a single station-grain shuffle — and
+    join-free merge means no join-key skew to manage at 100 TB.
+    Semantics identical to ``dock_merge(dock_station(e), dock_station(d))``:
+    collect_list drops the other side's NULLed entries, an absent side
+    yields an empty entry array which maps back to NULL so the pass-through
+    branches fire, and attrs keep new-wins-then-existing precedence.
+    """
+    e = F.col(side_col) == existing_tag
+    d = F.col(side_col) == delta_tag
+
+    def _side_data(cond):
+        entries = _sort_entries_by_key(
+            F.collect_list(
+                F.when(
+                    cond,
+                    F.struct(
+                        F.col("year").alias("key"),
+                        F.struct("year_starts", "year_ends", "months").alias("value"),
+                    ),
+                )
+            )
+        )
+        return F.when(F.size(entries) > 0, F.map_from_entries(entries))
+
+    def _side_attr(name, cond):
+        return F.max(F.when(cond, F.col(name)))
+
+    agg = yearly.groupBy("station_name").agg(
+        _side_attr("station_id", e).alias("e_station_id"),
+        _side_attr("station_latitude", e).alias("e_station_latitude"),
+        _side_attr("station_longitude", e).alias("e_station_longitude"),
+        _side_attr("station_id", d).alias("d_station_id"),
+        _side_attr("station_latitude", d).alias("d_station_latitude"),
+        _side_attr("station_longitude", d).alias("d_station_longitude"),
+        _side_data(e).alias("e_data"),
+        _side_data(d).alias("d_data"),
+    )
+    return agg.select(
+        "station_name",
+        F.coalesce("d_station_id", "e_station_id").alias("station_id"),
+        F.coalesce("d_station_latitude", "e_station_latitude").alias(
+            "station_latitude"
+        ),
+        F.coalesce("d_station_longitude", "e_station_longitude").alias(
+            "station_longitude"
+        ),
+        _merged_station_data(F.col("e_data"), F.col("d_data")).alias("station_data"),
     )
 
 

@@ -277,13 +277,25 @@ _DOCK_MERGE_ORACLE = f"""
 def dock_deep_merge_nested_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dock pipeline + deep merge: year attrs replace, months
     union with new-wins (update_dockmap.py:229-234) — all MapType-native,
-    serialized canonically at the edge."""
+    serialized canonically at the edge.
+
+    Fused: existing and delta are ONE tagged pipeline (extra ``side``
+    group key) and the final station rollup + deep merge collapse into a
+    single join-free aggregation (dock_merge_tagged). One trips scan and
+    three keyed shuffles total — the same shuffle count as ONE plain
+    pipeline, where the naive form pays two full scans plus a join. (A
+    filter-per-side split of the tagged frame does NOT work: Catalyst
+    pushes the side predicates below the aggregations and re-splits the
+    plan into two scans — measured, not guessed.)"""
+    from ..operators.dockmap import dock_merge_tagged, dock_monthly, dock_yearly
+
     trips = _synth_dock_trips(table(spark, sf_dir, "orders"))
-    existing = dock_aggregate(trips.filter(F.col("o_orderkey") % 3 != 0))
-    delta = dock_aggregate(
-        trips.filter((F.col("o_orderkey") % 3 == 0) & (F.col("year") >= "1999"))
-    )
-    merged = dock_merge(existing, delta)
+    tagged = trips.withColumn(
+        "side",
+        F.when(F.col("o_orderkey") % 3 != 0, "e").when(F.col("year") >= "1999", "d"),
+    ).filter(F.col("side").isNotNull())
+    yearly = dock_yearly(dock_monthly(tagged, ("side",)), ("side",))
+    merged = dock_merge_tagged(yearly)
     return merged.select(
         "station_name",
         "station_id",
