@@ -335,3 +335,130 @@ def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Operational diagnostics + graph + vision-batching surface.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "key_skew_report",
+    """
+    WITH counts AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ), mx AS (SELECT max(n) AS mxn FROM counts)
+    SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+           CAST(count(*) AS BIGINT) AS distinct_keys,
+           CAST(max(n) AS BIGINT) AS max_key_rows,
+           round(quantile_cont(n, 0.5), 4) AS p50_key_rows,
+           round(quantile_cont(n, 0.99), 4) AS p99_key_rows,
+           round(max(n) / (CAST(sum(n) AS DOUBLE) / count(*)), 4)
+               AS skew_ratio,
+           CAST(min(CASE WHEN n = (SELECT mxn FROM mx) THEN user_id END)
+                AS BIGINT) AS heaviest_key
+    FROM counts
+    """,
+    tags=("X-skew-report",),
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostic that decides whether a 100 TB job needs
+    salting BEFORE it runs: per-key counts in one keyed aggregation, then
+    total/distinct/max/percentile/skew-ratio/heaviest-key over the (small)
+    per-key frame. skew_ratio = hottest key vs mean — the number the
+    salted-aggregate and AQE-skew-join paths act on. The unpartitioned
+    second aggregate sees |keys| rows, never input rows."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    mx = counts.withColumn("mxn", F.max("n").over(Window.partitionBy()))
+    return mx.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.count("*").cast("long").alias("distinct_keys"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50_key_rows"),
+        F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_key_rows"),
+        F.round(
+            F.max("n") / (F.sum("n").cast("double") / F.count("*")), 4
+        ).alias("skew_ratio"),
+        F.min(F.when(F.col("n") == F.col("mxn"), F.col("user_id")))
+        .cast("long")
+        .alias("heaviest_key"),
+    )
+
+
+@register(
+    "dedup_graph_triangles",
+    f"""
+    WITH {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_PAIRS_CTE}
+    SELECT p1.doc_id_a AS doc_a, p1.doc_id_b AS doc_b, p2.doc_id_b AS doc_c
+    FROM pairs p1
+    JOIN pairs p2 ON p1.doc_id_b = p2.doc_id_a
+    JOIN pairs p3 ON p1.doc_id_a = p3.doc_id_a AND p2.doc_id_b = p3.doc_id_b
+    """,
+    tags=("X-graph-triangles",),
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the near-dup candidate graph — the classic
+    distributed-graph kernel (clustering coefficient, community density)
+    over LSH pairs. Edges are canonically oriented (a<b), so each
+    triangle materializes exactly once via two equi-joins; at scale both
+    joins shuffle on doc_id with no all-pairs blowup (edge count, not
+    node-pairs, bounds the work)."""
+    from ..operators.dedup import lsh_candidate_pairs
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(docs, k=4, rows_per_band=2).select(
+        "doc_id_a", "doc_id_b"
+    )
+    p1 = pairs.alias("p1")
+    p2 = pairs.alias("p2")
+    p3 = pairs.alias("p3")
+    return (
+        p1.join(p2, F.col("p1.doc_id_b") == F.col("p2.doc_id_a"))
+        .join(
+            p3,
+            (F.col("p1.doc_id_a") == F.col("p3.doc_id_a"))
+            & (F.col("p2.doc_id_b") == F.col("p3.doc_id_b")),
+        )
+        .select(
+            F.col("p1.doc_id_a").alias("doc_a"),
+            F.col("p1.doc_id_b").alias("doc_b"),
+            F.col("p2.doc_id_b").alias("doc_c"),
+        )
+    )
+
+
+@register(
+    "aspect_ratio_batch_plan",
+    """
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(ceil(count(*) / 32.0) AS BIGINT) AS n_batches
+    FROM (
+        SELECT round((CAST(doc_id % 1920 + 16 AS DOUBLE)
+                      / (doc_id % 1080 + 16)) * 4) / 4 AS bucket
+        FROM documents
+    )
+    GROUP BY bucket
+    """,
+    tags=("X-aspect-bucketing",),
+)
+def aspect_ratio_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-training batch packing: images grouped into quarter-step
+    aspect-ratio buckets (so a batch resizes without distortion), with
+    per-bucket batch counts at batch_size=32. Dims use the same synthetic
+    width/height as multimodal_image_dimensions (which proves the real
+    byte-level decode); here the point is the bucketing plan — one keyed
+    aggregation, no shuffle beyond it."""
+    docs = table(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 1920 + 16).cast("double")
+    h = (F.col("doc_id") % 1080 + 16).cast("double")
+    bucket = F.round(w / h * 4) / 4
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.ceil(F.count("*") / 32.0).alias("n_batches"),
+        )
+    )
