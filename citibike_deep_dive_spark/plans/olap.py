@@ -21,7 +21,7 @@ top-k — expressed so Catalyst picks the right physical strategy:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import register, table
@@ -354,4 +354,163 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(disc_price),
             4,
         ).alias("promo_share_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape — nation-pair trade volume: 6-way join, two broadcast dim hops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_pair_trade_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               strftime(l.l_shipdate, '%Y') AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("X-olap-q7",),
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional trade volume between a nation pair by
+    ship year. supplier/customer/nation are broadcast (the nation filter
+    shrinks them before the join); the only shuffle hop is the
+    lineitem ⋈ orders fact-fact join on orderkey. The pair predicate is
+    applied on the joined nation names — Catalyst pushes each half down
+    its own dim branch."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.date_format("l_shipdate", "yyyy").alias("l_year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape — large-volume customers: HAVING semi-filter + top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "large_volume_customers",
+    """
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(t.total_qty, 2) AS total_qty
+    FROM (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+    ) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    tags=("X-olap-q18",),
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: GROUP BY + HAVING builds the qualifying-order set
+    (map-side-combined sum per orderkey), which then drives a join back to
+    orders + broadcast customer, finished by a global top-20 that Spark
+    executes as TakeOrderedAndProject (k-row heaps, no full sort).
+    Deterministic via the orderkey tiebreak."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    t = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    joined = t.join(o, t.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    return (
+        joined.select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame-function window surface: first/last/nth with explicit frames
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "frame_value_functions",
+    """
+    SELECT event_id, user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_type,
+           nth_value(event_type, 2) OVER w AS second_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("X-frame-functions",),
+)
+def frame_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with EXPLICIT frames — the
+    default frame (unbounded-preceding..current-row) makes last_value a
+    footgun both engines share, so the full-frame variant is spelled out.
+    Keyed windows (user_id) with total-order tiebreaks."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    grow = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(grow).alias("first_type"),
+        F.last("event_type").over(full).alias("last_type"),
+        F.nth_value("event_type", 2).over(grow).alias("second_type"),
     )
