@@ -462,3 +462,121 @@ def aspect_ratio_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.count("*") / 32.0).alias("n_batches"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature conditioning + dataset manifest.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorize_values",
+    """
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(CAST(value AS DOUBLE), 0.01) AS lo,
+               quantile_cont(CAST(value AS DOUBLE), 0.99) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(CAST(e.value AS DOUBLE), 4) AS value,
+           round(least(greatest(CAST(e.value AS DOUBLE), b.lo), b.hi), 4)
+               AS value_winsorized,
+           CAST(CAST(e.value AS DOUBLE) < b.lo
+                OR CAST(e.value AS DOUBLE) > b.hi AS INT) AS clipped
+    FROM events e JOIN bounds b USING (event_type)
+    """,
+    tags=("X-winsorize",),
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clip at p1/p99) — the outlier conditioning
+    step before a numeric column feeds training. Two-phase: grouped exact
+    percentiles build a |groups|-row bounds frame, broadcast back onto the
+    stream — input rows shuffle once (the percentile group-by); the clip
+    itself is a narrow map. At 100 TB swap percentile for
+    approx_percentile and nothing else changes."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("double")
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round(clipped, 4).alias("value_winsorized"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .cast("int")
+        .alias("clipped"),
+    )
+
+
+@register(
+    "corpus_manifest",
+    f"""
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(w)) AS BIGINT) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           round(avg(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)), 4)
+               AS mean_dup_word_frac,
+           round(min(len(w)), 4) AS min_words,
+           round(max(len(w)), 4) AS max_words
+    FROM (SELECT source, lang, n_chars, {_W} AS w FROM documents)
+    GROUP BY source, lang
+    """,
+    tags=("X-corpus-manifest",),
+)
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one pass: per (source, lang) doc/word/char
+    totals, mean duplicate-word fraction, min/max doc length. Everything
+    decomposable -> map-side combine; the manifest of a 100 TB corpus is
+    one keyed aggregation."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    w = F.split(F.lower("text"), " ")
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / F.size(w)
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(w)).cast("long").alias("n_words"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.round(F.avg(dup_frac), 4).alias("mean_dup_word_frac"),
+        F.round(F.min(F.size(w)), 4).alias("min_words"),
+        F.round(F.max(F.size(w)), 4).alias("max_words"),
+    )
+
+
+@register(
+    "temporal_split_embargo",
+    """
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           CASE WHEN ts <  TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+                WHEN ts >= TIMESTAMP '2024-01-23 00:00:00' THEN 'test'
+                ELSE 'embargo' END AS split
+    FROM events
+    """,
+    tags=("X-temporal-split",),
+)
+def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based split with an embargo gap: train strictly before the
+    cutoff, test strictly after cutoff+embargo, the 3-day gap between dropped
+    — the leakage control for temporally-autocorrelated data (a random
+    split would let near-future rows teach the past). Pure narrow
+    projection; the timestamp literals compare as naive wall clock on
+    both engines (events.ts is TIMESTAMP_NTZ)."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    test_from = F.lit("2024-01-23 00:00:00").cast("timestamp_ntz")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.when(F.col("ts") < cutoff, "train")
+        .when(F.col("ts") >= test_from, "test")
+        .otherwise("embargo")
+        .alias("split"),
+    )
