@@ -580,3 +580,119 @@ def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("embargo")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse-classic surface: SCD2 history, partition checksums.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_history_build",
+    """
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), regimes AS (
+        SELECT user_id, event_type, ts,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS regime
+        FROM marked
+    ), spans AS (
+        SELECT user_id, regime, event_type, min(ts) AS valid_from
+        FROM regimes GROUP BY user_id, regime, event_type
+    )
+    SELECT user_id,
+           event_type,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(valid_from) OVER (PARTITION BY user_id
+               ORDER BY valid_from), '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+               ORDER BY valid_from) IS NULL THEN 1 ELSE 0 END AS INT)
+               AS is_current
+    FROM spans
+    """,
+    tags=("X-scd2",),
+)
+def scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an event log: each
+    per-user run of equal event_type collapses to one row with
+    valid_from/valid_to interval and an is_current flag — the
+    change-tracking table every warehouse maintains. Three keyed steps
+    (change mark -> regime cumsum -> span agg) + one keyed lead; every
+    window partitions by user_id, so no global sort anywhere."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    regimes = marked.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("regime"),
+    )
+    spans = regimes.groupBy("user_id", "regime", "event_type").agg(
+        F.min("ts").alias("valid_from")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w2)
+    return spans.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
+@register(
+    "partition_checksums",
+    f"""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor({portable_hash64_sql(
+               "l_orderkey || '|' || l_linenumber || '|' || l_quantity"
+               " || '|' || l_extendedprice || '|' || l_returnflag"
+           )}) AS BIGINT) AS row_checksum
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("X-partition-checksums",),
+)
+def partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy partition fingerprints: per ship-month, row count +
+    XOR of a canonical per-row portable hash. Two replicas (or a source
+    and its migrated copy) compare |partitions| tiny rows instead of
+    re-reading the data — the validation primitive for cross-cluster
+    copies. XOR is the right combiner: order-independent, overflow-free,
+    decomposable (map-side combinable), and any single-row difference
+    flips the checksum."""
+    li = table(spark, sf_dir, "lineitem")
+    row_key = F.concat_ws(
+        "|",
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+        F.col("l_returnflag"),
+    )
+    return li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.bit_xor(portable_hash64(row_key)).alias("row_checksum"),
+    )
