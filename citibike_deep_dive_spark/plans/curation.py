@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import portable_hash64, portable_hash64_sql
+from ..functions.timeutil import ts_micros
 from ..operators.fanout import fan_out
 from .catalog import register, table
 from .training import _BANDS_CTE, _MINHASH_CTE, _PAIRS_CTE, _SHINGLES_CTE
@@ -695,4 +696,70 @@ def partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_rows"),
         F.bit_xor(portable_hash64(row_key)).alias("row_checksum"),
+    )
+
+
+@register(
+    "session_path_trigrams",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS session_id
+        FROM marked
+    ), grams AS (
+        SELECT event_type
+               || '>' || lead(event_type, 1) OVER w2
+               || '>' || lead(event_type, 2) OVER w2 AS path,
+               lead(event_type, 2) OVER w2 IS NOT NULL AS complete
+        FROM sess
+        WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM grams WHERE complete
+    GROUP BY path ORDER BY n DESC, path LIMIT 20
+    """,
+    tags=("X-path-mining",),
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the 20 most common event-type trigram paths
+    WITHIN 30-minute-gap sessions (a trigram never spans a session
+    boundary because the lead window is keyed by (user, session)). All
+    windows are user-keyed; the final top-20 is TakeOrdered over the
+    |distinct paths| aggregate — at most |types|^3 rows, not input rows."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = ts_micros(ev) - F.lag(ts_micros(ev)).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w2 = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    t2 = F.lead("event_type", 2).over(w2)
+    grams = sess.select(
+        F.concat_ws(
+            ">", "event_type", F.lead("event_type", 1).over(w2), t2
+        ).alias("path"),
+        t2.isNotNull().alias("complete"),
+    )
+    return (
+        grams.filter("complete")
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
     )
