@@ -763,3 +763,42 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+@register(
+    "class_balance_downsample",
+    f"""
+    WITH sized AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), target AS (SELECT min(n) AS t FROM sized),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY
+                   {portable_hash64_sql("'bal:' || CAST(doc_id AS VARCHAR)")},
+                   doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked
+    WHERE rk <= (SELECT t FROM target)
+    """,
+    tags=("X-class-balance",),
+)
+def class_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every lang keeps exactly
+    min-class-size docs, selected by deterministic portable-hash rank —
+    replayable across engines, retries, and parallelism (no rand()). The
+    per-class rank window is keyed by lang; the min-class-size scalar is
+    a broadcast one-row frame. The standard majority-class trim before
+    training a classifier on skewed labels."""
+    docs = table(spark, sf_dir, "documents")
+    target = docs.groupBy("lang").count().agg(F.min("count").alias("t"))
+    w = Window.partitionBy("lang").orderBy(
+        portable_hash64(F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    ranked = docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.join(F.broadcast(target))
+        .filter(F.col("rk") <= F.col("t"))
+        .select("doc_id", "lang")
+    )
