@@ -257,24 +257,33 @@ def ivf_assign(
 def dim_covariance(embeddings: DataFrame, d: int = 16) -> DataFrame:
     """Covariance matrix of the first ``d`` embedding dimensions.
 
-    The distributed-linear-algebra prep step for PCA / whitening: one
-    narrow pass emits d(d+1)/2 (i, j, x_i·x_j, x_i, x_j) structs per row,
-    then a single map-side-combined aggregation to (i, j) grain computes
-    cov = E[x_i x_j] − E[x_i]E[x_j] (E[x_i] within group (i, j) IS the
-    dim-i mean — same multiset). Shuffle volume is bounded by
-    partitions × d², never by row count; no driver-side matrix.
+    The distributed-linear-algebra prep step for PCA / whitening. Two-pass
+    *centered* form: pass 1 computes the d per-dim means (one narrow scan,
+    shuffle bounded by d); pass 2 emits d(d+1)/2 (i, j, xi, xj) structs
+    per row, broadcast-joins the tiny means table twice, and averages
+    (x_i − μ_i)(x_j − μ_j) with map-side partial aggregation. Centering
+    first avoids the catastrophic cancellation of the one-pass
+    E[xy] − E[x]E[y] identity, whose float error exceeds the rounding
+    resolution and flips digits between engines (r3 hash mismatch).
+    Shuffle volume is bounded by partitions × d², never by row count; no
+    driver-side matrix.
     """
-    e = F.slice("embedding", 1, d)
+    e = F.transform(F.slice("embedding", 1, d), lambda x: x.cast("double"))
+    src = fan_out(embeddings).select(e.alias("xs"))
+    means = (
+        src.select(F.posexplode("xs").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("mu"))
+    )
 
     def pair_row(i: Column) -> Column:
-        xi = F.element_at(e, (i + 1).cast("int")).cast("double")
+        xi = F.element_at("xs", (i + 1).cast("int"))
 
         def inner(j: Column) -> Column:
-            xj = F.element_at(e, (j + 1).cast("int")).cast("double")
+            xj = F.element_at("xs", (j + 1).cast("int"))
             return F.struct(
                 i.cast("int").alias("i"),
                 j.cast("int").alias("j"),
-                (xi * xj).alias("xy"),
                 xi.alias("xi"),
                 xj.alias("xj"),
             )
@@ -283,12 +292,21 @@ def dim_covariance(embeddings: DataFrame, d: int = 16) -> DataFrame:
 
     pairs = F.flatten(F.transform(F.sequence(F.lit(0), F.lit(d - 1)), pair_row))
     return (
-        fan_out(embeddings)
-        .select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
-        .agg(
-            F.round(F.avg("p.xy") - F.avg("p.xi") * F.avg("p.xj"), 5).alias("cov")
+        src.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.xi", "p.xj")
+        .join(F.broadcast(means.select("i", F.col("mu").alias("mu_i"))), "i")
+        .join(
+            F.broadcast(means.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))),
+            "j",
         )
+        .groupBy("i", "j")
+        .agg(
+            (
+                F.round(F.avg((F.col("xi") - F.col("mu_i")) * (F.col("xj") - F.col("mu_j"))), 4)
+                + F.lit(0.0)
+            ).alias("cov")
+        )
+        .select("i", "j", "cov")
     )
 
 

@@ -2255,21 +2255,27 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_dim_covariance",
     """
-    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-           round(avg(CAST(list_extract(embedding, i + 1) AS DOUBLE)
-                     * CAST(list_extract(embedding, j + 1) AS DOUBLE))
-                 - avg(CAST(list_extract(embedding, i + 1) AS DOUBLE))
-                   * avg(CAST(list_extract(embedding, j + 1) AS DOUBLE)), 5)
-               AS cov
-    FROM embeddings, range(0, 16) t1(i), range(0, 16) t2(j)
-    WHERE j >= i
-    GROUP BY 1, 2
+    WITH mu AS (
+        SELECT t.i AS i, avg(CAST(list_extract(embedding, t.i + 1) AS DOUBLE)) AS mu
+        FROM embeddings, range(0, 16) t(i)
+        GROUP BY 1
+    )
+    SELECT CAST(t1.i AS INT) AS i, CAST(t2.j AS INT) AS j,
+           round(avg((CAST(list_extract(embedding, t1.i + 1) AS DOUBLE) - m1.mu)
+                   * (CAST(list_extract(embedding, t2.j + 1) AS DOUBLE) - m2.mu)),
+                 4) + 0.0 AS cov
+    FROM embeddings, range(0, 16) t1(i), range(0, 16) t2(j), mu m1, mu m2
+    WHERE t2.j >= t1.i AND m1.i = t1.i AND m2.i = t2.j
+    GROUP BY t1.i, t2.j
     """,
     tags=("X-embedding-linalg",),
 )
 def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangular covariance of the first 16 embedding dims — the
-    distributed PCA/whitening prep pass (shuffle bounded by d², not rows)."""
+    distributed PCA/whitening prep pass (shuffle bounded by d², not rows).
+    Two-pass centered form so Spark and the oracle agree at 4 dp — the
+    one-pass E[xy]−E[x]E[y] identity cancels catastrophically and flipped
+    rounding digits between engines (r3)."""
     from ..operators.similarity import dim_covariance
 
     return dim_covariance(table(spark, sf_dir, "embeddings"), d=16)
@@ -2278,24 +2284,35 @@ def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "matryoshka_truncate_renormalize",
     """
-    SELECT vec_id,
-           round(sqrt(list_sum(list_transform(embedding[1:16],
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 5) AS norm_k,
-           list_transform(embedding[1:16],
-                 x -> round(CAST(x AS DOUBLE)
-                      / sqrt(list_sum(list_transform(embedding[1:16],
-                            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 5))
-               AS renorm
-    FROM embeddings
+    WITH t AS (
+        SELECT vec_id,
+               round(sqrt(list_sum(list_transform(embedding[1:16],
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 5) AS norm_k,
+               list_transform(embedding[1:16],
+                     x -> round(CAST(x AS DOUBLE)
+                          / sqrt(list_sum(list_transform(embedding[1:16],
+                                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 5))
+                   AS renorm
+        FROM embeddings
+    )
+    SELECT vec_id, norm_k, CAST(r.i - 1 AS INT) AS dim,
+           renorm[r.i] + 0.0 AS value
+    FROM t, range(1, 17) r(i)
     """,
     tags=("X-embedding-linalg",),
 )
 def matryoshka_truncate_renormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka serving prep: truncate embeddings to the 16-dim prefix
-    and L2-renormalize — per-row array math, zero shuffle."""
+    and L2-renormalize — per-row array math, zero shuffle. The carrier
+    explodes to (vec_id, dim, value) grain: the driver's pandas
+    canonicalizer cannot sort/hash array cells (r3 harness crash), and the
+    scalar grain is also what a serving sink would ingest."""
     from ..operators.similarity import matryoshka_renormalize
 
-    return matryoshka_renormalize(table(spark, sf_dir, "embeddings"), k=16)
+    out = matryoshka_renormalize(table(spark, sf_dir, "embeddings"), k=16)
+    return out.select(
+        "vec_id", "norm_k", F.posexplode("renorm").alias("dim", "value")
+    ).withColumn("value", F.col("value") + F.lit(0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -2483,46 +2500,67 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_min(xs) AS lo,
                (list_max(xs) - list_min(xs)) / 255.0 AS scale
         FROM x
+    ),
+    q AS (
+        SELECT vec_id,
+               round(scale, 6) AS scale,
+               round(lo, 6) AS lo,
+               CASE WHEN scale > 0
+                    THEN list_transform(xs, v -> CAST(floor((v - lo) / scale + 0.5) AS INT))
+                    ELSE list_transform(xs, v -> 0) END AS qvals,
+               CASE WHEN scale > 0
+                    THEN round(list_max(list_transform(xs, v ->
+                         abs(lo + CAST(floor((v - lo) / scale + 0.5) AS INT) * scale - v))), 5)
+                    ELSE 0.0 END AS max_abs_err
+        FROM s
     )
-    SELECT vec_id,
-           round(scale, 6) AS scale,
-           round(lo, 6) AS lo,
-           CASE WHEN scale > 0
-                THEN list_transform(xs, v -> CAST(floor((v - lo) / scale + 0.5) AS INT))
-                ELSE list_transform(xs, v -> 0) END AS qvals,
-           CASE WHEN scale > 0
-                THEN round(list_max(list_transform(xs, v ->
-                     abs(lo + CAST(floor((v - lo) / scale + 0.5) AS INT) * scale - v))), 5)
-                ELSE 0.0 END AS max_abs_err
-    FROM s
+    SELECT vec_id, scale, lo, max_abs_err,
+           CAST(r.i - 1 AS INT) AS dim, qvals[r.i] AS qval
+    FROM q, range(1, 65) r(i)
     """,
     tags=("X-embedding-quantize",),
 )
 def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector int8 scalar quantization with reconstruction error."""
+    """Per-vector int8 scalar quantization with reconstruction error.
+    Exploded to (vec_id, dim, qval) grain — the driver's canonicalizer
+    cannot hash array cells (r3 harness crash)."""
     from ..operators.similarity import int8_quantize
 
-    return int8_quantize(table(spark, sf_dir, "embeddings"))
+    out = int8_quantize(table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id", "scale", "lo", "max_abs_err",
+        F.posexplode("qvals").alias("dim", "qval"),
+    )
 
 
 @register(
     "random_projection_sketch",
     """
-    SELECT vec_id,
-           list_transform(generate_series(0, 7), k ->
-               round(list_sum(list_transform(generate_series(1, 64), j ->
-                   CAST(embedding[j] AS DOUBLE) *
-                   (CASE WHEN (CAST(j AS BIGINT) * 1103515245 + k * 12345) % 65536 < 32768
-                         THEN 1.0 ELSE -1.0 END))) / sqrt(64.0), 5)) AS sketch
-    FROM embeddings
+    WITH t AS (
+        SELECT vec_id,
+               list_transform(generate_series(0, 7), k ->
+                   round(list_sum(list_transform(generate_series(1, 64), j ->
+                       CAST(embedding[j] AS DOUBLE) *
+                       (CASE WHEN (CAST(j AS BIGINT) * 1103515245 + k * 12345) % 65536 < 32768
+                             THEN 1.0 ELSE -1.0 END))) / sqrt(64.0), 5)) AS sketch
+        FROM embeddings
+    )
+    SELECT vec_id, CAST(r.i - 1 AS INT) AS dim, sketch[r.i] + 0.0 AS value
+    FROM t, range(1, 9) r(i)
     """,
     tags=("X-embedding-projection",),
 )
 def random_projection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JL sign-projection of 64-dim embeddings to 8 dims (matrix-free)."""
+    """JL sign-projection of 64-dim embeddings to 8 dims (matrix-free).
+    Exploded to (vec_id, dim, value) grain — the driver's canonicalizer
+    cannot hash array cells (r3 harness crash); `+ 0.0` collapses IEEE
+    -0.0 to 0.0 on both engines so near-zero projections hash alike."""
     from ..operators.similarity import sign_projection_sketch
 
-    return sign_projection_sketch(table(spark, sf_dir, "embeddings"))
+    out = sign_projection_sketch(table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id", F.posexplode("sketch").alias("dim", "value")
+    ).withColumn("value", F.col("value") + F.lit(0.0))
 
 
 @register(

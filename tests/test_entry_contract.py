@@ -31,3 +31,21 @@ def test_queries_and_oracles_cover_catalog():
     assert set(qs) == set(CATALOG)
     oracles = entry.oracle_sql()
     assert set(oracles) == {n for n, s in CATALOG.items() if s.oracle}
+
+
+def test_sql_backed_outputs_are_scalar_typed(spark):
+    """The driver's pandas canonicalizer sorts/hashes every output column;
+    array/map/struct cells raise `unhashable type: 'list'` and void the
+    correctness row (r3: matryoshka/int8/sketch). Driver-visible queries
+    must emit scalar columns only — explode or serialize at the edge."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, spec in CATALOG.items():
+        if spec.oracle is None:
+            continue
+        df = spec.build(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, f"complex-typed driver-visible columns: {bad}"
