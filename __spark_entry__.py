@@ -35,70 +35,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's verify walks queries() in order with a bounded budget, so
 # ordering decides which entries get a hard CORRECTNESS row this round.
-# Front-load (a) queries whose last driver record was an error (the
-# TIMESTAMP_NTZ fixes — these must flip back to green), then (b) entries
-# that have never had a driver row (SURVEY §2 ops J6/A7/X1-X3/P1-P5/F7/S5
-# via their carrier queries, the training-data curation suite, the OLAP
-# suite). Entries already green in CORRECTNESS_r01/r02 sort last — their
-# hard signal is on file.
+# Front-load (a) the four r3-red rows, fixed this round (array outputs
+# exploded to scalar grain; covariance centered) — these must flip green
+# — then (b) every query that has never had a driver row across
+# CORRECTNESS_r01–r03 (43 entries: the round-2/3 additions the bounded
+# verify never reached). Entries already green in r01–r03 sort last —
+# their hard signal is on file. The last three are rows-only (no oracle):
+# the driver records the weaker rows-only check for them.
 VERIFY_FIRST = [
-    # (a) fixed this round — were AnalysisException rows in r02
-    "session_windows_batch",
-    "lag_lead_gaps",
-    "rolling_7day_range_frame",
-    # (b) SURVEY §2 ops with no driver row yet
-    "normalize_trips_pipeline",      # P1-P3, P5, F7, S5
-    "correlated_scalar_subquery",    # J6
-    "json_array_collect",            # A7
-    "map_fold_merge",                # X1
-    "dock_deep_merge_nested_maps",   # X2
-    "route_waypoints_enrichment",    # X3
-    # training-data ops the round-1 verdict listed as driver-untested
-    "fuzzy_dedup_levenshtein",
-    "ivf_fixed_centroid_assignment",
-    "pii_redaction",
-    "doc_repetition_stats",
-    "tfidf_top_terms",
-    "doc_chunking",
-    "token_packing",
-    "per_group_quota_sample",
-    "salted_skew_join",
-    "zorder_clustering_buckets",
-    "equi_depth_histogram",
-    # OLAP / reshaping suite (round-2 additions, never driver-run)
-    "pricing_summary_report",
-    "shipping_priority_topk",
-    "order_priority_semi",
-    "local_supplier_volume",
-    "returned_items_topk",
-    "promo_revenue_share",
-    "unpivot_lineitem_measures",
-    "grouping_sets_doc_counts",
-    # corpus curation / dedup depth
-    "decontamination_ngram_overlap",
-    "incremental_dedup_exact",
-    "incremental_dedup_neardup",
-    "dedup_ngram_containment",
-    "dedup_cluster_keepers",
-    "boilerplate_prefix_scrub",
-    "quality_percentile_gate",
-    "bigram_lm_cross_entropy",
-    "cross_split_contamination",
-    "corpus_shuffle_shards",
-    "dedup_pagerank_hubs",
-    # embedding linalg
-    "embedding_l2_normalize",
+    # (a) red in r3 — fixed this round
     "embedding_dim_covariance",
     "matryoshka_truncate_renormalize",
     "embedding_int8_quantize",
     "random_projection_sketch",
-    # sequence / cohort analytics
-    "train_val_test_split",
-    "weighted_source_mix",
-    "conversion_funnel",
-    "retention_cohorts",
-    "event_transition_matrix",
-    "time_spine_gap_fill",
+    # (b) never driver-checked: OLAP / reshaping / window depth
+    "pivot_type_by_dow",
+    "from_json_struct",
+    "intersect_except_customers",
+    "null_safe_equality_join",
+    "posexplode_tokens",
+    "nation_pair_trade_volume",
+    "large_volume_customers",
+    "frame_value_functions",
+    "rank_function_suite",
+    "revenue_share_of_total",
+    # profiling / robust statistics
+    "value_histogram",
+    "zscore_outliers",
+    "mad_outliers",
+    "column_profile",
+    "moment_aggregates",
+    "winsorize_values",
+    "value_trend_by_type",
+    "trip_distance_stats",
+    "key_skew_report",
+    # corpus statistics / quality rules
+    "vocab_coverage_topk",
+    "pmi_bigram_collocations",
+    "doc_word_entropy",
+    "repeated_segment_stats",
+    "vocab_growth_by_source",
+    "countmin_heavy_hitters",
+    "top_ngrams_per_source",
+    "gopher_quality_rules",
+    "c4_style_filters",
+    # curation / splits / sampling
+    "weighted_sample_wor",
+    "temperature_source_mix",
+    "cluster_safe_split",
+    "corpus_manifest",
+    "temporal_split_embargo",
+    "scd2_history_build",
+    "partition_checksums",
+    "class_balance_downsample",
+    "aspect_ratio_batch_plan",
+    # graph / sessions / streams (batch analogs)
+    "dedup_graph_triangles",
+    "session_path_trigrams",
+    "sliding_window_counts",
+    # rows-only (no oracle — weaker driver check, still worth a row)
+    "ivf_kmeans_cells",
+    "approx_distinct_hll",
+    "approx_quantiles_sketch",
 ]
 
 
