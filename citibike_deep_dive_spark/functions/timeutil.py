@@ -32,7 +32,11 @@ def ts_micros(df: DataFrame, colname: str = "ts") -> Column:
         # session-timezone reinterpretation, unlike cast(ts as timestamp).
         return F.expr(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, {colname})")
     if dtype == "bigint":  # legacy nanosAsLong reading: ns since epoch
-        return (col / F.lit(1000)).cast("long")
+        # Integer division, NOT `/`: `/` promotes to double, and ns since
+        # epoch (~1.7e18) exceeds double's 53-bit exact range, so the
+        # truncated microsecond comes out off-by-one for ~12% of values
+        # while DuckDB's epoch_us truncates exactly.
+        return F.expr(f"{colname} div 1000")
     return F.unix_micros(col)
 
 

@@ -42,6 +42,15 @@ def test_ts_micros_bigint_flavor(spark):
     assert df.select(ts_micros(df).alias("us")).first().us == KNOWN_MICROS
 
 
+def test_ts_micros_bigint_flavor_is_exact_not_double(spark):
+    # ns values near 1.7e18 exceed double's 53-bit exact range: float
+    # division truncates to the wrong microsecond for ~12% of values.
+    # This constant is one of them (ns % 1000 = 997 rounds the double up).
+    ns = 1704067798778549997
+    df = spark.createDataFrame([(ns,)], "ts bigint")
+    assert df.select(ts_micros(df).alias("us")).first().us == ns // 1000
+
+
 def test_ts_micros_ltz_flavor(spark):
     naive = datetime.datetime(2024, 1, 1, 0, 9, 58, 778549)
     df = spark.createDataFrame([(naive,)], "ts timestamp")
