@@ -279,23 +279,21 @@ def dock_deep_merge_nested_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     union with new-wins (update_dockmap.py:229-234) — all MapType-native,
     serialized canonically at the edge.
 
-    Fused: existing and delta are ONE tagged pipeline (extra ``side``
-    group key) and the final station rollup + deep merge collapse into a
-    single join-free aggregation (dock_merge_tagged). One trips scan and
-    three keyed shuffles total — the same shuffle count as ONE plain
-    pipeline, where the naive form pays two full scans plus a join. (A
-    filter-per-side split of the tagged frame does NOT work: Catalyst
-    pushes the side predicates below the aggregations and re-splits the
-    plan into two scans — measured, not guessed.)"""
-    from ..operators.dockmap import dock_merge_tagged, dock_monthly, dock_yearly
+    Two independent side pipelines + one merge join. The "fused" tagged
+    single-scan form (dock_merge_tagged, still available for scan-bound
+    deployments) benches SLOWER here — sf0.1 min-of-3: fused 0.88-1.05 s
+    vs this form 0.79-0.90 s — because the extra `side` group key rides
+    every shuffle row and the tagged map-merge aggregation costs more CPU
+    than the broadcast-sized full-outer join it avoids. The input scan is
+    trivial at this sf; SCALE.md records when the one-scan form wins."""
+    from ..operators.dockmap import dock_aggregate, dock_merge
 
     trips = _synth_dock_trips(table(spark, sf_dir, "orders"))
-    tagged = trips.withColumn(
-        "side",
-        F.when(F.col("o_orderkey") % 3 != 0, "e").when(F.col("year") >= "1999", "d"),
-    ).filter(F.col("side").isNotNull())
-    yearly = dock_yearly(dock_monthly(tagged, ("side",)), ("side",))
-    merged = dock_merge_tagged(yearly)
+    existing = dock_aggregate(trips.filter(F.col("o_orderkey") % 3 != 0))
+    delta = dock_aggregate(
+        trips.filter((F.col("o_orderkey") % 3 == 0) & (F.col("year") >= "1999"))
+    )
+    merged = dock_merge(existing, delta)
     return merged.select(
         "station_name",
         "station_id",

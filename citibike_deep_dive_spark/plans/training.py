@@ -466,18 +466,18 @@ def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_windows_batch",
     """
     WITH seq AS (
-        SELECT user_id, ts, epoch_us(ts) AS us,
+        SELECT user_id, ts, event_id, epoch_us(ts) AS us,
                lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         FROM events
     ), flagged AS (
-        SELECT user_id, ts, us,
+        SELECT user_id, ts, event_id, us,
                CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
                     THEN 1 ELSE 0 END AS new_session
         FROM seq
     ), sessions AS (
         SELECT user_id, ts,
                sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS session_id
         FROM flagged
@@ -500,7 +500,11 @@ def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0),
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # Same (ts, event_id) ordering as the lag window: the two Window
+    # nodes then share ONE partition-local sort (distinct orderings cost
+    # an extra SortExec each), and the cumulative sum is deterministic
+    # under ts ties on both engines.
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sessions = flagged.withColumn("session_id", F.sum("new_session").over(w2))
@@ -646,12 +650,16 @@ def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # uniq feeds four consumers (shingles, the pairs join, the anti-join
     # left side, the final stats) and the shingle frame feeds three (LSH
-    # bands + both jaccard sides) — persist both shared intermediates so
-    # the quality/dedup subplan and the CPU-heavy shingling run once
-    uniq = qualified.join(keepers, "doc_id").persist()
+    # bands + both jaccard sides) — materialize both shared intermediates
+    # once via lazy localCheckpoint. NOT persist(): the CacheManager holds
+    # a strong reference to persisted plans until an explicit unpersist
+    # (which a lazily-returned build can never issue), so each invocation
+    # leaked two cached frames; checkpoint blocks are reclaimed by the
+    # context cleaner once the query's frames go out of scope.
+    uniq = qualified.join(keepers, "doc_id").localCheckpoint(eager=False)
     from ..operators.dedup import shingle_frame
 
-    sh = shingle_frame(uniq).persist()
+    sh = shingle_frame(uniq).localCheckpoint(eager=False)
     pairs = ngram_jaccard_pairs(
         uniq, lsh_candidate_pairs(uniq, k=4, rows_per_band=2, shingles=sh), shingles=sh
     )
