@@ -93,6 +93,10 @@ VERIFY_FIRST = [
     "dedup_graph_triangles",
     "session_path_trigrams",
     "sliding_window_counts",
+    # round-4 scale-technique additions (new this round)
+    "bloom_prefilter_join",
+    "global_dense_ids",
+    "partition_zonemap_stats",
     # rows-only (no oracle — weaker driver check, still worth a row)
     "ivf_kmeans_cells",
     "approx_distinct_hll",

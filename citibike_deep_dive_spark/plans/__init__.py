@@ -9,3 +9,4 @@ from . import training  # noqa: F401  (registers the training-data queries)
 from . import advanced  # noqa: F401  (registers the composed-parity queries)
 from . import olap  # noqa: F401  (registers the multi-join OLAP suite)
 from . import curation  # noqa: F401  (registers the curation/profiling suite)
+from . import scalepath  # noqa: F401  (registers the scale-technique suite)

