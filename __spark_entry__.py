@@ -97,6 +97,9 @@ VERIFY_FIRST = [
     "bloom_prefilter_join",
     "global_dense_ids",
     "partition_zonemap_stats",
+    "late_shipment_priority_counts",
+    "discounted_brand_revenue",
+    "global_sales_opportunity",
     # rows-only (no oracle — weaker driver check, still worth a row)
     "ivf_kmeans_cells",
     "approx_distinct_hll",

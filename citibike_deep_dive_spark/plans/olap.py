@@ -514,3 +514,150 @@ def frame_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(full).alias("last_type"),
         F.nth_value("event_type", 2).over(grow).alias("second_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 decision-support shapes: TPC-H Q12 / Q19 / Q22 analogs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "late_shipment_priority_counts",
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("X-olap-q12", "J5", "A1"),
+)
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted to the synthetic schema, which carries
+    no shipmode/commitdate): late-shipment audit — lines shipped more
+    than 60 days after their order date, with conditional priority
+    counts per return flag. The lateness predicate spans both join
+    sides, so it evaluates post-join; the conditional sums are one
+    map-side combinable aggregation on the joined stream."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "discounted_brand_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("X-olap-q19", "J5", "F4"),
+)
+def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-attribute predicate spanning
+    BOTH join sides. The single-side conjuncts Catalyst can extract
+    (brand/size on part, quantity ranges on lineitem) are pushed to the
+    scans as derived OR-filters; the residual cross-side disjunction
+    evaluates post-join. part is broadcast — the fact side never
+    shuffles."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#24")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "global_sales_opportunity",
+    """
+    WITH eligible AS (
+        SELECT c_nationkey, c_custkey, c_acctbal
+        FROM customer
+        WHERE c_nationkey IN (3, 7, 11, 13, 17, 19, 23)
+    ),
+    threshold AS (
+        SELECT avg(c_acctbal) AS avg_bal FROM eligible WHERE c_acctbal > 0.00
+    )
+    SELECT CAST(e.c_nationkey AS INT) AS c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(e.c_acctbal), 2) AS totacctbal
+    FROM eligible e, threshold t
+    WHERE e.c_acctbal > t.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = e.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("X-olap-q22", "J2", "J6"),
+)
+def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nation cohort standing in for the phone country
+    code the synthetic schema lacks): customers above the cohort's
+    average positive balance with no URGENT order on file (every
+    synthetic customer has SOME order, so the classic never-ordered
+    probe would be vacuous). Three distributed patterns compose: a
+    broadcast scalar (the AVG subquery — one row, joined with no
+    shuffle), a left-anti join against the filtered fact table, and a
+    small keyed aggregation. The priority filter pushes to the orders
+    scan, so the anti join — the only fact-side shuffle — moves ~20% of
+    the fact rows."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    ).filter(F.col("c_nationkey").isin(3, 7, 11, 13, 17, 19, 23))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.00).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
