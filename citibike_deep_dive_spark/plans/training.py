@@ -524,7 +524,7 @@ def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(value AS DOUBLE)) AS DOUBLE) AS value_sum,
+           round(CAST(sum(CAST(value AS DOUBLE)) AS DOUBLE), 4) AS value_sum,
            min(user_id) AS first_user,
            max(user_id) AS last_user
     FROM events GROUP BY event_type
@@ -533,7 +533,11 @@ def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation — result-identical to the plain
-    GROUP BY (the oracle) but immune to single-hot-key reducer skew."""
+    GROUP BY (the oracle) but immune to single-hot-key reducer skew.
+    The sum is rounded on both engines: the salt stage re-orders the
+    float additions, so the raw double drifts a few ULPs from the
+    oracle's single-pass sum (~1e-10 on ~1e5 totals) — within rounding,
+    identical."""
     from ..operators.skew import salted_aggregate
 
     ev = table(spark, sf_dir, "events").withColumn(
@@ -550,7 +554,7 @@ def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         salt_buckets=32,
     )
-    return out.withColumn("value_sum", F.col("value_sum").cast("double"))
+    return out.withColumn("value_sum", F.round(F.col("value_sum").cast("double"), 4))
 
 
 _SIGN_BUCKET = (
