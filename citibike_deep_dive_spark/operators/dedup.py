@@ -252,7 +252,7 @@ def connected_components(
     pairs: DataFrame,
     src: str = "doc_id_a",
     dst: str = "doc_id_b",
-    max_iter: int = 20,
+    max_iter: int = 64,
 ) -> DataFrame:
     """Resolve duplicate-pair edges into clusters: (doc_id, cluster_id)
     with cluster_id = min doc_id reachable through the pair graph.
