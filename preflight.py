@@ -7,6 +7,7 @@ still burns the round's hash row (r3: embedding_dim_covariance). Run
 this before shipping a new VERIFY_FIRST ordering:
 
     python preflight.py [name ...]      # default: all of VERIFY_FIRST
+    python preflight.py --all           # every catalog query
 """
 
 from __future__ import annotations
@@ -83,7 +84,10 @@ def check(name: str, spark, con) -> str:
 
 
 def main() -> None:
-    names = sys.argv[1:] or list(entry.VERIFY_FIRST)
+    if sys.argv[1:] == ["--all"]:
+        names = list(CATALOG)
+    else:
+        names = sys.argv[1:] or list(entry.VERIFY_FIRST)
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb_connection(SF_DIR)
