@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.lineage import truncate_lineage
 from .fanout import fan_out
 
 SHINGLE_WIDTH = 3
@@ -264,13 +265,16 @@ def connected_components(
     transitive duplicates (a~b, b~c but a≁c); components don't.
 
     Driver only controls the loop; all data stays distributed. Each
-    iteration's result is ``localCheckpoint(eager=True)``-ed: unlike
-    ``cache()`` (which keeps the *data* but lets the logical plan grow
-    unboundedly — r3's audited plan hit 306 exchanges at 20 iterations),
-    a checkpoint truncates the lineage, so analyzer/optimizer time stays
-    O(1) per iteration and an executor loss recomputes one step, not the
-    whole history. Checkpoint blocks are reclaimed by the context
-    cleaner once the superseded frame is dropped.
+    iteration's result is checkpointed (``functions/lineage.py``):
+    unlike ``cache()`` (which keeps the *data* but lets the logical plan
+    grow unboundedly — r3's audited plan hit 306 exchanges at 20
+    iterations), a checkpoint truncates the lineage, so
+    analyzer/optimizer time stays O(1) per iteration. On a cluster with
+    a checkpoint dir the reliable flavor is used and an executor loss
+    re-reads the last checkpoint; in local mode localCheckpoint trades
+    that recoverability away (a retry re-runs the query), and
+    superseded blocks are reclaimed by the ContextCleaner once the
+    superseded frame's reference drops.
 
     Raises ``RuntimeError`` if the loop exhausts ``max_iter`` without the
     changed==0 fixpoint: unconverged labels are silently WRONG (a long
@@ -283,11 +287,10 @@ def connected_components(
         .distinct()
         .cache()
     )
-    labels = (
+    labels = truncate_lineage(
         edges.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
@@ -296,7 +299,7 @@ def connected_components(
             .groupBy(F.col("d").alias("id2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = truncate_lineage(
             labels.join(neighbor_min, labels.id == F.col("id2"), "left")
             .select(
                 "id",
@@ -304,7 +307,6 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -418,9 +420,11 @@ def pagerank(
 
     Scale: each step is one join keyed on the edge src + one aggregation
     keyed on dst — the standard distributed PageRank shape. State per
-    step is one (node, rank) frame, ``localCheckpoint``-ed so the logical
-    plan stays one step deep (``cache`` alone let it grow to 48 audited
-    exchanges at 5 iterations). Degrees and N are computed once.
+    step is one (node, rank) frame, checkpointed so the logical plan
+    stays one step deep (``cache`` alone let it grow to 48 audited
+    exchanges at 5 iterations; see functions/lineage.py for the
+    reliable-vs-local checkpoint tradeoff). Degrees and N are computed
+    once.
     """
     edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -439,9 +443,15 @@ def pagerank(
             .groupBy(F.col("d").alias("s"))
             .agg(F.sum(F.col("r") / F.col("outdeg")).alias("inflow"))
         )
-        new_ranks = contribs.select(
-            "s", (F.lit(base) + F.lit(damping) * F.col("inflow")).alias("r")
-        ).localCheckpoint(eager=True)
+        new_ranks = truncate_lineage(
+            contribs.select(
+                "s", (F.lit(base) + F.lit(damping) * F.col("inflow")).alias("r")
+            )
+        )
+        # frees the initial cached ranks on iteration 1; later iterations'
+        # checkpoint blocks are reclaimed by the ContextCleaner when the
+        # superseded frame's reference drops (this is not immediate —
+        # bounded loops keep at most a few |nodes|-row snapshots alive)
         ranks.unpersist()
         ranks = new_ranks
     out = ranks.select(F.col("s").alias("doc_id"), F.round("r", 6).alias("pagerank"))

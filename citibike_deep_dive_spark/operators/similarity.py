@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.lineage import truncate_lineage
 from .fanout import fan_out
 
 
@@ -219,11 +220,11 @@ def kmeans(
             )
             .join(counts, "cluster_id")
             .select("cluster_id", "n_members", "centroid")
-            # k tiny rows, but the *plan* compounds per iteration without
-            # truncation (r3 audit: 37 exchanges at 3 iters) — checkpoint
-            # keeps each round's plan one assign+agg deep.
-            .localCheckpoint(eager=True)
         )
+        # k tiny rows, but the *plan* compounds per iteration without
+        # truncation (r3 audit: 37 exchanges at 3 iters) — checkpoint
+        # keeps each round's plan one assign+agg deep.
+        centroids = truncate_lineage(centroids)
     return centroids
 
 

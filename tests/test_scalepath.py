@@ -47,8 +47,10 @@ def test_bloom_prefilter_stays_in_scan_stage(spark):
     # one broadcast (the verify semi-join), one agg exchange — the bloom
     # probe itself must not add an exchange
     assert plan.count("Exchange hashpartitioning") <= 1
-    assert "xxhash64" in plan  # probe present...
-    assert plan.index("xxhash64") > plan.index("Scan parquet") or True
+    # the probe must sit BELOW the join: in the bottom-up plan string the
+    # xxhash64 filter appears after (deeper than) the BroadcastHashJoin
+    assert "xxhash64" in plan
+    assert plan.index("xxhash64") > plan.index("BroadcastHashJoin")
 
 
 def test_global_dense_ids_are_contiguous(spark):
@@ -65,3 +67,29 @@ def test_global_dense_ids_are_contiguous(spark):
     # dense ids follow doc_id order
     doc_ids = [r.doc_id for r in rows]
     assert doc_ids == sorted(doc_ids)
+
+
+def test_truncate_lineage_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    from citibike_deep_dive_spark.functions.lineage import truncate_lineage
+
+    df = spark.range(10)
+    # no checkpoint dir -> localCheckpoint (plan truncated either way)
+    out = truncate_lineage(df)
+    assert out.count() == 10
+    assert "LogicalRDD" in out._jdf.queryExecution().logical().toString()
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        out2 = truncate_lineage(spark.range(7))
+        assert out2.count() == 7
+        assert "LogicalRDD" in out2._jdf.queryExecution().logical().toString()
+        # reliable flavor actually wrote checkpoint files
+        assert any((tmp_path / "ckpt").rglob("*"))
+    finally:
+        # clear the dir so other tests in this shared session keep the
+        # localCheckpoint path (tmp_path dies with the test)
+        jsc = spark.sparkContext._jsc.sc()
+        getattr(jsc, "checkpointDir_$eq")(
+            spark.sparkContext._jvm.scala.Option.apply(None)
+        )
+        assert not jsc.checkpointDir().nonEmpty()
