@@ -31,11 +31,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def truncate_lineage(df: DataFrame) -> DataFrame:
-    """Materialize ``df`` and truncate its logical plan — reliable
-    ``checkpoint()`` if the session has a checkpoint dir, else
-    ``localCheckpoint()`` (see module docstring for the tradeoff)."""
+def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize ``df`` (on first action if ``eager=False``) and
+    truncate its logical plan — reliable ``checkpoint()`` if the session
+    has a checkpoint dir, else ``localCheckpoint()`` (see module
+    docstring for the tradeoff). ``eager=False`` is for shared
+    intermediates inside lazy query builders: no job runs at build
+    time, and the checkpoint happens once when the query first
+    executes."""
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().checkpointDir().nonEmpty():
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -655,15 +655,16 @@ def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uniq feeds four consumers (shingles, the pairs join, the anti-join
     # left side, the final stats) and the shingle frame feeds three (LSH
     # bands + both jaccard sides) — materialize both shared intermediates
-    # once via lazy localCheckpoint. NOT persist(): the CacheManager holds
+    # once via lazy checkpoint. NOT persist(): the CacheManager holds
     # a strong reference to persisted plans until an explicit unpersist
     # (which a lazily-returned build can never issue), so each invocation
     # leaked two cached frames; checkpoint blocks are reclaimed by the
     # context cleaner once the query's frames go out of scope.
-    uniq = qualified.join(keepers, "doc_id").localCheckpoint(eager=False)
+    from ..functions.lineage import truncate_lineage
     from ..operators.dedup import shingle_frame
 
-    sh = shingle_frame(uniq).localCheckpoint(eager=False)
+    uniq = truncate_lineage(qualified.join(keepers, "doc_id"), eager=False)
+    sh = truncate_lineage(shingle_frame(uniq), eager=False)
     pairs = ngram_jaccard_pairs(
         uniq, lsh_candidate_pairs(uniq, k=4, rows_per_band=2, shingles=sh), shingles=sh
     )
