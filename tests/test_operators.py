@@ -197,3 +197,47 @@ def test_dock_merge_month_union_new_wins(spark):
     assert months["Jan"].month_total == 5  # kept from old
     assert months["Feb"].month_total == 9  # new wins
     assert months["Mar"].month_total == 1  # added
+
+
+def test_dock_merge_tagged_equals_two_pipeline(spark):
+    """The fused side-tagged dock pipeline (one scan) must stay
+    result-identical to the two-pipeline + full-outer-join form the
+    catalog carrier uses — the fused shape is the 100 TB scan-bound
+    alternative (see plans/advanced.py and SCALE.md) and must not rot."""
+    from citibike_deep_dive_spark.operators.dockmap import (
+        dock_aggregate,
+        dock_merge,
+        dock_merge_tagged,
+        dock_monthly,
+        dock_yearly,
+    )
+    from citibike_deep_dive_spark.plans.advanced import (
+        _synth_dock_trips,
+        canonical_station_data,
+    )
+    from citibike_deep_dive_spark.plans.catalog import table
+
+    trips = _synth_dock_trips(table(spark, "/root/testdata/sf0.001", "orders"))
+    exist_pred = F.col("o_orderkey") % 3 != 0
+    delta_pred = (F.col("o_orderkey") % 3 == 0) & (F.col("year") >= "1999")
+
+    two_pipe = dock_merge(
+        dock_aggregate(trips.filter(exist_pred)),
+        dock_aggregate(trips.filter(delta_pred)),
+    )
+    tagged_in = trips.withColumn(
+        "side", F.when(exist_pred, "e").when(delta_pred, "d")
+    ).filter(F.col("side").isNotNull())
+    fused = dock_merge_tagged(
+        dock_yearly(dock_monthly(tagged_in, ("side",)), ("side",))
+    )
+
+    def canon(df):
+        out = df.select(
+            "station_name", "station_id", "station_latitude",
+            "station_longitude",
+            F.to_json(canonical_station_data(F.col("station_data"))).alias("sd"),
+        )
+        return sorted(map(tuple, out.collect()))
+
+    assert canon(two_pipe) == canon(fused)
