@@ -100,6 +100,7 @@ VERIFY_FIRST = [
     "late_shipment_priority_counts",
     "discounted_brand_revenue",
     "global_sales_opportunity",
+    "ann_recall_report",
     # rows-only (no oracle — weaker driver check, still worth a row)
     "ivf_kmeans_cells",
     "approx_distinct_hll",

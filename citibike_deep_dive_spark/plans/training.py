@@ -228,6 +228,74 @@ def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall_report",
+    f"""
+    WITH bf AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_COS_PAIR} DESC, a.vec_id
+                   ) AS rank
+            FROM embeddings a
+            JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+              ON a.vec_id <> q.vec_id
+        ) WHERE rank <= 10
+    ),
+    ivf AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_COS_PAIR} DESC, a.vec_id
+                   ) AS rank
+            FROM embeddings a
+            JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+              ON a.label = q.label AND a.vec_id <> q.vec_id
+        ) WHERE rank <= 10
+    ),
+    hits AS (
+        SELECT bf.query_id, count(*) AS c
+        FROM bf JOIN ivf USING (query_id, cand_id) GROUP BY 1
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.c, 0) / 10.0, 4) AS recall_at_10
+    FROM (SELECT DISTINCT query_id FROM bf) q
+    LEFT JOIN hits h USING (query_id)
+    """,
+    tags=("X-ann-recall",),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF (cell-restricted) search against exact
+    brute force, per query — the offline eval harness every approximate
+    vector pipeline runs before trusting its index. At 100 TB this runs
+    on a query SAMPLE (5 here): brute force is the per-query O(N) gold
+    standard, the IVF side is the production path, and the report is a
+    tiny join of two top-k frames keyed by query."""
+    from ..operators.similarity import brute_force_topk, ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = fan_out(emb).transform(
+        lambda e: brute_force_topk(e, queries, k=10)
+    ).select("query_id", "cand_id")
+    ivf = ivf_topk(emb, queries, k=10).select("query_id", "cand_id")
+    hits = bf.join(ivf, ["query_id", "cand_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        bf.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("c"), F.lit(0)) / 10.0, 4).alias("recall_at_10"),
+        )
+    )
+
+
+@register(
     "embedding_near_dup_pairs",
     f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
