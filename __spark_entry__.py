@@ -35,76 +35,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's verify walks queries() in order with a bounded budget, so
 # ordering decides which entries get a hard CORRECTNESS row this round.
-# Front-load (a) the four r3-red rows, fixed this round (array outputs
-# exploded to scalar grain; covariance centered) — these must flip green
-# — then (b) every query that has never had a driver row across
-# CORRECTNESS_r01–r03 (43 entries: the round-2/3 additions the bounded
-# verify never reached). Entries already green in r01–r03 sort last —
-# their hard signal is on file. The last three are rows-only (no oracle):
-# the driver records the weaker rows-only check for them.
+# Round-5 ordering (VERDICT r4 item 8): (a) the one r4-red row, fixed
+# this round (INT->DOUBLE cast on min/max_words); (b) the only
+# oracle-bearing entry never driver-verified (ann_recall_report missed
+# r4's 50-row budget at rank 51); (c) the two sketches upgraded from
+# rows-only to value-checked oracles this round; (d) round-5 additions;
+# (e) lowest-confidence greens — queries whose implementation changed
+# after their last green row. Everything already green on file sorts
+# last. The final entry is the one remaining rows-only query
+# (ivf_kmeans_cells: cross-engine k-means centroids aren't
+# SQL-expressible); the driver records its weaker rows-only check.
 VERIFY_FIRST = [
-    # (a) red in r3 — fixed this round
-    "embedding_dim_covariance",
-    "matryoshka_truncate_renormalize",
-    "embedding_int8_quantize",
-    "random_projection_sketch",
-    # (b) never driver-checked: OLAP / reshaping / window depth
-    "pivot_type_by_dow",
-    "from_json_struct",
-    "intersect_except_customers",
-    "null_safe_equality_join",
-    "posexplode_tokens",
-    "nation_pair_trade_volume",
-    "large_volume_customers",
-    "frame_value_functions",
-    "rank_function_suite",
-    "revenue_share_of_total",
-    # profiling / robust statistics
-    "value_histogram",
-    "zscore_outliers",
-    "mad_outliers",
-    "column_profile",
-    "moment_aggregates",
-    "winsorize_values",
-    "value_trend_by_type",
-    "trip_distance_stats",
-    "key_skew_report",
-    # corpus statistics / quality rules
-    "vocab_coverage_topk",
-    "pmi_bigram_collocations",
-    "doc_word_entropy",
-    "repeated_segment_stats",
-    "vocab_growth_by_source",
-    "countmin_heavy_hitters",
-    "top_ngrams_per_source",
-    "gopher_quality_rules",
-    "c4_style_filters",
-    # curation / splits / sampling
-    "weighted_sample_wor",
-    "temperature_source_mix",
-    "cluster_safe_split",
+    # (a) red in r4 — fixed this round (preflight: OK rows=97)
     "corpus_manifest",
-    "temporal_split_embargo",
-    "scd2_history_build",
-    "partition_checksums",
-    "class_balance_downsample",
-    "aspect_ratio_batch_plan",
-    # graph / sessions / streams (batch analogs)
-    "dedup_graph_triangles",
-    "session_path_trigrams",
-    "sliding_window_counts",
-    # round-4 scale-technique additions (new this round)
-    "bloom_prefilter_join",
-    "global_dense_ids",
-    "partition_zonemap_stats",
-    "late_shipment_priority_counts",
-    "discounted_brand_revenue",
-    "global_sales_opportunity",
+    # (b) never driver-verified, oracle-bearing (preflight: OK rows=5)
     "ann_recall_report",
-    # rows-only (no oracle — weaker driver check, still worth a row)
-    "ivf_kmeans_cells",
+    # (c) upgraded rows-only -> value-checked oracles this round
     "approx_distinct_hll",
     "approx_quantiles_sketch",
+    # (d) round-5 additions (filled in as they land)
+    # (e) implementation changed since last green driver row
+    "dock_deep_merge_nested_maps",
+    "route_waypoints_enrichment",
+    "dedup_connected_components",
+    "dedup_pagerank_hubs",
+    "training_corpus_prep",
+    "session_windows_batch",
+    # rows-only (no oracle — weaker driver check, still worth a row)
+    "ivf_kmeans_cells",
 ]
 
 

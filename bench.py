@@ -54,8 +54,20 @@ HEADLINE = [
 ]
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-min load averages, so a contended run is self-identifying
+    (BENCH_r04 recorded 24 s under transient machine load vs 10.5 s
+    steady-state — the file gave no way to tell)."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return [round(float(x), 2) for x in fh.read().split()[:3]]
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    load_before = _loadavg()
     spark = get_spark(app_name="citibike-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -87,6 +99,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_before": load_before,
+        "loadavg_after": _loadavg(),
     }
     if errors:
         payload["errors"] = errors

@@ -40,6 +40,8 @@ def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     time, and the checkpoint happens once when the query first
     executes."""
     sc = df.sparkSession.sparkContext
-    if sc._jsc.sc().checkpointDir().nonEmpty():
+    # Public API (Spark >= 3.1) — works under Spark Connect too, unlike
+    # probing sc._jsc.sc().checkpointDir() through py4j internals.
+    if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

@@ -32,15 +32,22 @@ def ts_micros(df: DataFrame, colname: str = "ts") -> Column:
         # session-timezone reinterpretation, unlike cast(ts as timestamp).
         return F.expr(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, {colname})")
     if dtype == "bigint":  # legacy nanosAsLong reading: ns since epoch
-        # Integer division, NOT `/`: `/` promotes to double, and ns since
-        # epoch (~1.7e18) exceeds double's 53-bit exact range, so the
-        # truncated microsecond comes out off-by-one for ~12% of values
-        # while DuckDB's epoch_us truncates exactly.
-        return F.expr(f"{colname} div 1000")
+        # Integer FLOOR division, NOT `/`: `/` promotes to double, and ns
+        # since epoch (~1.7e18) exceeds double's 53-bit exact range, so the
+        # truncated microsecond comes out off-by-one for ~12% of values.
+        # Plain `div` truncates toward zero, which diverges from the
+        # floor-based NTZ reading for pre-epoch (negative) values, so
+        # subtract the non-negative pmod remainder first: exact floor at
+        # full int64 precision for any sign.
+        return F.expr(f"({colname} - pmod({colname}, 1000)) div 1000")
     return F.unix_micros(col)
 
 
 def ntz_from_nanos(colname: str) -> Column:
     """BIGINT ns-since-epoch -> TIMESTAMP_NTZ, timezone-independent
-    (``timestamp_micros`` would mint an LTZ value instead)."""
-    return F.expr(f"timestampadd(MICROSECOND, {colname} div 1000, {EPOCH_NTZ})")
+    (``timestamp_micros`` would mint an LTZ value instead). Floor division
+    (via pmod) so pre-epoch values agree with ``ts_micros``."""
+    return F.expr(
+        f"timestampadd(MICROSECOND, ({colname} - pmod({colname}, 1000)) div 1000,"
+        f" {EPOCH_NTZ})"
+    )

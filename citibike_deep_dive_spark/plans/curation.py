@@ -545,8 +545,8 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(w)).cast("long").alias("n_words"),
         F.sum("n_chars").cast("long").alias("n_chars"),
         F.round(F.avg(dup_frac), 4).alias("mean_dup_word_frac"),
-        F.round(F.min(F.size(w)), 4).alias("min_words"),
-        F.round(F.max(F.size(w)), 4).alias("max_words"),
+        F.round(F.min(F.size(w)), 4).cast("double").alias("min_words"),
+        F.round(F.max(F.size(w)), 4).cast("double").alias("max_words"),
     )
 
 

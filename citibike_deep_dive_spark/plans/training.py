@@ -1975,37 +1975,102 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_hll",
-    None,  # HLL sketches differ across engines — pytest bounds the error vs exact
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+                <= 0.05 * count(DISTINCT user_id) AS INT) AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
     tags=("X-hll",),
 )
 def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch per event type, next to the
     exact count. At 100 TB approx_count_distinct is the only sane
     default: it's mergeable (one pass, map-side partials, no distinct
-    shuffle of the raw keys) at ~2% error. Cross-engine sketch values
-    differ, so the driver records the rows-only gate; the pytest bound
-    asserts |approx - exact| / exact <= 5% per group."""
+    shuffle of the raw keys) at ~2% error. Raw sketch estimates differ
+    across engines, so the value-checked contract is the pair both
+    engines agree on: the exact count, plus EACH ENGINE asserting its
+    own sketch lands within 5% of its own exact count (r4 VERDICT item
+    3 — upgraded from rows-only). Both HLLs are deterministic for fixed
+    input, so the boolean is a stable hashable value, and pytest pins
+    it true at every sf dir the driver uses."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        )
+        .cast("int")
+        .alias("approx_within_5pct"),
+    )
+
+
+_QSKETCH_PS = [(0.5, 0.48, 0.52), (0.9, 0.88, 0.92), (0.99, 0.97, 1.0)]
+
+
+def _qsketch_oracle() -> str:
+    parts = []
+    for p, lo, hi in _QSKETCH_PS:
+        parts.append(
+            f"""
+    SELECT event_type, CAST({p} AS DOUBLE) AS p,
+           round(quantile_cont(value, {p}), 4) AS exact_q,
+           CAST(approx_quantile(value, {p})
+                BETWEEN quantile_cont(value, {lo}) AND quantile_cont(value, {hi})
+                AS INT) AS approx_in_band
+    FROM events WHERE value IS NOT NULL GROUP BY event_type"""
+        )
+    return " UNION ALL ".join(parts)
 
 
 @register(
     "approx_quantiles_sketch",
-    None,  # sketch-based; pytest bounds the rank error vs exact percentiles
+    _qsketch_oracle(),
     tags=("X-quantile-sketch",),
 )
 def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (Greenwald-Khanna style) per event type:
-    percentile_approx with accuracy 1000 — one pass, no global sort,
-    the scale path the equi_depth_histogram docstring points at. Exact
-    percentile_cont runs alongside for the pytest error bound."""
+    percentile_approx with accuracy 1000 — one pass, no global sort, the
+    scale path the equi_depth_histogram docstring points at. Raw sketch
+    outputs differ across engines (GK here, T-Digest in DuckDB), so the
+    value-checked contract (r4 VERDICT item 3, upgraded from rows-only):
+    the exact quantile both engines compute identically, plus EACH ENGINE
+    asserting its own sketch falls inside the exact ±0.02-rank band —
+    a rank-error bound (GK's native guarantee at accuracy 1000 is
+    1/1000), expressed in values both engines agree on. One groupBy =
+    one shuffle; the 3-row stack per group is free."""
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 1000).alias("approx_q"),
-        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("exact_q"),
+    aggs = []
+    for i, (p, lo, hi) in enumerate(_QSKETCH_PS):
+        aggs += [
+            F.expr(f"percentile(value, {p})").alias(f"eq_{i}"),
+            F.percentile_approx("value", p, 1000).alias(f"aq_{i}"),
+            F.expr(f"percentile(value, {lo})").alias(f"lo_{i}"),
+            F.expr(f"percentile(value, {hi})").alias(f"hi_{i}"),
+        ]
+    agg = ev.groupBy("event_type").agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({p} AS DOUBLE), eq_{i}, aq_{i}, lo_{i}, hi_{i}"
+        for i, (p, _, _) in enumerate(_QSKETCH_PS)
+    )
+    stacked = agg.select(
+        "event_type",
+        F.expr(f"stack(3, {stack_args}) AS (p, eq, aq, lo, hi)"),
+    )
+    return stacked.select(
+        "event_type",
+        "p",
+        F.round("eq", 4).alias("exact_q"),
+        ((F.col("aq") >= F.col("lo")) & (F.col("aq") <= F.col("hi")))
+        .cast("int")
+        .alias("approx_in_band"),
     )
 
 

@@ -53,13 +53,15 @@ def check(name: str, spark, con) -> str:
         return f"ROWCOUNT spark={len(spark_rows)} duck={len(duck_rows)}"
     order = sorted(df.columns)
     d_idx = [duck_cols.index(c) for c in order]
+    # Sort by the full repr so distinct tuples that stringify to the same
+    # sort key still land in a canonical order — a str(value)-keyed stable
+    # sort kept each engine's input order for such ties, making an equal
+    # multiset compare unequal (spurious fail-safe HASH-DIFF).
     s_set = sorted(
-        (tuple(_exact(r[c]) for c in order) for r in spark_rows),
-        key=lambda t: tuple(str(x) for x in t),
+        (tuple(_exact(r[c]) for c in order) for r in spark_rows), key=repr
     )
     d_set = sorted(
-        (tuple(_exact(r[i]) for i in d_idx) for r in duck_rows),
-        key=lambda t: tuple(str(x) for x in t),
+        (tuple(_exact(r[i]) for i in d_idx) for r in duck_rows), key=repr
     )
     if s_set == d_set:
         return f"OK rows={len(spark_rows)}"

@@ -23,12 +23,11 @@ def test_front_of_queue_is_curated_and_oracle_backed():
     assert names[:k] == entry.VERIFY_FIRST
     oracles = entry.oracle_sql()
     unbacked = [n for n in names[:k] if n not in oracles]
-    # The three sketch/iterative ops are rows-only by design (no
-    # SQL-expressible oracle); they sit at the queue tail so every
-    # oracle-backed entry gets its hard hash row first.
-    allowed_rows_only = {
-        "ivf_kmeans_cells", "approx_distinct_hll", "approx_quantiles_sketch"
-    }
+    # ivf_kmeans_cells is rows-only by design (cross-engine k-means
+    # centroids aren't SQL-expressible); it sits at the queue tail so
+    # every oracle-backed entry gets its hard hash row first. The two
+    # approx sketches graduated to value-checked oracles in r5.
+    allowed_rows_only = {"ivf_kmeans_cells"}
     assert set(unbacked) <= allowed_rows_only, (
         f"front-of-queue entries without oracle: {unbacked}"
     )

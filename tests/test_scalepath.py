@@ -69,27 +69,26 @@ def test_global_dense_ids_are_contiguous(spark):
     assert doc_ids == sorted(doc_ids)
 
 
-def test_truncate_lineage_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
+def test_truncate_lineage_uses_reliable_checkpoint_when_dir_set(
+    spark, tmp_path_factory
+):
     from citibike_deep_dive_spark.functions.lineage import truncate_lineage
 
-    df = spark.range(10)
-    # no checkpoint dir -> localCheckpoint (plan truncated either way)
-    out = truncate_lineage(df)
-    assert out.count() == 10
-    assert "LogicalRDD" in out._jdf.queryExecution().logical().toString()
+    if spark.sparkContext.getCheckpointDir() is None:
+        # no checkpoint dir -> localCheckpoint (plan truncated either way)
+        out = truncate_lineage(spark.range(10))
+        assert out.count() == 10
+        assert "LogicalRDD" in out._jdf.queryExecution().logical().toString()
 
-    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
-    try:
-        out2 = truncate_lineage(spark.range(7))
-        assert out2.count() == 7
-        assert "LogicalRDD" in out2._jdf.queryExecution().logical().toString()
-        # reliable flavor actually wrote checkpoint files
-        assert any((tmp_path / "ckpt").rglob("*"))
-    finally:
-        # clear the dir so other tests in this shared session keep the
-        # localCheckpoint path (tmp_path dies with the test)
-        jsc = spark.sparkContext._jsc.sc()
-        getattr(jsc, "checkpointDir_$eq")(
-            spark.sparkContext._jvm.scala.Option.apply(None)
-        )
-        assert not jsc.checkpointDir().nonEmpty()
+    # Session-persistent dir (public API only — no py4j reflection, which
+    # broke under Spark Connect). There is no public way to UNSET the dir,
+    # so it stays set for the rest of the session; later truncate_lineage
+    # calls simply take the reliable-checkpoint branch, which is valid.
+    ckpt = tmp_path_factory.mktemp("spark-ckpt")
+    spark.sparkContext.setCheckpointDir(str(ckpt))
+    assert spark.sparkContext.getCheckpointDir() is not None
+    out2 = truncate_lineage(spark.range(7))
+    assert out2.count() == 7
+    assert "LogicalRDD" in out2._jdf.queryExecution().logical().toString()
+    # reliable flavor actually wrote checkpoint files
+    assert any(ckpt.rglob("*"))

@@ -51,6 +51,20 @@ def test_ts_micros_bigint_flavor_is_exact_not_double(spark):
     assert df.select(ts_micros(df).alias("us")).first().us == ns // 1000
 
 
+def test_ts_micros_bigint_flavor_floors_pre_epoch(spark):
+    # Pre-epoch ns are negative; truncate-toward-zero (`div`) would give
+    # -1704067798778549 for -...549997 ns, but floor semantics (matching
+    # the NTZ reading and Python's //) give -...550. r4 ADVICE item.
+    ns = -1704067798778549997
+    df = spark.createDataFrame([(ns,)], "ts bigint")
+    assert df.select(ts_micros(df).alias("us")).first().us == ns // 1000
+    # and ntz_from_nanos agrees with ts_micros on the same value
+    ntz = spark.createDataFrame([(ns,)], "raw bigint").select(
+        ntz_from_nanos("raw").alias("ts")
+    )
+    assert ntz.select(ts_micros(ntz).alias("us")).first().us == ns // 1000
+
+
 def test_ts_micros_ltz_flavor(spark):
     naive = datetime.datetime(2024, 1, 1, 0, 9, 58, 778549)
     df = spark.createDataFrame([(naive,)], "ts timestamp")

@@ -284,38 +284,24 @@ def test_salted_join_matches_plain_join(spark):
 
 
 def test_sketch_aggregates_bounded_error(spark):
+    # r5: the error bound moved INTO the query output as a boolean column
+    # (each engine asserts its own sketch vs its own exact — the
+    # value-checked oracle contract). Both Spark sketches are
+    # deterministic for fixed input, so pin the boolean at BOTH sf dirs
+    # the driver touches (smoke sf0.001, correctness sf0.01).
     from citibike_deep_dive_spark.plans.catalog import CATALOG
-    from tests.conftest import SF_DIR as sf_dir
 
-    hll = CATALOG["approx_distinct_hll"].build(spark, sf_dir).collect()
-    assert hll
-    for r in hll:
-        assert abs(r.approx_users - r.exact_users) <= max(1, 0.05 * r.exact_users)
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        hll = CATALOG["approx_distinct_hll"].build(spark, sf_dir).collect()
+        assert hll
+        assert all(r.approx_within_5pct == 1 for r in hll), sf_dir
+        assert all(r.exact_users > 0 for r in hll)
 
-    # percentile_approx returns a member value (rank error is what the GK
-    # sketch bounds); exact percentile interpolates — so assert on RANK.
-    import bisect
-
-    from pyspark.sql import functions as F
-
-    from citibike_deep_dive_spark.plans.catalog import table
-
-    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    vals = {
-        r.event_type: sorted(r.vs)
-        for r in ev.groupBy("event_type")
-        .agg(F.collect_list("value").alias("vs"))
-        .collect()
-    }
-    q = CATALOG["approx_quantiles_sketch"].build(spark, sf_dir).collect()
-    assert q
-    for r in q:
-        sv = vals[r.event_type]
-        n = len(sv)
-        for phi, approx in zip([0.5, 0.9, 0.99], r.approx_q):
-            lo = bisect.bisect_left(sv, approx)
-            hi = bisect.bisect_right(sv, approx)
-            assert lo - 2 <= phi * n <= hi + 2
+        q = CATALOG["approx_quantiles_sketch"].build(spark, sf_dir).collect()
+        assert len(q) == 3 * len(hll)  # 3 percentiles per event_type
+        assert all(r.approx_in_band == 1 for r in q), sf_dir
+        for r in q:
+            assert r.p in (0.5, 0.9, 0.99)
 
 
 def test_zorder_buckets_bound_both_dims(spark):
