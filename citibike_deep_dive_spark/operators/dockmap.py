@@ -279,6 +279,118 @@ def dock_merge_tagged(
     )
 
 
+def dock_merge_fused_json(
+    trips: DataFrame,
+    existing_cond,
+    delta_cond,
+) -> DataFrame:
+    """X1 + X2 deep merge, fused and flattened: ONE scan, TWO shuffles,
+    zero joins, zero interpreted higher-order functions.
+
+    The MapType forms (dock_merge / dock_merge_tagged) build both sides'
+    nested station_data maps and then deep-merge them with map_zip_with —
+    semantically direct, but map construction + lambda-comparator sorts
+    run interpreted (outside whole-stage codegen) and the merge happens
+    AFTER the expensive nesting. This form does the merge while the data
+    is still relational, where new-wins is a codegen'd conditional max:
+
+    - month level: delta's (station, year, month) row replaces existing's
+      (update_dockmap.py:229-234 month union, new wins),
+    - year level: delta's year sums replace existing's when delta has the
+      year (year attrs replace),
+    - station attrs: delta wins when present,
+
+    then serializes straight to canonical JSON text with sort_array over
+    string fragments (each fragment starts with its quoted key; keys are
+    fixed-width tokens, so fragment order == key order) — every operator
+    codegen-friendly. Plan shape: unpivoted single scan → map-side-combined
+    aggregation to (side, station, year, month) grain [shuffle 1, reduced
+    volume] → repartition(station_name) [shuffle 2, aggregated rows only]
+    → three further aggregations all exchange-free because hash
+    partitioning on station_name satisfies every downstream grouping's
+    clustered distribution. At 100 TB nothing after shuffle 2 moves data.
+
+    ``existing_cond``/``delta_cond`` must be disjoint boolean Columns.
+    Output schema and values are identical to
+    ``dock_export_json(dock_merge(existing, delta), canonical=True)`` —
+    pinned by tests/test_dockmap equivalence.
+    """
+    tagged = trips.withColumn(
+        "side", F.when(delta_cond, "d").when(existing_cond, "e")
+    ).filter(F.col("side").isNotNull())
+    monthly = dock_monthly(tagged, extra_keys=("side",)).repartition(
+        "station_name"
+    )
+
+    d = F.col("side") == "d"
+    e = F.col("side") == "e"
+
+    def _smax(cond, col):
+        return F.max(F.when(cond, F.col(col)))
+
+    attrs = ("station_id", "station_latitude", "station_longitude")
+    mrow = F.struct("month_total", "month_starts", "month_ends")
+    month_grain = monthly.groupBy("station_name", "year", "month").agg(
+        F.coalesce(
+            F.max(F.when(d, mrow)), F.max(F.when(e, mrow))
+        ).alias("mrow"),
+        _smax(d, "month_starts").alias("d_ms"),
+        _smax(d, "month_ends").alias("d_me"),
+        _smax(e, "month_starts").alias("e_ms"),
+        _smax(e, "month_ends").alias("e_me"),
+        *[_smax(d, a).alias(f"d_{a}") for a in attrs],
+        *[_smax(e, a).alias(f"e_{a}") for a in attrs],
+    )
+
+    month_frag = F.concat(
+        F.lit('"'),
+        F.col("month"),
+        F.lit('":{"month_total":'),
+        F.col("mrow.month_total").cast("string"),
+        F.lit(',"month_starts":'),
+        F.col("mrow.month_starts").cast("string"),
+        F.lit(',"month_ends":'),
+        F.col("mrow.month_ends").cast("string"),
+        F.lit("}"),
+    )
+    year_grain = month_grain.groupBy("station_name", "year").agg(
+        F.array_join(F.sort_array(F.collect_list(month_frag)), ",").alias("mjs"),
+        # delta's yearly sums REPLACE existing's when delta has the year:
+        # sum() skips the NULLs of an absent side, so it is null exactly
+        # when that side has no month in this (station, year).
+        F.coalesce(F.sum("d_ms"), F.sum("e_ms")).cast("long").alias("year_starts"),
+        F.coalesce(F.sum("d_me"), F.sum("e_me")).cast("long").alias("year_ends"),
+        *[F.max(f"d_{a}").alias(f"d_{a}") for a in attrs],
+        *[F.max(f"e_{a}").alias(f"e_{a}") for a in attrs],
+    )
+
+    year_frag = F.concat(
+        F.lit('"'),
+        F.col("year"),
+        F.lit('":{"year_starts":'),
+        F.col("year_starts").cast("string"),
+        F.lit(',"year_ends":'),
+        F.col("year_ends").cast("string"),
+        F.lit(',"months":{'),
+        F.col("mjs"),
+        F.lit("}}"),
+    )
+    station = year_grain.groupBy("station_name").agg(
+        F.array_join(F.sort_array(F.collect_list(year_frag)), ",").alias("yjs"),
+        *[
+            F.coalesce(F.max(f"d_{a}"), F.max(f"e_{a}")).alias(a)
+            for a in attrs
+        ],
+    )
+    return station.select(
+        "station_name",
+        "station_id",
+        "station_latitude",
+        "station_longitude",
+        F.concat(F.lit("{"), F.col("yjs"), F.lit("}")).alias("station_data"),
+    )
+
+
 def _sort_entries_by_key(entries):
     """Sort array<struct<key,...>> by key only — structs holding maps are
     not orderable, so sort_array can't be used after a map_zip_with."""

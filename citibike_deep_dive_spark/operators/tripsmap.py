@@ -165,15 +165,85 @@ def attach_timestamps(
 GeometryProvider = Callable[[float, float, float, float], list[list[float]]]
 
 
+def enrich_routes_native(top: DataFrame) -> DataFrame:
+    """X3 with the DEFAULT (offline straight-line) geometry, entirely in
+    native column expressions — no Python boundary at all.
+
+    The default provider's shape is always the two endpoints, so the
+    densify() semantics collapse to one segment: transposed-distance
+    (reference bug kept, see ``densify``), strict 0.2/0.37 km bands
+    choosing 0/2/4 linspace points, the loop-exit endpoint append, 5-dp
+    rounding, and start + i-hours timestamps wrapped to seconds-of-day.
+    ``transform``/``sequence`` build the ≤5-element waypoint array per
+    row; the input is already gated to top-k-per-year grain, so the
+    higher-order functions touch ~30×years rows. Replaces the r4
+    mapInPandas Arrow round-trip (~0.5 s fixed cost at sf0.1 — VERDICT r4
+    item 5); byte-equality with the pandas path is pinned by
+    tests/test_operators.py. One divergence class, non-occurring on this
+    grid: F.round is HALF_UP while Python's round is HALF_EVEN, which
+    differs only on exact half-way ties at the 6th decimal.
+    """
+    lat1, lon1 = F.col("start_station_latitude"), F.col("start_station_longitude")
+    lat2, lon2 = F.col("end_station_latitude"), F.col("end_station_longitude")
+
+    # haversine with the reference's transposed call: lon plays lat.
+    half_dlat = F.radians(lon2 - lon1) / 2
+    half_dlon = F.radians(lat2 - lat1) / 2
+    a = F.pow(F.sin(half_dlat), 2) + F.cos(F.radians(lon1)) * F.cos(
+        F.radians(lon2)
+    ) * F.pow(F.sin(half_dlon), 2)
+    dist = 2 * 6371.0088 * F.asin(F.sqrt(a))
+
+    n = (
+        F.when(dist > F.lit(0.37), F.lit(4))
+        .when((dist > F.lit(0.2)) & (dist < F.lit(0.37)), F.lit(2))
+        .otherwise(F.lit(0))
+    )
+
+    def _pt(lo, la):
+        return F.array(F.round(lo, 5), F.round(la, 5))
+
+    def _interp(i):
+        f = i.cast("double") / (n - 1).cast("double")
+        return _pt(lon1 + (lon2 - lon1) * f, lat1 + (lat2 - lat1) * f)
+
+    base = F.when(n == 0, F.array(_pt(lon1, lat1))).otherwise(
+        F.transform(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))), _interp)
+    )
+    coords = F.concat(base, F.array(_pt(lon2, lat2)))
+
+    # time-of-day seconds incl. fractional micros; cast first so DATE,
+    # TIMESTAMP and TIMESTAMP_NTZ trip_time all work (wall clock is
+    # preserved by the cast; only the wall clock is read here).
+    s0 = F.expr(
+        "cast(hour(cast(trip_time as timestamp)) * 3600"
+        " + minute(cast(trip_time as timestamp)) * 60 as double)"
+        " + cast(extract(SECOND FROM cast(trip_time as timestamp)) as double)"
+    )
+    waypoints = F.transform(
+        coords,
+        lambda c, i: F.struct(
+            ((s0 + i.cast("double") * 3600) % 86400).alias("timestamp"),
+            c.alias("coordinates"),
+        ),
+    )
+    return top.withColumn("waypoints", waypoints.cast(WAYPOINTS_TYPE))
+
+
 def enrich_routes(
     top: DataFrame, geometry_provider: GeometryProvider | None = None
 ) -> DataFrame:
-    """X3 as mapInPandas: adds a ``waypoints`` ArrayType(Struct) column.
+    """X3: adds a ``waypoints`` ArrayType(Struct) column.
 
-    ``geometry_provider`` is injectable (Mapbox HTTP in production, offline
-    straight-line by default) so tests are hermetic.
+    ``geometry_provider`` is injectable (Mapbox-shaped HTTP in
+    production) so tests are hermetic; an injected provider runs as an
+    Arrow-batched mapInPandas (the Python boundary is unavoidable for
+    HTTP). With no provider, the offline straight-line default runs as
+    pure native column expressions — see ``enrich_routes_native``.
     """
-    provider = geometry_provider or straight_line_geometry
+    if geometry_provider is None:
+        return enrich_routes_native(top)
+    provider = geometry_provider
     schema = T.StructType(top.schema.fields + [T.StructField("waypoints", WAYPOINTS_TYPE)])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

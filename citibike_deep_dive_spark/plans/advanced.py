@@ -276,30 +276,25 @@ _DOCK_MERGE_ORACLE = f"""
 )
 def dock_deep_merge_nested_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dock pipeline + deep merge: year attrs replace, months
-    union with new-wins (update_dockmap.py:229-234) — all MapType-native,
-    serialized canonically at the edge.
+    union with new-wins (update_dockmap.py:229-234).
 
-    Two independent side pipelines + one merge join. The "fused" tagged
-    single-scan form (dock_merge_tagged, still available for scan-bound
-    deployments) benches SLOWER here — sf0.1 min-of-3: fused 0.88-1.05 s
-    vs this form 0.79-0.90 s — because the extra `side` group key rides
-    every shuffle row and the tagged map-merge aggregation costs more CPU
-    than the broadcast-sized full-outer join it avoids. The input scan is
-    trivial at this sf; SCALE.md records when the one-scan form wins."""
-    from ..operators.dockmap import dock_aggregate, dock_merge
+    Round-5 form: ``dock_merge_fused_json`` — merge while the data is
+    still relational (codegen'd conditional maxes), serialize to
+    canonical JSON text with sort_array over string fragments. One scan,
+    two shuffles, no joins, no interpreted higher-order functions. The
+    MapType forms (dock_merge, dock_merge_tagged) remain the operator
+    surface for consumers that want the nested column itself — this
+    query needs only the exported JSON text, so it skips MapType
+    construction entirely (r4 bench: MapType aggregation CPU + lambda
+    sorts made the two-pipeline form 1.02 s vs DuckDB 0.088 s at sf0.1;
+    tests/test_dockmap.py pins byte-equality of all three forms)."""
+    from ..operators.dockmap import dock_merge_fused_json
 
     trips = _synth_dock_trips(table(spark, sf_dir, "orders"))
-    existing = dock_aggregate(trips.filter(F.col("o_orderkey") % 3 != 0))
-    delta = dock_aggregate(
-        trips.filter((F.col("o_orderkey") % 3 == 0) & (F.col("year") >= "1999"))
-    )
-    merged = dock_merge(existing, delta)
-    return merged.select(
-        "station_name",
-        "station_id",
-        "station_latitude",
-        "station_longitude",
-        F.to_json(canonical_station_data(F.col("station_data"))).alias("station_data"),
+    return dock_merge_fused_json(
+        trips,
+        existing_cond=F.col("o_orderkey") % 3 != 0,
+        delta_cond=(F.col("o_orderkey") % 3 == 0) & (F.col("year") >= "1999"),
     )
 
 

@@ -87,7 +87,38 @@ def test_route_enrichment_offline(spark):
         assert wps[1].timestamp == (wps[0].timestamp + 3600) % 86400
 
 
-def test_densify_rules():
+def test_route_enrichment_native_equals_pandas(spark):
+    """The r5 native-column default path must stay byte-identical (via
+    to_json) to the mapInPandas + straight_line_geometry path it
+    replaced, on both the fixture trips (mixed densify bands) and the
+    synthesized route-query data (all >0.37 km → 4-point branch)."""
+    from citibike_deep_dive_spark.operators.tripsmap import (
+        enrich_routes_native,
+        straight_line_geometry,
+    )
+    from citibike_deep_dive_spark.plans.advanced import _synth_dock_trips
+    from citibike_deep_dive_spark.plans.catalog import table
+
+    def canon(df):
+        out = df.select(
+            "year", "start_station_name", "end_station_name",
+            F.to_json("waypoints").alias("wp"),
+        )
+        return sorted(map(tuple, out.collect()))
+
+    tops = [top_trips(trip_aggregate(clean_trips(spark)), k=5)]
+    synth = _synth_dock_trips(
+        table(spark, "/root/testdata/sf0.001", "orders")
+    ).withColumn(
+        "start_time", F.lit("2024-03-05 07:31:02.5").cast("timestamp")
+    ).withColumn("rideable_type", F.lit("classic_bike"))
+    tops.append(top_trips(trip_aggregate(synth), k=5))
+
+    for top in tops:
+        native = canon(enrich_routes_native(top))
+        pandas_path = canon(enrich_routes(top, straight_line_geometry))
+        assert native == pandas_path
+        assert native  # non-empty
     """extend_shape parity (update_tripsmap.py:176-203): distances are
     computed with the reference's transposed lat/lon call, linspace
     INCLUDES endpoints, and the loop-exit append duplicates the last point
@@ -241,3 +272,11 @@ def test_dock_merge_tagged_equals_two_pipeline(spark):
         return sorted(map(tuple, out.collect()))
 
     assert canon(two_pipe) == canon(fused)
+
+    # r5: the flat-merge JSON form (what the catalog carrier now runs —
+    # merge at relational grain, serialize via string fragments) must be
+    # BYTE-identical to to_json(canonical(...)) of the MapType merge.
+    from citibike_deep_dive_spark.operators.dockmap import dock_merge_fused_json
+
+    flat = dock_merge_fused_json(trips, exist_pred, delta_pred)
+    assert sorted(map(tuple, flat.collect())) == canon(two_pipe)
