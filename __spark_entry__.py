@@ -53,7 +53,15 @@ VERIFY_FIRST = [
     # (c) upgraded rows-only -> value-checked oracles this round
     "approx_distinct_hll",
     "approx_quantiles_sketch",
-    # (d) round-5 additions (filled in as they land)
+    # (d) round-5 additions
+    "prefix_filter_jaccard_join",
+    "bm25_doc_scores",
+    "inverted_index_postings",
+    "compaction_bin_packing",
+    "customer_order_distribution",
+    "top_revenue_suppliers",
+    "small_quantity_revenue",
+    "late_shippers_in_shared_orders",
     # (e) implementation changed since last green driver row
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",

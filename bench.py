@@ -51,6 +51,10 @@ HEADLINE = [
     "skew_salted_aggregate",
     "embedding_near_dup_sign_lsh",
     "training_corpus_prep",
+    # round-5 additions
+    "bm25_doc_scores",
+    "inverted_index_postings",
+    "compaction_bin_packing",
 ]
 
 

@@ -21,7 +21,7 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.lineage import truncate_lineage
@@ -327,6 +327,77 @@ def connected_components(
             "labels are not yet transitive-closure-correct. Raise max_iter."
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame, t_num: int = 3, t_den: int = 5
+) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (the all-pairs /
+    PPJoin family — Bayardo et al., WWW'07) over word-shingle sets.
+
+    Complementary to LSH: LSH is probabilistic (banding can miss pairs),
+    prefix filtering is LOSSLESS — if J(A,B) >= t then the globally
+    rarest common shingle c is inside both prefixes (were c outside A's
+    prefix, all of A∩B would sit in A's last ceil(t·|A|)-1 positions,
+    giving |A∩B| < t·|A| <= t·|A∪B|, contradiction) — so the candidate
+    equi-join on prefix shingles finds every qualifying pair, and the
+    verify step makes the output exact. The oracle is therefore plain
+    brute force: all pairs with Jaccard >= t.
+
+    Threshold is the rational ``t_num/t_den`` so the prefix length
+    |x| - ceil(t·|x|) + 1 uses exact integer arithmetic (a float
+    0.6·55 = 33.000000000000004 would ceil to 34 and shorten the prefix
+    below the lossless bound).
+
+    Scale shape: one shingle-frequency aggregation, one frequency join,
+    per-doc rank window (bounded by doc length), candidate equi-join on
+    PREFIX shingles only — prefixes hold each doc's globally RAREST
+    shingles, so candidate buckets are small by construction (the
+    boilerplate mega-bucket problem LSH needs AQE skew-splits for cannot
+    arise here), then verification only on candidate pairs.
+    """
+    # The shingle arrays feed three consumers (posting lists, and both
+    # sides of the verify join); lazily checkpoint so the CPU-heavy
+    # shingle construction runs ONCE when the query first executes
+    # (same shared-intermediate pattern as training_corpus_prep).
+    sh = truncate_lineage(shingle_frame(docs), eager=False)
+    posting = sh.select("doc_id", F.explode("sh").alias("tok"))
+    freq = posting.groupBy("tok").agg(F.count("*").alias("gf"))
+    w_rank = Window.partitionBy("doc_id").orderBy("tok_gf", "tok")
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (
+        posting.join(freq, "tok")
+        .select("doc_id", "tok", F.col("gf").alias("tok_gf"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_doc))
+    )
+    # prefix length = n - ceil(t*n) + 1, ceil via integers: (a+den-1) div den
+    ceil_tn = F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}")
+    prefix = ranked.filter(F.col("rn") <= F.col("n") - ceil_tn + 1).select(
+        "doc_id", "tok"
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sets_a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sets_b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    ).cast("double")
+    return (
+        cand.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= F.lit(t_num) / F.lit(t_den))
+        .select("id_a", "id_b", F.round("jac", 4).alias("jaccard"))
+    )
 
 
 def ngram_containment_pairs(

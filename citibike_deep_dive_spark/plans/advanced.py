@@ -289,8 +289,17 @@ def dock_deep_merge_nested_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts made the two-pipeline form 1.02 s vs DuckDB 0.088 s at sf0.1;
     tests/test_dockmap.py pins byte-equality of all three forms)."""
     from ..operators.dockmap import dock_merge_fused_json
+    from ..operators.fanout import fan_out
 
-    trips = _synth_dock_trips(table(spark, sf_dir, "orders"))
+    # fan_out BEFORE the synth/unpivot head: the sf parquet is one file,
+    # so without it the string-building + explode + partial aggregation
+    # all run on a single core (this, not the merge strategy, was the
+    # dominant cost in the r4 1.0 s profile). barrier=True because the
+    # side-tag isNotNull filter is over derived columns and would
+    # otherwise be pushed back through the exchange onto the single scan
+    # task (interleaved sf0.1 A/B: plain 0.88 / fan_out 0.73 / fan_out+
+    # barrier 0.62 s). No-op on well-split inputs.
+    trips = _synth_dock_trips(fan_out(table(spark, sf_dir, "orders"), barrier=True))
     return dock_merge_fused_json(
         trips,
         existing_cond=F.col("o_orderkey") % 3 != 0,
@@ -370,6 +379,12 @@ _ROUTE_ORACLE = """
 
 @register("route_waypoints_enrichment", _ROUTE_ORACLE, tags=("X3", "A8", "W1", "P7"))
 def route_waypoints_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deliberately NO fan_out here: the synth head is cheap (a handful of
+    # arithmetic/concat columns) and trip_aggregate's partial aggregation
+    # collapses 150k rows to route grain before the first exchange —
+    # interleaved sf0.1 A/B: plain 0.37 s vs fan_out 0.69 s (with or
+    # without the pushdown barrier); the round-robin shuffle of raw rows
+    # costs more than the single-core head it parallelizes.
     orders = table(spark, sf_dir, "orders")
     sidx = F.col("o_custkey") % 6
     eidx = (F.col("o_custkey") + F.col("o_orderkey") % 5) % 6

@@ -661,3 +661,204 @@ def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 decision-support shapes: TPC-H Q13 / Q15 / Q17 / Q21 analogs
+# (adapted to the synthetic schema: no partsupp table, no
+# commit/receipt dates — adaptations documented per query).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("X-q13",),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count, with
+    zero-order customers COUNTED (the left outer join is load-bearing:
+    count(o_orderkey) over an unmatched row is 0, an inner join would
+    drop the bucket). The join carries a filter in the JOIN CONDITION,
+    not the WHERE clause — pushing it to WHERE would silently turn the
+    outer join inner. Two-level aggregation: per-customer count (the
+    only fact-side shuffle), then the metadata-scale histogram of
+    counts."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "top_revenue_suppliers",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=("X-q15",),
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, then the
+    supplier(s) achieving the MAX — the scalar-subquery-over-an-
+    aggregate-view pattern. The revenue frame is built once and consumed
+    twice (group rows + its own max); the max is a broadcast scalar so
+    the second consumption adds no shuffle. Ties all surface, which is
+    why the equality-with-max form (not LIMIT 1) is the correct
+    semantics."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+          FROM lineitem GROUP BY 1) t
+      ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.qty_threshold
+    """,
+    tags=("X-q17",),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — the
+    correlated per-part AVG subquery decorrelated into a per-part
+    aggregate joined back to the fact table. The threshold frame is
+    part-grain (dim-sized) so it broadcasts; the fact table is scanned
+    once for the thresholds and once for the probe — at 100 TB the
+    threshold pass is the one you persist or push into a materialized
+    stat, same as the zone-map pattern."""
+    li = table(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    probe = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+    )
+    return probe.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+@register(
+    "late_shippers_in_shared_orders",
+    """
+    WITH multi AS (
+        SELECT l_orderkey
+        FROM lineitem GROUP BY 1
+        HAVING count(DISTINCT l_suppkey) >= 2
+    ),
+    last_ship AS (
+        SELECT l_orderkey, max(l_shipdate) AS max_ship
+        FROM lineitem GROUP BY 1
+    )
+    SELECT s.s_name, CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS numwait
+    FROM lineitem l
+    JOIN multi m ON m.l_orderkey = l.l_orderkey
+    JOIN last_ship x ON x.l_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE l.l_shipdate = x.max_ship
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem o
+          WHERE o.l_orderkey = l.l_orderkey
+            AND o.l_suppkey <> l.l_suppkey
+            AND o.l_shipdate = x.max_ship
+      )
+    GROUP BY 1
+    """,
+    tags=("X-q21",),
+)
+def late_shippers_in_shared_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape adapted to this schema (no receipt/commit dates):
+    suppliers who were the SOLE latest shipper in a multi-supplier order
+    — the semi-join (another supplier exists in the order) + anti-join
+    (no OTHER supplier shipped on the order's last ship date) chain over
+    the same fact table that makes Q21 the classic multi-pass self-join
+    stress. All three derived frames are order-grain aggregates of the
+    same scan, joined back on l_orderkey — one shuffle key throughout,
+    so co-partitioning carries every step; the anti side is expressed
+    as a left_anti join on (orderkey, latest-day, other-supplier)
+    rather than a per-row subquery."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("max_ship"))
+    latest_lines = (
+        li.join(multi, "l_orderkey")
+        .join(last_ship, "l_orderkey")
+        .filter(F.col("l_shipdate") == F.col("max_ship"))
+        .select("l_orderkey", "l_suppkey", "max_ship")
+    )
+    others = latest_lines.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_suppkey").alias("o_suppkey"),
+    )
+    sole = latest_lines.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_suppkey") != F.col("o_suppkey")),
+        "left_anti",
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )

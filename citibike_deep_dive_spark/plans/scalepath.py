@@ -224,3 +224,58 @@ def partition_zonemap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.countDistinct("l_partkey").alias("ndv_partkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5: small-file compaction planning
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 262144  # target output-file bytes (256 KiB at this sf)
+
+
+@register(
+    "compaction_bin_packing",
+    f"""
+    WITH files AS (
+        SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS ship_month,
+               CAST(count(*) * 128 AS BIGINT) AS bytes
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, ship_month, bytes,
+           CAST(sum(bytes) OVER w AS BIGINT) AS cum_bytes,
+           CAST((sum(bytes) OVER w - 1) // {_COMPACT_TARGET} AS INT)
+               AS target_file
+    FROM files
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY ship_month)
+    """,
+    tags=("X-compaction",),
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: per (returnflag, ship-month) "file"
+    stats (row-count × 128 B as the size proxy), packed into ~256 KiB
+    output files by bucketing the running size within each returnflag
+    family — the OPTIMIZE/compact planning pass a lakehouse table service
+    runs so downstream scans see full-size files instead of thousands of
+    small ones. Entirely metadata-scale: the window runs over file STATS
+    (one row per file), partitioned by the layout family — never an
+    unpartitioned window, never the data itself. Boundary-spanning files
+    land in the bucket of their cumulative END offset, making the plan a
+    pure window expression instead of a sequential next-fit loop — the
+    deterministic, shuffle-light formulation that survives 100 TB
+    manifests."""
+    li = table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        "l_returnflag", F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg((F.count(F.lit(1)) * 128).cast("long").alias("bytes"))
+    w = Window.partitionBy("l_returnflag").orderBy("ship_month")
+    return files.withColumn(
+        "cum_bytes", F.sum("bytes").over(w).cast("long")
+    ).select(
+        "l_returnflag",
+        "ship_month",
+        "bytes",
+        "cum_bytes",
+        F.expr(f"(cum_bytes - 1) div {_COMPACT_TARGET}")
+        .cast("int")
+        .alias("target_file"),
+    )

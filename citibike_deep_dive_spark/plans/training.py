@@ -3369,3 +3369,169 @@ def ols_trend(
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: exact similarity join (prefix filtering), IR scoring
+# (BM25), and inverted-index construction — the retrieval-side counterparts
+# of the dedup suite.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "prefix_filter_jaccard_join",
+    f"""
+    WITH {_SHINGLES_CTE.strip().rstrip()},
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.6
+    """,
+    tags=("X-prefix-filter",),
+)
+def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.6 similarity join via prefix filtering (all-pairs
+    / PPJoin family) — the lossless counterpart to the probabilistic LSH
+    path. The oracle is deliberately brute force (all O(n^2) pairs), so a
+    green hash row PROVES the prefix filter lost no pair. See
+    operators/dedup.prefix_filter_jaccard_pairs for the lossless argument
+    and the 100 TB candidate-bucket shape."""
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        table(spark, sf_dir, "documents"), t_num=3, t_den=5
+    )
+
+
+_BM25_TERMS = ("spark", "vector", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN list_contains(w, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    score = " + ".join(
+        f"ln(1.0 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * ((tf_{i} * ({_BM25_K1} + 1.0))"
+        f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, {tf_cols} FROM docs
+    ),
+    corpus AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(w)) AS avgdl, {df_cols}
+        FROM docs
+    )
+    SELECT doc_id, round({score}, 4) AS bm25
+    FROM per_doc, corpus
+    """
+
+
+@register("bm25_doc_scores", _bm25_oracle(), tags=("X-bm25",))
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene's ln(1+(N-df+0.5)/(df+0.5)) idf)
+    of every document against a fixed query-term set — the ranking
+    function retrieval-augmented data curation runs at corpus scale.
+    Plan: per-doc term frequencies are narrow column expressions; the
+    corpus stats (N, avgdl, per-term df) are ONE tiny aggregate broadcast
+    to every row — no shuffle of the documents themselves, linear scan at
+    100 TB."""
+    docs = fan_out(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.size("w")).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("w", t).cast("int")).alias(f"df_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.size("w").cast("double").alias("dl"),
+        *[
+            F.expr(f"size(filter(w, x -> x = '{t}'))").alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    n, avgdl = F.col("n"), F.col("avgdl")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf, dfc = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(F.lit(1.0) + (n - dfc + 0.5) / (dfc + 0.5))
+        part = idf * (
+            (tf * (_BM25_K1 + 1.0))
+            / (tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl))
+        )
+        score = part if score is None else score + part
+    return per_doc.join(F.broadcast(stats)).select(
+        "doc_id", F.round(score, 4).alias("bm25")
+    )
+
+
+@register(
+    "inverted_index_postings",
+    """
+    WITH tf AS (
+        SELECT tok, doc_id, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY tok
+                                     ORDER BY tf DESC, doc_id) AS rn
+        FROM tf
+    )
+    SELECT t.tok AS token, t.df, t.cf, u.top_doc_id, u.top_tf
+    FROM (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(tf) AS BIGINT) AS cf
+          FROM tf GROUP BY 1) t
+    JOIN (SELECT tok, doc_id AS top_doc_id, CAST(tf AS BIGINT) AS top_tf
+          FROM ranked WHERE rn = 1) u USING (tok)
+    """,
+    tags=("X-inverted-index",),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index dictionary build: per token, document frequency,
+    collection frequency, and the head posting (highest-tf document,
+    doc_id tiebreak). The head posting uses max(struct(tf, -doc_id)) —
+    a codegen'd argmax inside the same hash aggregate, no window, no
+    second shuffle. Plan: explode → (token, doc) partial-agg shuffle →
+    token-grain agg; both aggregations map-side combine, the classic
+    two-level index build that scales linearly with corpus size."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.max(
+            F.struct(F.col("tf").alias("tf"), (-F.col("doc_id")).alias("neg"))
+        ).alias("top"),
+    ).select(
+        "token",
+        "df",
+        "cf",
+        (-F.col("top.neg")).alias("top_doc_id"),
+        F.col("top.tf").alias("top_tf"),
+    )
