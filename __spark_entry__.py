@@ -62,6 +62,8 @@ VERIFY_FIRST = [
     "top_revenue_suppliers",
     "small_quantity_revenue",
     "late_shippers_in_shared_orders",
+    "embedding_pq_codes",
+    "constraint_audit",
     # (e) implementation changed since last green driver row
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",

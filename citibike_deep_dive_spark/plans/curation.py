@@ -802,3 +802,103 @@ def class_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("t"))
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5: declarative data-quality constraint audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "constraint_audit",
+    """
+    SELECT 'orders.o_orderkey unique' AS rule,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.l_orderkey fk orders',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders.o_custkey fk customer',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'events.value non-null',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'orders.o_orderdate in [1992,2003)',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+                          OR o_orderdate >= TIMESTAMP '2003-01-01 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    """,
+    tags=("X-dq-constraints",),
+)
+def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (expectations-suite shape): each
+    rule evaluates to (rows checked, violations) — uniqueness as
+    count-minus-distinct, referential integrity as a LEFT-join null
+    probe (left_anti would lose the checked-row denominator), null and
+    range rules as conditional sums. Every rule is a single aggregation
+    over its table; the FK probes are the only joins and shuffle on the
+    FK — at 100 TB you run this as the post-write validation pass, and
+    a dim-sized parent side broadcasts. The output is metadata-scale
+    (one row per rule), so the union is free."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cust = table(spark, sf_dir, "customer")
+    ev = table(spark, sf_dir, "events")
+
+    def _rule(name: str, df: DataFrame, viol) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(viol.cast("int")).cast("long").alias("n_violations"),
+        )
+
+    unique_orders = orders.agg(
+        F.lit("orders.o_orderkey unique").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    fk_li = _rule(
+        "lineitem.l_orderkey fk orders",
+        li.join(
+            orders.select(F.col("o_orderkey").alias("_ok")),
+            li.l_orderkey == F.col("_ok"),
+            "left",
+        ),
+        F.col("_ok").isNull(),
+    )
+    fk_cust = _rule(
+        "orders.o_custkey fk customer",
+        orders.join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("_ck"))),
+            orders.o_custkey == F.col("_ck"),
+            "left",
+        ),
+        F.col("_ck").isNull(),
+    )
+    ev_null = _rule("events.value non-null", ev, F.col("value").isNull())
+    lo = F.lit("1992-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("2003-01-01 00:00:00").cast("timestamp")
+    date_range = _rule(
+        "orders.o_orderdate in [1992,2003)",
+        orders,
+        (F.col("o_orderdate") < lo) | (F.col("o_orderdate") >= hi),
+    )
+    return (
+        unique_orders.unionByName(fk_li)
+        .unionByName(fk_cust)
+        .unionByName(ev_null)
+        .unionByName(date_range)
+    )

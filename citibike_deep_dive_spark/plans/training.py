@@ -3535,3 +3535,85 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("top.neg")).alias("top_doc_id"),
         F.col("top.tf").alias("top_tf"),
     )
+
+
+_PQ_SUBS = 8  # 64-dim embeddings -> 8 subvectors of 8 dims
+_PQ_CODES = 16
+
+
+@register(
+    "embedding_pq_codes",
+    f"""
+    WITH sub AS (
+        SELECT vec_id, embedding,
+               unnest(generate_series(0, {_PQ_SUBS - 1})) AS sub_id
+        FROM embeddings
+    ), d AS (
+        SELECT vec_id, sub_id,
+            list_transform(generate_series(0, {_PQ_CODES - 1}), c ->
+                list_reduce(list_transform(generate_series(1, 8), j ->
+                    (CAST(embedding[CAST(sub_id*8+j AS INT)] AS DOUBLE)
+                     - ((((sub_id*{_PQ_CODES}+c)*8 + j) * 1103515245 + 12345)
+                        % 65536 / 32768.0 - 1.0))
+                    * (CAST(embedding[CAST(sub_id*8+j AS INT)] AS DOUBLE)
+                       - ((((sub_id*{_PQ_CODES}+c)*8 + j) * 1103515245 + 12345)
+                          % 65536 / 32768.0 - 1.0))),
+                    (a, b) -> a + b)) AS ds
+        FROM sub
+    )
+    SELECT vec_id, CAST(sub_id AS BIGINT) AS sub_id,
+           CAST(list_indexof(ds, list_min(ds)) - 1 AS INT) AS code,
+           list_min(ds) AS sub_dist
+    FROM d
+    """,
+    tags=("X-pq",),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the PQ in IVF-PQ): each 64-dim embedding is
+    split into 8 subvectors, each assigned to its nearest of 16 per-
+    subspace centroids — compressing a vector to 8 bytes while keeping
+    distance structure for asymmetric-distance search. The codebook is
+    DETERMINISTIC (LCG on (subspace, centroid, dim), same trick as
+    sign_projection_sketch): any executor regenerates it, nothing is
+    broadcast or stored, and the DuckDB oracle evaluates the identical
+    arithmetic — so the argmin (first-index tiebreak via array_position)
+    is value-checked cross-engine. Per-row fold, zero shuffle after the
+    sub-id explode; a production pipeline would train the codebook with
+    ivf_kmeans_cells and keep this exact assignment plan shape."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    sub = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1))).alias("sub_id"),
+    )
+    # pow() and engine-native sum aggregates differ in the last ulp
+    # across engines (preflight caught 268/4000 6-dp boundary flips), so
+    # the distance is an EXPLICIT square (diff * diff — an exact IEEE op)
+    # strict-left-folded in the same order DuckDB's list_reduce uses;
+    # identical arithmetic -> bit-identical doubles -> identical argmin
+    # and rounded distances.
+    # 32768.0D, not 32768.0: Spark parses an undecorated decimal literal
+    # as DECIMAL and BIGINT/DECIMAL division keeps only ~7 digits
+    # (observed: centroids off by ~5e-8, every distance off by ~1e-7);
+    # DuckDB parses the same literal as DOUBLE.
+    cent = (
+        f"(((CAST(sub_id AS BIGINT)*{_PQ_CODES}+c)*8 + j) * 1103515245 + 12345)"
+        " % 65536 / 32768.0D - 1.0D"
+    )
+    diff = f"(CAST(element_at(embedding, sub_id*8+j) AS DOUBLE) - ({cent}))"
+    # init 0D is exact: 0.0 + x == x for the non-negative squares, so the
+    # fold produces the same double as DuckDB's init-free list_reduce.
+    dist = f"aggregate(sequence(1, 8), 0D, (a, j) -> a + ({diff}) * ({diff}))"
+    with_ds = sub.withColumn(
+        "ds", F.expr(f"transform(sequence(0, {_PQ_CODES - 1}), c -> {dist})")
+    )
+    return with_ds.select(
+        "vec_id",
+        F.col("sub_id").cast("long").alias("sub_id"),
+        F.expr("CAST(array_position(ds, array_min(ds)) - 1 AS INT)").alias("code"),
+        # raw double, deliberately UNROUNDED: the fold arithmetic is
+        # bit-identical cross-engine, but round() is not — Spark rounds
+        # the shortest decimal repr HALF_UP while DuckDB rounds the
+        # binary double, flipping 268/4000 values at the 6th decimal.
+        F.array_min("ds").alias("sub_dist"),
+    )

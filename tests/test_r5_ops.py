@@ -149,6 +149,38 @@ def test_inverted_index_tiebreak_and_counts(spark):
     assert by_tok[tok].cf == sum(r["count"] for r in tf)
 
 
+def test_pq_codes_shape_and_range(spark):
+    """PQ assignment: 8 sub-codes per vector, codes in [0, 16), and the
+    recorded sub-distance is the true minimum over the deterministic
+    codebook (spot-checked by recomputing one row in Python)."""
+    rows = CATALOG["embedding_pq_codes"].build(spark, SF_DIR).collect()
+    n_vecs = len({r.vec_id for r in rows})
+    assert len(rows) == 8 * n_vecs
+    assert all(0 <= r.code < 16 for r in rows)
+    # recompute row (vec 0, sub 0) directly
+    from citibike_deep_dive_spark.plans.catalog import table
+
+    emb = (
+        table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") == rows[0].vec_id)
+        .first()
+        .embedding
+    )
+    sub_id = 0
+    dists = []
+    for c in range(16):
+        d = 0.0
+        for j in range(1, 9):
+            cent = ((sub_id * 16 + c) * 8 + j) * 1103515245 + 12345
+            cent = cent % 65536 / 32768.0 - 1.0
+            d += (float(emb[sub_id * 8 + j - 1]) - cent) ** 2
+        dists.append(d)
+    want_code = dists.index(min(dists))
+    got = next(r for r in rows if r.vec_id == rows[0].vec_id and r.sub_id == 0)
+    assert got.code == want_code
+    assert abs(got.sub_dist - min(dists)) < 1e-9
+
+
 def test_compaction_plan_invariants(spark):
     """Within each returnflag family: cumulative bytes strictly increase,
     target_file ids are non-decreasing, and every planned output file
