@@ -64,6 +64,8 @@ VERIFY_FIRST = [
     "late_shippers_in_shared_orders",
     "embedding_pq_codes",
     "constraint_audit",
+    "minhash_jaccard_estimate",
+    "late_arrival_audit",
     # (e) implementation changed since last green driver row
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",

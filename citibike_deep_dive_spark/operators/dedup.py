@@ -89,27 +89,39 @@ MINHASH_MOD = 1 << 60
 
 
 def minhash_signatures(
-    docs: DataFrame, k: int = 4, shingles: DataFrame | None = None
+    docs: DataFrame,
+    k: int = 4,
+    shingles: DataFrame | None = None,
+    b_hex: int = 15,
 ) -> DataFrame:
     """Per-doc MinHash signature: k min-hashes over shingles from ONE md5
     per shingle (Carter–Wegman family h_i(s) = (a + i·b) mod 2^60, where
-    a/b are the two 60-bit halves of md5(s)).
+    a is the 60-bit first half of md5(s) and b its ``b_hex``-hex-digit
+    second half).
 
     One base hash + cheap integer arithmetic per extra permutation — at
     100 TB this is k× less hashing than salted-md5-per-permutation, and
     the family is portable (DuckDB: ('0x' || substr(md5(s),…))::BIGINT).
     Entirely per-row — no shuffle.
+
+    ``b_hex`` bounds (k-1)·b + a below int64: the default 15 (60-bit b)
+    is safe only for k <= 8 ((k-1)·b + a < 2^63 needs k·2^60 <= 2^63);
+    pass b_hex=14 (56-bit) for k up to 128. Signatures differ across
+    b_hex values, so a query's oracle must use the same width.
     """
     # single-arg lambdas throughout: a 2-arg lambda would make F.transform
     # pass the array index as the second argument and shadow the closure
     # Two windows of ONE md5 digest (functions.portable_hash64 semantics,
     # inlined so the digest is computed once inside the transform lambda —
     # CSE is not guaranteed across lambda-scoped expressions).
+    if (k - 1) * (1 << (4 * b_hex)) + (1 << 60) >= 1 << 63:
+        raise ValueError(f"k={k} with b_hex={b_hex} overflows int64")
+
     def hash_pair(s):
         h = F.md5(s)
         return F.struct(
             F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("a"),
-            F.conv(F.substring(h, 17, 15), 16, 10).cast("long").alias("b"),
+            F.conv(F.substring(h, 17, b_hex), 16, 10).cast("long").alias("b"),
         )
 
     # explode(array(...)) barrier again: evaluate the hash-pair array once,

@@ -3617,3 +3617,159 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         # binary double, flipping 268/4000 values at the 6th decimal.
         F.array_min("ds").alias("sub_dist"),
     )
+
+
+# 14-hex (56-bit) b half: 15·b + a must stay below int64 (the k=4
+# queries' 15-hex width would overflow at i >= 8 — ANSI Spark raises,
+# DuckDB errors too). Signatures therefore differ from the k=4 family.
+_SIGS16_SQL = ", ".join(
+    f"list_min(list_transform(hs, h -> (('0x' || substr(h, 1, 15))::BIGINT"
+    f" + {i} * ('0x' || substr(h, 17, 14))::BIGINT) % {_MINHASH_MOD})) AS sig{i}"
+    for i in range(16)
+)
+
+_EST16_SQL = " + ".join(
+    f"CASE WHEN sa.sig{i} = sb.sig{i} THEN 1 ELSE 0 END" for i in range(16)
+)
+
+
+@register(
+    "minhash_jaccard_estimate",
+    f"""
+    WITH {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_PAIRS_CTE},
+    sigs16 AS (
+        SELECT doc_id, {_SIGS16_SQL}
+        FROM (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM shingled)
+    )
+    SELECT p.doc_id_a, p.doc_id_b,
+           ({_EST16_SQL}) / CAST(16 AS DOUBLE) AS est_jaccard,
+           CAST(len(list_intersect(xa.sh, xb.sh)) AS DOUBLE)
+             / (len(xa.sh) + len(xb.sh) - len(list_intersect(xa.sh, xb.sh)))
+             AS exact_jaccard,
+           abs(({_EST16_SQL}) / CAST(16 AS DOUBLE)
+               - CAST(len(list_intersect(xa.sh, xb.sh)) AS DOUBLE)
+                 / (len(xa.sh) + len(xb.sh) - len(list_intersect(xa.sh, xb.sh))))
+             AS est_abs_err
+    FROM pairs p
+    JOIN sigs16 sa ON sa.doc_id = p.doc_id_a
+    JOIN sigs16 sb ON sb.doc_id = p.doc_id_b
+    JOIN shingled xa ON xa.doc_id = p.doc_id_a
+    JOIN shingled xb ON xb.doc_id = p.doc_id_b
+    """,
+    tags=("X-minhash-estimate",),
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy eval for the MinHash suite (the dedup analog of
+    ann_recall_report): per LSH candidate pair, the 16-permutation
+    signature-agreement estimate of Jaccard next to the exact value and
+    the absolute error. E[agreement fraction] = true Jaccard — this
+    query is how a production pipeline decides how many permutations a
+    corpus needs before trusting banding thresholds. The shingle frame
+    is lazily checkpointed once and feeds signatures, banding, and the
+    exact verify; estimate (k/16, exact binary) and exact (one int
+    division) are single-operation doubles, so cross-engine values are
+    bit-identical without rounding. Candidates only — never all pairs."""
+    from ..functions.lineage import truncate_lineage
+    from ..operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_frame,
+    )
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    sh = truncate_lineage(shingle_frame(docs), eager=False)
+    sigs = minhash_signatures(docs, k=16, shingles=sh, b_hex=14)
+    cand = lsh_candidate_pairs(docs, k=4, rows_per_band=2, shingles=sh)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_id_a"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_id_b"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(16)],
+    )
+    agree = None
+    for i in range(16):
+        t = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        agree = t if agree is None else agree + t
+    xa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    xb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    ).cast("double")
+    est = agree.cast("double") / F.lit(16).cast("double")
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .join(xa, "doc_id_a")
+        .join(xb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("est_abs_err"),
+        )
+    )
+
+
+@register(
+    "late_arrival_audit",
+    """
+    WITH arr AS (
+        SELECT event_type, epoch_us(ts) AS us,
+               max(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS high_water
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN high_water - us > 600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           CAST(max(CASE WHEN high_water > us THEN high_water - us ELSE 0 END)
+                AS BIGINT) AS max_lateness_us
+    FROM arr GROUP BY event_type
+    """,
+    tags=("X-late-audit",),
+)
+def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of streaming watermark accounting: replay events in
+    arrival order (event_id) per user, track the high-water timestamp,
+    and count events arriving more than the 10-minute watermark delay
+    behind it — exactly the rows `withWatermark('ts', '10 minutes')`
+    would drop from a keyed aggregation. Pure integer-microsecond
+    arithmetic (ts_micros), so no float divergence; the window is
+    partitioned by user_id (bounded), never global. Run this before
+    picking a production watermark: max_lateness_us IS the delay you
+    need to not lose data."""
+    ev = table(spark, sf_dir, "events")
+    us = ts_micros(ev)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = ev.select(
+        "event_type",
+        us.alias("us"),
+        F.max(us).over(w).alias("high_water"),
+    )
+    # when/otherwise, not a bare boolean cast: the first row per user has
+    # a NULL high-water mark, and a NULL predicate cast to int is NULL
+    # (dropped by sum) while the oracle's CASE yields an explicit 0 —
+    # same totals only when every group has a non-null row; mirror the
+    # CASE exactly instead of relying on that.
+    late = F.when(
+        F.col("high_water") - F.col("us") > 600_000_000, F.lit(1)
+    ).otherwise(F.lit(0))
+    lateness = F.when(
+        F.col("high_water") > F.col("us"), F.col("high_water") - F.col("us")
+    ).otherwise(F.lit(0))
+    return arr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(late).cast("long").alias("n_late"),
+        F.max(lateness).cast("long").alias("max_lateness_us"),
+    )
