@@ -66,6 +66,7 @@ VERIFY_FIRST = [
     "constraint_audit",
     "minhash_jaccard_estimate",
     "late_arrival_audit",
+    "ann_ivfpq_adc_topk",
     # (e) implementation changed since last green driver row
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",

@@ -3773,3 +3773,111 @@ def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(late).cast("long").alias("n_late"),
         F.max(lateness).cast("long").alias("max_lateness_us"),
     )
+
+
+@register(
+    "ann_ivfpq_adc_topk",
+    f"""
+    WITH codes AS (
+        SELECT vec_id,
+               list_transform(generate_series(0, {_PQ_SUBS - 1}), s ->
+                   CAST(list_indexof(
+                       list_transform(generate_series(0, {_PQ_CODES - 1}), c ->
+                           list_reduce(list_transform(generate_series(1, 8), j ->
+                               (CAST(embedding[CAST(s*8+j AS INT)] AS DOUBLE)
+                                - ((((s*{_PQ_CODES}+c)*8 + j) * 1103515245 + 12345)
+                                   % 65536 / 32768.0 - 1.0))
+                               * (CAST(embedding[CAST(s*8+j AS INT)] AS DOUBLE)
+                                  - ((((s*{_PQ_CODES}+c)*8 + j) * 1103515245 + 12345)
+                                     % 65536 / 32768.0 - 1.0))),
+                               (a, b) -> a + b)),
+                       list_min(
+                       list_transform(generate_series(0, {_PQ_CODES - 1}), c ->
+                           list_reduce(list_transform(generate_series(1, 8), j ->
+                               (CAST(embedding[CAST(s*8+j AS INT)] AS DOUBLE)
+                                - ((((s*{_PQ_CODES}+c)*8 + j) * 1103515245 + 12345)
+                                   % 65536 / 32768.0 - 1.0))
+                               * (CAST(embedding[CAST(s*8+j AS INT)] AS DOUBLE)
+                                  - ((((s*{_PQ_CODES}+c)*8 + j) * 1103515245 + 12345)
+                                     % 65536 / 32768.0 - 1.0))),
+                               (a, b) -> a + b)))) - 1 AS INT)) AS codes
+        FROM embeddings
+    ),
+    adc AS (
+        SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(0, {_PQ_SUBS - 1}), s ->
+                   list_reduce(list_transform(generate_series(1, 8), j ->
+                       (CAST(q.embedding[CAST(s*8+j AS INT)] AS DOUBLE)
+                        - ((((s*{_PQ_CODES}+x.codes[CAST(s+1 AS INT)])*8 + j)
+                            * 1103515245 + 12345) % 65536 / 32768.0 - 1.0))
+                       * (CAST(q.embedding[CAST(s*8+j AS INT)] AS DOUBLE)
+                          - ((((s*{_PQ_CODES}+x.codes[CAST(s+1 AS INT)])*8 + j)
+                              * 1103515245 + 12345) % 65536 / 32768.0 - 1.0))),
+                       (a, b) -> a + b)),
+                   (a, b) -> a + b) AS adc_dist
+        FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+        JOIN codes x ON x.vec_id <> q.vec_id
+    )
+    SELECT query_id, cand_id, adc_dist, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, cand_id) AS rank
+        FROM adc
+    ) WHERE rank <= 10
+    """,
+    tags=("X-ivfpq-adc",),
+)
+def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN search path over PQ codes: asymmetric distance
+    computation (ADC). The corpus is represented ONLY by its 8-byte PQ
+    codes (embedding_pq_codes, computed here without an explode — one
+    codes array per row); each query scores a candidate as the sum over
+    subspaces of (query subvector - centroid[code])^2, with the
+    closed-form LCG codebook regenerated inline — so the search is a
+    broadcast of 5 query vectors against a scan of codes, zero joins on
+    the corpus side beyond the broadcast, and a per-query top-10
+    (WindowGroupLimit pushes the k-row cut below the exchange). At
+    100 TB the codes table is ~128x smaller than the embeddings and the
+    ADC fold is fixed-order arithmetic, which is also what makes the
+    DuckDB oracle bit-exact (strict left folds, explicit squares, D
+    literals — every float lesson from embedding_pq_codes applies)."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+
+    cent_q = (
+        f"(((CAST(s AS BIGINT)*{_PQ_CODES}+c)*8 + j) * 1103515245 + 12345)"
+        " % 65536 / 32768.0D - 1.0D"
+    )
+    diff_q = f"(CAST(element_at(embedding, s*8+j) AS DOUBLE) - ({cent_q}))"
+    dist_q = f"aggregate(sequence(1, 8), 0D, (a, j) -> a + ({diff_q}) * ({diff_q}))"
+    ds = f"transform(sequence(0, {_PQ_CODES - 1}), c -> {dist_q})"
+    codes_expr = (
+        f"transform(sequence(0, {_PQ_SUBS - 1}), s -> "
+        f"CAST(array_position({ds}, array_min({ds})) - 1 AS INT))"
+    )
+    codes = emb.select("vec_id", F.expr(codes_expr).alias("codes"))
+
+    queries = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    )
+    cent_adc = (
+        f"(((CAST(s AS BIGINT)*{_PQ_CODES}+element_at(codes, s+1))*8 + j)"
+        " * 1103515245 + 12345) % 65536 / 32768.0D - 1.0D"
+    )
+    diff_adc = f"(CAST(element_at(q_emb, s*8+j) AS DOUBLE) - ({cent_adc}))"
+    adc = (
+        f"aggregate(sequence(0, {_PQ_SUBS - 1}), 0D, (acc, s) -> acc + "
+        f"aggregate(sequence(1, 8), 0D, (a, j) -> a + ({diff_adc}) * ({diff_adc})))"
+    )
+    pairs = codes.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.expr(adc).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "cand_id", "adc_dist", F.col("rank").cast("int").alias("rank"))
+    )
