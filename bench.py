@@ -55,6 +55,9 @@ HEADLINE = [
     "bm25_doc_scores",
     "inverted_index_postings",
     "compaction_bin_packing",
+    "embedding_pq_codes",
+    "ann_ivfpq_adc_topk",
+    "minhash_jaccard_estimate",
 ]
 
 
