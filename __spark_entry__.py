@@ -67,6 +67,7 @@ VERIFY_FIRST = [
     "minhash_jaccard_estimate",
     "late_arrival_audit",
     "ann_ivfpq_adc_topk",
+    "pareto_frontier_by_brand",
     # (e) implementation changed since last green driver row
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",

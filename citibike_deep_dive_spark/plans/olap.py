@@ -874,3 +874,55 @@ def late_shippers_in_shared_orders(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )
+
+
+@register(
+    "pareto_frontier_by_brand",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice, p_size,
+               min(p_size) OVER (
+                   PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_prior_size
+        FROM part
+    )
+    WHERE best_prior_size IS NULL OR p_size < best_prior_size
+    """,
+    tags=("X-skyline",),
+)
+def pareto_frontier_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier (skyline) over (price asc, size asc):
+    a part survives iff no cheaper-or-equal part of the same brand is
+    also smaller — the multi-objective shortlist query (price/latency,
+    quality/cost, recall/QPS trade-off curves). One pass: sort within
+    brand by (price, partkey), keep rows that strictly improve the
+    running size minimum over all PRIOR rows. Equal-price ties resolve
+    by partkey order, exactly as the window frame sees them, so both
+    engines keep the identical row set. The window is partitioned by
+    brand — bounded partitions, no global sort; at 100 TB the skyline
+    of each group streams through one windowed pass instead of the
+    O(n^2) dominance join a naive formulation would use."""
+    part = table(spark, sf_dir, "part")
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice", "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = part.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.min("p_size").over(w).alias("best_prior_size"),
+    )
+    return flagged.filter(
+        F.col("best_prior_size").isNull()
+        | (F.col("p_size") < F.col("best_prior_size"))
+    ).select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("long").alias("p_size"),
+    )
