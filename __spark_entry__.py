@@ -68,6 +68,8 @@ VERIFY_FIRST = [
     "late_arrival_audit",
     "ann_ivfpq_adc_topk",
     "pareto_frontier_by_brand",
+    "language_confusion_matrix",
+    "cdc_latest_state_apply",
     # (e) implementation changed since last green driver row
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",

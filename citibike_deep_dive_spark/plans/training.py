@@ -3881,3 +3881,99 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "cand_id", "adc_dist", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "language_confusion_matrix",
+    f"""
+    WITH hits AS (
+        SELECT doc_id, lang AS labeled_lang,
+           {_LANG_HITS}
+        FROM documents
+    )
+    SELECT labeled_lang, {_LANG_PRED} AS predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM hits
+    GROUP BY 1, 2
+    """,
+    tags=("X-lang-confusion",),
+)
+def language_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval rollup of the n-gram language-ID heuristic:
+    declared metadata language vs detected language, counted — the
+    confusion matrix a curation pipeline inspects before trusting either
+    signal for filtering. Reuses language_id verbatim (same stopword
+    tables, same greatest-hits tiebreak) and adds one metadata-scale
+    keyed aggregation on top; diagonal mass = agreement rate."""
+    pred = language_id(table(spark, sf_dir, "documents"))
+    return pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "cdc_latest_state_apply",
+    """
+    WITH feed AS (
+        SELECT user_id AS key, ts, event_id, value,
+               CASE WHEN event_type = 'error' THEN 'delete'
+                    ELSE 'upsert' END AS op,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    latest AS (SELECT key, op, value FROM feed WHERE rn = 1)
+    SELECT coalesce(b.c_custkey, l.key) AS key,
+           round(CASE WHEN l.key IS NULL THEN b.c_acctbal
+                      ELSE coalesce(l.value, b.c_acctbal) END, 2) AS value,
+           CAST(CASE WHEN l.key IS NULL THEN 0 ELSE 1 END AS INT) AS changed,
+           CAST(CASE WHEN b.c_custkey IS NULL THEN 1 ELSE 0 END AS INT) AS inserted
+    FROM customer b FULL JOIN latest l ON b.c_custkey = l.key
+    WHERE l.op IS NULL OR l.op = 'upsert'
+    """,
+    tags=("X-cdc-apply",),
+)
+def cdc_latest_state_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (the MERGE a lakehouse table service runs on a change
+    feed): events replay as per-key changes ('error' = delete tombstone,
+    anything else = upsert of `value`), last writer wins by (ts,
+    event_id), and ONE full-outer join applies the compacted feed to the
+    base snapshot — deletes drop the row, upserts override (null change
+    value keeps the base via coalesce), unseen base rows pass through,
+    feed-only keys insert. Compaction-before-apply is the scale story:
+    the shuffle carries one row per CHANGED key, not the raw feed, and
+    the window is keyed (bounded), never global. Complements
+    scd2_history_build (full history) with the latest-state semantics."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("key").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.select(
+            F.col("user_id").alias("key"),
+            "ts",
+            "event_id",
+            "value",
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op", "value")
+    )
+    base = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    joined = base.join(latest, base.c_custkey == latest.key, "full_outer")
+    return joined.filter(
+        F.col("op").isNull() | (F.col("op") == "upsert")
+    ).select(
+        F.coalesce(F.col("c_custkey"), F.col("key")).alias("key"),
+        F.round(
+            F.when(F.col("key").isNull(), F.col("c_acctbal")).otherwise(
+                F.coalesce(F.col("value"), F.col("c_acctbal"))
+            ),
+            2,
+        ).alias("value"),
+        F.when(F.col("key").isNull(), 0).otherwise(1).cast("int").alias("changed"),
+        F.when(F.col("c_custkey").isNull(), 1).otherwise(0).cast("int").alias("inserted"),
+    )
