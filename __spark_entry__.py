@@ -70,6 +70,7 @@ VERIFY_FIRST = [
     "pareto_frontier_by_brand",
     "language_confusion_matrix",
     "cdc_latest_state_apply",
+    "vocab_gini_by_source",
     # (e) implementation changed since last green driver row
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",

@@ -3977,3 +3977,59 @@ def cdc_latest_state_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("key").isNull(), 0).otherwise(1).cast("int").alias("changed"),
         F.when(F.col("c_custkey").isNull(), 1).otherwise(0).cast("int").alias("inserted"),
     )
+
+
+@register(
+    "vocab_gini_by_source",
+    """
+    WITH tf AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY cnt, tok) AS i
+        FROM tf
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(cnt) AS BIGINT) AS total_tf,
+           CAST(2 AS DOUBLE) * sum(i * cnt) / (count(*) * sum(cnt))
+               - (count(*) + CAST(1 AS DOUBLE)) / count(*) AS gini
+    FROM ranked GROUP BY source
+    """,
+    tags=("X-gini",),
+)
+def vocab_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the token-frequency distribution per source —
+    the concentration/heavy-tail measure (0 = uniform vocabulary use,
+    →1 = a few tokens dominate) corpus analysts read next to Heaps-law
+    growth when diagnosing boilerplate-heavy sources. Computed by the
+    rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over frequencies
+    sorted ascending (ties broken by token so both engines rank
+    identically): one explode, one (source, token) aggregation, one
+    source-partitioned rank window — never a global sort. The rank sums
+    are exact integers and the two divisions are written in the same
+    order on both engines, so the double is emitted RAW (bit-identical),
+    no rounding."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy("cnt", "tok")
+    ranked = tf.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    total = F.sum("cnt")
+    s = F.sum(F.col("i") * F.col("cnt"))
+    return ranked.groupBy("source").agg(
+        n.alias("n_tokens"),
+        total.alias("total_tf"),
+        (
+            F.lit(2).cast("double") * s / (n * total)
+            - (n + F.lit(1).cast("double")) / n
+        ).alias("gini"),
+    )
