@@ -3515,8 +3515,14 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     a codegen'd argmax inside the same hash aggregate, no window, no
     second shuffle. Plan: explode → (token, doc) partial-agg shuffle →
     token-grain agg; both aggregations map-side combine, the classic
-    two-level index build that scales linearly with corpus size."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    two-level index build that scales linearly with corpus size.
+    fan_out measured and REJECTED here (interleaved sf0.1 A/B: plain
+    0.43 vs fanned 0.66 s): the explode+split head is cheap and feeds
+    straight into a map-side-combined aggregation, so the round-robin
+    shuffle of raw docs costs more than the single-core head it
+    parallelizes — unlike bm25_doc_scores, whose head is consumed twice
+    (stats + per-doc branches) and keeps its fan_out (0.27 vs 0.33 s)."""
+    docs = table(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
         .groupBy("token", "doc_id")
