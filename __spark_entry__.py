@@ -71,6 +71,7 @@ VERIFY_FIRST = [
     "language_confusion_matrix",
     "cdc_latest_state_apply",
     "vocab_gini_by_source",
+    "frequent_brand_pairs",
     # (e) implementation changed since last green driver row
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",

@@ -926,3 +926,75 @@ def pareto_frontier_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice",
         F.col("p_size").cast("long").alias("p_size"),
     )
+
+
+@register(
+    "frequent_brand_pairs",
+    """
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    single AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS sup FROM items GROUP BY 1),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS support
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    )
+    SELECT p.brand_a, p.brand_b, p.support,
+           CAST(p.support * n.n_orders AS DOUBLE) / (sa.sup * sb.sup) AS lift
+    FROM pairs p
+    JOIN single sa ON sa.p_brand = p.brand_a
+    JOIN single sb ON sb.p_brand = p.brand_b
+    CROSS JOIN n
+    """,
+    tags=("X-itemsets",),
+)
+def frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining with association-rule lift: per order,
+    the distinct brand set; per brand pair, co-occurrence support and
+    lift = P(a,b)/(P(a)·P(b)). The a-priori shape at scale: the item
+    frame is deduped to (basket, item) FIRST (one shuffle), the
+    candidate join is basket-keyed (never all-pairs across baskets), and
+    the single-item support table is dimension-sized so both enrichment
+    joins broadcast. On a sparse item space you'd prune items below
+    min-support before the pair join (classic apriori) — at 25 brands
+    every item is frequent, so the prune is a documented no-op here.
+    Lift is one integer multiply and one division on both engines — raw
+    bit-identical double, no rounding."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    single = items.groupBy("p_brand").agg(F.count(F.lit(1)).alias("sup"))
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    sa = single.select(F.col("p_brand").alias("brand_a"), F.col("sup").alias("sup_a"))
+    sb = single.select(F.col("p_brand").alias("brand_b"), F.col("sup").alias("sup_b"))
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .join(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            (
+                (F.col("support") * F.col("n_orders")).cast("double")
+                / (F.col("sup_a") * F.col("sup_b"))
+            ).alias("lift"),
+        )
+    )
