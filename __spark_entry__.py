@@ -72,6 +72,12 @@ VERIFY_FIRST = [
     "cdc_latest_state_apply",
     "vocab_gini_by_source",
     "frequent_brand_pairs",
+    "min_cost_supplier_per_part",
+    "nation_market_share",
+    "product_type_profit",
+    "important_part_value_share",
+    "supplier_count_by_part_attrs",
+    "rrf_hybrid_retrieval",
     # (e) implementation changed since last green driver row
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",

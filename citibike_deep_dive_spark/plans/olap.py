@@ -998,3 +998,320 @@ def frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape — min-cost supplier per part: argmin without a join-back
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "min_cost_supplier_per_part",
+    """
+    WITH quote AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT l_partkey, l_suppkey, unit_cost,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY unit_cost, l_suppkey) AS rn
+        FROM quote
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type, b.unit_cost
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE b.rn = 1 AND r.r_name = 'EUROPE' AND p.p_size >= 30
+    ORDER BY s.s_acctbal DESC, p.p_partkey
+    LIMIT 100
+    """,
+    tags=("X-q2",),
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (lineitem unit prices standing in for the partsupp
+    table the synthetic schema lacks): per part, the supplier quoting the
+    lowest unit cost, then the region/size-filtered top-100 by account
+    balance. The reference's correlated-min subquery (Q2's classic form)
+    is decorrelated into ``min(struct(cost, suppkey))`` — an argmin
+    computed INSIDE the per-part hash aggregate, so the "which supplier"
+    question costs zero extra shuffles (vs the window-rank or join-back
+    forms, which re-shuffle the quote frame). The unit cost stays the
+    RAW IEEE division (identical bits on both engines) — min is
+    order-independent, and rounding here would re-introduce the
+    half-way-boundary divergence between the engines' round()
+    implementations. Dims (part/supplier/nation/region) broadcast; the only
+    big shuffles are the two keyed aggregates over lineitem; the final
+    top-100 is TakeOrderedAndProject with a unique p_partkey tiebreak."""
+    li = table(spark, sf_dir, "lineitem")
+    quote = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = (
+        quote.groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_cost", "l_suppkey")).alias("b"))
+        .select(
+            "l_partkey",
+            F.col("b.unit_cost").alias("unit_cost"),
+            F.col("b.l_suppkey").alias("l_suppkey"),
+        )
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape — national market share within a region, by order year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_market_share",
+    """
+    WITH base AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS vol,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA'
+    ),
+    yearly AS (
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol
+                              ELSE 0 END), 2) AS nation_vol,
+               round(sum(vol), 2) AS total_vol
+        FROM base GROUP BY o_year
+    )
+    SELECT o_year, nation_vol, total_vol,
+           round(nation_vol / total_vol, 6) AS mkt_share
+    FROM yearly
+    """,
+    tags=("X-q8",),
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's purchase volume
+    per order year. Two independent dimension chains hang off the same
+    fact row — customer→nation→region gates the rows, supplier→nation
+    labels them — and both collapse to broadcast hash joins, so the only
+    shuffles are the orders⋈lineitem key exchange and the final
+    years-sized aggregate. The share is a conditional-sum-over-sum inside
+    ONE aggregate (no second pass, no self-join); dividing the two
+    already-rounded sums keeps the ratio bit-identical across engines."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nation = c.join(
+        F.broadcast(n.select("n_nationkey", "n_regionkey")),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey).select("c_custkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                             F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_nation), o.o_custkey == cust_nation.c_custkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+    )
+    yearly = base.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("vol"))
+                  .otherwise(F.lit(0.0))), 2
+        ).alias("nation_vol"),
+        F.round(F.sum("vol"), 2).alias("total_vol"),
+    )
+    return yearly.select(
+        "o_year", "nation_vol", "total_vol",
+        F.round(F.col("nation_vol") / F.col("total_vol"), 6).alias("mkt_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape — product-type profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "product_type_profit",
+    """
+    SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    tags=("X-q9",),
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (a 10%-of-retail cost proxy standing in for
+    ps_supplycost): profit on one product family by supplier nation and
+    ship year. The LIKE '%widget%' predicate prunes part to ~13% BEFORE
+    the broadcast, so the fact⋈part hash join probes a smaller table and
+    non-matching lineitem rows die at the join instead of the aggregate.
+    All three dims broadcast: the fact side never shuffles until the
+    final (nation, year)-grain aggregate — which map-side combines to
+    ~25×7 rows. One scan, zero fact shuffles before the tiny agg."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape — important part values vs a global-total threshold
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "important_part_value_share",
+    """
+    WITH val AS (
+        SELECT l.l_partkey,
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(30, 8))) AS v
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        GROUP BY 1
+    )
+    SELECT l_partkey AS p_partkey, CAST(round(v, 2) AS DOUBLE) AS part_value
+    FROM val, (SELECT sum(v) AS total FROM val) t
+    WHERE v > CAST(0.0006 AS DECIMAL(10, 8)) * t.total
+    """,
+    tags=("X-q11",),
+)
+def important_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value (through a nation
+    cohort's suppliers) exceeds a fraction of the cohort's TOTAL value.
+    The HAVING-against-a-global-scalar is the interesting bit: the total
+    is a one-row re-aggregate of the already-reduced part-grain frame —
+    metadata-scale — broadcast back as a literal-like join, so the
+    global threshold costs no second fact scan and no shuffle. The
+    part-grain frame is built once and consumed twice (Spark reuses the
+    exchange; at 100 TB you'd persist it). The per-part values aggregate
+    in DECIMAL: double sums are summation-order-dependent across engines
+    and 2/669 rows here landed within float noise of a half-cent
+    boundary — exact decimal addition makes both the rounded output and
+    the threshold comparison order-independent."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,8)"
+                )
+            ).alias("v")
+        )
+    )
+    total = val.agg(F.sum("v").alias("total"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("v") > F.lit("0.0006").cast("decimal(10,8)") * F.col("total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("v", 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape — supplier diversity per part attribute, with a NOT-IN scrub
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_count_by_part_attrs",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("X-q16",),
+)
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, type, size) bucket, excluding a supplier denylist (negative
+    balance standing in for Q16's complaints LIKE). The NOT IN becomes a
+    broadcast left-anti join — null-safe by construction since
+    s_suppkey is never null, and never a shuffle because the denylist is
+    dimension-sized. Brand/size predicates prune part before ITS
+    broadcast. count(DISTINCT) over the surviving pairs is the only fact
+    shuffle, keyed by the 3-attr group — Spark expands to a two-level
+    aggregate (distinct-pair partial agg, then count), both map-side
+    combining."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    deny = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(deny), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

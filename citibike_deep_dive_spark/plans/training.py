@@ -4039,3 +4039,157 @@ def vocab_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (n + F.lit(1).cast("double")) / n
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal-rank fusion of lexical and dense top-k
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPN = 100
+
+
+def _rrf_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN list_contains(w, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    score = " + ".join(
+        f"ln(1.0 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * ((tf_{i} * ({_BM25_K1} + 1.0))"
+        f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    cos = _cos_sql("a.embedding", "q.embedding")
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, {tf_cols} FROM docs
+    ),
+    corpus AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(w)) AS avgdl, {df_cols}
+        FROM docs
+    ),
+    lex_top AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+        FROM (SELECT doc_id, round({score}, 4) AS bm25
+              FROM per_doc, corpus
+              ORDER BY bm25 DESC, doc_id LIMIT {_RRF_TOPN})
+    ),
+    dense_top AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank_dense
+        FROM (SELECT a.vec_id AS doc_id, {cos} AS cos_sim
+              FROM embeddings a,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+              WHERE a.vec_id <> 0
+              ORDER BY cos_sim DESC, doc_id LIMIT {_RRF_TOPN})
+    )
+    SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+           CAST(d.rank_dense AS BIGINT) AS rank_dense,
+           CAST(l.rank_lex AS BIGINT) AS rank_lex,
+           round(coalesce(1.0 / ({_RRF_K} + d.rank_dense), 0)
+                 + coalesce(1.0 / ({_RRF_K} + l.rank_lex), 0), 9) AS rrf_score
+    FROM lex_top l FULL OUTER JOIN dense_top d ON l.doc_id = d.doc_id
+    """
+
+
+@register("rrf_hybrid_retrieval", _rrf_oracle(), tags=("X-rrf-hybrid",))
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval the way production RAG curation fuses it:
+    reciprocal-rank fusion (k=60) of a lexical BM25 top-100 and a dense
+    cosine top-100, absent list treated as zero contribution. The scale
+    shape is the point — each retriever reduces to a k-row list BEFORE
+    fusion: the BM25 side is a linear scan + one broadcast stats row +
+    TakeOrderedAndProject(100); the dense side broadcasts the single
+    query vector over the embedding scan and takes its own top-100; the
+    full-outer fuse then touches ≤200 rows. Ranks are computed over the
+    limited frames (k-row-bounded windows), never over the corpus, so no
+    global sort exists anywhere. Rounding scores to 4dp before ranking
+    with an id tiebreak keeps both engines' orderings identical; the RRF
+    rational 1/(60+rank) is exact on both."""
+    docs = fan_out(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.size("w")).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("w", t).cast("int")).alias(f"df_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.size("w").cast("double").alias("dl"),
+        *[
+            F.expr(f"size(filter(w, x -> x = '{t}'))").alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    n, avgdl = F.col("n"), F.col("avgdl")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf, dfc = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(F.lit(1.0) + (n - dfc + 0.5) / (dfc + 0.5))
+        part = idf * (
+            (tf * (_BM25_K1 + 1.0))
+            / (tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl))
+        )
+        score = part if score is None else score + part
+    lex_scores = per_doc.join(F.broadcast(stats)).select(
+        "doc_id", F.round(score, 4).alias("bm25")
+    )
+    lex_top = (
+        lex_scores.orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_TOPN)
+        .withColumn(
+            "rank_lex",
+            F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")),
+        )
+        .select("doc_id", F.col("rank_lex").cast("long").alias("rank_lex"))
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    a, b = F.col("embedding"), F.col("q_emb")
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    dense_scores = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (norm(a) * norm(b)), 4).alias("cos_sim"),
+        )
+    )
+    dense_top = (
+        dense_scores.orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(_RRF_TOPN)
+        .withColumn(
+            "rank_dense",
+            F.row_number().over(Window.orderBy(F.desc("cos_sim"), "doc_id")),
+        )
+        .select("doc_id", F.col("rank_dense").cast("long").alias("rank_dense"))
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (_RRF_K + F.col("rank_dense")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("rank_lex")), F.lit(0.0)),
+        9,
+    )
+    return (
+        lex_top.join(dense_top, "doc_id", "full_outer")
+        .select("doc_id", "rank_dense", "rank_lex", rrf.alias("rrf_score"))
+    )

@@ -70,3 +70,43 @@ def test_grouping_sets_is_single_scan_expand(spark):
     plan = _plan(spark, "grouping_sets_doc_counts")
     assert "Expand" in plan, plan[:2000]
     assert plan.count("documents.parquet") == 1, plan[:2000]
+
+
+def test_min_cost_supplier_argmin_has_no_window(spark):
+    """Q2's per-part argmin must be the struct-min inside the hash
+    aggregate — a window rank would re-shuffle the quote frame and add a
+    sort per partition."""
+    plan = _plan(spark, "min_cost_supplier_per_part")
+    assert "Window" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_product_type_profit_fact_never_shuffles_before_agg(spark):
+    """Q9: with all three dims broadcast, the only hashpartitioning
+    exchange must be the final (nation, year) aggregate — no fact-side
+    join shuffle."""
+    plan = _plan(spark, "product_type_profit")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "PushedFilters: [IsNotNull(p_name), StringContains(p_name,widget)" in plan or \
+        "StringContains(p_name,widget)" in plan, plan[:2000]
+
+
+def test_important_part_share_total_is_broadcast(spark):
+    """Q11: the global-total threshold must come back as a broadcast,
+    not a shuffle join of the part-grain frame with itself."""
+    plan = _plan(spark, "important_part_value_share")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_supplier_count_denylist_is_broadcast_anti(spark):
+    plan = _plan(spark, "supplier_count_by_part_attrs")
+    assert "LeftAnti, BuildRight" in plan, plan[:2000]
+
+
+def test_rrf_ranks_only_k_bounded_frames(spark):
+    """Hybrid RRF: both retriever lists must reduce via
+    TakeOrderedAndProject (per-partition heap) BEFORE any window rank —
+    the unpartitioned row_number windows are legal only because they run
+    over ≤100-row frames."""
+    plan = _plan(spark, "rrf_hybrid_retrieval")
+    assert plan.count("TakeOrderedAndProject") == 2, plan[:3000]
