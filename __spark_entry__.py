@@ -78,6 +78,8 @@ VERIFY_FIRST = [
     "important_part_value_share",
     "supplier_count_by_part_attrs",
     "rrf_hybrid_retrieval",
+    "bpe_merge_candidates",
+    "semdedup_prune",
     # (e) implementation changed since last green driver row
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",

@@ -4193,3 +4193,184 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         lex_top.join(dense_top, "doc_id", "full_outer")
         .select("doc_id", "rank_dense", "rank_lex", rrf.alias("rrf_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate mining — the tokenizer-training inner loop
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_merge_candidates",
+    """
+    WITH wf AS (
+        SELECT word, count(*) AS freq
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+              FROM documents)
+        WHERE len(word) >= 2
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                                     i -> substr(word, i, 2))) AS pair,
+               word, freq
+        FROM wf
+    )
+    SELECT pair,
+           CAST(sum(freq) AS BIGINT) AS pair_count,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words_with_pair
+    FROM pairs
+    GROUP BY 1
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+    """,
+    tags=("X-bpe-merges",),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer-training inner loop as a relational plan: the
+    top adjacent-symbol pairs by corpus frequency — exactly what
+    ``merges.txt`` line 1 would be. The scale trick is the one real BPE
+    trainers use: collapse the corpus to the DISTINCT-word frequency
+    table FIRST (Heaps's law: vocabulary grows ~√corpus, so the word
+    dict of a 100 TB corpus is GB-scale), then explode character pairs
+    over distinct words only, weighting by word frequency. Corpus scan →
+    word-dict shuffle → pair shuffle → TakeOrdered(20); the pair
+    explosion never touches raw text volume."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    wf = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = wf.select(
+        "word",
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1),"
+                   " i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").alias("pair_count"),
+            F.count_distinct("word").alias("n_words_with_pair"),
+        )
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-then-prune semantic dedup over embeddings
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_COS = 0.8
+
+
+def _semdedup_oracle() -> str:
+    cos_rep = _cos_sql("e.embedding", "r.rep_emb")
+    cos_pair = _cos_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH rep AS (
+        SELECT label, min(vec_id) AS rep_id FROM embeddings GROUP BY 1
+    ),
+    repv AS (
+        SELECT r.label, e.embedding AS rep_emb
+        FROM rep r JOIN embeddings e ON e.vec_id = r.rep_id
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label, {cos_rep} AS cos_to_rep
+        FROM embeddings e JOIN repv r ON e.label = r.label
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {cos_pair} >= {_SEMDEDUP_COS}
+    ),
+    partners AS (
+        SELECT id_a AS vec_id, id_b AS partner FROM pairs
+        UNION ALL
+        SELECT id_b AS vec_id, id_a AS partner FROM pairs
+    ),
+    flags AS (
+        SELECT p.vec_id,
+               CAST(count(*) AS BIGINT) AS n_dup_partners,
+               CAST(max(CASE WHEN sy.cos_to_rep < sx.cos_to_rep
+                                  OR (sy.cos_to_rep = sx.cos_to_rep
+                                      AND sy.vec_id < sx.vec_id)
+                             THEN 1 ELSE 0 END) AS BOOLEAN) AS pruned
+        FROM partners p
+        JOIN scored sx ON sx.vec_id = p.vec_id
+        JOIN scored sy ON sy.vec_id = p.partner
+        GROUP BY p.vec_id
+    )
+    SELECT s.vec_id, s.label, s.cos_to_rep,
+           coalesce(f.n_dup_partners, 0) AS n_dup_partners,
+           coalesce(f.pruned, FALSE) AS pruned
+    FROM scored s LEFT JOIN flags f ON f.vec_id = s.vec_id
+    """
+
+
+@register("semdedup_prune", _semdedup_oracle(), tags=("X-semdedup",))
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) as a relational plan: cluster the
+    embedding space, find semantic near-duplicate pairs WITHIN each
+    cluster only, and prune every vector that has a more-keepable
+    duplicate — SemDeDup keeps the pair member with the LOWER cosine to
+    the cluster representative (the less redundant one), id tiebreak.
+    Deterministic twist vs the paper: the cluster representative is the
+    cluster's first-ingested vector (min vec_id) instead of a float-sum
+    k-means centroid, so both engines agree bit-for-bit. Scale shape:
+    the rep frame is cluster-grain (broadcast), pairing is cell-bucketed
+    (never cross-cluster, never all-pairs), and the prune verdict is a
+    keyed aggregate over pair endpoints — at 100 TB the quadratic term
+    is bounded by the largest cell, the same contract as the IVF/LSH
+    paths, with AQE skew-split as the relief valve."""
+    from ..operators.similarity import _as_double, cosine
+
+    e = _as_double(table(spark, sf_dir, "embeddings"))
+    rep = e.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
+    repv = rep.join(
+        e.select(F.col("vec_id").alias("rep_id"), F.col("embedding").alias("rep_emb")),
+        "rep_id",
+    ).select("label", "rep_emb")
+    scored = e.join(F.broadcast(repv), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("rep_emb")), 4).alias("cos_to_rep"),
+    )
+    pairs = embedding_cosine_near_dups(e, threshold=_SEMDEDUP_COS).select("id_a", "id_b")
+    partners = pairs.select(
+        F.col("id_a").alias("vec_id"), F.col("id_b").alias("partner")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("partner"))
+    )
+    sx = scored.select(
+        F.col("vec_id"), F.col("cos_to_rep").alias("cos_x")
+    )
+    sy = scored.select(
+        F.col("vec_id").alias("partner"), F.col("cos_to_rep").alias("cos_y")
+    )
+    flags = (
+        partners.join(sx, "vec_id")
+        .join(sy, "partner")
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_partners"),
+            F.max(
+                (F.col("cos_y") < F.col("cos_x"))
+                | ((F.col("cos_y") == F.col("cos_x"))
+                   & (F.col("partner") < F.col("vec_id")))
+            ).alias("pruned"),
+        )
+    )
+    return scored.join(flags, "vec_id", "left").select(
+        "vec_id",
+        "label",
+        "cos_to_rep",
+        F.coalesce("n_dup_partners", F.lit(0)).alias("n_dup_partners"),
+        F.coalesce("pruned", F.lit(False)).alias("pruned"),
+    )

@@ -202,3 +202,65 @@ def test_compaction_plan_invariants(spark):
             assert r.target_file == (cum - 1) // sp._COMPACT_TARGET
             assert r.target_file >= prev_bucket
             prev_bucket = r.target_file
+
+
+def _plan_str(spark, name):
+    return (
+        CATALOG[name].build(spark, SF_DIR)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+
+
+def test_bpe_pairs_from_distinct_words(spark):
+    """The pair explosion must run over the distinct-word dict, not the
+    corpus: a word occurring N times contributes its pairs with weight N
+    but is exploded ONCE. Pinned behaviorally — a word repeated across
+    docs yields pair_count = freq, and the plan aggregates words before
+    the pair explode."""
+    from citibike_deep_dive_spark.plans.training import bpe_merge_candidates
+
+    plan = _plan_str(spark, "bpe_merge_candidates")
+    # generate/explode of pairs must sit ABOVE the word-frequency
+    # aggregate in the plan (explode after the first HashAggregate pair).
+    gen_pos = plan.index("Generate explode")
+    agg_pos = len(plan) - plan[::-1].index(
+        "HashAggregate"[::-1]
+    )  # last HashAggregate occurrence end
+    assert "Generate explode" in plan and "TakeOrderedAndProject" in plan
+    assert gen_pos < agg_pos, plan[:3000]
+
+
+def test_semdedup_keeps_lower_cos_to_rep(spark):
+    """For a near-dup pair, the member with the LOWER cosine to the
+    cluster representative survives; the other is pruned. Vectors with
+    no near-dup partner are never pruned."""
+    from citibike_deep_dive_spark.operators.similarity import (
+        embedding_cosine_near_dups,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 7),      # rep of cluster 7
+            (1, [0.9, 0.1, 0.0], 7),      # near-dup of 2, closer to rep
+            (2, [0.88, 0.12, 0.01], 7),   # near-dup of 1
+            (3, [0.0, 1.0, 0.0], 7),      # orthogonal — no partner
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    emb.createOrReplaceTempView("semdedup_fixture")
+    pairs = embedding_cosine_near_dups(emb, threshold=0.99)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    # rep cosine: vec 1 is closer to rep (higher cos) than vec 2
+    # -> SemDeDup prunes vec 1, keeps vec 2.
+    from pyspark.sql import functions as F  # noqa: F401
+    from citibike_deep_dive_spark.operators.similarity import cosine
+
+    s = emb.alias("e").join(
+        emb.filter("vec_id = 0").select(
+            F.col("label").alias("l2"), F.col("embedding").alias("rep")
+        ),
+        F.col("label") == F.col("l2"),
+    ).select("vec_id", F.round(cosine(F.col("e.embedding"), F.col("rep")), 4).alias("c"))
+    cs = {r.vec_id: r.c for r in s.collect()}
+    assert cs[1] > cs[2]
