@@ -80,6 +80,7 @@ VERIFY_FIRST = [
     "rrf_hybrid_retrieval",
     "bpe_merge_candidates",
     "semdedup_prune",
+    "simhash_hamming_pairs",
     # (e) implementation changed since last green driver row
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",

@@ -264,3 +264,32 @@ def test_semdedup_keeps_lower_cos_to_rep(spark):
     ).select("vec_id", F.round(cosine(F.col("e.embedding"), F.col("rep")), 4).alias("c"))
     cs = {r.vec_id: r.c for r in s.collect()}
     assert cs[1] > cs[2]
+
+
+def test_simhash_banding_is_lossless(spark):
+    """Pigeonhole guarantee: 4 bands x 4 bits finds EVERY pair with
+    hamming <= 3 — banded output must equal the brute-force all-pairs
+    filter on the same simhashes."""
+    from citibike_deep_dive_spark.operators.dedup import simhash
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+    )
+    sh = simhash(docs, bits=16)
+    a = sh.select(F.col("doc_id").alias("ida"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("idb"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.ida, r.idb)
+        for r in a.join(b, F.col("ida") < F.col("idb"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .collect()
+    }
+    sub = docs.count()
+    got_all = CATALOG["simhash_hamming_pairs"].build(spark, SF_DIR)
+    ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in got_all.collect()
+        if r.doc_id_a in ids and r.doc_id_b in ids
+    }
+    assert sub == 80 and brute == got
