@@ -81,6 +81,7 @@ VERIFY_FIRST = [
     "bpe_merge_candidates",
     "semdedup_prune",
     "simhash_hamming_pairs",
+    "ohlc_resample_daily",
     # (e) implementation changed since last green driver row
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",

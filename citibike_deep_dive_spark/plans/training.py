@@ -4451,3 +4451,69 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(hamming <= _HAMMING_MAX).select(
         "doc_id_a", "doc_id_b", hamming.cast("long").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC resample — time-series downsampling with argmin/argmax in one agg
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ohlc_resample_daily",
+    """
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM e
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day_str,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+    tags=("X-ohlc-resample",),
+)
+def ohlc_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the canonical time-series resample) per
+    (event_type, day): first/last value by timestamp plus the min/max
+    envelope and the bar count. The open/close argmin/argmax ride INSIDE
+    the single hash aggregate as ``min/max(struct(ts, event_id, value))``
+    — event_id makes the ordering total, so the result is deterministic
+    and the whole bar computes in ONE keyed shuffle with map-side
+    combine (the oracle's double-window form would re-sort every
+    partition; at 100 TB the struct-extremum form is the only shape that
+    streams). high/low are raw double extrema — order-independent, no
+    rounding needed."""
+    ev = table(spark, sf_dir, "events")
+    day_str = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    return (
+        ev.groupBy("event_type", day_str.alias("day_str"))
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("o"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "event_id", "value")).alias("c"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "day_str",
+            F.col("o.value").alias("open"),
+            "high",
+            "low",
+            F.col("c.value").alias("close"),
+            "n_events",
+        )
+    )

@@ -293,3 +293,30 @@ def test_simhash_banding_is_lossless(spark):
         if r.doc_id_a in ids and r.doc_id_b in ids
     }
     assert sub == 80 and brute == got
+
+
+def test_ohlc_single_aggregate_no_window(spark):
+    """The OHLC bar must be ONE hash aggregate (struct-extremum
+    argmin/argmax) — a window-based first/last would add a partition
+    sort per bar key."""
+    plan = _plan_str(spark, "ohlc_resample_daily")
+    assert "Window" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2500]
+
+
+def test_ohlc_open_close_semantics(spark):
+    """open = value at earliest (ts, event_id); close = at latest."""
+    from citibike_deep_dive_spark.plans import CATALOG as C
+
+    df = C["ohlc_resample_daily"].build(spark, "/root/testdata/sf0.001")
+    row = df.filter("n_events >= 3").first()
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("event_type") == row.event_type)
+        .filter(F.date_format(F.to_date("ts"), "yyyy-MM-dd") == row.day_str)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    assert row.open == ev[0].value and row.close == ev[-1].value
+    vals = [r.value for r in ev]
+    assert row.high == max(vals) and row.low == min(vals)
