@@ -82,6 +82,7 @@ VERIFY_FIRST = [
     "semdedup_prune",
     "simhash_hamming_pairs",
     "ohlc_resample_daily",
+    "hard_negative_mining",
     # (e) implementation changed since last green driver row
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",

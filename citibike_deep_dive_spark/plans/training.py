@@ -4517,3 +4517,68 @@ def ohlc_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — contrastive-training pairs from the similarity band
+# ---------------------------------------------------------------------------
+
+_HN_LO, _HN_HI, _HN_K = 0.15, 0.45, 5
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+               {_cos_sql("a.embedding", "q.embedding")} AS cos_sim
+        FROM embeddings a,
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+        WHERE a.vec_id <> q.vec_id
+    ),
+    banded AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, cand_id) AS rank
+        FROM scored
+        WHERE cos_sim >= {_HN_LO} AND cos_sim < {_HN_HI}
+    )
+    SELECT query_id, cand_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM banded WHERE rank <= {_HN_K}
+    """,
+    tags=("X-hard-negatives",),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    anchor, the top-k most-similar candidates INSIDE the
+    similar-but-not-duplicate band (0.15 <= cos < 0.45 for this
+    synthetic corpus; production tunes per embedding model) — too similar is
+    a false negative (a near-dup), too dissimilar teaches nothing. Same
+    scale contract as the ANN brute-force path: anchors broadcast, the
+    corpus streams once, the band filter runs before the rank so the
+    window sees only band survivors, and the row_number <= k filter
+    compiles to WindowGroupLimit (per-partition top-k heaps below the
+    exchange). At 100 TB you'd swap the scored CTE for the IVF
+    cell-restricted variant — the banding and per-anchor top-k are
+    unchanged."""
+    from ..operators.similarity import _as_double, cosine
+
+    emb = _as_double(table(spark, sf_dir, "embeddings"))
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 4).alias("cos_sim"),
+        )
+        .filter((F.col("cos_sim") >= _HN_LO) & (F.col("cos_sim") < _HN_HI))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select("query_id", "cand_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )

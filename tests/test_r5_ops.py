@@ -320,3 +320,25 @@ def test_ohlc_open_close_semantics(spark):
     assert row.open == ev[0].value and row.close == ev[-1].value
     vals = [r.value for r in ev]
     assert row.high == max(vals) and row.low == min(vals)
+
+
+def test_hard_negative_mining_excludes_near_dups_and_self(spark):
+    """Band semantics: no self-pairs, no cos >= upper bound (near-dup
+    false negatives), no cos < lower bound, at most k per anchor, rank
+    dense from 1."""
+    df = CATALOG["hard_negative_mining"].build(spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    assert rows, "band must be non-empty at sf0.01"
+    per = {}
+    for r in rows:
+        assert r.query_id != r.cand_id
+        assert 0.15 <= r.cos_sim < 0.45
+        per.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
+def test_hard_negative_window_is_group_limited(spark):
+    plan = _plan_str(spark, "hard_negative_mining")
+    assert "WindowGroupLimit" in plan, plan[:2500]
