@@ -58,6 +58,11 @@ HEADLINE = [
     "embedding_pq_codes",
     "ann_ivfpq_adc_topk",
     "minhash_jaccard_estimate",
+    # round-5 second batch: the two CPU-bound additions (the OLAP/RRF/
+    # BPE/OHLC additions are scheduling-floor-bound at sf0.1 — per-query
+    # numbers recorded in BASELINE.md instead of diluting the headline)
+    "semdedup_prune",
+    "simhash_hamming_pairs",
 ]
 
 
