@@ -4266,7 +4266,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup — cluster-then-prune semantic dedup over embeddings
 # ---------------------------------------------------------------------------
 
-_SEMDEDUP_COS = 0.8
+_SEMDEDUP_COS = 0.35  # this corpus's near-dup tail; production ~0.95+
 
 
 def _semdedup_oracle() -> str:
