@@ -83,6 +83,7 @@ VERIFY_FIRST = [
     "simhash_hamming_pairs",
     "ohlc_resample_daily",
     "hard_negative_mining",
+    "duplicate_provenance_matrix",
     # (e) implementation changed since last green driver row
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",

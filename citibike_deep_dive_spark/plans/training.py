@@ -4594,3 +4594,86 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _HN_K)
         .select("query_id", "cand_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate provenance — which sources duplicate each other
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "duplicate_provenance_matrix",
+    """
+    WITH segs AS (
+        SELECT DISTINCT doc_id, source,
+               unnest(list_transform(
+                   generate_series(0, len(w) // 16 - 1),
+                   i -> md5(array_to_string(w[i * 16 + 1 : i * 16 + 16], ' '))
+               )) AS seg
+        FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+              FROM documents)
+        WHERE len(w) >= 16
+    ),
+    g AS (
+        SELECT seg, source, count(DISTINCT doc_id) AS cnt
+        FROM segs GROUP BY 1, 2
+    ),
+    dup AS (SELECT seg FROM g GROUP BY 1 HAVING sum(cnt) > 1)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(sum(CASE WHEN a.source < b.source THEN a.cnt * b.cnt
+                         ELSE a.cnt * (a.cnt - 1) / 2 END) AS BIGINT)
+               AS n_dup_pairs,
+           CAST(count(DISTINCT a.seg) AS BIGINT) AS n_shared_segments
+    FROM g a
+    JOIN g b ON a.seg = b.seg AND a.source <= b.source
+    JOIN dup ON dup.seg = a.seg
+    WHERE a.source < b.source OR (a.source = b.source AND a.cnt > 1)
+    GROUP BY 1, 2
+    """,
+    tags=("X-dup-provenance",),
+)
+def duplicate_provenance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where duplication comes FROM: for every source pair, how many
+    document pairs share a 16-word segment (diagonal = within-source
+    boilerplate pairs, C(cnt,2)) and how many distinct segments are
+    shared. The provenance matrix tells a curation team whether dedup
+    budget should go to cross-source mirrors (the same template crawled
+    by two dumps) or within-source repetition — the segment grain (vs
+    whole-doc md5) is what surfaces shared boilerplate that exact dedup
+    misses. Scale shape: documents reduce to distinct (segment, source,
+    doc-count) FIRST — md5-keyed, uniform — so the pair join runs on the
+    segment-grain frame and the matrix is sources-squared rows. No text
+    moves after the first aggregation."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    ws = F.split(F.lower("text"), " ")
+    seg_expr = F.expr(
+        "transform(sequence(0, size(w) div 16 - 1),"
+        " i -> md5(concat_ws(' ', slice(w, i * 16 + 1, 16))))"
+    )
+    segs = (
+        docs.select("doc_id", "source", ws.alias("w"))
+        .filter(F.size("w") >= 16)
+        .select("doc_id", "source", F.explode(seg_expr).alias("seg"))
+        .distinct()
+    )
+    g = segs.groupBy("seg", "source").agg(F.count_distinct("doc_id").alias("cnt"))
+    dup = g.groupBy("seg").agg(F.sum("cnt").alias("tot")).filter(
+        F.col("tot") > 1
+    ).select("seg")
+    a = g.select("seg", F.col("source").alias("source_a"), F.col("cnt").alias("ca"))
+    b = g.select("seg", F.col("source").alias("source_b"), F.col("cnt").alias("cb"))
+    pairs = (
+        a.join(b, "seg")
+        .join(dup, "seg")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .filter(
+            (F.col("source_a") < F.col("source_b")) | (F.col("ca") > 1)
+        )
+    )
+    n_pairs = F.when(
+        F.col("source_a") < F.col("source_b"), F.col("ca") * F.col("cb")
+    ).otherwise(F.col("ca") * (F.col("ca") - 1) / 2)
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.sum(n_pairs).cast("long").alias("n_dup_pairs"),
+        F.count_distinct("seg").alias("n_shared_segments"),
+    )
