@@ -84,6 +84,7 @@ VERIFY_FIRST = [
     "ohlc_resample_daily",
     "hard_negative_mining",
     "duplicate_provenance_matrix",
+    "ab_test_welch_t",
     # (e) implementation changed since last green driver row
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",

@@ -4677,3 +4677,105 @@ def duplicate_provenance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_pairs).cast("long").alias("n_dup_pairs"),
         F.count_distinct("seg").alias("n_shared_segments"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout — Welch's t over decimal-exact sufficient stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_test_welch_t",
+    """
+    WITH s AS (
+        SELECT event_type,
+               CAST(user_id % 2 AS INTEGER) AS variant,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(value AS DECIMAL(30, 10))) AS sv,
+               sum(CAST(value * value AS DECIMAL(30, 10))) AS sq
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT a.event_type,
+               a.n AS n_a, b.n AS n_b,
+               CAST(a.sv AS DOUBLE) / a.n AS mean_a,
+               CAST(b.sv AS DOUBLE) / b.n AS mean_b,
+               (CAST(a.sq AS DOUBLE)
+                - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE) / a.n)
+                   / (a.n - 1) AS var_a,
+               (CAST(b.sq AS DOUBLE)
+                - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / b.n)
+                   / (b.n - 1) AS var_b
+        FROM s a JOIN s b
+          ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+    )
+    SELECT event_type, n_a, n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round((mean_a - mean_b)
+                 / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+           round(((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b))
+                 / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                    + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 4) AS welch_df
+    FROM w
+    """,
+    tags=("X-ab-welch",),
+)
+def ab_test_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's unequal-variance t statistic and
+    Welch-Satterthwaite degrees of freedom per metric (event_type), with
+    user_id parity standing in for the assignment hash. The scale shape
+    is the textbook one: everything reduces to decomposable sufficient
+    statistics (n, Σx, Σx²) in ONE pass over the events — map-side
+    combine, a (metric, variant)-grain frame of a few rows, then pure
+    scalar algebra. The sums aggregate in DECIMAL so they are
+    summation-order-independent; every downstream double expression is
+    written in the same order on both engines, so t and df are
+    bit-identical before the cosmetic rounding. At 100 TB this is one
+    scan and one tiny shuffle — the same query shape serves thousands
+    of concurrent experiments by adding experiment_id to the key."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).cast("int").alias("variant")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,10)")).alias("sv"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,10)")).alias("sq"),
+    )
+    a = s.filter(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        (F.col("sv").cast("double") / F.col("n")).alias("mean_a"),
+        (
+            (F.col("sq").cast("double")
+             - F.col("sv").cast("double") * F.col("sv").cast("double") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var_a"),
+    )
+    b = s.filter(F.col("variant") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        (F.col("sv").cast("double") / F.col("n")).alias("mean_b"),
+        (
+            (F.col("sq").cast("double")
+             - F.col("sv").cast("double") * F.col("sv").cast("double") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var_b"),
+    )
+    j = a.join(b, "event_type")
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    df_num = se2 * se2
+    df_den = (
+        (F.col("var_a") / F.col("n_a")) * (F.col("var_a") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        + (F.col("var_b") / F.col("n_b")) * (F.col("var_b") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+    )
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(df_num / df_den, 4).alias("welch_df"),
+    )

@@ -369,3 +369,27 @@ def test_resize_stub_gates_without_fake():
 
     with _pytest.raises(NotImplementedError):
         resize_stub(b"abc", 10, 10, deterministic_fake=False)
+
+
+def test_welch_t_matches_scipy_free_reference(spark):
+    """Cross-check the decimal-exact Welch t against a plain-Python
+    two-pass computation on the same rows (no scipy in the container)."""
+    import math
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", (F.col("user_id") % 2).alias("v"), "value")
+        .collect()
+    )
+    by = {}
+    for r in rows:
+        by.setdefault((r.event_type, r.v), []).append(r.value)
+    df = CATALOG["ab_test_welch_t"].build(spark, SF_DIR)
+    for r in df.collect():
+        a, b = by[(r.event_type, 0)], by[(r.event_type, 1)]
+        ma, mb = sum(a) / len(a), sum(b) / len(b)
+        va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+        t = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
+        assert abs(r.t_stat - t) < 1e-4, (r.event_type, r.t_stat, t)
+        assert r.n_a == len(a) and r.n_b == len(b)
