@@ -85,6 +85,7 @@ VERIFY_FIRST = [
     "hard_negative_mining",
     "duplicate_provenance_matrix",
     "ab_test_welch_t",
+    "seasonal_baseline_profile",
     # (e) implementation changed since last green driver row
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",

@@ -4779,3 +4779,66 @@ def ab_test_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 6).alias("t_stat"),
         F.round(df_num / df_den, 4).alias("welch_df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal baseline — day-of-week x hour profile with seasonality index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_baseline_profile",
+    """
+    WITH cell AS (
+        SELECT event_type,
+               CAST(dayofweek(ts) AS INTEGER) AS dow,
+               CAST(hour(ts) AS INTEGER) AS hod,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(value AS DECIMAL(30, 10))) AS sv
+        FROM events GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(sum(sv) AS DOUBLE) / sum(n) AS global_mean
+        FROM cell GROUP BY 1
+    )
+    SELECT c.event_type, c.dow, c.hod, c.n,
+           round(CAST(c.sv AS DOUBLE) / c.n, 6) AS cell_mean,
+           round((CAST(c.sv AS DOUBLE) / c.n) / t.global_mean, 6)
+               AS seasonal_index
+    FROM cell c JOIN tot t ON t.event_type = c.event_type
+    """,
+    tags=("X-seasonal-baseline",),
+)
+def seasonal_baseline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile per metric: mean value per
+    (day-of-week, hour-of-day) cell and its index against the metric's
+    global mean — the baseline an anomaly detector divides by before
+    alerting (a Monday-9am spike is only a spike relative to Monday
+    9am). Two-level reduction: events collapse to the 7x24 cell grain in
+    one pass (decimal sums — order-independent), the global mean is a
+    re-aggregate of the CELL frame (metadata-scale, no second scan), and
+    the index join is cell-grain vs metric-grain — both tiny. DuckDB's
+    dayofweek is 0=Sunday; Spark's dayofweek() is 1=Sunday, so the Spark
+    side subtracts 1 to align the calendars."""
+    ev = table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,10)")).alias("sv"),
+    )
+    tot = cell.groupBy("event_type").agg(
+        (F.sum("sv").cast("double") / F.sum("n")).alias("global_mean")
+    )
+    cm = F.col("sv").cast("double") / F.col("n")
+    return cell.join(tot, "event_type").select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        F.round(cm, 6).alias("cell_mean"),
+        F.round(cm / F.col("global_mean"), 6).alias("seasonal_index"),
+    )
