@@ -87,6 +87,9 @@ VERIFY_FIRST = [
     "ab_test_welch_t",
     "seasonal_baseline_profile",
     # (e) implementation changed since last green driver row
+    "embedding_near_dup_pairs",
+    "ann_brute_force_topk",
+    "ann_ivf_label_topk",
     "dock_deep_merge_nested_maps",
     "route_waypoints_enrichment",
     "dedup_connected_components",

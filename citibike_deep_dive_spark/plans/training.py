@@ -302,12 +302,15 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_cos_sql("a.embedding", "b.embedding")} AS cos_sim
     FROM embeddings a
     JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.8
+    WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.35
     """,
     tags=("X-dedup-embedding",),
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_cosine_near_dups(table(spark, sf_dir, "embeddings"), threshold=0.8)
+    # 0.35 = this synthetic corpus's similarity tail (max pairwise cos
+    # ~0.5; the original 0.95-style production threshold matched zero
+    # pairs, so the driver row verified only an empty result).
+    return embedding_cosine_near_dups(table(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
 # ---------------------------------------------------------------------------
