@@ -42,9 +42,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows-only to value-checked oracles this round; (d) round-5 additions;
 # (e) lowest-confidence greens — queries whose implementation changed
 # after their last green row. Everything already green on file sorts
-# last. The final entry is the one remaining rows-only query
-# (ivf_kmeans_cells: cross-engine k-means centroids aren't
-# SQL-expressible); the driver records its weaker rows-only check.
+# last. ivf_kmeans_cells — formerly the one rows-only query — is now
+# value-checked too: decimal-exact centroid means make each iteration
+# bit-reproducible, so the oracle unrolls the finite loop as generated
+# CTE blocks. Every catalog entry now carries an exact oracle.
 VERIFY_FIRST = [
     # (a) red in r4 — fixed this round (preflight: OK rows=97)
     "corpus_manifest",
@@ -96,7 +97,7 @@ VERIFY_FIRST = [
     "dedup_pagerank_hubs",
     "training_corpus_prep",
     "session_windows_batch",
-    # rows-only (no oracle — weaker driver check, still worth a row)
+    # upgraded rows-only -> value-checked this round (unrolled oracle)
     "ivf_kmeans_cells",
 ]
 

@@ -230,7 +230,19 @@ def kmeans(
                 "cluster_id", F.posexplode("v").alias("pos", "val")
             )
             .groupBy("cluster_id", "pos")
-            .agg(F.avg("val").alias("m"))
+            # Decimal-exact mean: double sums are summation-order-
+            # dependent (parallel partial aggregates), so cross-engine /
+            # cross-run centroid bits would drift and borderline
+            # assignments flip. Exact decimal addition + one double
+            # division is order-independent — it makes the whole
+            # iterative algorithm SQL-replicable (see the
+            # ivf_kmeans_cells oracle) and run-deterministic.
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(30,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
             .groupBy("cluster_id")
             .agg(
                 F.transform(

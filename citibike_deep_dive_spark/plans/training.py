@@ -1552,16 +1552,78 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    """Unrolled k-means oracle: the fixed-point loop is finite and
+    deterministic (decimal-exact centroid means, rounded+tiebroken
+    argmin assignment), so N iterations are N generated CTE blocks —
+    the catalog's last rows-only entry becomes value-checked."""
+    d2 = (
+        "round(list_sum(list_transform(generate_series(1, len(e.v)), i ->"
+        " (e.v[i] - c.m[i]) * (e.v[i] - c.m[i]))), 6)"
+    )
+    blocks = [
+        f"""
+    e AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cent_0 AS (
+        SELECT row_number() OVER (ORDER BY id) AS cluster_id, v AS m
+        FROM e ORDER BY id LIMIT {k}
+    )"""
+    ]
+    for it in range(1, iters + 1):
+        prev, cur = f"cent_{it - 1}", f"cent_{it}"
+        blocks.append(f"""
+    assign_{it} AS (
+        SELECT id, v, cluster_id FROM (
+            SELECT e.id, e.v, c.cluster_id,
+                   row_number() OVER (PARTITION BY e.id
+                                      ORDER BY {d2}, c.cluster_id) AS rn
+            FROM e, {prev} c
+        ) WHERE rn = 1
+    ),
+    {cur} AS (
+        SELECT cluster_id, list(md ORDER BY pos) AS m
+        FROM (
+            SELECT cluster_id, pos,
+                   CAST(sum(CAST(v[pos] AS DECIMAL(30, 10))) AS DOUBLE)
+                       / count(*) AS md
+            FROM assign_{it},
+                 LATERAL (SELECT unnest(generate_series(1, len(v))) AS pos)
+            GROUP BY 1, 2
+        ) GROUP BY 1
+    )""")
+    return (
+        "WITH" + ",".join(blocks) + f""",
+    final AS (
+        SELECT id, cluster_id AS cell FROM (
+            SELECT e.id, c.cluster_id,
+                   row_number() OVER (PARTITION BY e.id
+                                      ORDER BY {d2}, c.cluster_id) AS rn
+            FROM e, cent_{iters} c
+        ) WHERE rn = 1
+    )
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(id) AS BIGINT) AS min_vec_id
+    FROM final GROUP BY 1
+    """
+    )
+
+
 @register(
     "ivf_kmeans_cells",
-    None,  # iterative fixed-point — genuinely non-SQL-expressible; rows-only
+    _kmeans_oracle(k=8, iters=3),
     tags=("X-kmeans",),
 )
 def ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real IVF: 3-round deterministic k-means builds the cells, then the
-    full corpus is assigned. Rows-only check (the driver records the
-    weaker gate); the assignment step itself is oracle-checked separately
-    in ivf_fixed_centroid_assignment."""
+    full corpus is assigned. Upgraded from rows-only to value-checked:
+    with decimal-exact centroid means (order-independent sums) and the
+    rounded+tiebroken argmin, every iteration is bit-reproducible, so
+    the oracle simply unrolls the finite loop as generated CTE blocks —
+    the driver's strongest gate now covers the iterative path too."""
     from ..operators.similarity import ivf_assign, kmeans
 
     emb = table(spark, sf_dir, "embeddings")
