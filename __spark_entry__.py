@@ -87,6 +87,7 @@ VERIFY_FIRST = [
     "duplicate_provenance_matrix",
     "ab_test_welch_t",
     "seasonal_baseline_profile",
+    "feature_hashing_sparse",
     # (e) implementation changed since last green driver row
     "embedding_near_dup_pairs",
     "ann_brute_force_topk",

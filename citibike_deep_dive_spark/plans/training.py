@@ -4907,3 +4907,67 @@ def seasonal_baseline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cm, 6).alias("cell_mean"),
         F.round(cm / F.col("global_mean"), 6).alias("seasonal_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing — the hashing-trick featurizer as sparse triples
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 256
+
+
+@register(
+    "feature_hashing_sparse",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1))
+                   % {_FH_BUCKETS} AS bucket,
+               CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), 5, 1)) - 1)
+                         % 2 = 1
+                    THEN 1 ELSE -1 END AS sign
+        FROM toks
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(sum(sign) AS BIGINT) AS weight
+    FROM hashed
+    GROUP BY 1, 2
+    HAVING sum(sign) <> 0
+    """,
+    tags=("X-feature-hashing",),
+)
+def feature_hashing_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009) as a relational plan:
+    tokens hash into a fixed bucket space with a signed contribution
+    (the sign bit makes collisions cancel in expectation instead of
+    biasing upward), emitted as sparse (doc_id, bucket, weight) triples
+    — the featurizer that needs NO vocabulary pass, no dictionary
+    broadcast, no OOV handling, which is exactly why it scales to
+    unbounded token spaces. One explode, one (doc, bucket) keyed
+    aggregation with map-side combine; bucket ids are md5-derived
+    (uniform shuffle keys), and the triple form feeds any downstream
+    linear model trainer as a co-partitioned join on doc_id."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    digest = F.md5("tok")
+    bucket = (
+        F.conv(F.substring(digest, 1, 4), 16, 10).cast("long") % _FH_BUCKETS
+    )
+    sign = F.when(
+        F.conv(F.substring(digest, 5, 1), 16, 10).cast("long") % 2 == 1, 1
+    ).otherwise(-1)
+    return (
+        toks.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
