@@ -88,6 +88,7 @@ VERIFY_FIRST = [
     "ab_test_welch_t",
     "seasonal_baseline_profile",
     "feature_hashing_sparse",
+    "linear_gd_gradient_step",
     # (e) implementation changed since last green driver row
     "embedding_near_dup_pairs",
     "ann_brute_force_topk",

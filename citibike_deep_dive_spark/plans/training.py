@@ -4971,3 +4971,78 @@ def feature_hashing_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sign").cast("long").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed training step — exact linear-model gradient as aggregation
+# ---------------------------------------------------------------------------
+
+# Fixed deterministic weight vector: w_j = ((j*37) % 19 - 9) / 10 for
+# 1-based dim j — reproducible on both engines with integer arithmetic.
+_GD_W = "(CAST(((j * 37) % 19 - 9) AS DOUBLE) / 10)"
+
+
+@register(
+    "linear_gd_gradient_step",
+    f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               CAST(label AS DOUBLE) AS y
+        FROM embeddings
+    ),
+    resid AS (
+        SELECT vec_id, v,
+               list_sum(list_transform(generate_series(1, len(v)),
+                   j -> v[j] * {_GD_W})) - y AS r
+        FROM e
+    )
+    SELECT j AS dim,
+           CAST(CAST(sum(CAST(xr AS DECIMAL(30, 10))) AS DOUBLE)
+                / (SELECT count(*) FROM e) AS DOUBLE) AS gradient
+    FROM (
+        SELECT vec_id, r, j, v[j] * r AS xr
+        FROM resid, LATERAL (SELECT unnest(generate_series(1, len(v))) AS j)
+    )
+    GROUP BY 1
+    """,
+    tags=("X-gd-step",),
+)
+def linear_gd_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact gradient step of a squared-loss linear model,
+    distributed the way parameter servers actually do it: the gradient
+    ∇ = (1/n)·Σ x·(x·w − y) is a DECOMPOSABLE per-dimension sum, so the
+    step is one scan (per-row residual in codegen, fixed fold order), a
+    posexplode to (dim, x_j·r), and a dim-keyed aggregation — 64 output
+    rows regardless of corpus size. Per-dim sums aggregate in DECIMAL:
+    with double addition the gradient bits depend on partition order,
+    which breaks both reproducible training and the cross-engine
+    oracle. The weight vector is a deterministic integer-arithmetic
+    literal; iterating = re-running with the updated broadcast w, same
+    plan per epoch (the SGD loop is the k-means loop with a different
+    update rule)."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("label").cast("double").alias("y"),
+    )
+    r = (
+        F.expr(
+            "aggregate(transform(sequence(1, size(v)),"
+            " j -> element_at(v, j) * (CAST((j * 37) % 19 - 9 AS DOUBLE) / 10)),"
+            " 0.0D, (acc, x) -> acc + x)"
+        )
+        - F.col("y")
+    )
+    n = e.count()  # metadata-scale scalar (row count), not data movement
+    resid = e.select("vec_id", "v", r.alias("r"))
+    return (
+        resid.select("r", F.posexplode("v").alias("pos", "x"))
+        .select((F.col("pos") + 1).alias("dim"), (F.col("x") * F.col("r")).alias("xr"))
+        .groupBy("dim")
+        .agg(
+            (F.sum(F.col("xr").cast("decimal(30,10)")).cast("double") / F.lit(n))
+            .alias("gradient")
+        )
+    )
