@@ -89,6 +89,7 @@ VERIFY_FIRST = [
     "seasonal_baseline_profile",
     "feature_hashing_sparse",
     "linear_gd_gradient_step",
+    "knn_classifier_eval",
     # (e) implementation changed since last green driver row
     "embedding_near_dup_pairs",
     "ann_brute_force_topk",

@@ -5046,3 +5046,88 @@ def linear_gd_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gradient")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN classifier eval — majority-vote accuracy per class
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_classifier_eval",
+    f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               a.vec_id AS cand_id, a.label AS cand_label,
+               {_cos_sql("a.embedding", "q.embedding")} AS cos_sim
+        FROM embeddings a,
+             (SELECT vec_id, label, embedding FROM embeddings
+              WHERE vec_id < 50) q
+        WHERE a.vec_id <> q.vec_id
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, cand_id) AS rn
+            FROM scored
+        ) WHERE rn <= 10
+    ),
+    votes AS (
+        SELECT query_id, true_label, cand_label, count(*) AS cnt
+        FROM topk GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT query_id, true_label, cand_label AS pred_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cnt DESC, cand_label) AS rv
+            FROM votes
+        ) WHERE rv = 1
+    )
+    SELECT true_label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN pred_label = true_label THEN 1.0 ELSE 0 END)
+                 / count(*), 6) AS accuracy
+    FROM pred GROUP BY 1
+    """,
+    tags=("X-knn-eval",),
+)
+def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval the way retrieval teams actually grade a
+    space: k-NN majority-vote classification accuracy per class. 50
+    held-out queries broadcast against the corpus scan (the ANN
+    brute-force contract), per-query top-10 via WindowGroupLimit, then
+    the majority vote is an argmax over the (query, label) vote counts
+    — count desc, label asc tiebreak so both engines elect the same
+    winner. Per-class accuracy is an exact integer ratio. Swap the
+    scored CTE for the IVF path and this same query grades the ANN
+    index's end-task regression, not just its recall."""
+    from ..operators.similarity import _as_double, brute_force_topk
+
+    emb = _as_double(table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 50)
+    top = brute_force_topk(emb, queries, k=10)
+    labels = emb.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label"))
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        top.join(F.broadcast(labels), "cand_id")
+        .join(F.broadcast(qlab), "query_id")
+        .groupBy("query_id", "true_label", "cand_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pred = (
+        votes.groupBy("query_id", "true_label")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("cand_label").alias("l"))).alias("b"))
+        .select("query_id", "true_label", F.col("b.l").alias("pred_label"))
+    )
+    correct = (F.col("pred_label") == F.col("true_label")).cast("int")
+    return pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        F.round(
+            F.sum(correct.cast("double") * 1.0) / F.count(F.lit(1)), 6
+        ).alias("accuracy"),
+    )
