@@ -90,6 +90,7 @@ VERIFY_FIRST = [
     "feature_hashing_sparse",
     "linear_gd_gradient_step",
     "knn_classifier_eval",
+    "psi_drift_report",
     # (e) implementation changed since last green driver row
     "embedding_near_dup_pairs",
     "ann_brute_force_topk",

@@ -5131,3 +5131,73 @@ def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(correct.cast("double") * 1.0) / F.count(F.lit(1)), 6
         ).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PSI drift report — population stability index between time periods
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "psi_drift_report",
+    """
+    WITH bucketed AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 'ref' ELSE 'cur' END AS period,
+               CAST(least(floor(value / 50), 9) AS INTEGER) AS bucket
+        FROM events
+    ),
+    cnt AS (
+        SELECT event_type, bucket,
+               sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS ref_n,
+               sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS cur_n
+        FROM bucketed GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, sum(ref_n) AS ref_t, sum(cur_n) AS cur_t
+        FROM cnt GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           round(sum(
+               (CAST(c.ref_n + 1 AS DOUBLE) / (t.ref_t + 10)
+                - CAST(c.cur_n + 1 AS DOUBLE) / (t.cur_t + 10))
+               * ln((CAST(c.ref_n + 1 AS DOUBLE) / (t.ref_t + 10))
+                    / (CAST(c.cur_n + 1 AS DOUBLE) / (t.cur_t + 10)))
+           ), 6) AS psi
+    FROM cnt c JOIN tot t ON t.event_type = c.event_type
+    GROUP BY 1
+    """,
+    tags=("X-psi-drift",),
+)
+def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per metric between a reference and a
+    current period — the standard production drift gate (PSI < 0.1
+    stable, > 0.25 retrain). Values bucket into a fixed equal-width
+    grid (integer codegen), counts reduce to (metric, bucket) grain in
+    one conditional-sum pass, totals re-aggregate that tiny frame, and
+    PSI is Laplace-smoothed ((n+1)/(N+10)) so empty buckets contribute
+    finite terms instead of dividing by zero. Integer counts make every
+    ratio deterministic; ln parity across engines is already proven by
+    the BM25 oracle. One scan, two metadata-scale aggregations."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    bucket = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int")
+    cnt = ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0)).alias("ref_n"),
+        F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0)).alias("cur_n"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("ref_n").alias("ref_t"), F.sum("cur_n").alias("cur_t")
+    )
+    p = (F.col("ref_n") + 1).cast("double") / (F.col("ref_t") + 10)
+    q = (F.col("cur_n") + 1).cast("double") / (F.col("cur_t") + 10)
+    return (
+        cnt.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        )
+    )
