@@ -5201,3 +5201,69 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty — how much of each doc is first-seen in ingest order
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_novelty_fraction",
+    """
+    WITH grams AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(w[i : i + 2], ' ')) AS g
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)
+    ),
+    owner AS (
+        SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_grams,
+           round(sum(CASE WHEN doc_id = first_doc THEN 1.0 ELSE 0 END)
+                 / count(*), 6) AS novelty_frac
+    FROM grams JOIN owner USING (g)
+    GROUP BY 1
+    """,
+    tags=("X-ngram-novelty",),
+)
+def ngram_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty in ingest order: the fraction of a doc's
+    distinct trigrams that no earlier document contains — the
+    continuous version of dedup (a doc of novelty ~0 is pure rehash
+    even if no single prior doc matches it; near-dup pair methods miss
+    that many-sources case entirely). Attribution is an argmin over the
+    gram's posting list (min doc_id = first owner), so the whole metric
+    is: distinct (doc, gram) explode → gram-keyed min → join back →
+    doc-keyed ratio. All shuffle keys are md5 grams or doc ids
+    (uniform); integer counts make the ratio exact."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    ws = F.split(F.lower("text"), " ")
+    gram_expr = F.expr(
+        "transform(sequence(1, size(w) - 2),"
+        " i -> md5(concat_ws(' ', slice(w, i, 3))))"
+    )
+    grams = (
+        docs.select("doc_id", ws.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(gram_expr).alias("g"))
+        .distinct()
+    )
+    owner = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("doc_id") == F.col("first_doc")).cast("long")
+    return (
+        grams.join(owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("novel_grams"),
+            F.round(
+                F.sum(novel.cast("double")) / F.count(F.lit(1)), 6
+            ).alias("novelty_frac"),
+        )
+    )
