@@ -4407,30 +4407,59 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(cosine(F.col("embedding"), F.col("rep_emb")), 4).alias("cos_to_rep"),
     )
-    pairs = embedding_cosine_near_dups(e, threshold=_SEMDEDUP_COS).select("id_a", "id_b")
-    partners = pairs.select(
-        F.col("id_a").alias("vec_id"), F.col("id_b").alias("partner")
-    ).unionAll(
-        pairs.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("partner"))
+    # Fused pair frame: endpoint-to-rep cosines are computed ON THE
+    # FILTERED pairs (post-threshold, few rows) inside the pair join —
+    # the rounded values are bit-identical to scored's, so semantics and
+    # oracle are unchanged, but the two scored-side join stages
+    # disappear (interleaved sf0.1 A/B: 1.20 s -> 0.91 s).
+    from ..operators.similarity import _dot, _norm
+
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("va"),
+        _norm(F.col("embedding")).alias("na"),
     )
-    sx = scored.select(
-        F.col("vec_id"), F.col("cos_to_rep").alias("cos_x")
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("vb"),
+        _norm(F.col("embedding")).alias("nb"),
     )
-    sy = scored.select(
-        F.col("vec_id").alias("partner"), F.col("cos_to_rep").alias("cos_y")
-    )
-    flags = (
-        partners.join(sx, "vec_id")
-        .join(sy, "partner")
-        .groupBy("vec_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_dup_partners"),
-            F.max(
-                (F.col("cos_y") < F.col("cos_x"))
-                | ((F.col("cos_y") == F.col("cos_x"))
-                   & (F.col("partner") < F.col("vec_id")))
-            ).alias("pruned"),
+    cos_ab = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cos_ab)
+        .filter(F.col("cos_sim") >= _SEMDEDUP_COS)
+        .join(F.broadcast(repv.withColumnRenamed("label", "cell")), "cell")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("rep_emb")), 4).alias("cra"),
+            F.round(cosine(F.col("vb"), F.col("rep_emb")), 4).alias("crb"),
         )
+    )
+    partners = pairs.select(
+        F.col("id_a").alias("vec_id"),
+        F.col("cra").alias("cos_x"),
+        F.col("crb").alias("cos_y"),
+        F.col("id_b").alias("partner"),
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("vec_id"),
+            F.col("crb").alias("cos_x"),
+            F.col("cra").alias("cos_y"),
+            F.col("id_a").alias("partner"),
+        )
+    )
+    flags = partners.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_dup_partners"),
+        F.max(
+            (F.col("cos_y") < F.col("cos_x"))
+            | ((F.col("cos_y") == F.col("cos_x"))
+               & (F.col("partner") < F.col("vec_id")))
+        ).alias("pruned"),
     )
     return scored.join(flags, "vec_id", "left").select(
         "vec_id",
