@@ -5296,3 +5296,100 @@ def ngram_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language — BPE-ish tokens per whitespace word
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{TOKEN_REGEX.replace("'", "''")}')))
+                AS BIGINT) AS bpe_tokens,
+           round(CAST(sum(len(regexp_extract_all(text, '{TOKEN_REGEX.replace("'", "''")}')))
+                      AS DOUBLE)
+                 / sum(len(string_split(lower(text), ' '))), 6) AS fertility
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("X-tokenizer-fertility",),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subword tokens per whitespace word) per
+    language — the metric that decides whether a tokenizer is taxing a
+    language (high fertility = more sequence length per sentence =
+    higher train/serve cost for that language). Both token counts are
+    codegen'd regexp/split counts summed in ONE pass; the ratio of two
+    exact integers is deterministic. At 100 TB: one scan, a
+    languages-sized aggregate."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    ws = F.size(F.split(F.lower("text"), " ")).cast("long")
+    bpe = F.regexp_count(F.col("text"), F.lit(TOKEN_REGEX)).cast("long")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(bpe).alias("bpe_tokens"),
+        F.round(F.sum(bpe).cast("double") / F.sum(ws), 6).alias("fertility"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source sampling rates — static mix optimizer toward target shares
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_sampling_rates",
+    """
+    WITH src AS (
+        SELECT source,
+               CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+                   AS src_tokens
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(src_tokens) AS total FROM src)
+    SELECT source, src_tokens,
+           round(CAST(src_tokens AS DOUBLE) / t.total, 6) AS natural_share,
+           round(least(1.0,
+               (1.0 / (SELECT count(*) FROM src))
+               * t.total / src_tokens), 6) AS sample_rate,
+           CAST(ceil(
+               (1.0 / (SELECT count(*) FROM src)) * t.total / src_tokens
+           ) AS BIGINT) AS epochs_needed
+    FROM src, tot t
+    """,
+    tags=("X-source-mix-rates",),
+)
+def source_sampling_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static dataset-mix planning: given a uniform target share per
+    source, the per-source sampling rate (downsample factor when
+    over-represented, capped at 1) and the epoch count needed when
+    under-represented (rate > 1 means the source must repeat ceil(rate)
+    times to hit its target share) — the arithmetic behind every
+    weighted-mix training config. Token totals reduce per source in one
+    pass; the target math is a broadcast of two scalars (total tokens,
+    source count). Swapping the uniform target for a learned one
+    (DoReMi-style weights) changes one literal vector, not the plan."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower("text"), " "))).cast("long").alias("src_tokens")
+    )
+    tot = src.agg(
+        F.sum("src_tokens").alias("total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    rate = (F.lit(1.0) / F.col("n_sources")) * F.col("total") / F.col("src_tokens")
+    return src.join(F.broadcast(tot)).select(
+        "source",
+        "src_tokens",
+        F.round(F.col("src_tokens").cast("double") / F.col("total"), 6).alias(
+            "natural_share"
+        ),
+        F.round(F.least(F.lit(1.0), rate), 6).alias("sample_rate"),
+        F.ceil(rate).cast("long").alias("epochs_needed"),
+    )
