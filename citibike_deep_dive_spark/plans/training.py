@@ -5393,3 +5393,99 @@ def source_sampling_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(F.lit(1.0), rate), 6).alias("sample_rate"),
         F.ceil(rate).cast("long").alias("epochs_needed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution — first/last-touch credit per purchase
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "touch_attribution_revenue",
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts, value AS revenue
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT event_id, user_id, ts, event_type
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    joined AS (
+        SELECT p.purchase_id, p.revenue, t.event_type, t.ts, t.event_id,
+               row_number() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY t.ts, t.event_id) AS rn_first,
+               row_number() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY t.ts DESC, t.event_id DESC) AS rn_last
+        FROM p JOIN touch t
+          ON t.user_id = p.user_id
+         AND t.ts < p.p_ts
+         AND t.ts >= p.p_ts - INTERVAL 24 HOURS
+    ),
+    credit AS (
+        SELECT event_type, 'first_touch' AS model, revenue
+        FROM joined WHERE rn_first = 1
+        UNION ALL
+        SELECT event_type, 'last_touch' AS model, revenue
+        FROM joined WHERE rn_last = 1
+    )
+    SELECT event_type, model,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(round(sum(CAST(revenue AS DECIMAL(30, 10))), 2) AS DOUBLE)
+               AS attributed_revenue
+    FROM credit
+    GROUP BY 1, 2
+    """,
+    tags=("X-touch-attribution",),
+)
+def touch_attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch revenue attribution inside a 24 h
+    lookback — the canonical marketing-analytics double window. The
+    purchase↔touch pairing is a user-keyed range join (equi on user_id
+    with the time band as a residual — never a cross join); the
+    first/last election is an argmin/argmax per purchase, here via
+    min/max(struct) inside ONE aggregate instead of the oracle's two
+    window sorts — per-purchase state is two structs regardless of
+    touch count, the streaming-safe shape. Revenue sums aggregate in
+    DECIMAL (order-independent); the 24 h band bounds the join fan-out
+    the way a watermark would at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("revenue"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_type"),
+    )
+    joined = p.join(
+        touch,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    elected = joined.groupBy("purchase_id", "revenue").agg(
+        F.min(F.struct("t_ts", "t_id", "t_type")).alias("first_t"),
+        F.max(F.struct("t_ts", "t_id", "t_type")).alias("last_t"),
+    )
+    credit = elected.select(
+        F.col("first_t.t_type").alias("event_type"),
+        F.lit("first_touch").alias("model"),
+        "revenue",
+    ).unionAll(
+        elected.select(
+            F.col("last_t.t_type").alias("event_type"),
+            F.lit("last_touch").alias("model"),
+            "revenue",
+        )
+    )
+    return credit.groupBy("event_type", "model").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum(F.col("revenue").cast("decimal(30,10)")), 2)
+        .cast("double")
+        .alias("attributed_revenue"),
+    )
