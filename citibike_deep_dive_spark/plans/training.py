@@ -5489,3 +5489,111 @@ def touch_attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("attributed_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction MaxSim — ColBERT-style multi-vector retrieval
+# ---------------------------------------------------------------------------
+
+_LI_SUBS = 8  # 64-dim vectors treated as 8 sub-vectors of 8 dims
+_LI_DIM = 8
+
+
+def _li_oracle() -> str:
+    dot = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "x -> qs.sv[x] * ds.sv[x]))".format(d=_LI_DIM)
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform(generate_series(1, {d}), "
+        "x -> {v}.sv[x] * {v}.sv[x])))"
+    )
+    cos = f"round({dot} / ({nrm.format(d=_LI_DIM, v='qs')} * {nrm.format(d=_LI_DIM, v='ds')}), 4)"
+    return f"""
+    WITH subs AS (
+        SELECT vec_id, s.sub_id,
+               list_transform(embedding[s.sub_id * {_LI_DIM} + 1 :
+                                        s.sub_id * {_LI_DIM} + {_LI_DIM}],
+                              x -> CAST(x AS DOUBLE)) AS sv
+        FROM embeddings,
+             (SELECT unnest(generate_series(0, {_LI_SUBS - 1})) AS sub_id) s
+    ),
+    pairs AS (
+        SELECT qs.vec_id AS query_id, ds.vec_id AS doc_id,
+               qs.sub_id AS q_sub, max({cos}) AS best
+        FROM subs qs
+        JOIN subs ds ON ds.vec_id >= 3
+        WHERE qs.vec_id < 3
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               CAST(sum(CAST(best AS DECIMAL(10, 4))) AS DOUBLE) AS maxsim
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, maxsim, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY maxsim DESC, doc_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """
+
+
+@register("late_interaction_maxsim", _li_oracle(), tags=("X-maxsim",))
+def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late interaction: score(q, d) = Σ_i max_j
+    cos(q_i, d_j) over per-token sub-vectors (here: the 64-dim vector
+    sliced into 8×8 sub-vectors, standing in for token embeddings),
+    top-5 docs per query. The plan IS the production MaxSim shape:
+    sub-vectors explode narrowly, the query side (3×8 rows) broadcasts,
+    the per-(query, doc, q_sub) max folds INSIDE the first aggregate
+    (never materializing the full q_sub × d_sub cross product beyond
+    the join), the Σ is a second keyed aggregate, and the top-k is a
+    WindowGroupLimit. The Σ over the 8 per-sub maxes aggregates the
+    ROUNDED scores in DECIMAL — order-independent, so the ranking is
+    bit-stable across partition schedules and engines.
+    At 100 TB: doc sub-vectors are the corpus scan, queries broadcast,
+    two keyed aggregations — linear, no all-pairs beyond the candidate
+    set you'd gate with IVF/LSH upstream."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    sub = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_LI_SUBS - 1))).alias("sub_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).select(
+        "vec_id",
+        "sub_id",
+        F.expr(f"slice(v, sub_id * {_LI_DIM} + 1, {_LI_DIM})").alias("sv"),
+    )
+    q = sub.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sub_id").alias("q_sub"),
+        F.col("sv").alias("qv"),
+    )
+    d = sub.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("doc_id"), F.col("sv").alias("dv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("dv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    cos = F.round(dot / (nrm(F.col("qv")) * nrm(F.col("dv"))), 4)
+    pairs = (
+        d.join(F.broadcast(q))
+        .groupBy("query_id", "doc_id", "q_sub")
+        .agg(F.max(cos).alias("best"))
+    )
+    scored = pairs.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("best").cast("decimal(10,4)")).cast("double").alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "maxsim", F.col("rank").cast("long").alias("rank"))
+    )
