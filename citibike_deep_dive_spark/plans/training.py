@@ -5597,3 +5597,82 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "doc_id", "maxsim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KS drift statistic — exact two-sample Kolmogorov-Smirnov per metric
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ks_drift_statistic",
+    """
+    WITH v AS (
+        SELECT event_type, value,
+               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 1 ELSE 0 END AS is_ref
+        FROM events
+    ),
+    grid AS (
+        SELECT event_type, value,
+               sum(is_ref) AS ref_here,
+               sum(1 - is_ref) AS cur_here
+        FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, value,
+               sum(ref_here) OVER (PARTITION BY event_type ORDER BY value)
+                   AS ref_cum,
+               sum(cur_here) OVER (PARTITION BY event_type ORDER BY value)
+                   AS cur_cum,
+               sum(ref_here) OVER (PARTITION BY event_type) AS ref_n,
+               sum(cur_here) OVER (PARTITION BY event_type) AS cur_n
+        FROM grid
+    )
+    SELECT event_type,
+           CAST(max(ref_n) AS BIGINT) AS ref_n,
+           CAST(max(cur_n) AS BIGINT) AS cur_n,
+           round(max(abs(CAST(ref_cum AS DOUBLE) / ref_n
+                         - CAST(cur_cum AS DOUBLE) / cur_n)), 6) AS ks_d
+    FROM cum
+    GROUP BY 1
+    """,
+    tags=("X-ks-drift",),
+)
+def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D per metric between the
+    reference and current periods — the binning-free companion to the
+    PSI gate (PSI sees magnitude of mass shift; KS sees the worst
+    single point of CDF divergence, catching shape changes equal-mass
+    bins hide). Exactness comes free of a global sort: the CDF step
+    points collapse to the DISTINCT-value grid first (one keyed
+    aggregate), the running sums are windows partitioned BY METRIC over
+    that grid (bounded by distinct values, not rows), and every ratio
+    is an exact integer quotient — both engines take identical maxima.
+    At 100 TB you'd quantize the grid (e.g. 1e-2 ticks, which this data
+    already is) to bound the per-metric window."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    is_ref = (F.col("ts") < cutoff).cast("long")
+    grid = ev.groupBy("event_type", "value").agg(
+        F.sum(is_ref).alias("ref_here"),
+        F.sum(1 - is_ref).alias("cur_here"),
+    )
+    wcum = Window.partitionBy("event_type").orderBy("value")
+    wall = Window.partitionBy("event_type")
+    cum = grid.select(
+        "event_type",
+        F.sum("ref_here").over(wcum).alias("ref_cum"),
+        F.sum("cur_here").over(wcum).alias("cur_cum"),
+        F.sum("ref_here").over(wall).alias("ref_n"),
+        F.sum("cur_here").over(wall).alias("cur_n"),
+    )
+    d = F.abs(
+        F.col("ref_cum").cast("double") / F.col("ref_n")
+        - F.col("cur_cum").cast("double") / F.col("cur_n")
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("ref_n").alias("ref_n"),
+        F.max("cur_n").alias("cur_n"),
+        F.round(F.max(d), 6).alias("ks_d"),
+    )
