@@ -1315,3 +1315,114 @@ def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration — the whale curve at decile grain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_decile_concentration",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(30, 8))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+        FROM cust
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(sum(rev), 2) AS DOUBLE) AS decile_revenue,
+           round(CAST(sum(rev) AS DOUBLE)
+                 / (SELECT CAST(sum(rev) AS DOUBLE) FROM cust), 6)
+               AS revenue_share
+    FROM ranked GROUP BY 1
+    """,
+    tags=("X-whale-curve",),
+)
+def revenue_decile_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whale curve: customers ranked by lifetime revenue into
+    deciles, each decile's share of total — the concentration readout
+    behind every 'top 10% of customers drive X%' claim. Orders reduce
+    to customer grain first (one keyed DECIMAL aggregate —
+    order-independent sums), the decile rank is an ntile over the
+    CUSTOMER frame (1000× smaller than orders; a unique-key tiebreak
+    makes the split deterministic), and the total is a broadcast
+    scalar. At 100 TB the window frame is customer-count sized; if even
+    that overflows one partition, swap ntile for the bucket-offset
+    dense-id pattern (global_dense_ids) — same output."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).alias("rev")
+    )
+    ranked = cust.select(
+        "rev",
+        F.ntile(10).over(Window.orderBy(F.desc("rev"), "o_custkey")).alias("decile"),
+    )
+    total = cust.agg(F.sum("rev").cast("double").alias("total"))
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("rev"), 2).cast("double").alias("decile_revenue"),
+            F.sum("rev").cast("double").alias("_raw"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_revenue",
+            F.round(F.col("_raw") / F.col("total"), 6).alias("revenue_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-order cadence — inter-order interval distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repeat_order_intervals",
+    """
+    WITH seq AS (
+        SELECT o_custkey, o_orderdate,
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey)
+                   AS prev_date
+        FROM orders
+    )
+    SELECT CAST(datediff('day', prev_date, o_orderdate) // 30 AS BIGINT)
+               AS interval_months,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM seq
+    WHERE prev_date IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("X-repeat-cadence",),
+)
+def repeat_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of gaps between a
+    customer's consecutive orders, bucketed by 30-day months — the
+    metric behind replenishment-cycle and win-back timing decisions.
+    One customer-partitioned lag window (orders per customer are
+    bounded; the partition key is the natural shuffle key), integer
+    date arithmetic, then a months-sized aggregate. Deterministic via
+    the (date, orderkey) tiebreak in the window order."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+    ).filter(F.col("prev_date").isNotNull())
+    months = (F.datediff("o_orderdate", "prev_date") / 30).cast("long")
+    return seq.groupBy(months.alias("interval_months")).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+    )
