@@ -1426,3 +1426,58 @@ def repeat_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_intervals"),
         F.count_distinct("o_custkey").alias("n_customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — data-forensics distribution check
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benford_first_digit_audit",
+    """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INTEGER) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT d, n,
+           round(CAST(n AS DOUBLE) / t.total, 6) AS observed_share,
+           round(log10(1.0 + 1.0 / d), 6) AS benford_share,
+           round(CAST(n AS DOUBLE) / t.total - log10(1.0 + 1.0 / d), 6)
+               AS deviation
+    FROM obs, tot t
+    """,
+    tags=("X-benford",),
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    data-forensics screen for fabricated or truncated monetary columns
+    (natural multi-magnitude amounts follow P(d)=log10(1+1/d); uniform
+    or spiky deviations flag synthetic or clipped data). The digit
+    extraction is integer/string codegen on the scan, counts reduce to
+    nine rows, and the expected shares are closed-form literals — both
+    engines compute log10 of the same nine rationals, so the audit is
+    deterministic end to end. One scan, one 9-row aggregate."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    # floor() explicitly before the integer cast: DuckDB's double->BIGINT
+    # cast ROUNDS while Spark's truncates, which flips the first digit of
+    # values like 999.6 (1000 vs 999) — caught by preflight on 2/9 rows.
+    d = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = o.groupBy(d.alias("d")).agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    share = F.col("n").cast("double") / F.col("total")
+    return obs.join(F.broadcast(tot)).select(
+        "d",
+        "n",
+        F.round(share, 6).alias("observed_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(share - benford, 6).alias("deviation"),
+    )
