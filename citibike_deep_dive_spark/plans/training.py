@@ -5676,3 +5676,100 @@ def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cur_n").alias("cur_n"),
         F.round(F.max(d), 6).alias("ks_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function — lag-k ACF of daily event counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_count_autocorrelation",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(sum(c) AS DOUBLE) / count(*) AS mean_c,
+               count(*) AS n_days
+        FROM daily GROUP BY 1
+    ),
+    dev AS (
+        SELECT d.event_type, d.day, CAST(d.c AS DOUBLE) - m.mean_c AS dv
+        FROM daily d JOIN m ON m.event_type = d.event_type
+    ),
+    den AS (
+        SELECT event_type,
+               sum(CAST(dv * dv AS DECIMAL(30, 10))) AS denom
+        FROM dev GROUP BY 1
+    ),
+    num AS (
+        SELECT a.event_type, l.lag,
+               sum(CAST(a.dv * b.dv AS DECIMAL(30, 10))) AS numer
+        FROM dev a
+        JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l ON TRUE
+        JOIN dev b ON b.event_type = a.event_type
+                  AND b.day = a.day + CAST(l.lag AS INTEGER)
+        GROUP BY 1, 2
+    )
+    SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
+           round(CAST(n.numer AS DOUBLE) / CAST(d.denom AS DOUBLE), 6) AS acf
+    FROM num n JOIN den d ON d.event_type = n.event_type
+    """,
+    tags=("X-acf",),
+)
+def daily_count_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of each metric's daily volume — the
+    readout that distinguishes weekly seasonality (ACF spike at lag 7)
+    from trend (slow decay) before anyone fits a forecast model. Events
+    reduce to the (metric, day) grid first; deviations join against the
+    per-metric mean (an exact integer quotient); the lag pairing is a
+    self-equi-join on (metric, day+k) over the GRID (days × metrics
+    rows, never events); numerator and denominator products aggregate
+    in DECIMAL so the tiny sums are order-independent and both engines
+    emit identical ratios. One scan; everything after is
+    metadata-scale."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = daily.groupBy("event_type").agg(
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("mean_c")
+    )
+    dev = daily.join(F.broadcast(m), "event_type").select(
+        "event_type", "day", (F.col("c").cast("double") - F.col("mean_c")).alias("dv")
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum((F.col("dv") * F.col("dv")).cast("decimal(30,10)")).alias("denom")
+    )
+    lags = dev.select(
+        "event_type",
+        "day",
+        "dv",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    )
+    b = dev.select(
+        F.col("event_type").alias("event_type"),
+        F.col("day").alias("b_day"),
+        F.col("dv").alias("b_dv"),
+    )
+    num = (
+        lags.join(
+            b,
+            (lags.event_type == b.event_type)
+            & (F.col("b_day") == F.expr("date_add(day, lag)")),
+        )
+        .drop(b.event_type)
+        .groupBy("event_type", "lag")
+        .agg(F.sum((F.col("dv") * F.col("b_dv")).cast("decimal(30,10)")).alias("numer"))
+    )
+    return num.join(den, "event_type").select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.round(
+            F.col("numer").cast("double") / F.col("denom").cast("double"), 6
+        ).alias("acf"),
+    )
