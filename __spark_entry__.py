@@ -35,75 +35,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's verify walks queries() in order with a bounded budget, so
 # ordering decides which entries get a hard CORRECTNESS row this round.
-# Round-5 ordering (VERDICT r4 item 8): (a) the one r4-red row, fixed
-# this round (INT->DOUBLE cast on min/max_words); (b) the only
-# oracle-bearing entry never driver-verified (ann_recall_report missed
-# r4's 50-row budget at rank 51); (c) the two sketches upgraded from
-# rows-only to value-checked oracles this round; (d) round-5 additions;
-# (e) lowest-confidence greens — queries whose implementation changed
-# after their last green row. Everything already green on file sorts
-# last. ivf_kmeans_cells — formerly the one rows-only query — is now
-# value-checked too: decimal-exact centroid means make each iteration
-# bit-reproducible, so the oracle unrolls the finite loop as generated
-# CTE blocks. Every catalog entry now carries an exact oracle.
+# Round-6 ordering (VERDICT r5 item 1): (a) the 11 round-5-tail queries
+# that were committed after the 50-row budget was spent — all
+# preflight-exact-verified but never driver-verified; (b) queries whose
+# implementation changed this round (ADVICE fixes: decimal sums in
+# nation_market_share/product_type_profit/rrf_hybrid_retrieval, lazy n in
+# linear_gd_gradient_step, distinct-pair counting in
+# duplicate_provenance_matrix; perf rewrites: training_corpus_prep,
+# dock_deep_merge_nested_maps); (c) round-6 additions, capped so that
+# (a)+(b)+(c) stays within the driver's 50-row budget (VERDICT r5 item 2);
+# everything already green on file sorts last.
 VERIFY_FIRST = [
-    # (a) red in r4 — fixed this round (preflight: OK rows=97)
-    "corpus_manifest",
-    # (b) never driver-verified, oracle-bearing (preflight: OK rows=5)
-    "ann_recall_report",
-    # (c) upgraded rows-only -> value-checked oracles this round
-    "approx_distinct_hll",
-    "approx_quantiles_sketch",
-    # (d) round-5 additions
-    "prefix_filter_jaccard_join",
-    "bm25_doc_scores",
-    "inverted_index_postings",
-    "compaction_bin_packing",
-    "customer_order_distribution",
-    "top_revenue_suppliers",
-    "small_quantity_revenue",
-    "late_shippers_in_shared_orders",
-    "embedding_pq_codes",
-    "constraint_audit",
-    "minhash_jaccard_estimate",
-    "late_arrival_audit",
-    "ann_ivfpq_adc_topk",
-    "pareto_frontier_by_brand",
-    "language_confusion_matrix",
-    "cdc_latest_state_apply",
-    "vocab_gini_by_source",
-    "frequent_brand_pairs",
-    "min_cost_supplier_per_part",
+    # (a) round-5 tail: never driver-verified, preflight-exact-OK
+    "late_interaction_maxsim",
+    "ks_drift_statistic",
+    "benford_first_digit_audit",
+    "daily_count_autocorrelation",
+    "ngram_novelty_fraction",
+    "open_order_backlog_sweepline",
+    "repeat_order_intervals",
+    "revenue_decile_concentration",
+    "source_sampling_rates",
+    "tokenizer_fertility_by_lang",
+    "touch_attribution_revenue",
+    # (b) implementation changed this round
     "nation_market_share",
     "product_type_profit",
-    "important_part_value_share",
-    "supplier_count_by_part_attrs",
     "rrf_hybrid_retrieval",
-    "bpe_merge_candidates",
-    "semdedup_prune",
-    "simhash_hamming_pairs",
-    "ohlc_resample_daily",
-    "hard_negative_mining",
-    "duplicate_provenance_matrix",
-    "ab_test_welch_t",
-    "seasonal_baseline_profile",
-    "feature_hashing_sparse",
     "linear_gd_gradient_step",
-    "knn_classifier_eval",
-    "psi_drift_report",
-    # (e) implementation changed since last green driver row
-    "embedding_near_dup_pairs",
-    "ann_brute_force_topk",
-    "ann_ivf_label_topk",
-    "dock_deep_merge_nested_maps",
-    "route_waypoints_enrichment",
-    "dedup_connected_components",
-    "dedup_pagerank_hubs",
+    "duplicate_provenance_matrix",
     "training_corpus_prep",
-    "session_windows_batch",
-    # upgraded rows-only -> value-checked this round (unrolled oracle)
-    "ivf_kmeans_cells",
+    "dock_deep_merge_nested_maps",
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
