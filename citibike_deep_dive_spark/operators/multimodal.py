@@ -242,12 +242,14 @@ def resize_images(
     output dims floor(scale * src) with a 1px floor. Arrow batches bound
     executor memory to a batch of payloads; output is again a binary
     column, so resize chains with extract_features / frame sampling
-    without leaving the DataFrame. Only image rows are touched — the
-    kind filter prunes at the scan."""
+    without leaving the DataFrame. Only image rows with parsed header
+    dims are touched — the kind + non-null-meta filters prune at the
+    scan (a failed header parse yields null meta, and a null dim has no
+    meaningful resize geometry)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            w = pdf["meta_width"].astype("int64")
+            w = pdf["meta_width"].astype("int64").clip(lower=1)
             h = pdf["meta_height"].astype("int64").clip(lower=1)
             scale = (target_w / w).combine(target_h / h, min).clip(upper=1.0)
             dst_w = (w * scale).astype("int64").clip(lower=1).astype("int32")
@@ -267,4 +269,8 @@ def resize_images(
                 }
             )
 
-    return media.filter(F.col("kind") == "image").mapInPandas(run, RESIZED_SCHEMA)
+    return media.filter(
+        (F.col("kind") == "image")
+        & F.col("meta_width").isNotNull()
+        & F.col("meta_height").isNotNull()
+    ).mapInPandas(run, RESIZED_SCHEMA)

@@ -1097,9 +1097,12 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     yearly AS (
         SELECT o_year,
-               round(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol
-                              ELSE 0 END), 2) AS nation_vol,
-               round(sum(vol), 2) AS total_vol
+               CAST(round(sum(CASE WHEN supp_nation = 'NATION_5'
+                                   THEN CAST(vol AS DECIMAL(30, 8))
+                                   ELSE CAST(0 AS DECIMAL(30, 8)) END), 2)
+                    AS DOUBLE) AS nation_vol,
+               CAST(round(sum(CAST(vol AS DECIMAL(30, 8))), 2)
+                    AS DOUBLE) AS total_vol
         FROM base GROUP BY o_year
     )
     SELECT o_year, nation_vol, total_vol,
@@ -1116,7 +1119,11 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles are the orders⋈lineitem key exchange and the final
     years-sized aggregate. The share is a conditional-sum-over-sum inside
     ONE aggregate (no second pass, no self-join); dividing the two
-    already-rounded sums keeps the ratio bit-identical across engines."""
+    already-rounded sums keeps the ratio bit-identical across engines.
+    Both sums aggregate in DECIMAL(30,8) before rounding (the
+    important_part_value_share pattern): double addition is
+    partition-order-dependent, so a sum landing within float noise of a
+    half-cent boundary could round differently across engines/runs."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -1143,12 +1150,14 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
         )
     )
+    dec = "decimal(30,8)"
     yearly = base.groupBy("o_year").agg(
         F.round(
-            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("vol"))
-                  .otherwise(F.lit(0.0))), 2
-        ).alias("nation_vol"),
-        F.round(F.sum("vol"), 2).alias("total_vol"),
+            F.sum(F.when(F.col("supp_nation") == "NATION_5",
+                         F.col("vol").cast(dec))
+                  .otherwise(F.lit(0).cast(dec))), 2
+        ).cast("double").alias("nation_vol"),
+        F.round(F.sum(F.col("vol").cast(dec)), 2).cast("double").alias("total_vol"),
     )
     return yearly.select(
         "o_year", "nation_vol", "total_vol",
@@ -1165,8 +1174,9 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "product_type_profit",
     """
     SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.1 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - 0.1 * p.p_retailprice * l.l_quantity
+                               AS DECIMAL(30, 8))), 2) AS DOUBLE) AS sum_profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1184,7 +1194,9 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-matching lineitem rows die at the join instead of the aggregate.
     All three dims broadcast: the fact side never shuffles until the
     final (nation, year)-grain aggregate — which map-side combines to
-    ~25×7 rows. One scan, zero fact shuffles before the tiny agg."""
+    ~25×7 rows. One scan, zero fact shuffles before the tiny agg. The
+    profit sum aggregates in DECIMAL(30,8) before rounding so the 2dp
+    output is partition-order-independent across engines/runs."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -1201,7 +1213,11 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(
+            F.round(F.sum(profit.cast("decimal(30,8)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
     )
 
 

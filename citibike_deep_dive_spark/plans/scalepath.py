@@ -25,6 +25,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.fanout import pushdown_barrier
 from .catalog import register, table
 
 # ---------------------------------------------------------------------------
@@ -35,15 +36,22 @@ _BLOOM_M = 1 << 14  # bits; 2 KiB bitmap — sized to the dim-side key count
 _BLOOM_K = 4  # hash functions → ~7% false positives at ~3k keys; verify join makes the result exact
 
 
-def bloom_bitmap(keys: DataFrame, key: str, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
-    """Distributed Bloom-filter build: k xxhash64 positions per key, one
-    bit_or aggregation to ``m/64`` words, collected as a plain list.
+def bloom_bitmap_frame(
+    keys: DataFrame, key: str, m: int = _BLOOM_M, k: int = _BLOOM_K
+) -> DataFrame:
+    """Distributed Bloom-filter build as a LAZY one-row frame: k xxhash64
+    positions per key, one bit_or aggregation to ``m/64`` sparse words,
+    densified into a single ``bf: array<bigint>`` row. Nothing executes
+    until an action — broadcast-joining this frame onto the fact side
+    makes the sketch a real plan stage (visible to plan audits) instead
+    of a build-time side effect.
 
-    The collect is metadata-scale BY CONSTRUCTION — m/8 bytes regardless
-    of key count (like k-means centroids, unlike collecting keys). At
-    100 TB you size m to the post-filter dim cardinality (~10 bits/key
-    for ~1% fp) and cap it; past the cap you fall back to the plain
-    shuffle join, exactly like Spark's runtime-filter thresholds.
+    The one-row frame is metadata-scale BY CONSTRUCTION — m/8 bytes
+    regardless of key count (like k-means centroids, unlike collecting
+    keys). At 100 TB you size m to the post-filter dim cardinality
+    (~10 bits/key for ~1% fp) and cap it; past the cap you fall back to
+    the plain shuffle join, exactly like Spark's runtime-filter
+    thresholds.
     """
     positions = F.array(
         *[
@@ -51,7 +59,7 @@ def bloom_bitmap(keys: DataFrame, key: str, m: int = _BLOOM_M, k: int = _BLOOM_K
             for seed in range(k)
         ]
     )
-    rows = (
+    words = (
         keys.select(F.explode(positions).alias("pos"))
         .select(
             F.expr("cast(pos div 64 as int)").alias("w"),
@@ -59,12 +67,24 @@ def bloom_bitmap(keys: DataFrame, key: str, m: int = _BLOOM_M, k: int = _BLOOM_K
         )
         .groupBy("w")
         .agg(F.bit_or("mask").alias("word"))
-        .collect()
     )
-    words = [0] * (m // 64)
-    for r in rows:
-        words[r.w] = r.word
-    return words
+    return (
+        words.agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("wm")
+        ).select(
+            F.expr(
+                f"transform(sequence(0, {m // 64 - 1}),"
+                " i -> coalesce(element_at(wm, i), 0L))"
+            ).alias("bf")
+        )
+    )
+
+
+def bloom_bitmap(keys: DataFrame, key: str, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
+    """Eager convenience wrapper: collect ``bloom_bitmap_frame``'s single
+    m/8-byte row as a plain word list (for cross-job reuse of a
+    precomputed sketch as a literal)."""
+    return list(bloom_bitmap_frame(keys, key, m, k).collect()[0][0])
 
 
 def bloom_might_contain(
@@ -104,18 +124,24 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join. The sketch kills ~93% of non-matching fact rows inside
     the scan stage, so the join shuffles a fraction of the input; the
     verify join removes the false positives, making the result exactly
-    the oracle's plain semi-join. The Bloom build is one tiny job
-    (bit_or over 256 words) executed at plan-build time."""
+    the oracle's plain semi-join. The Bloom build is a real (lazy) plan
+    stage: a one-row array<bigint> aggregate broadcast onto the fact
+    scan — build() stays side-effect-free and the audited exchange
+    counts include the sketch's own tiny bit_or aggregation."""
     cust = table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    words = bloom_bitmap(cust.select("c_custkey"), "c_custkey")
+    bf = bloom_bitmap_frame(cust.select("c_custkey"), "c_custkey")
     orders = (
         table(spark, sf_dir, "orders")
-        .withColumn("__bf", F.lit(words))
-        .filter(bloom_might_contain("__bf", "o_custkey"))
-        .drop("__bf")
+        .join(F.broadcast(bf))
+        .filter(bloom_might_contain("bf", "o_custkey"))
+        .drop("bf")
     )
+    # Barrier so PushLeftSemiThroughJoin can't hoist the verify join
+    # below the probe — the whole point is sketch-first, exact-second;
+    # the copy cost lands only on bloom survivors.
+    orders = pushdown_barrier(orders)
     exact = orders.join(
         F.broadcast(cust.select("c_custkey")),
         orders.o_custkey == F.col("c_custkey"),

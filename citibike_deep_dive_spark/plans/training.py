@@ -3499,7 +3499,9 @@ def _bm25_oracle() -> str:
         SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, {tf_cols} FROM docs
     ),
     corpus AS (
-        SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(w)) AS avgdl, {df_cols}
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(len(w) AS DECIMAL(30, 0))) AS DOUBLE)
+                   / count(*) AS avgdl, {df_cols}
         FROM docs
     )
     SELECT doc_id, round({score}, 4) AS bm25
@@ -3521,7 +3523,8 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = docs.agg(
         F.count("*").cast("double").alias("n"),
-        F.avg(F.size("w")).alias("avgdl"),
+        (F.sum(F.size("w").cast("decimal(30,0)")).cast("double")
+         / F.count("*")).alias("avgdl"),
         *[
             F.sum(F.array_contains("w", t).cast("int")).alias(f"df_{i}")
             for i, t in enumerate(_BM25_TERMS)
@@ -4138,7 +4141,9 @@ def _rrf_oracle() -> str:
         SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, {tf_cols} FROM docs
     ),
     corpus AS (
-        SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(w)) AS avgdl, {df_cols}
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(len(w) AS DECIMAL(30, 0))) AS DOUBLE)
+                   / count(*) AS avgdl, {df_cols}
         FROM docs
     ),
     lex_top AS (
@@ -4185,7 +4190,8 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = docs.agg(
         F.count("*").cast("double").alias("n"),
-        F.avg(F.size("w")).alias("avgdl"),
+        (F.sum(F.size("w").cast("decimal(30,0)")).cast("double")
+         / F.count("*")).alias("avgdl"),
         *[
             F.sum(F.array_contains("w", t).cast("int")).alias(f"df_{i}")
             for i, t in enumerate(_BM25_TERMS)
@@ -4716,7 +4722,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.source AS source_a, b.source AS source_b,
            CAST(sum(CASE WHEN a.source < b.source THEN a.cnt * b.cnt
                          ELSE a.cnt * (a.cnt - 1) / 2 END) AS BIGINT)
-               AS n_dup_pairs,
+               AS n_pair_incidences,
            CAST(count(DISTINCT a.seg) AS BIGINT) AS n_shared_segments
     FROM g a
     JOIN g b ON a.seg = b.seg AND a.source <= b.source
@@ -4727,10 +4733,16 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("X-dup-provenance",),
 )
 def duplicate_provenance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Where duplication comes FROM: for every source pair, how many
-    document pairs share a 16-word segment (diagonal = within-source
-    boilerplate pairs, C(cnt,2)) and how many distinct segments are
-    shared. The provenance matrix tells a curation team whether dedup
+    """Where duplication comes FROM: for every source pair, the number
+    of PAIR-SEGMENT INCIDENCES — one count per (document pair, shared
+    16-word segment); a doc pair sharing m segments contributes m
+    (diagonal = within-source boilerplate incidences, C(cnt,2) per
+    segment) — and how many distinct segments are shared. Incidence
+    grain is deliberate: it weights heavily-templated pairs higher AND
+    keeps the plan segment-grain (deduplicating to distinct doc pairs
+    would materialize a doc-pair join before the matrix agg — the
+    all-pairs blowup the segment reduction exists to avoid).
+    The provenance matrix tells a curation team whether dedup
     budget should go to cross-source mirrors (the same template crawled
     by two dumps) or within-source repetition — the segment grain (vs
     whole-doc md5) is what surfaces shared boilerplate that exact dedup
@@ -4768,7 +4780,7 @@ def duplicate_provenance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source_a") < F.col("source_b"), F.col("ca") * F.col("cb")
     ).otherwise(F.col("ca") * (F.col("ca") - 1) / 2)
     return pairs.groupBy("source_a", "source_b").agg(
-        F.sum(n_pairs).cast("long").alias("n_dup_pairs"),
+        F.sum(n_pairs).cast("long").alias("n_pair_incidences"),
         F.count_distinct("seg").alias("n_shared_segments"),
     )
 
@@ -5064,15 +5076,20 @@ def linear_gd_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         - F.col("y")
     )
-    n = e.count()  # metadata-scale scalar (row count), not data movement
+    # n joins in as a broadcast one-row aggregate (the source_sampling_rates
+    # pattern) so build() stays lazy — an eager .count() here would run a
+    # full embeddings scan from plan-inspection/EXPLAIN-only paths.
+    cnt = e.agg(F.count(F.lit(1)).alias("n_rows"))
     resid = e.select("vec_id", "v", r.alias("r"))
     return (
         resid.select("r", F.posexplode("v").alias("pos", "x"))
         .select((F.col("pos") + 1).alias("dim"), (F.col("x") * F.col("r")).alias("xr"))
         .groupBy("dim")
-        .agg(
-            (F.sum(F.col("xr").cast("decimal(30,10)")).cast("double") / F.lit(n))
-            .alias("gradient")
+        .agg(F.sum(F.col("xr").cast("decimal(30,10)")).alias("sxr"))
+        .join(F.broadcast(cnt))
+        .select(
+            "dim",
+            (F.col("sxr").cast("double") / F.col("n_rows")).alias("gradient"),
         )
     )
 

@@ -23,17 +23,11 @@ def test_front_of_queue_is_curated_and_oracle_backed():
     assert names[:k] == entry.VERIFY_FIRST
     oracles = entry.oracle_sql()
     unbacked = [n for n in names[:k] if n not in oracles]
-    # ivf_kmeans_cells is rows-only by design (cross-engine k-means
-    # centroids aren't SQL-expressible); it sits at the queue tail so
-    # every oracle-backed entry gets its hard hash row first. The two
-    # approx sketches graduated to value-checked oracles in r5.
-    allowed_rows_only = {"ivf_kmeans_cells"}
-    assert set(unbacked) <= allowed_rows_only, (
-        f"front-of-queue entries without oracle: {unbacked}"
-    )
-    assert entry.VERIFY_FIRST[-len(allowed_rows_only):] == [
-        n for n in entry.VERIFY_FIRST if n in allowed_rows_only
-    ]
+    # Since r5 every catalog entry carries a value-checked oracle
+    # (ivf_kmeans_cells, the last rows-only holdout, graduated via the
+    # unrolled-CTE oracle) — nothing un-backed may sit in the verify
+    # queue's curated front.
+    assert unbacked == [], f"front-of-queue entries without oracle: {unbacked}"
 
 
 def test_queries_and_oracles_cover_catalog():

@@ -363,6 +363,36 @@ def test_resize_images_geometry_and_plumbing(spark):
         assert isinstance(r.payload, (bytes, bytearray)) and len(r.payload) >= 16
 
 
+def test_resize_images_skips_null_and_zero_meta(spark):
+    """Rows whose header parse failed (null meta dims) are filtered in
+    the PLAN, not crashed on in pandas; a 0-dim row clips to the 1px
+    floor instead of producing an inf scale."""
+    from pyspark.sql import types as T
+
+    from citibike_deep_dive_spark.operators.multimodal import resize_images
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta_width", T.IntegerType()),
+        T.StructField("meta_height", T.IntegerType()),
+        T.StructField("meta_duration_ms", T.IntegerType()),
+    ])
+    rows = [
+        (1, "image", b"x" * 32, None, 480, 0),   # failed header parse
+        (2, "image", b"y" * 32, 640, None, 0),   # failed header parse
+        (3, "image", b"z" * 32, 0, 480, 0),      # degenerate 0-width
+        (4, "image", b"w" * 32, 640, 480, 0),    # normal
+        (5, "audio", b"a" * 32, None, None, 99), # wrong kind, null meta
+    ]
+    out = {r.media_id: r for r in
+           resize_images(spark.createDataFrame(rows, schema), 224, 224).collect()}
+    assert set(out) == {3, 4}
+    assert out[3].src_width == 1 and out[3].scale <= 1.0
+    assert out[4].dst_width == 224
+
+
 def test_resize_stub_gates_without_fake():
     import pytest as _pytest
     from citibike_deep_dive_spark.operators.multimodal import resize_stub
