@@ -173,13 +173,20 @@ def lsh_candidate_pairs(
     k: int = 4,
     rows_per_band: int = 2,
     shingles: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs: docs sharing any LSH band bucket.
 
     The bucket equi-join replaces the quadratic cross-join — the scale
     path for 100 TB corpora.
+
+    Pass a cached ``bands`` frame (from ``lsh_bands``) when the signature
+    build should run once: the self-join otherwise evaluates the
+    interpreted minhash transforms on BOTH aliases (Catalyst does not
+    dedupe aliased subplans, only identical exchanges).
     """
-    bands = lsh_bands(minhash_signatures(docs, k, shingles=shingles), rows_per_band)
+    if bands is None:
+        bands = lsh_bands(minhash_signatures(docs, k, shingles=shingles), rows_per_band)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -45,6 +45,22 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_score_col(text: Column) -> Column:
+    """The composite quality score as a single (rounded, 4dp) Column —
+    usable directly in a filter, so a quality GATE is a pushable
+    predicate on the scan instead of a join against the scored frame."""
+    n_chars = F.length(text).cast("double")
+    n_tokens = F.size(_words(text)).cast("double")
+    punct_ratio = F.regexp_count(text, F.lit("[^a-zA-Z0-9 ]")).cast("double") / n_chars
+    stop_ratio = _stopword_hits(text, STOPWORDS["en"]).cast("double") / n_tokens
+    return F.round(
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2,
+        4,
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Heuristic quality features + composite score.
 
@@ -61,11 +77,6 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     punct = F.regexp_count(text, F.lit("[^a-zA-Z0-9 ]")).cast("double")
     punct_ratio = punct / n_chars
     stop_ratio = _stopword_hits(text, STOPWORDS["en"]).cast("double") / n_tokens
-    score = (
-        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.4
-        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.4
-        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
-    )
     return fan_out(docs).select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
@@ -73,7 +84,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         F.round(mean_tok_len, 4).alias("mean_token_len"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        quality_score_col(text).alias("quality_score"),
     )
 
 

@@ -712,32 +712,50 @@ _CORPUS_PREP_ORACLE = f"""
     tags=("X-corpus-prep", "X-dedup-exact", "X-dedup-lsh", "X-text-quality"),
 )
 def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole data-prep funnel as one Catalyst plan: every stage is a
-    DataFrame transform, so filters/projections fuse and the only shuffles
-    are the dedup hash-agg, the LSH band join, and the final stats agg."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
-    q = quality_scores(docs)
-    qualified = docs.join(
-        q.filter(F.col("quality_score") >= 0.5).select("doc_id"), "doc_id"
-    )
-    keepers = exact_dedup(qualified).select(
-        F.col("keeper_doc_id").alias("doc_id")
-    )
-    # uniq feeds four consumers (shingles, the pairs join, the anti-join
-    # left side, the final stats) and the shingle frame feeds three (LSH
-    # bands + both jaccard sides) — materialize both shared intermediates
-    # once via lazy checkpoint. NOT persist(): the CacheManager holds
-    # a strong reference to persisted plans until an explicit unpersist
-    # (which a lazily-returned build can never issue), so each invocation
-    # leaked two cached frames; checkpoint blocks are reclaimed by the
-    # context cleaner once the query's frames go out of scope.
-    from ..functions.lineage import truncate_lineage
-    from ..operators.dedup import shingle_frame
+    """The whole data-prep funnel as one Catalyst plan.
 
-    uniq = truncate_lineage(qualified.join(keepers, "doc_id"), eager=False)
+    Round-6 shape (1.19 s -> target <=0.8 s at sf0.1):
+    - the quality GATE is a plain filter (``quality_score_col``) fused
+      into the scan projection — the r5 form joined the scored frame
+      back to the docs, a whole extra shuffle for a predicate;
+    - exact dedup keeps the min-doc_id row via ONE ``min_by`` hash
+      aggregation on the md5 digest — the r5 form aggregated keepers and
+      joined them back (two shuffles of the full corpus, now one);
+    - the LSH band frame is the third shared intermediate: without it
+      the self-join evaluates the interpreted minhash transforms on both
+      aliases.
+    Shared intermediates (uniq, shingles, bands) materialize once via
+    lazy checkpoint. NOT persist(): the CacheManager holds a strong
+    reference to persisted plans until an explicit unpersist (which a
+    lazily-returned build can never issue), so each invocation leaked
+    cached frames; checkpoint blocks are reclaimed by the context
+    cleaner once the query's frames go out of scope.
+    """
+    from ..functions.lineage import truncate_lineage
+    from ..operators.dedup import lsh_bands, minhash_signatures, shingle_frame
+    from ..operators.textstats import quality_score_col
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    qualified = docs.filter(quality_score_col(F.col("text")) >= 0.5)
+    uniq = truncate_lineage(
+        qualified.groupBy(F.md5("text").alias("digest"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "text", "lang", "source"), F.col("doc_id")
+            ).alias("r")
+        )
+        .select("r.doc_id", "r.text", "r.lang", "r.source"),
+        eager=False,
+    )
     sh = truncate_lineage(shingle_frame(uniq), eager=False)
+    bands = truncate_lineage(
+        lsh_bands(minhash_signatures(uniq, 4, shingles=sh), rows_per_band=2),
+        eager=False,
+    )
     pairs = ngram_jaccard_pairs(
-        uniq, lsh_candidate_pairs(uniq, k=4, rows_per_band=2, shingles=sh), shingles=sh
+        uniq,
+        lsh_candidate_pairs(uniq, k=4, rows_per_band=2, bands=bands),
+        shingles=sh,
     )
     drops = (
         pairs.filter(F.col("jaccard") >= 0.6)
