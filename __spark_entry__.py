@@ -62,10 +62,26 @@ VERIFY_FIRST = [
     "nation_market_share",
     "product_type_profit",
     "rrf_hybrid_retrieval",
+    "bm25_doc_scores",
     "linear_gd_gradient_step",
     "duplicate_provenance_matrix",
     "training_corpus_prep",
     "dock_deep_merge_nested_maps",
+    "bloom_prefilter_join",
+    "dedup_lsh_candidate_pairs",
+    "dedup_ngram_jaccard",
+    # (c) round-6 additions (all preflight-exact at authoring time)
+    "k_anonymity_audit",
+    "cusum_changepoint",
+    "markov_stationary_power",
+    "lsh_tuning_report",
+    "anova_f_by_group",
+    "chi2_lang_source",
+    "gini_split_scan",
+    "mutual_knn_pairs",
+    "dup_discounted_tokens",
+    "stratified_kfold_balance",
+    "vocab_zipf_fit",
 ]
 
 

@@ -77,9 +77,38 @@ def _loadavg() -> list[float] | None:
         return None
 
 
+# A 1-min load above this at bench start means another heavy process owns
+# the cores and the numbers will be contention artifacts (BENCH_r04/r05
+# were both load-contaminated). 2×cores/10 per the round-5 verdict.
+LOAD_GATE = 2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")) / 10
+LOAD_WAIT_S = 30
+LOAD_RETRIES = 10
+
+
+def _wait_for_idle() -> tuple[list[float] | None, bool]:
+    """Block (bounded) until the 1-min load drops under LOAD_GATE.
+
+    Returns (loadavg at proceed time, contended flag). Never refuses
+    outright — after LOAD_RETRIES sleeps the bench runs anyway with
+    ``load_contended: true`` in the payload so the driver's record is
+    self-identifying rather than silently absent.
+    """
+    for _ in range(LOAD_RETRIES):
+        load = _loadavg()
+        if load is None or load[0] <= LOAD_GATE:
+            return load, False
+        print(
+            f"bench: 1-min load {load[0]} > gate {LOAD_GATE}; "
+            f"waiting {LOAD_WAIT_S}s for idle",
+            file=sys.stderr,
+        )
+        time.sleep(LOAD_WAIT_S)
+    return _loadavg(), True
+
+
 def main() -> None:
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    load_before = _loadavg()
+    load_before, contended = _wait_for_idle()
     spark = get_spark(app_name="citibike-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -113,6 +142,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
+        "load_contended": contended,
     }
     if errors:
         payload["errors"] = errors

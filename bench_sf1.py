@@ -1,0 +1,164 @@
+"""sf1 spot-bench: the 6 heaviest headline queries at 10× data, both
+engines same-session (VERDICT r5 item 7).
+
+The driver ships sf0.001/0.01/0.1 only, so the 10× point is derived
+from sf0.1 by REPLICATION WITH DECORRELATION — plain replication would
+make every replica a near-duplicate of its original and blow the dedup
+workloads up quadratically (10 mutual near-dups per doc → ~45× the
+candidate pairs), which measures a different problem than "10× more
+data of the same character":
+
+- documents: per-replica letter-substitution cipher (``translate`` with
+  a rotated alphabet). Bijective on tokens → within-replica duplicate /
+  near-duplicate structure is EXACTLY preserved; across replicas every
+  shingle/minhash/simhash key is disjoint, so bucket sizes and pair
+  counts scale linearly like a real 10× corpus.
+- embeddings: per-replica cyclic rotation of the vector (norm-preserving,
+  decorrelates cosine across replicas); vec_id shifted by 100k/replica.
+- orders: o_orderkey shifted by a multiple of 3 per replica (preserves
+  the %3 side-tag distribution of the dock pipeline); o_custkey kept so
+  the station dimension stays fixed — trips grow, stations don't,
+  matching how the real system scales.
+
+Usage: python bench_sf1.py [--regen]   (writes /tmp/sparkgraft_sf1/)
+Prints one JSON line: {"sf1": {query: {"spark": s, "duckdb": s}}, ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import string
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb  # noqa: E402
+
+from citibike_deep_dive_spark.plans import CATALOG  # noqa: E402
+from citibike_deep_dive_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sparkgraft_sf1"
+REPLICAS = 10
+
+QUERIES = [
+    "simhash_hamming_pairs",
+    "semdedup_prune",
+    "training_corpus_prep",
+    "dock_deep_merge_nested_maps",
+    "dedup_lsh_candidate_pairs",
+    "minhash_jaccard_estimate",
+]
+
+ALPHA = string.ascii_lowercase
+ALPHA_U = string.ascii_uppercase
+
+
+def generate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST, exist_ok=True)
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    parts = []
+    for r in range(REPLICAS):
+        rot = ALPHA[r:] + ALPHA[:r]
+        rot_u = ALPHA_U[r:] + ALPHA_U[:r]
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+                F.translate("text", ALPHA + ALPHA_U, rot + rot_u).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    parts = []
+    for r in range(REPLICAS):
+        rotated = F.concat(
+            F.slice(F.col("embedding"), r + 1, 64 - r),
+            F.slice(F.col("embedding"), 1, r),
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + r * 100_000).alias("vec_id"),
+                rotated.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    parts = [
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + r * 300_000_000)
+        for r in range(REPLICAS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{DST}/orders.parquet")
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="citibike-bench-sf1",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--regen" in sys.argv or not os.path.isdir(f"{DST}/documents.parquet"):
+        generate(spark)
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "orders"):
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{DST}/{t}.parquet/*.parquet'"
+        )
+    # unused by the 6 queries, registered so oracles never 404
+    for t in ("region", "nation", "customer", "supplier", "part", "lineitem", "events"):
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SRC}/{t}.parquet'"
+        )
+
+    results: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        spec = CATALOG[name]
+        df = spec.build(spark, DST)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        d_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.sql(spec.oracle).fetchall()
+            d_runs.append(time.perf_counter() - t0)
+        results[name] = {
+            "spark": round(min(runs), 3),
+            "duckdb": round(min(d_runs), 3),
+            "ratio": round(min(runs) / min(d_runs), 2),
+        }
+        print(f"# {name}: {results[name]}", file=sys.stderr)
+
+    with open("/proc/loadavg") as fh:
+        load = [round(float(x), 2) for x in fh.read().split()[:3]]
+    print(json.dumps({"sf": 1.0, "replicas": REPLICAS, "queries": results,
+                      "loadavg_after": load}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -10,3 +10,4 @@ from . import advanced  # noqa: F401  (registers the composed-parity queries)
 from . import olap  # noqa: F401  (registers the multi-join OLAP suite)
 from . import curation  # noqa: F401  (registers the curation/profiling suite)
 from . import scalepath  # noqa: F401  (registers the scale-technique suite)
+from . import round6  # noqa: F401  (governance/drift/eval/statistics additions)

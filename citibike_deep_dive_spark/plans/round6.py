@@ -1,0 +1,922 @@
+"""Round-6 additions: governance, drift/changepoint, pipeline-quality
+evaluation, and statistics operators a training-data platform runs on
+top of the round-1..5 surface.
+
+Every query follows the catalog determinism rules (catalog.py module
+docstring): identical aliases both engines, decimal-exact aggregation
+wherever a double sum would be partition-order-dependent, explicit
+tiebreaks on every ranking, rounding at the edge only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.fanout import fan_out
+from .catalog import register, table
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — training-data governance over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS k_size
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT k_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(k_size) AS BIGINT) AS n_rows
+    FROM classes GROUP BY 1
+    """,
+    tags=("X-k-anonymity",),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity profile over the quasi-identifier pair
+    (nation, market segment): for every equivalence-class size k, how
+    many classes and rows sit at that size — the histogram a governance
+    gate reads to decide whether a release violates a k>=K policy
+    (classes at k=1 are directly re-identifiable rows).
+
+    Scale shape: one keyed aggregation over the table, then a re-agg of
+    the already-reduced class frame (metadata-scale) — the same
+    two-level reduction as partition_zonemap_stats. No windows, no
+    joins."""
+    c = table(spark, sf_dir, "customer")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("k_size")
+    )
+    return classes.groupBy("k_size").agg(
+        F.count("*").alias("n_classes"),
+        F.sum("k_size").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint — where did a daily series shift?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    ),
+    cusum AS (
+        SELECT d.event_type, d.day,
+               CAST(sum(d.n) OVER (PARTITION BY d.event_type ORDER BY d.day
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+                   AS rn,
+               CAST(s.total AS DOUBLE) / s.n_days AS mean_n
+        FROM daily d JOIN stats s ON d.event_type = s.event_type
+    ),
+    dev AS (
+        SELECT event_type, day,
+               abs(CAST(cum AS DOUBLE) - rn * mean_n) AS adev,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(CAST(cum AS DOUBLE) - rn * mean_n) DESC, day
+               ) AS pick
+        FROM cusum
+    )
+    SELECT event_type, day AS change_day, round(adev, 4) AS max_cusum
+    FROM dev WHERE pick = 1
+    """,
+    tags=("X-cusum",),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type: the day where the cumulative
+    deviation of daily volume from its flat baseline peaks — the
+    standard first look when a drift monitor fires ("WHEN did the mix
+    shift", after psi_drift_report says "it shifted").
+
+    Determinism: cumulative sums run over exact integers; the only float
+    is the final cum − i·mean, computed identically per row on both
+    engines, with the argmax tie-broken by day. Scale shape: the raw
+    scan reduces to (type, day) grain FIRST, so the windows run over
+    days-sized partitions — bounded regardless of event volume."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_days")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("day")
+    cusum = (
+        daily.join(stats, "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.sum("n").over(w_cum).alias("cum"),
+            F.row_number().over(w_rn).alias("rn"),
+            (F.col("total").cast("double") / F.col("n_days")).alias("mean_n"),
+        )
+    )
+    adev = F.abs(F.col("cum").cast("double") - F.col("rn") * F.col("mean_n"))
+    w_pick = Window.partitionBy("event_type").orderBy(adev.desc(), "day")
+    return (
+        cusum.withColumn("adev", adev)
+        .withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.round("adev", 4).alias("max_cusum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution — power iteration, decimal-exact
+# ---------------------------------------------------------------------------
+
+_MARKOV_ITERS = 5
+
+_MARKOV_STEPS = ",\n".join(
+    f"""
+    x{i + 1} AS (
+        SELECT t.next_state AS state,
+               CAST(sum(CAST(x.p * t.prob AS DECIMAL(30, 18))) AS DOUBLE) AS p
+        FROM x{i} x JOIN t ON x.state = t.prev_state
+        GROUP BY 1
+    )"""
+    for i in range(_MARKOV_ITERS)
+)
+
+
+@register(
+    "markov_stationary_power",
+    f"""
+    WITH seq AS (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type AS prev_state, event_type AS next_state,
+               count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT prev_state, next_state,
+               n / CAST(sum(n) OVER (PARTITION BY prev_state) AS DOUBLE)
+                   AS prob
+        FROM c
+    ),
+    states AS (SELECT DISTINCT prev_state AS state FROM t),
+    x0 AS (
+        SELECT state, 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM states) AS p
+        FROM states
+    ),
+    {_MARKOV_STEPS}
+    SELECT state, round(p, 8) AS stationary_p FROM x{_MARKOV_ITERS}
+    """,
+    tags=("X-markov-stationary",),
+)
+def markov_stationary_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain by
+    {_MARKOV_ITERS} power-iteration steps from uniform — the "where does
+    a user end up" summary on top of event_transition_matrix.
+
+    The iteration is relational: x_{{t+1}}(s') = Σ_s x_t(s)·P(s,s') is a
+    join + keyed sum over the |states|² transition frame (metadata-scale
+    after the one sequence shuffle), repeated as {_MARKOV_ITERS} plan
+    stages — the same finite-unroll pattern as ivf_kmeans_cells, and the
+    oracle unrolls the identical CTE blocks. Each step's products are
+    computed in double (deterministic per row) and summed in
+    DECIMAL(30,18), so every iterate is bit-reproducible across
+    partitionings and engines."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy(
+        F.col("prev_type").alias("prev_state"),
+        F.col("event_type").alias("next_state"),
+    ).agg(F.count("*").alias("n"))
+    t = c.select(
+        "prev_state",
+        "next_state",
+        (
+            F.col("n")
+            / F.sum("n").over(Window.partitionBy("prev_state")).cast("double")
+        ).alias("prob"),
+    )
+    states = t.select(F.col("prev_state").alias("state")).distinct()
+    k = states.agg(F.count("*").cast("double").alias("k"))
+    x = states.join(F.broadcast(k)).select(
+        "state", (F.lit(1.0) / F.col("k")).alias("p")
+    )
+    for _ in range(_MARKOV_ITERS):
+        x = (
+            x.join(t, x.state == t.prev_state)
+            .groupBy(F.col("next_state").alias("state"))
+            .agg(
+                F.sum((F.col("p") * F.col("prob")).cast("decimal(30,18)"))
+                .cast("double")
+                .alias("p")
+            )
+        )
+    return x.select("state", F.round("p", 8).alias("stationary_p"))
+
+
+# ---------------------------------------------------------------------------
+# LSH tuning report — recall/precision of the banding scheme vs exact truth
+# ---------------------------------------------------------------------------
+
+_LSH_EVAL_T = "0.5"  # rational 1/2 so both paths use exact integer prefixes
+
+
+@register(
+    "lsh_tuning_report",
+    """
+    WITH docs_w AS (
+        SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(w) >= 3
+                        THEN list_transform(generate_series(1, len(w) - 2),
+                                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                        ELSE [lower(text)] END
+               ) AS sh
+        FROM docs_w
+    ),
+    truth AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              >= 0.5
+    ),
+    sigs AS (
+        SELECT doc_id,
+               list_min(list_transform(hs, h -> ('0x' || substr(h, 1, 15))::BIGINT
+                   % 1152921504606846976)) AS sig0,
+               list_min(list_transform(hs, h -> (('0x' || substr(h, 1, 15))::BIGINT
+                   + 1 * ('0x' || substr(h, 17, 15))::BIGINT)
+                   % 1152921504606846976)) AS sig1,
+               list_min(list_transform(hs, h -> (('0x' || substr(h, 1, 15))::BIGINT
+                   + 2 * ('0x' || substr(h, 17, 15))::BIGINT)
+                   % 1152921504606846976)) AS sig2,
+               list_min(list_transform(hs, h -> (('0x' || substr(h, 1, 15))::BIGINT
+                   + 3 * ('0x' || substr(h, 17, 15))::BIGINT)
+                   % 1152921504606846976)) AS sig3
+        FROM (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM shingled)
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || ':' || sig1) AS band_hash FROM sigs
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(sig2 || ':' || sig3) AS band_hash FROM sigs
+    ),
+    pred AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+    ),
+    hit AS (SELECT * FROM pred INTERSECT SELECT * FROM truth)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM pred) AS BIGINT) AS n_pred,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           round((SELECT count(*) FROM hit)
+                 / CAST((SELECT count(*) FROM truth) AS DOUBLE), 4) AS recall,
+           round((SELECT count(*) FROM hit)
+                 / CAST((SELECT count(*) FROM pred) AS DOUBLE), 4) AS precision
+    """,
+    tags=("X-lsh-tuning",),
+)
+def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluates the dedup pipeline's OWN banding scheme: recall and
+    precision of the (k=4, 2-rows-per-band) MinHash-LSH candidates
+    against exact-Jaccard >= 0.5 ground truth. The number a platform
+    team actually tunes b and r against — LSH recall is probabilistic,
+    so shipping a banding config without this report is guesswork.
+
+    Ground truth comes from the LOSSLESS prefix-filter join (threshold
+    as the rational 1/2, exact integer prefix lengths), not a quadratic
+    scan — so even the truth side is the 100 TB plan. Candidates and
+    truth then reduce to three one-row counts joined broadcast; nothing
+    row-scale leaves the executors. The oracle's truth side IS the
+    brute-force all-pairs scan, so a green row simultaneously re-proves
+    prefix-filter losslessness at this threshold."""
+    from ..functions.lineage import truncate_lineage
+    from ..operators.dedup import (
+        lsh_candidate_pairs,
+        prefix_filter_jaccard_pairs,
+        shingle_frame,
+    )
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    sh = truncate_lineage(shingle_frame(docs), eager=False)
+    truth = prefix_filter_jaccard_pairs(docs, t_num=1, t_den=2).select(
+        "id_a", "id_b"
+    )
+    pred = lsh_candidate_pairs(docs, k=4, rows_per_band=2, shingles=sh).select(
+        F.col("doc_id_a").alias("id_a"), F.col("doc_id_b").alias("id_b")
+    )
+    hit = pred.join(truth, ["id_a", "id_b"], "left_semi")
+    nt = truth.agg(F.count("*").alias("n_true"))
+    np_ = pred.agg(F.count("*").alias("n_pred"))
+    nh = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        nt.join(F.broadcast(np_))
+        .join(F.broadcast(nh))
+        .select(
+            "n_true",
+            "n_pred",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true").cast("double"), 4).alias(
+                "recall"
+            ),
+            F.round(F.col("n_hit") / F.col("n_pred").cast("double"), 4).alias(
+                "precision"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA — does value differ across event types?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anova_f_by_group",
+    """
+    WITH s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(value AS DECIMAL(30, 10))) AS sv,
+               sum(CAST(value * value AS DECIMAL(30, 10))) AS sq
+        FROM events GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n_tot,
+               CAST(sum(sv) AS DOUBLE) / sum(n) AS grand_mean
+        FROM s
+    ),
+    terms AS (
+        SELECT g.k, g.n_tot,
+               sum(CAST(s.n * pow(CAST(s.sv AS DOUBLE) / s.n - g.grand_mean, 2)
+                        AS DECIMAL(30, 10))) AS ssb,
+               sum(CAST(CAST(s.sq AS DOUBLE)
+                        - CAST(s.sv AS DOUBLE) * CAST(s.sv AS DOUBLE) / s.n
+                        AS DECIMAL(30, 10))) AS ssw
+        FROM s, g GROUP BY 1, 2
+    )
+    SELECT k, n_tot,
+           round(CAST(ssb AS DOUBLE), 4) AS ss_between,
+           round(CAST(ssw AS DOUBLE), 4) AS ss_within,
+           round((CAST(ssb AS DOUBLE) / (k - 1))
+                 / (CAST(ssw AS DOUBLE) / (n_tot - k)), 6) AS f_stat
+    FROM terms
+    """,
+    tags=("X-anova",),
+)
+def anova_f_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic for value across event types — the
+    k-group generalization of ab_test_welch_t, from the same decimal
+    sufficient statistics (n, Σv, Σv²) per group.
+
+    Scale shape: ONE map-side-combined aggregation over events; the
+    group frame is |types| rows, so the between/within sums are
+    metadata-scale. Per-group doubles derive from exact decimals
+    identically on both engines; the second-level sums go back through
+    DECIMAL(30,10) so k-group addition order can't move the output."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,10)")).alias("sv"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,10)")).alias(
+            "sq"
+        ),
+    )
+    g = s.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("n_tot"),
+        (F.sum("sv").cast("double") / F.sum("n")).alias("grand_mean"),
+    )
+    mean_g = F.col("sv").cast("double") / F.col("n")
+    ssb_term = (
+        F.col("n") * F.pow(mean_g - F.col("grand_mean"), F.lit(2))
+    ).cast("decimal(30,10)")
+    ssw_term = (
+        F.col("sq").cast("double")
+        - F.col("sv").cast("double") * F.col("sv").cast("double") / F.col("n")
+    ).cast("decimal(30,10)")
+    terms = (
+        s.join(F.broadcast(g))
+        .groupBy("k", "n_tot")
+        .agg(F.sum(ssb_term).alias("ssb"), F.sum(ssw_term).alias("ssw"))
+    )
+    ssb_d, ssw_d = F.col("ssb").cast("double"), F.col("ssw").cast("double")
+    return terms.select(
+        "k",
+        "n_tot",
+        F.round(ssb_d, 4).alias("ss_between"),
+        F.round(ssw_d, 4).alias("ss_within"),
+        F.round(
+            (ssb_d / (F.col("k") - 1)) / (ssw_d / (F.col("n_tot") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square association — is lang independent of source?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chi2_lang_source",
+    """
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    rows_t AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+    cols_t AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    grid AS (
+        SELECT r.lang, c.source, r.rt, c.ct, n.n,
+               coalesce(cl.o, 0) AS o,
+               CAST(r.rt AS DOUBLE) * c.ct / n.n AS e
+        FROM rows_t r CROSS JOIN cols_t c CROSS JOIN n
+        LEFT JOIN cells cl ON cl.lang = r.lang AND cl.source = c.source
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((SELECT count(*) - 1 FROM rows_t)
+                * (SELECT count(*) - 1 FROM cols_t) AS BIGINT) AS dof,
+           round(CAST(sum(CAST(pow(o - e, 2) / e AS DECIMAL(30, 12)))
+                      AS DOUBLE), 6) AS chi2
+    FROM grid
+    """,
+    tags=("X-chi2",),
+)
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between lang and source —
+    the categorical-association check a corpus monitor runs to catch a
+    crawler suddenly feeding one language from one source.
+
+    The contingency table INCLUDES empty cells (absent (lang, source)
+    combos contribute their full expected count), built as a cross join
+    of the two marginal frames — both metadata-scale after the one cell
+    aggregation, so the cross join is langs x sources rows, never data.
+    Cell terms are doubles derived identically from exact integers; the
+    final sum goes through DECIMAL(30,12)."""
+    docs = table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rows_t = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols_t = cells.groupBy("source").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("n"))
+    dof = (
+        rows_t.agg(F.count("*").alias("nr"))
+        .join(F.broadcast(cols_t.agg(F.count("*").alias("nc"))))
+        .select(((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"))
+    )
+    grid = (
+        rows_t.join(F.broadcast(cols_t))
+        .join(F.broadcast(n))
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (F.col("rt").cast("double") * F.col("ct") / F.col("n")).alias("e"),
+        )
+    )
+    term = (F.pow(F.col("o") - F.col("e"), F.lit(2)) / F.col("e")).cast(
+        "decimal(30,12)"
+    )
+    agg = grid.agg(
+        F.count("*").alias("n_cells"),
+        F.round(F.sum(term).cast("double"), 6).alias("chi2"),
+    )
+    return agg.join(F.broadcast(dof)).select("n_cells", "dof", "chi2")
+
+
+# ---------------------------------------------------------------------------
+# Gini split scan — best decision-stump threshold, distributed
+# ---------------------------------------------------------------------------
+
+_GINI_BUCKET = 50
+
+
+@register(
+    "gini_split_scan",
+    f"""
+    WITH b AS (
+        SELECT n_chars // {_GINI_BUCKET} AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pos
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(pos) AS BIGINT) AS pt
+        FROM b
+    ),
+    cum AS (
+        SELECT bucket,
+               CAST(sum(n) OVER (ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+               CAST(sum(pos) OVER (ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl
+        FROM b
+    ),
+    scored AS (
+        SELECT c.bucket, c.nl, t.nt - c.nl AS nr,
+               (c.nl * (1.0 - pow(CAST(c.pl AS DOUBLE) / c.nl, 2)
+                            - pow(CAST(c.nl - c.pl AS DOUBLE) / c.nl, 2))
+                + (t.nt - c.nl)
+                  * (1.0 - pow(CAST(t.pt - c.pl AS DOUBLE) / (t.nt - c.nl), 2)
+                         - pow(CAST((t.nt - c.nl) - (t.pt - c.pl) AS DOUBLE)
+                               / (t.nt - c.nl), 2))) / t.nt AS gini
+        FROM cum c, tot t
+        WHERE t.nt - c.nl > 0
+    )
+    SELECT bucket AS split_bucket,
+           CAST((bucket + 1) * {_GINI_BUCKET} AS BIGINT) AS threshold_chars,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           round(gini, 6) AS gini
+    FROM (SELECT *, row_number() OVER (ORDER BY gini, bucket) AS pick
+          FROM scored)
+    WHERE pick = 1
+    """,
+    tags=("X-gini-split",),
+)
+def gini_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best decision-stump split of doc length against the lang='en'
+    label by weighted Gini impurity — the inner loop of distributed
+    tree building (and a quick "is this feature predictive" probe),
+    done the way a tree learner actually scales it: aggregate to
+    bounded histogram buckets FIRST, then scan thresholds over the
+    bucket frame.
+
+    The unpartitioned cumulative window runs over the bucket histogram
+    (<= max_chars/{_GINI_BUCKET} rows — metadata-scale by construction,
+    same class as open_order_backlog_sweepline's day grid). All
+    impurities are doubles derived identically from exact integer
+    cumulative counts; argmin tie-breaks on bucket."""
+    docs = table(spark, sf_dir, "documents")
+    b = docs.groupBy(
+        (F.col("n_chars") / F.lit(_GINI_BUCKET)).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("lang") == "en").cast("int")).alias("pos"),
+    )
+    tot = b.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = b.select(
+        "bucket",
+        F.sum("n").over(w_cum).alias("nl"),
+        F.sum("pos").over(w_cum).alias("pl"),
+    )
+    j = cum.join(F.broadcast(tot)).filter(F.col("nt") - F.col("nl") > 0)
+    nl, pl = F.col("nl"), F.col("pl")
+    nr = F.col("nt") - nl
+    pr = F.col("pt") - pl
+    gini_l = (
+        F.lit(1.0)
+        - F.pow(pl.cast("double") / nl, F.lit(2))
+        - F.pow((nl - pl).cast("double") / nl, F.lit(2))
+    )
+    gini_r = (
+        F.lit(1.0)
+        - F.pow(pr.cast("double") / nr, F.lit(2))
+        - F.pow((nr - pr).cast("double") / nr, F.lit(2))
+    )
+    gini = (nl * gini_l + nr * gini_r) / F.col("nt")
+    scored = j.select("bucket", nl.alias("n_left"), nr.alias("n_right"), gini.alias("gini"))
+    w_pick = Window.orderBy("gini", "bucket")
+    return (
+        scored.withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            F.col("bucket").alias("split_bucket"),
+            ((F.col("bucket") + 1) * _GINI_BUCKET).cast("long").alias(
+                "threshold_chars"
+            ),
+            F.col("n_left").cast("long").alias("n_left"),
+            F.col("n_right").cast("long").alias("n_right"),
+            F.round("gini", 6).alias("gini"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual k-NN pairs — reciprocal-neighbor dedup/link signal
+# ---------------------------------------------------------------------------
+
+_MKNN_K = 5
+
+_MKNN_COS = (
+    "round(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(a.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(b.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)"
+)
+
+
+@register(
+    "mutual_knn_pairs",
+    f"""
+    WITH scored AS (
+        SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+               {_MKNN_COS} AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    knn AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY src
+                                         ORDER BY cos_sim DESC, dst) AS rn
+            FROM scored
+        ) WHERE rn <= {_MKNN_K}
+    )
+    SELECT f.label, f.src AS id_a, f.dst AS id_b, f.cos_sim
+    FROM knn f JOIN knn r ON f.src = r.dst AND f.dst = r.src
+    WHERE f.src < f.dst
+    """,
+    tags=("X-mutual-knn",),
+)
+def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest neighbors: pairs where each vector is in the
+    other's cosine top-{_MKNN_K} — the high-precision link signal used
+    for embedding-level dedup and cluster seeding (one-directional kNN
+    is noisy near hub vectors; mutuality kills the hubs).
+
+    Scale shape: the pair scan is CELL-RESTRICTED (label as the IVF
+    cell, the ann_ivf_label_topk pattern) — quadratic only within a
+    cell, an equi-join on the cell key across cells. Per-source top-k is
+    a rank-bounded window partitioned by vector; the mutuality check is
+    a self-equi-join of the k-bounded directed-edge frame on the
+    reversed key, so it touches k·n rows, never the pair scan again."""
+    from ..operators.similarity import cosine
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    a = emb.select(
+        "label",
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("emb_b"),
+    )
+    scored = (
+        a.join(b, (a.label == b.label_b) & (F.col("src") != F.col("dst")))
+        .select(
+            "label",
+            "src",
+            "dst",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+    knn = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _MKNN_K
+    )
+    f = knn.select("label", "src", "dst", "cos_sim")
+    r = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    return (
+        f.join(r, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            "label",
+            F.col("src").alias("id_a"),
+            F.col("dst").alias("id_b"),
+            "cos_sim",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplication-discounted token budget per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dup_discounted_tokens",
+    """
+    WITH w AS (
+        SELECT source,
+               len(string_split(lower(text), ' ')) AS toks,
+               count(*) OVER (PARTITION BY md5(text)) AS c
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS raw_tokens,
+           round(CAST(sum(CAST(toks / CAST(c AS DOUBLE) AS DECIMAL(30, 12)))
+                      AS DOUBLE), 4) AS discounted_tokens
+    FROM w GROUP BY 1
+    """,
+    tags=("X-dup-discount",),
+)
+def dup_discounted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-discounted token budget per source: each document
+    contributes tokens/c where c is its exact-duplicate cluster size, so
+    a text duplicated across (or within) sources counts once in total —
+    the Chinchilla-style effective-token accounting a mixture planner
+    uses instead of raw counts, without having to pick which copy to
+    keep.
+
+    Scale shape: one window count over md5(text) partitions (uniform
+    digest keys — the exact_dedup shuffle), then one keyed aggregation.
+    The per-row discount is an exact-integer division; the sum goes
+    through DECIMAL(30,12)."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    frame = docs.select(
+        "source",
+        F.size(F.split(F.lower("text"), " ")).alias("toks"),
+        F.count("*").over(w).alias("c"),
+    )
+    disc = (F.col("toks") / F.col("c").cast("double")).cast("decimal(30,12)")
+    return frame.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").cast("long").alias("raw_tokens"),
+        F.round(F.sum(disc).cast("double"), 4).alias("discounted_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment — hash folds + balance audit
+# ---------------------------------------------------------------------------
+
+_KFOLDS = 5
+
+
+@register(
+    "stratified_kfold_balance",
+    f"""
+    WITH f AS (
+        SELECT lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % {_KFOLDS} AS fold
+        FROM documents
+    ),
+    lt AS (SELECT lang, CAST(count(*) AS BIGINT) AS lang_total FROM f GROUP BY 1)
+    SELECT f.fold, f.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(lt.lang_total / CAST({_KFOLDS} AS DOUBLE), 4) AS expected,
+           round(count(*) / (lt.lang_total / CAST({_KFOLDS} AS DOUBLE)) - 1, 4)
+               AS rel_dev
+    FROM f JOIN lt ON f.lang = lt.lang
+    GROUP BY f.fold, f.lang, lt.lang_total
+    """,
+    tags=("X-kfold",),
+)
+def stratified_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {_KFOLDS}-fold assignment by content-stable hash
+    (md5 of the doc id — reproducible across runs, engines, and
+    repartitioning, unlike rand()-based splits) plus the per-(fold,
+    lang) balance audit that validates the folds are usable for
+    stratified CV: actual vs expected count and relative deviation.
+
+    Scale shape: fold is a per-row expression (no shuffle to assign);
+    the audit is one keyed aggregation plus a broadcast join of the
+    langs-sized marginal."""
+    docs = table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _KFOLDS
+    )
+    f = docs.select("lang", fold.alias("fold"))
+    lt = f.groupBy("lang").agg(F.count("*").alias("lang_total"))
+    expected = F.col("lang_total") / F.lit(float(_KFOLDS))
+    return (
+        f.join(F.broadcast(lt), "lang")
+        .groupBy("fold", "lang", "lang_total")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            F.round(expected, 4).alias("expected"),
+            F.round(F.col("n_docs") / expected - 1, 4).alias("rel_dev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit — log-log OLS over the top-k vocabulary
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPK = 1000
+
+
+@register(
+    "vocab_zipf_fit",
+    f"""
+    WITH tf AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+              FROM documents)
+        GROUP BY 1
+        ORDER BY cnt DESC, term LIMIT {_ZIPF_TOPK}
+    ),
+    xy AS (
+        SELECT ln(row_number() OVER (ORDER BY cnt DESC, term)) AS x,
+               ln(cnt) AS y
+        FROM tf
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS DECIMAL(30, 12))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(30, 12))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * y AS DECIMAL(30, 12))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x * x AS DECIMAL(30, 12))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(30, 12))) AS DOUBLE) AS syy
+        FROM xy
+    )
+    SELECT n AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    tags=("X-zipf",),
+)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope of log
+    frequency against log rank over the top-{_ZIPF_TOPK} terms. A slope
+    far from -1 (or a low r²) is the classic symptom of a corrupted
+    corpus — boilerplate floods (slope too shallow at the head) or
+    tokenizer breakage (too steep).
+
+    Scale shape: term frequencies are one exploded aggregation; the
+    top-k is a distributed TakeOrderedAndProject, so ranking and the
+    log-log regression run on a k-row-bounded frame; the regression
+    itself is decomposable decimal sums (the ols_trend pattern)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(_ZIPF_TOPK)
+    )
+    w = Window.orderBy(F.desc("cnt"), "term")
+    xy = tf.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    dec = "decimal(30,12)"
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

@@ -121,7 +121,17 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("X-dedup-lsh",),
 )
 def dedup_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_candidate_pairs(fan_out(table(spark, sf_dir, "documents")), k=4, rows_per_band=2)
+    """LSH band self-join over a SHARED lazily-checkpointed band frame —
+    without it both join aliases re-evaluate the interpreted minhash
+    transforms (sf1 spot-bench: 2x the signature CPU)."""
+    from ..functions.lineage import truncate_lineage
+    from ..operators.dedup import lsh_bands, minhash_signatures
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    bands = truncate_lineage(
+        lsh_bands(minhash_signatures(docs, 4), rows_per_band=2), eager=False
+    )
+    return lsh_candidate_pairs(docs, k=4, rows_per_band=2, bands=bands)
 
 
 @register(
@@ -139,8 +149,22 @@ def dedup_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("X-dedup-jaccard",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingles feed the minhash build AND both verify-join sides; bands
+    feed both candidate-join aliases — share both as lazy checkpoints
+    (the training_corpus_prep pattern)."""
+    from ..functions.lineage import truncate_lineage
+    from ..operators.dedup import lsh_bands, minhash_signatures, shingle_frame
+
     docs = fan_out(table(spark, sf_dir, "documents"))
-    return ngram_jaccard_pairs(docs, lsh_candidate_pairs(docs, k=4, rows_per_band=2))
+    sh = truncate_lineage(shingle_frame(docs), eager=False)
+    bands = truncate_lineage(
+        lsh_bands(minhash_signatures(docs, 4, shingles=sh), rows_per_band=2),
+        eager=False,
+    )
+    return ngram_jaccard_pairs(
+        docs, lsh_candidate_pairs(docs, k=4, rows_per_band=2, bands=bands),
+        shingles=sh,
+    )
 
 
 _SIMHASH_VOTES = ",\n           ".join(

@@ -1,0 +1,125 @@
+"""Semantic tests for the round-6 additions (cross-engine value equality
+is covered by the driver oracle / preflight; these pin invariants the
+hash check can't express)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from citibike_deep_dive_spark.plans import CATALOG
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_k_anonymity_partitions_the_table(spark):
+    rows = CATALOG["k_anonymity_audit"].build(spark, SF).collect()
+    total = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert sum(r.n_rows for r in rows) == total
+    assert all(r.n_classes * r.k_size == r.n_rows for r in rows)
+
+
+def test_cusum_changepoint_one_row_per_type(spark):
+    rows = CATALOG["cusum_changepoint"].build(spark, SF).collect()
+    types = {r.event_type for r in rows}
+    assert len(rows) == len(types)
+    assert all(r.max_cusum >= 0 for r in rows)
+
+
+def test_markov_stationary_is_a_distribution(spark):
+    rows = CATALOG["markov_stationary_power"].build(spark, SF).collect()
+    assert rows, "states must exist"
+    # mass is conserved by a stochastic matrix: sums to 1 up to rounding
+    assert abs(sum(r.stationary_p for r in rows) - 1.0) < 1e-6
+    assert all(r.stationary_p > 0 for r in rows)
+
+
+def test_lsh_tuning_metrics_are_consistent(spark):
+    r = CATALOG["lsh_tuning_report"].build(spark, SF).collect()[0]
+    assert r.n_hit <= r.n_true and r.n_hit <= r.n_pred
+    assert 0.0 <= r.recall <= 1.0 and 0.0 <= r.precision <= 1.0
+
+
+def test_anova_f_nonnegative_and_counts(spark):
+    r = CATALOG["anova_f_by_group"].build(spark, SF).collect()[0]
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert r.n_tot == n_events
+    assert r.f_stat >= 0 and r.ss_between >= 0 and r.ss_within >= 0
+
+
+def test_chi2_grid_covers_all_combos(spark):
+    r = CATALOG["chi2_lang_source"].build(spark, SF).collect()[0]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_lang = docs.select("lang").distinct().count()
+    n_src = docs.select("source").distinct().count()
+    assert r.n_cells == n_lang * n_src
+    assert r.dof == (n_lang - 1) * (n_src - 1)
+    assert r.chi2 >= 0
+
+
+def test_gini_split_partitions_corpus(spark):
+    r = CATALOG["gini_split_scan"].build(spark, SF).collect()[0]
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert r.n_left + r.n_right == total
+    assert 0.0 <= r.gini <= 0.5
+
+
+def test_mutual_knn_pairs_are_reciprocal_and_cell_local(spark):
+    rows = CATALOG["mutual_knn_pairs"].build(spark, SF).collect()
+    emb = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert emb[r.id_a] == emb[r.id_b] == r.label
+        assert -1.0001 <= r.cos_sim <= 1.0001
+
+
+def test_dup_discount_bounded_by_raw(spark):
+    rows = CATALOG["dup_discounted_tokens"].build(spark, SF).collect()
+    for r in rows:
+        assert 0 < r.discounted_tokens <= r.raw_tokens + 1e-9
+
+
+def test_kfold_assignment_is_deterministic_and_complete(spark):
+    df = CATALOG["stratified_kfold_balance"].build(spark, SF)
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, CATALOG["stratified_kfold_balance"].build(spark, SF).collect()))
+    assert a == b  # content-hash folds: stable across builds
+    rows = df.collect()
+    assert {r.fold for r in rows} <= set(range(5))
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == total
+
+
+def test_zipf_fit_slope_is_negative(spark):
+    r = CATALOG["vocab_zipf_fit"].build(spark, SF).collect()[0]
+    assert r.slope < 0  # frequency must fall with rank
+    assert 0.0 <= r.r2 <= 1.0
+    assert r.n_terms <= 1000
+
+
+def test_new_queries_have_oracles_and_audit_clean(spark):
+    names = [
+        "k_anonymity_audit", "cusum_changepoint", "markov_stationary_power",
+        "lsh_tuning_report", "anova_f_by_group", "chi2_lang_source",
+        "gini_split_scan", "mutual_knn_pairs", "dup_discounted_tokens",
+        "stratified_kfold_balance", "vocab_zipf_fit",
+    ]
+    for n in names:
+        assert CATALOG[n].oracle, n
+
+
+@pytest.mark.parametrize("name", ["gini_split_scan", "vocab_zipf_fit"])
+def test_bounded_topk_plans(spark, name):
+    """The global orderings in these plans must be k-bounded (top-k) or
+    metadata-scale (bucket histogram) — never a full global sort."""
+    plan = (
+        CATALOG[name]
+        .build(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Sort [" not in plan or "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
