@@ -82,6 +82,7 @@ VERIFY_FIRST = [
     "dup_discounted_tokens",
     "stratified_kfold_balance",
     "vocab_zipf_fit",
+    "simhash64_hamming_pairs",
 ]
 
 

@@ -920,3 +920,128 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 64-bit SimHash near-dup pairs — the bounded-bucket production width
+# ---------------------------------------------------------------------------
+
+_SH64_BANDS = 4
+_SH64_BAND_BITS = 16
+_SH64_HAMMING_MAX = 3  # pigeonhole: hamming <= bands-1 => >=1 band equal
+
+
+def _sh64_oracle() -> str:
+    votes = ", ".join(
+        f"sum(((strpos('0123456789abcdef', substr(md5(tok), {(j % 32) + 1}, 1))"
+        f" - 1) >> {j // 32}) & 1) * 2 - count(*) AS v{j}"
+        for j in range(_SH64_BANDS * _SH64_BAND_BITS)
+    )
+    band_exprs = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN v{_SH64_BAND_BITS * b + r} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(_SH64_BAND_BITS)
+        )
+        + f" AS BIGINT) AS sh{b}"
+        for b in range(_SH64_BANDS)
+    )
+    bv_case = (
+        "CASE b.b "
+        + " ".join(f"WHEN {b} THEN sh{b}" for b in range(_SH64_BANDS - 1))
+        + f" ELSE sh{_SH64_BANDS - 1} END"
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a{b}, b{b}))" for b in range(_SH64_BANDS)
+    )
+    a_cols = ", ".join(f"a.sh{b} AS a{b}" for b in range(_SH64_BANDS))
+    b_cols = ", ".join(f"b.sh{b} AS b{b}" for b in range(_SH64_BANDS))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+        FROM documents
+    ), votes AS (
+        SELECT doc_id, {votes} FROM toks GROUP BY doc_id
+    ), sims AS (
+        SELECT doc_id, {band_exprs} FROM votes
+    ), bands AS (
+        SELECT doc_id, {", ".join(f"sh{b}" for b in range(_SH64_BANDS))}, b.b,
+               {bv_case} AS bv
+        FROM sims, (SELECT unnest(generate_series(0, {_SH64_BANDS - 1})) AS b) b
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               {a_cols}, {b_cols}
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b, CAST({ham} AS BIGINT) AS hamming
+    FROM cand WHERE {ham} <= {_SH64_HAMMING_MAX}
+    """
+
+
+@register("simhash64_hamming_pairs", _sh64_oracle(), tags=("X-simhash64",))
+def simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at PRODUCTION width: a 64-bit fingerprint
+    in 4×16-bit Manku bands (vs the 16-bit/4-bit-band demo form). The
+    round-6 sf1 spot-bench showed why the width is the scale knob: with
+    4-bit bands a band has 16 possible values, so buckets — and verify
+    pairs — grow quadratically with the corpus (26× cost at 10× docs on
+    BOTH engines); 16-bit bands have 65 536 values and keep buckets
+    bounded, restoring the linear equi-join shape that LSH banding is
+    supposed to buy. Pigeonhole is unchanged: hamming <= 3 over 64 bits
+    guarantees at least one of the 4 bands is identical, so the
+    candidate join loses nothing.
+
+    Plan shape: one token explode + 64 codegen'd conditional-sum votes
+    (one md5 per token, split once into 4 words), band equi-join,
+    popcount verify (bit_count(xor) per band) — everything whole-stage
+    codegen, one shuffle on doc_id, one on the band key."""
+    from ..operators.dedup import simhash_wide
+
+    sims = simhash_wide(
+        fan_out(table(spark, sf_dir, "documents")),
+        band_bits=_SH64_BAND_BITS,
+        n_bands=_SH64_BANDS,
+    )
+    sh_cols = [f"sh{b}" for b in range(_SH64_BANDS)]
+    bands = sims.select(
+        "doc_id",
+        *sh_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("b"), F.col(f"sh{b}").alias("bv"))
+                    for b in range(_SH64_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", *sh_cols, F.col("band.b").alias("b"), F.col("band.bv").alias("bv"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_id_a"),
+        *[F.col(f"sh{b}").alias(f"a{b}") for b in range(_SH64_BANDS)],
+        "b",
+        "bv",
+    )
+    b_ = bands.select(
+        F.col("doc_id").alias("doc_id_b"),
+        *[F.col(f"sh{b}").alias(f"b{b}") for b in range(_SH64_BANDS)],
+        "b",
+        "bv",
+    )
+    cand = (
+        a.join(b_, ["b", "bv"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .drop("b", "bv")
+        .distinct()
+    )
+    ham = None
+    for i in range(_SH64_BANDS):
+        term = F.bit_count(
+            F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))
+        )
+        ham = term if ham is None else ham + term
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= _SH64_HAMMING_MAX)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )

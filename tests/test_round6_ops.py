@@ -123,3 +123,21 @@ def test_bounded_topk_plans(spark, name):
         .toString()
     )
     assert "Sort [" not in plan or "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+
+
+def test_simhash64_pairs_symmetric_and_bounded(spark):
+    rows = CATALOG["simhash64_hamming_pairs"].build(spark, SF).collect()
+    assert rows, "near-dup docs exist in the fixture corpus"
+    for r in rows:
+        assert r.doc_id_a < r.doc_id_b
+        assert 0 <= r.hamming <= 3
+
+
+def test_simhash_wide_band_values_fit_width(spark):
+    from citibike_deep_dive_spark.operators.dedup import simhash_wide
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = simhash_wide(docs, band_bits=16, n_bands=4).collect()
+    for r in rows:
+        for b in range(4):
+            assert 0 <= r[f"sh{b}"] < (1 << 16)
