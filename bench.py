@@ -63,6 +63,9 @@ HEADLINE = [
     # numbers recorded in BASELINE.md instead of diluting the headline)
     "semdedup_prune",
     "simhash_hamming_pairs",
+    # round-6: the production-width simhash (CPU-bound; the other r6
+    # additions are scheduling-floor-bound at sf0.1 — BASELINE.md policy)
+    "simhash64_hamming_pairs",
 ]
 
 
@@ -116,6 +119,7 @@ def main() -> None:
     spark.range(1).count()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         # One broken query must cost its own slot, not the whole bench
@@ -130,6 +134,12 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()  # full materialization
                 runs.append(time.perf_counter() - start)
             timings[name] = round(min(runs), 3)
+            # First-run time, so the payload is self-describing for the
+            # queries whose later runs reuse lazily-checkpointed shared
+            # intermediates (corpus prep, the LSH family) or iterative
+            # checkpoints: min() is steady-state, cold is the full
+            # rebuild (it also contains the one-time codegen cost).
+            cold[name] = round(runs[0], 3)
         except Exception as exc:  # noqa: BLE001 — report and move on
             errors[name] = str(exc).splitlines()[0][:200]
 
@@ -139,6 +149,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
