@@ -298,8 +298,16 @@ def dock_deep_merge_nested_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side-tag isNotNull filter is over derived columns and would
     # otherwise be pushed back through the exchange onto the single scan
     # task (interleaved sf0.1 A/B: plain 0.88 / fan_out 0.73 / fan_out+
-    # barrier 0.62 s). No-op on well-split inputs.
-    trips = _synth_dock_trips(fan_out(table(spark, sf_dir, "orders"), barrier=True))
+    # barrier 0.62 s). target=cores/4: the per-row work here is LIGHT
+    # (string concat + one explode), so at this row count per-task fixed
+    # overhead dominates before CPU does — 8 fatter tasks beat 32 thin
+    # ones (r6 A/B: fan32 0.62 / fan16 0.56 / fan8 0.50 / fan4 0.61 /
+    # none 0.77 s). No-op on well-split inputs either way.
+    cores = spark.sparkContext.defaultParallelism
+    trips = _synth_dock_trips(
+        fan_out(table(spark, sf_dir, "orders"), target=max(4, cores // 4),
+                barrier=True)
+    )
     return dock_merge_fused_json(
         trips,
         existing_cond=F.col("o_orderkey") % 3 != 0,
