@@ -83,6 +83,8 @@ VERIFY_FIRST = [
     "stratified_kfold_balance",
     "vocab_zipf_fit",
     "simhash64_hamming_pairs",
+    "l_diversity_audit",
+    "rfm_segmentation",
 ]
 
 

@@ -1045,3 +1045,149 @@ def simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SH64_HAMMING_MAX)
         .select("doc_id_a", "doc_id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — the sensitive-attribute companion to k-anonymity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l_diversity_audit",
+    """
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS k_size,
+               CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                    AS BIGINT) AS l_distinct
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT l_distinct,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(k_size) AS BIGINT) AS n_rows,
+           CAST(min(k_size) AS BIGINT) AS min_k
+    FROM classes GROUP BY 1
+    """,
+    tags=("X-l-diversity",),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity profile: for each quasi-identifier equivalence class,
+    how many DISTINCT sensitive values (account-balance bands) it
+    contains — k-anonymity's necessary complement (a k=50 class whose 50
+    rows all share one sensitive value still leaks it; [[k_anonymity_audit]]
+    cannot see that). Output is the l histogram with class counts and
+    the smallest class at each l.
+
+    Scale shape: one count-distinct aggregation keyed by the class pair
+    (Spark expands it to a two-level exact aggregate — no window, no
+    join), then a metadata-scale re-agg. The sensitive value is banded
+    with floor() explicitly because DuckDB's double→int cast rounds
+    while Spark's truncates."""
+    c = table(spark, sf_dir, "customer")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("k_size"),
+        F.count_distinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+        ).alias("l_distinct"),
+    )
+    return classes.groupBy("l_distinct").agg(
+        F.count("*").alias("n_classes"),
+        F.sum("k_size").alias("n_rows"),
+        F.min("k_size").alias("min_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — quartile-banded customer value segments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rfm_segmentation",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate),
+                         (SELECT max(o_orderdate) FROM orders)) AS recency_d,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(30, 8))), 2)
+                    AS DOUBLE) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    b AS (
+        SELECT quantile_cont(CAST(recency_d AS DOUBLE), [0.25, 0.5, 0.75]) AS rb,
+               quantile_cont(CAST(frequency AS DOUBLE), [0.25, 0.5, 0.75]) AS fb,
+               quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mb
+        FROM cust
+    ),
+    seg AS (
+        SELECT
+            CASE WHEN recency_d <= rb[1] THEN 4 WHEN recency_d <= rb[2] THEN 3
+                 WHEN recency_d <= rb[3] THEN 2 ELSE 1 END AS r_seg,
+            CASE WHEN frequency <= fb[1] THEN 1 WHEN frequency <= fb[2] THEN 2
+                 WHEN frequency <= fb[3] THEN 3 ELSE 4 END AS f_seg,
+            CASE WHEN monetary <= mb[1] THEN 1 WHEN monetary <= mb[2] THEN 2
+                 WHEN monetary <= mb[3] THEN 3 ELSE 4 END AS m_seg
+        FROM cust, b
+    )
+    SELECT r_seg, f_seg, m_seg, CAST(count(*) AS BIGINT) AS n_customers
+    FROM seg GROUP BY 1, 2, 3
+    """,
+    tags=("X-rfm",),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation — the
+    classic customer-value cube, built the scale-correct way: NO ntile
+    window (a global sort of the customer frame); instead the three
+    quartile boundary triples are ONE exact-percentile aggregate over
+    the already customer-grain frame, broadcast back as a single row,
+    and banding is a codegen CASE per row. Spark's percentile() and
+    DuckDB's quantile_cont agree exactly (both linear interpolation —
+    the value_percentiles_exact precedent).
+
+    Determinism: recency is integer days from the global max order date
+    (one-row broadcast); frequency is a count; monetary aggregates in
+    DECIMAL(30,8) then rounds — so every banded value and every
+    boundary is bit-identical across engines, and band comparisons
+    cannot flip."""
+    o = table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    # recency = days from the customer's LAST order to the global max
+    # = MIN over their orders of datediff (max(datediff) would be the
+    # first order)
+    cust = (
+        o.join(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("maxd"), F.col("o_orderdate"))).alias(
+                "recency_d"
+            ),
+            F.count("*").alias("frequency"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,8)")), 2)
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    b = cust.agg(
+        F.percentile(F.col("recency_d").cast("double"), F.lit([0.25, 0.5, 0.75])).alias("rb"),
+        F.percentile(F.col("frequency").cast("double"), F.lit([0.25, 0.5, 0.75])).alias("fb"),
+        F.percentile(F.col("monetary"), F.lit([0.25, 0.5, 0.75])).alias("mb"),
+    )
+
+    def band(col, bounds, invert=False):
+        lo, hi = (4, 1) if invert else (1, 4)
+        return (
+            F.when(col <= F.element_at(bounds, 1), F.lit(lo))
+            .when(col <= F.element_at(bounds, 2), F.lit(3 if invert else 2))
+            .when(col <= F.element_at(bounds, 3), F.lit(2 if invert else 3))
+            .otherwise(F.lit(hi))
+        )
+
+    seg = cust.join(F.broadcast(b)).select(
+        band(F.col("recency_d"), F.col("rb"), invert=True).alias("r_seg"),
+        band(F.col("frequency"), F.col("fb")).alias("f_seg"),
+        band(F.col("monetary"), F.col("mb")).alias("m_seg"),
+    )
+    return seg.groupBy("r_seg", "f_seg", "m_seg").agg(
+        F.count("*").alias("n_customers")
+    )

@@ -141,3 +141,23 @@ def test_simhash_wide_band_values_fit_width(spark):
     for r in rows:
         for b in range(4):
             assert 0 <= r[f"sh{b}"] < (1 << 16)
+
+
+def test_l_diversity_partitions_and_bounds(spark):
+    rows = CATALOG["l_diversity_audit"].build(spark, SF).collect()
+    total = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert sum(r.n_rows for r in rows) == total
+    for r in rows:
+        assert 1 <= r.l_distinct
+        assert r.min_k >= r.l_distinct  # can't have more distinct values than rows
+
+
+def test_rfm_covers_all_customers_with_valid_bands(spark):
+    rows = CATALOG["rfm_segmentation"].build(spark, SF).collect()
+    n_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_seg <= 4 and 1 <= r.f_seg <= 4 and 1 <= r.m_seg <= 4
