@@ -196,12 +196,12 @@ _MARKOV_STEPS = ",\n".join(
 )
 def markov_stationary_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the user-journey Markov chain by
-    {_MARKOV_ITERS} power-iteration steps from uniform — the "where does
+    5 power-iteration steps from uniform — the "where does
     a user end up" summary on top of event_transition_matrix.
 
-    The iteration is relational: x_{{t+1}}(s') = Σ_s x_t(s)·P(s,s') is a
+    The iteration is relational: x_{t+1}(s') = Σ_s x_t(s)·P(s,s') is a
     join + keyed sum over the |states|² transition frame (metadata-scale
-    after the one sequence shuffle), repeated as {_MARKOV_ITERS} plan
+    after the one sequence shuffle), repeated as 5 plan
     stages — the same finite-unroll pattern as ivf_kmeans_cells, and the
     oracle unrolls the identical CTE blocks. Each step's products are
     computed in double (deterministic per row) and summed in
@@ -577,7 +577,7 @@ def gini_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket frame.
 
     The unpartitioned cumulative window runs over the bucket histogram
-    (<= max_chars/{_GINI_BUCKET} rows — metadata-scale by construction,
+    (<= max_chars/50 rows — metadata-scale by construction,
     same class as open_order_backlog_sweepline's day grid). All
     impurities are doubles derived identically from exact integer
     cumulative counts; argmin tie-breaks on bucket."""
@@ -669,7 +669,7 @@ _MKNN_COS = (
 )
 def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal nearest neighbors: pairs where each vector is in the
-    other's cosine top-{_MKNN_K} — the high-precision link signal used
+    other's cosine top-5 — the high-precision link signal used
     for embedding-level dedup and cluster seeding (one-directional kNN
     is noisy near hub vectors; mutuality kills the hubs).
 
@@ -801,7 +801,7 @@ _KFOLDS = 5
     tags=("X-kfold",),
 )
 def stratified_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic {_KFOLDS}-fold assignment by content-stable hash
+    """Deterministic 5-fold assignment by content-stable hash
     (md5 of the doc id — reproducible across runs, engines, and
     repartitioning, unlike rand()-based splits) plus the per-(fold,
     lang) balance audit that validates the folds are usable for
@@ -876,7 +876,7 @@ _ZIPF_TOPK = 1000
 )
 def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit of the corpus vocabulary: OLS slope of log
-    frequency against log rank over the top-{_ZIPF_TOPK} terms. A slope
+    frequency against log rank over the top-1000 terms. A slope
     far from -1 (or a low r²) is the classic symptom of a corrupted
     corpus — boilerplate floods (slope too shallow at the head) or
     tokenizer breakage (too steep).
