@@ -85,6 +85,7 @@ VERIFY_FIRST = [
     "simhash64_hamming_pairs",
     "l_diversity_audit",
     "rfm_segmentation",
+    "multimodal_audio_metadata",
 ]
 
 

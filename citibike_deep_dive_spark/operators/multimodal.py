@@ -148,6 +148,62 @@ def image_dimensions(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, IMAGE_DIMS_SCHEMA)
 
 
+def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """REAL audio metadata decode, pure Python: (channels, sample_rate,
+    bits_per_sample, duration_ms) from a canonical 44-byte RIFF/WAVE PCM
+    header, or None if the payload is not a recognized WAV. The audio
+    sibling of ``parse_image_dimensions`` — header triage needs no codec
+    library, only the PCM SAMPLES would (those stay behind decode_stub)."""
+    if len(payload) < 44:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    if payload[12:16] != b"fmt " or payload[36:40] != b"data":
+        return None
+    channels = int.from_bytes(payload[22:24], "little")
+    sample_rate = int.from_bytes(payload[24:28], "little")
+    bits = int.from_bytes(payload[34:36], "little")
+    data_size = int.from_bytes(payload[40:44], "little")
+    byte_rate = sample_rate * channels * bits // 8
+    if byte_rate <= 0:
+        return None
+    return (channels, sample_rate, bits, data_size * 1000 // byte_rate)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate_hz", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def audio_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL WAV header decode: meta from payload bytes,
+    null columns for unrecognized payloads (kept, not dropped — same
+    triage contract as ``image_dimensions``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["payload"].map(
+                lambda b: parse_wav_header(bytes(b)) if b is not None else None
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "channels": parsed.map(lambda t: t[0] if t else None),
+                    "sample_rate_hz": parsed.map(lambda t: t[1] if t else None),
+                    "bits_per_sample": parsed.map(lambda t: t[2] if t else None),
+                    "duration_ms": parsed.map(lambda t: t[3] if t else None),
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_META_SCHEMA)
+
+
 def decode_stub(payload: bytes, kind: str, deterministic_fake: bool = False) -> list[float]:
     """STUB decode/feature-extract. Real implementation would dispatch to
     PIL/torchaudio/ffmpeg per ``kind``; those libs are absent here."""

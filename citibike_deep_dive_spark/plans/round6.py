@@ -1191,3 +1191,73 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.groupBy("r_seg", "f_seg", "m_seg").agg(
         F.count("*").alias("n_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal audio metadata — real WAV header decode end to end
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_audio_metadata",
+    """
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 2 + 1 AS INT) AS channels,
+           CAST(([8000, 16000, 22050, 44100])[CAST(doc_id % 4 + 1 AS INT)]
+                AS INT) AS sample_rate_hz,
+           CAST(16 AS INT) AS bits_per_sample,
+           CAST(((doc_id % 100 + 1) * 1024 * 1000)
+                // (([8000, 16000, 22050, 44100])[CAST(doc_id % 4 + 1 AS INT)]
+                    * (doc_id % 2 + 1) * 2) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    tags=("X-multimodal-audio",),
+)
+def multimodal_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio header decode end to end — the WAV sibling of
+    multimodal_image_dimensions: canonical 44-byte RIFF/WAVE PCM headers
+    are synthesized per document (magics + little-endian fmt fields, all
+    native column expressions), then ``audio_metadata`` parses channels /
+    sample rate / bit depth / duration back OUT OF THE BYTES
+    executor-side (Arrow-batched pandas, a batch of blobs at a time).
+    The oracle computes the same fields arithmetically — a mismatch
+    anywhere in the little-endian byte plumbing or the RIFF parser
+    breaks the hash. Scale shape: one narrow scan, one Python boundary
+    carrying ~44 bytes/row, no shuffle at all."""
+    from ..operators.multimodal import audio_metadata
+
+    docs = table(spark, sf_dir, "documents")
+
+    def le(col, nbytes):
+        return F.concat(
+            *[
+                F.unhex(F.lpad(F.hex(F.shiftright(col, 8 * i) % 256), 2, "0"))
+                for i in range(nbytes)
+            ]
+        )
+
+    ch = (F.col("doc_id") % 2 + 1).cast("long")
+    sr = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    ).cast("long")
+    bits = F.lit(16).cast("long")
+    data_size = ((F.col("doc_id") % 100 + 1) * 1024).cast("long")
+    byte_rate = sr * ch * 2
+    block_align = ch * 2
+    payload = F.concat(
+        F.lit(b"RIFF"),
+        le(data_size + 36, 4),
+        F.lit(b"WAVEfmt "),
+        le(F.lit(16).cast("long"), 4),   # fmt chunk size
+        le(F.lit(1).cast("long"), 2),    # PCM
+        le(ch, 2),
+        le(sr, 4),
+        le(byte_rate, 4),
+        le(block_align, 2),
+        le(bits, 2),
+        F.lit(b"data"),
+        le(data_size, 4),
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return audio_metadata(media)

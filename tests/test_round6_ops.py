@@ -161,3 +161,40 @@ def test_rfm_covers_all_customers_with_valid_bands(spark):
     assert sum(r.n_customers for r in rows) == n_cust
     for r in rows:
         assert 1 <= r.r_seg <= 4 and 1 <= r.f_seg <= 4 and 1 <= r.m_seg <= 4
+
+
+def test_wav_header_parser_rejects_garbage_and_roundtrips():
+    from citibike_deep_dive_spark.operators.multimodal import parse_wav_header
+
+    assert parse_wav_header(b"") is None
+    assert parse_wav_header(b"RIFFxxxxNOPE" + b"\0" * 40) is None
+    assert parse_wav_header(b"x" * 44) is None
+    # hand-built canonical header: stereo, 16 kHz, 16-bit, 64000-byte data
+    hdr = (
+        b"RIFF" + (36 + 64000).to_bytes(4, "little") + b"WAVEfmt "
+        + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (2).to_bytes(2, "little") + (16000).to_bytes(4, "little")
+        + (64000).to_bytes(4, "little") + (4).to_bytes(2, "little")
+        + (16).to_bytes(2, "little") + b"data" + (64000).to_bytes(4, "little")
+    )
+    assert parse_wav_header(hdr) == (2, 16000, 16, 1000)
+    # zero byte-rate must not divide by zero
+    bad = bytearray(hdr)
+    bad[24:28] = (0).to_bytes(4, "little")
+    assert parse_wav_header(bytes(bad)) is None
+
+
+def test_audio_metadata_keeps_undecodable_rows(spark):
+    from pyspark.sql import types as T
+
+    from citibike_deep_dive_spark.operators.multimodal import audio_metadata
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    rows = [(1, b"not a wav at all"), (2, None)]
+    out = {r.media_id: r for r in
+           audio_metadata(spark.createDataFrame(rows, schema)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].channels is None and out[2].duration_ms is None
