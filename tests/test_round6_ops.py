@@ -198,3 +198,17 @@ def test_audio_metadata_keeps_undecodable_rows(spark):
            audio_metadata(spark.createDataFrame(rows, schema)).collect()}
     assert set(out) == {1, 2}
     assert out[1].channels is None and out[2].duration_ms is None
+
+
+def test_simhash_wide_band0_equals_16bit_simhash(spark):
+    """Bit j (j<32) of the wide fingerprint is defined as bit 0 of md5
+    hex digit j — for j<16 that's exactly the 16-bit simhash's bit
+    definition, so band 0 of the wide form must reproduce the original
+    fingerprint bit-for-bit (cross-implementation consistency)."""
+    from citibike_deep_dive_spark.operators.dedup import simhash, simhash_wide
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    narrow = {r.doc_id: r.simhash for r in simhash(docs, bits=16).collect()}
+    wide = {r.doc_id: r.sh0 for r in
+            simhash_wide(docs, band_bits=16, n_bands=4).collect()}
+    assert narrow == wide
