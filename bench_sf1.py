@@ -46,6 +46,7 @@ REPLICAS = 10
 
 QUERIES = [
     "simhash_hamming_pairs",
+    "simhash64_hamming_pairs",
     "semdedup_prune",
     "training_corpus_prep",
     "dock_deep_merge_nested_maps",
