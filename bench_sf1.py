@@ -149,8 +149,15 @@ def main() -> None:
             d_runs.append(time.perf_counter() - t0)
         results[name] = {
             "spark": round(min(runs), 3),
+            # first-run time: the full rebuild for queries whose later
+            # runs reuse lazily-checkpointed shared intermediates (the
+            # DuckDB side re-executes fully every run, so min-vs-min
+            # alone would flatter those Spark numbers — bench.py's
+            # queries_cold rationale)
+            "spark_cold": round(runs[0], 3),
             "duckdb": round(min(d_runs), 3),
             "ratio": round(min(runs) / min(d_runs), 2),
+            "ratio_cold": round(runs[0] / min(d_runs), 2),
         }
         print(f"# {name}: {results[name]}", file=sys.stderr)
 

@@ -401,7 +401,10 @@ def connected_components(
 
 
 def prefix_filter_jaccard_pairs(
-    docs: DataFrame, t_num: int = 3, t_den: int = 5
+    docs: DataFrame,
+    t_num: int = 3,
+    t_den: int = 5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard similarity join via prefix filtering (the all-pairs /
     PPJoin family — Bayardo et al., WWW'07) over word-shingle sets.
@@ -430,8 +433,14 @@ def prefix_filter_jaccard_pairs(
     # The shingle arrays feed three consumers (posting lists, and both
     # sides of the verify join); lazily checkpoint so the CPU-heavy
     # shingle construction runs ONCE when the query first executes
-    # (same shared-intermediate pattern as training_corpus_prep).
-    sh = truncate_lineage(shingle_frame(docs), eager=False)
+    # (same shared-intermediate pattern as training_corpus_prep). A
+    # caller that also runs LSH over the same docs passes its already-
+    # checkpointed frame via ``shingles``.
+    sh = (
+        shingles
+        if shingles is not None
+        else truncate_lineage(shingle_frame(docs), eager=False)
+    )
     posting = sh.select("doc_id", F.explode("sh").alias("tok"))
     freq = posting.groupBy("tok").agg(F.count("*").alias("gf"))
     w_rank = Window.partitionBy("doc_id").orderBy("tok_gf", "tok")

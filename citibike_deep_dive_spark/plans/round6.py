@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.portable import portable_hash64_sql
 from ..operators.fanout import fan_out
 from .catalog import register, table
 
@@ -325,17 +326,28 @@ def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-filter losslessness at this threshold."""
     from ..functions.lineage import truncate_lineage
     from ..operators.dedup import (
+        lsh_bands,
         lsh_candidate_pairs,
+        minhash_signatures,
         prefix_filter_jaccard_pairs,
         shingle_frame,
     )
 
+    # ONE checkpointed shingle frame feeds the truth side's posting
+    # lists + verify join AND the minhash build; the band frame is
+    # checkpointed too so the candidate self-join doesn't evaluate the
+    # interpreted minhash transforms on both aliases (the same sharing
+    # the standalone LSH queries adopted this round).
     docs = fan_out(table(spark, sf_dir, "documents"))
     sh = truncate_lineage(shingle_frame(docs), eager=False)
-    truth = prefix_filter_jaccard_pairs(docs, t_num=1, t_den=2).select(
-        "id_a", "id_b"
+    bands = truncate_lineage(
+        lsh_bands(minhash_signatures(docs, 4, shingles=sh), rows_per_band=2),
+        eager=False,
     )
-    pred = lsh_candidate_pairs(docs, k=4, rows_per_band=2, shingles=sh).select(
+    truth = prefix_filter_jaccard_pairs(
+        docs, t_num=1, t_den=2, shingles=sh
+    ).select("id_a", "id_b")
+    pred = lsh_candidate_pairs(docs, k=4, rows_per_band=2, bands=bands).select(
         F.col("doc_id_a").alias("id_a"), F.col("doc_id_b").alias("id_b")
     )
     hit = pred.join(truth, ["id_a", "id_b"], "left_semi")
@@ -635,14 +647,11 @@ def gini_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MKNN_K = 5
 
-_MKNN_COS = (
-    "round(list_sum(list_transform(generate_series(1, len(a.embedding)), "
-    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / "
-    "(sqrt(list_sum(list_transform(a.embedding, "
-    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
-    "sqrt(list_sum(list_transform(b.embedding, "
-    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)"
-)
+# the one centralized cosine oracle form (same expression six other
+# queries use) — import, don't re-spell, so precision tweaks propagate
+from .training import _cos_sql  # noqa: E402
+
+_MKNN_COS = _cos_sql("a.embedding", "b.embedding")
 
 
 @register(
@@ -785,7 +794,7 @@ _KFOLDS = 5
     f"""
     WITH f AS (
         SELECT lang,
-               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               {portable_hash64_sql("CAST(doc_id AS VARCHAR)")}
                    % {_KFOLDS} AS fold
         FROM documents
     ),
@@ -811,11 +820,9 @@ def stratified_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit is one keyed aggregation plus a broadcast join of the
     langs-sized marginal."""
     docs = table(spark, sf_dir, "documents")
-    fold = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % _KFOLDS
-    )
+    from ..functions.portable import portable_hash64
+
+    fold = portable_hash64(F.col("doc_id").cast("string")) % _KFOLDS
     f = docs.select("lang", fold.alias("fold"))
     lt = f.groupBy("lang").agg(F.count("*").alias("lang_total"))
     expected = F.col("lang_total") / F.lit(float(_KFOLDS))

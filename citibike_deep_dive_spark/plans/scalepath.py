@@ -53,6 +53,12 @@ def bloom_bitmap_frame(
     the plain shuffle join, exactly like Spark's runtime-filter
     thresholds.
     """
+    if m <= 0 or m % 64:
+        # the densify transform emits exactly m/64 words; a non-multiple
+        # would silently drop high-word bits and bloom_might_contain's
+        # NULL element_at would then FILTER OUT matching rows — fail
+        # loudly instead (the old eager form raised IndexError here)
+        raise ValueError(f"m must be a positive multiple of 64, got {m}")
     positions = F.array(
         *[
             F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(m))

@@ -31,9 +31,10 @@ from pyspark.sql import types as T
 MEMBER_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.StringType()),
-        T.StructField("key", T.StringType()),      # basename without extension
-        T.StructField("ext", T.StringType()),      # extension, lowercased, no dot
+        T.StructField("key", T.StringType()),      # basename up to the FIRST dot
+        T.StructField("ext", T.StringType()),      # everything after it, lowercased
         T.StructField("member", T.StringType()),   # full member path in the tar
+        T.StructField("ord", T.LongType()),        # member position in the tar
         T.StructField("payload", T.BinaryType()),
     ]
 )
@@ -67,14 +68,21 @@ def read_tar_shards(spark: SparkSession, glob: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
-                for name, payload in iter_tar_members(bytes(row.content)):
+                for ord_, (name, payload) in enumerate(
+                    iter_tar_members(bytes(row.content))
+                ):
                     base = posixpath.basename(name)
-                    stem, dot, ext = base.rpartition(".")
-                    if not dot:
-                        stem, ext = base, ""
-                    rows.append((row.path, stem, ext.lower(), name, payload))
+                    # WebDataset convention: the sample key is the basename
+                    # up to the FIRST dot; the component "extension" is
+                    # everything after it — multi-part extensions like
+                    # 000123.gt.txt must stay ONE component of sample
+                    # 000123, not become a separate sample "000123.gt".
+                    stem, dot, ext = base.partition(".")
+                    rows.append(
+                        (row.path, stem, ext.lower(), name, ord_, payload)
+                    )
             yield pd.DataFrame(
-                rows, columns=["shard", "key", "ext", "member", "payload"]
+                rows, columns=["shard", "key", "ext", "member", "ord", "payload"]
             )
 
     return binary.select("path", "content").mapInPandas(explode, MEMBER_SCHEMA)
@@ -83,15 +91,19 @@ def read_tar_shards(spark: SparkSession, glob: str) -> DataFrame:
 def group_samples(members: DataFrame, exts: tuple[str, ...]) -> DataFrame:
     """WebDataset sample regrouping: members sharing (shard, key) become
     ONE row with a binary column per requested extension (null when the
-    sample lacks that component). A keyed aggregation — max(when(...))
-    per extension — so regrouping is a single shuffle on the sample key
-    and never widens beyond |exts| columns.
+    sample lacks that component). A keyed aggregation — max_by per
+    extension — so regrouping is a single shuffle on the sample key and
+    never widens beyond |exts| columns.
 
-    Dotted/duplicate members resolve deterministically (bytewise max),
-    matching the "last wins, but stable" contract a reproducible loader
-    needs."""
+    Duplicate members resolve LAST-WINS in tar order (max_by on the
+    member position), matching tar update semantics — the later member
+    supersedes on extract, so a loader sees exactly what untarring
+    would produce."""
     aggs = [
-        F.max(F.when(F.col("ext") == e, F.col("payload"))).alias(e)
+        F.max_by(
+            F.when(F.col("ext") == e, F.col("payload")),
+            F.when(F.col("ext") == e, F.col("ord")),
+        ).alias(e)
         for e in exts
     ]
     return members.groupBy("shard", "key").agg(*aggs)

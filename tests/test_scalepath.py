@@ -116,3 +116,16 @@ def test_truncate_lineage_uses_reliable_checkpoint_when_dir_set(
     assert "LogicalRDD" in out2._jdf.queryExecution().logical().toString()
     # reliable flavor actually wrote checkpoint files
     assert any(ckpt.rglob("*"))
+
+
+def test_bloom_rejects_non_multiple_of_64_m(spark):
+    """A silent word-count mismatch would turn into dropped MATCHING rows
+    (NULL probe -> filtered); the build must fail loudly instead."""
+    import pytest as _pytest
+
+    from citibike_deep_dive_spark.plans.scalepath import bloom_bitmap_frame
+
+    keys = spark.createDataFrame([(1,)], ["k"])
+    for bad_m in (100, 63, 0, -64):
+        with _pytest.raises(ValueError):
+            bloom_bitmap_frame(keys, "k", m=bad_m)

@@ -41,7 +41,10 @@ SAMPLES_A = {
     "000001": {"txt": b"second doc", "jpg": b"\xff\xd8fakejpeg"},
 }
 SAMPLES_B = {
-    "000002": {"txt": b"third", "json": b'{"label": 0}', "jpg": b"\xff\xd8x"},
+    "000002": {"txt": b"third", "json": b'{"label": 0}', "jpg": b"\xff\xd8x",
+               # multi-part extension: one COMPONENT of sample 000002,
+               # not a separate sample "000002.gt"
+               "gt.txt": b"ground truth"},
 }
 
 
@@ -65,7 +68,7 @@ def test_iter_tar_members_skips_dirs_and_appledouble():
 def test_read_tar_shards_distributed(spark, shard_dir):
     members = read_tar_shards(spark, f"{shard_dir}/*.tar")
     rows = members.collect()
-    assert len(rows) == 7
+    assert len(rows) == 8
     by_key = {(r.key, r.ext): r for r in rows}
     assert bytes(by_key[("000000", "txt")].payload) == b"hello world"
     assert all(r.shard.endswith(".tar") for r in rows)
@@ -73,12 +76,31 @@ def test_read_tar_shards_distributed(spark, shard_dir):
 
 def test_group_samples_pivots_components(spark, shard_dir):
     members = read_tar_shards(spark, f"{shard_dir}/*.tar")
-    samples = group_samples(members, exts=("txt", "json", "jpg")).collect()
-    assert len(samples) == 3
+    samples = group_samples(
+        members, exts=("txt", "json", "jpg", "gt.txt")
+    ).collect()
+    assert len(samples) == 3  # multi-dot member does NOT fork a sample
     s = {r.key: r for r in samples}
     assert bytes(s["000000"].json) == b'{"label": 1}'
     assert s["000000"].jpg is None  # absent component -> null
     assert bytes(s["000002"].jpg) == b"\xff\xd8x"
+    assert bytes(s["000002"]["gt.txt"]) == b"ground truth"
+
+
+def test_duplicate_member_resolves_last_wins(spark, tmp_path):
+    """tar update semantics: a member appended twice supersedes on
+    extract — the regrouped payload must be the LATER one even when the
+    earlier bytes compare greater."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for payload in (b"zzzz-old", b"aaaa-new"):  # old is bytewise-greater
+            info = tarfile.TarInfo(name="0009.txt")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    (tmp_path / "dup.tar").write_bytes(buf.getvalue())
+    members = read_tar_shards(spark, f"{tmp_path}/dup.tar")
+    [row] = group_samples(members, exts=("txt",)).collect()
+    assert bytes(row.txt) == b"aaaa-new"
 
 
 def test_shard_manifest_counts(spark, shard_dir):
@@ -87,7 +109,7 @@ def test_shard_manifest_counts(spark, shard_dir):
     assert m["shard-000000.tar"].n_samples == 2
     assert m["shard-000000.tar"].n_members == 4
     assert m["shard-000001.tar"].n_samples == 1
-    assert m["shard-000001.tar"].n_members == 3
+    assert m["shard-000001.tar"].n_members == 4
     total_payload = sum(
         len(p) for s in (SAMPLES_A, SAMPLES_B) for c in s.values() for p in c.values()
     )
