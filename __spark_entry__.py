@@ -86,6 +86,7 @@ VERIFY_FIRST = [
     "l_diversity_audit",
     "rfm_segmentation",
     "multimodal_audio_metadata",
+    "ewma_daily_volume",
 ]
 
 

@@ -1268,3 +1268,85 @@ def multimodal_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
     return audio_metadata(media)
+
+
+# ---------------------------------------------------------------------------
+# EWMA daily volume — exponentially-weighted recency metric, decimal-exact
+# ---------------------------------------------------------------------------
+
+_EWMA_LOOKBACK = 30  # days; with half-life 1d, older weights < 1e-9
+
+
+@register(
+    "ewma_daily_volume",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    last_d AS (
+        SELECT event_type, max(day) AS last_day FROM daily GROUP BY 1
+    ),
+    w AS (
+        SELECT d.event_type, l.last_day,
+               date_diff('day', d.day, l.last_day) AS k, d.n
+        FROM daily d JOIN last_d l ON d.event_type = l.event_type
+        WHERE date_diff('day', d.day, l.last_day) < {_EWMA_LOOKBACK}
+    )
+    SELECT event_type,
+           strftime(last_day, '%Y-%m-%d') AS last_day,
+           CAST(count(*) AS BIGINT) AS n_days_used,
+           round(CAST(sum(CAST(n * pow(0.5, k) AS DECIMAL(38, 30)))
+                      AS DOUBLE)
+                 / CAST(sum(CAST(pow(0.5, k) AS DECIMAL(38, 30)))
+                        AS DOUBLE), 6) AS ewma_volume
+    FROM w GROUP BY 1, 2
+    """,
+    tags=("X-ewma",),
+)
+def ewma_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume
+    (calendar-day decay, half-life = 1 day, truncated at
+    30 days) — the recency-weighted "current rate" a
+    monitor alerts on, normalized over observed days so gaps don't
+    deflate it.
+
+    EWMA is usually a sequential recursion (hostile to both distributed
+    execution and cross-engine reproducibility: float pow/sum drift).
+    This form is closed-from and EXACT by construction: the decay base
+    is 1/2, so every weight 2^-k (k < 30) is an exact
+    binary fraction — n·pow(0.5, k) is bit-exact in double on any
+    engine, converts exactly to DECIMAL(38,30) (k decimal digits of
+    scale), and the decimal sums are addition-order-free. The final
+    quotient divides two exactly-agreed doubles. Scale shape: one
+    reduction to the (type, day) grid, a types-sized broadcast of
+    last-day, one keyed aggregate — no window, no recursion."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    last_d = daily.groupBy("event_type").agg(F.max("day").alias("last_day"))
+    w = (
+        daily.join(F.broadcast(last_d), "event_type")
+        .withColumn("k", F.datediff("last_day", "day"))
+        .filter(F.col("k") < _EWMA_LOOKBACK)
+    )
+    dec = "decimal(38,30)"
+    wt = F.pow(F.lit(0.5), F.col("k"))
+    return (
+        w.groupBy("event_type", F.date_format("last_day", "yyyy-MM-dd").alias("last_day"))
+        .agg(
+            F.count("*").alias("n_days_used"),
+            (
+                F.sum((F.col("n") * wt).cast(dec)).cast("double")
+                / F.sum(wt.cast(dec)).cast("double")
+            ).alias("raw")
+        )
+        .select(
+            "event_type",
+            "last_day",
+            "n_days_used",
+            F.round("raw", 6).alias("ewma_volume"),
+        )
+    )

@@ -212,3 +212,23 @@ def test_simhash_wide_band0_equals_16bit_simhash(spark):
     wide = {r.doc_id: r.sh0 for r in
             simhash_wide(docs, band_bits=16, n_bands=4).collect()}
     assert narrow == wide
+
+
+def test_ewma_bounded_by_observed_range(spark):
+    rows = CATALOG["ewma_daily_volume"].build(spark, SF).collect()
+    daily = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = {
+        r.event_type: (r.lo, r.hi)
+        for r in daily.groupBy("event_type")
+        .agg(F.min("n").alias("lo"), F.max("n").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        lo, hi = bounds[r.event_type]
+        # a weighted average of daily counts lies within their range
+        assert lo <= r.ewma_volume <= hi
+        assert 1 <= r.n_days_used <= 30
