@@ -87,6 +87,7 @@ VERIFY_FIRST = [
     "rfm_segmentation",
     "multimodal_audio_metadata",
     "ewma_daily_volume",
+    "functional_dependency_audit",
 ]
 
 

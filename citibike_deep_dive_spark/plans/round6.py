@@ -1350,3 +1350,63 @@ def ewma_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("raw", 6).alias("ewma_volume"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit — which implied column dependencies hold?
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES = (
+    # (label, table, determinant, dependent)
+    ("customer: name -> custkey", "customer", "c_name", "c_custkey"),
+    ("part: partkey -> brand", "part", "p_partkey", "p_brand"),
+    ("part: brand -> type", "part", "p_brand", "p_type"),
+    ("orders: orderkey -> custkey", "orders", "o_orderkey", "o_custkey"),
+    ("supplier: nationkey -> acctbal", "supplier", "s_nationkey", "s_acctbal"),
+)
+
+
+def _fd_oracle() -> str:
+    blocks = [
+        f"""
+    SELECT '{label}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           round(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS violation_rate
+    FROM (SELECT {x}, count(DISTINCT {y}) AS ndv FROM {tbl} GROUP BY 1)"""
+        for label, tbl, x, y in _FD_CANDIDATES
+    ]
+    return " UNION ALL ".join(blocks)
+
+
+@register("functional_dependency_audit", _fd_oracle(), tags=("X-fd-audit",))
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit of candidate functional dependencies X -> Y:
+    for each, how many determinant groups exist and what fraction hold
+    more than one dependent value (a violated FD is either dirty data or
+    a falsified schema assumption — the check a warehouse runs before
+    keying a dimension or denormalizing on the assumption). Candidates
+    span true keys (orderkey -> custkey: rate 0), plausible-but-false
+    rules (brand -> type), and near-keys.
+
+    Scale shape: one count-distinct aggregation per candidate (Spark's
+    two-level exact expansion), each collapsing to a ONE-ROW summary
+    before the union — the union concatenates five single-row frames,
+    never data."""
+    out = None
+    for label, tbl, x, y in _FD_CANDIDATES:
+        t = table(spark, sf_dir, tbl)
+        g = t.groupBy(x).agg(F.count_distinct(y).alias("ndv"))
+        viol = F.sum((F.col("ndv") > 1).cast("int"))
+        row = g.agg(
+            F.lit(label).alias("fd"),
+            F.count("*").alias("n_groups"),
+            viol.cast("long").alias("n_violating"),
+            F.round(viol / F.count("*").cast("double"), 6).alias(
+                "violation_rate"
+            ),
+        ).select("fd", "n_groups", "n_violating", "violation_rate")
+        out = row if out is None else out.unionByName(row)
+    return out

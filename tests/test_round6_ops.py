@@ -232,3 +232,13 @@ def test_ewma_bounded_by_observed_range(spark):
         # a weighted average of daily counts lies within their range
         assert lo <= r.ewma_volume <= hi
         assert 1 <= r.n_days_used <= 30
+
+
+def test_fd_audit_true_key_has_zero_violations(spark):
+    rows = {r.fd: r for r in
+            CATALOG["functional_dependency_audit"].build(spark, SF).collect()}
+    assert rows["orders: orderkey -> custkey"].n_violating == 0
+    assert rows["customer: name -> custkey"].violation_rate == 0.0
+    for r in rows.values():
+        assert 0 <= r.n_violating <= r.n_groups
+        assert 0.0 <= r.violation_rate <= 1.0
