@@ -88,6 +88,8 @@ VERIFY_FIRST = [
     "multimodal_audio_metadata",
     "ewma_daily_volume",
     "functional_dependency_audit",
+    "dup_cluster_size_histogram",
+    "conflicting_label_duplicates",
 ]
 
 

@@ -1410,3 +1410,109 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("fd", "n_groups", "n_violating", "violation_rate")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Dedup report staples: cluster-size histogram + conflicting-label dups
+# ---------------------------------------------------------------------------
+
+
+_PREFIX_FP = (
+    "md5(array_to_string(string_split(lower(text), ' ')[1:8], ' '))"
+)
+
+
+def _prefix_fp_col():
+    return F.md5(
+        F.array_join(F.slice(F.split(F.lower("text"), " "), 1, 8), " ")
+    )
+
+
+@register(
+    "dup_cluster_size_histogram",
+    f"""
+    WITH clusters AS (
+        SELECT {_PREFIX_FP} AS digest, CAST(count(*) AS BIGINT) AS csize
+        FROM documents GROUP BY 1
+    )
+    SELECT csize,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(csize) AS BIGINT) AS n_docs
+    FROM clusters GROUP BY 1
+    """,
+    tags=("X-dup-histogram",),
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the OPENING-BOILERPLATE fingerprint
+    (md5 of the first 8 words) — the first table of a dedup report: how
+    much of the corpus is singleton openings vs shared templates (the
+    tail row is the template flooding the crawl). Prefix-fingerprint
+    grain deliberately: whole-text md5 clusters barely exist in a clean
+    corpus, while shared openings are exactly where boilerplate shows
+    first. One digest-keyed aggregation, then a metadata-scale
+    re-agg — the dedup analog of the k-anonymity class histogram."""
+    docs = table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(_prefix_fp_col().alias("digest")).agg(
+        F.count("*").alias("csize")
+    )
+    return clusters.groupBy("csize").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("csize").alias("n_docs"),
+    )
+
+
+@register(
+    "conflicting_label_duplicates",
+    f"""
+    WITH clusters AS (
+        SELECT {_PREFIX_FP} AS digest,
+               CAST(count(*) AS BIGINT) AS csize,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_dup_clusters,
+           CAST(sum(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS lang_conflict_clusters,
+           CAST(sum(CASE WHEN n_langs > 1 THEN csize ELSE 0 END) AS BIGINT)
+               AS lang_conflict_docs,
+           CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cross_source_clusters,
+           round(sum(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS lang_conflict_rate
+    FROM clusters WHERE csize > 1
+    """,
+    tags=("X-label-conflict",),
+)
+def conflicting_label_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection via shared-opening clusters: documents
+    with the SAME 8-word opening but DIFFERENT lang labels are either
+    annotation noise or a template crossing languages — both worth a
+    human look; openings shared across sources quantify cross-source
+    mirroring. One digest-keyed aggregation carrying two
+    count-distincts, collapsed to a one-row summary over the
+    multi-member clusters only."""
+    docs = table(spark, sf_dir, "documents")
+    clusters = (
+        docs.groupBy(_prefix_fp_col().alias("digest"))
+        .agg(
+            F.count("*").alias("csize"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .filter(F.col("csize") > 1)
+    )
+    lang_conf = F.sum((F.col("n_langs") > 1).cast("int"))
+    return clusters.agg(
+        F.count("*").alias("n_dup_clusters"),
+        lang_conf.cast("long").alias("lang_conflict_clusters"),
+        F.sum(F.when(F.col("n_langs") > 1, F.col("csize")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("lang_conflict_docs"),
+        F.sum((F.col("n_sources") > 1).cast("int"))
+        .cast("long")
+        .alias("cross_source_clusters"),
+        F.round(lang_conf / F.count("*").cast("double"), 6).alias(
+            "lang_conflict_rate"
+        ),
+    )

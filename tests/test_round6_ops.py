@@ -242,3 +242,18 @@ def test_fd_audit_true_key_has_zero_violations(spark):
     for r in rows.values():
         assert 0 <= r.n_violating <= r.n_groups
         assert 0.0 <= r.violation_rate <= 1.0
+
+
+def test_dup_histogram_partitions_corpus(spark):
+    rows = CATALOG["dup_cluster_size_histogram"].build(spark, SF).collect()
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == total
+    assert all(r.n_clusters * r.csize == r.n_docs for r in rows)
+
+
+def test_conflicting_label_summary_bounds(spark):
+    r = CATALOG["conflicting_label_duplicates"].build(spark, SF).collect()[0]
+    assert 0 <= r.lang_conflict_clusters <= r.n_dup_clusters
+    assert 0 <= r.cross_source_clusters <= r.n_dup_clusters
+    if r.n_dup_clusters:
+        assert 0.0 <= r.lang_conflict_rate <= 1.0
