@@ -259,11 +259,29 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
             return F.shiftright(F.col("h1"), 4 * (7 - j)) % 2
         return F.shiftright(F.col("h2"), 4 * (15 - j)) % 2
 
-    votes = [F.sum(_bit(j) * 2 - 1).alias(f"v{j}") for j in range(bits)]
-    per_doc = words.groupBy("doc_id").agg(*votes)
+    # Lane-packed vote aggregation (see simhash_wide): bits/4 + 1 longs
+    # of per-group aggregate state instead of ``bits``; vote-identical
+    # (vote_j = 2·ones_j − n). Same 2^16-distinct-tokens lane bound.
+    n_packed = (bits + 3) // 4
+    packed_aggs = []
+    for g in range(n_packed):
+        expr = None
+        for lane in range(min(4, bits - 4 * g)):
+            term = F.shiftleft(_bit(4 * g + lane), 16 * lane)
+            expr = term if expr is None else expr + term
+        packed_aggs.append(F.sum(expr).alias(f"p{g}"))
+    per_doc = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *packed_aggs
+    )
+
+    def _vote(j: int) -> Column:
+        g, lane = j // 4, j % 4
+        ones = F.shiftright(F.col(f"p{g}"), 16 * lane) % (1 << 16)
+        return ones * 2 - F.col("n")
+
     fp = None
     for j in range(bits):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bit = F.when(_vote(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return per_doc.select("doc_id", fp.cast("long").alias("simhash"))
 
