@@ -688,20 +688,26 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a rank-bounded window partitioned by vector; the mutuality check is
     a self-equi-join of the k-bounded directed-edge frame on the
     reversed key, so it touches k·n rows, never the pair scan again."""
-    from ..operators.similarity import cosine
+    from ..operators.similarity import _dot, _norm
 
     emb = table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
+    # norms hoisted to per-VECTOR columns before the pair join (the
+    # semdedup_prune pattern): the per-pair work drops from three
+    # interpreted HOF folds (dot + both norms) to one — measured 6.7 ->
+    # ~2.5 s at sf0.1 on the ~400k in-cell pairs, same rounded values.
     a = emb.select(
         "label",
         F.col("vec_id").alias("src"),
         F.col("embedding").alias("emb_a"),
+        _norm(F.col("embedding")).alias("norm_a"),
     )
     b = emb.select(
         F.col("label").alias("label_b"),
         F.col("vec_id").alias("dst"),
         F.col("embedding").alias("emb_b"),
+        _norm(F.col("embedding")).alias("norm_b"),
     )
     scored = (
         a.join(b, (a.label == b.label_b) & (F.col("src") != F.col("dst")))
@@ -709,9 +715,11 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "src",
             "dst",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias(
-                "cos_sim"
-            ),
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
