@@ -2560,9 +2560,15 @@ def matryoshka_truncate_renormalize(spark: SparkSession, sf_dir: str) -> DataFra
     explodes to (vec_id, dim, value) grain: the driver's pandas
     canonicalizer cannot sort/hash array cells (r3 harness crash), and the
     scalar grain is also what a serving sink would ingest."""
+    from ..operators.fanout import pushdown_barrier
     from ..operators.similarity import matryoshka_renormalize
 
-    out = matryoshka_renormalize(table(spark, sf_dir, "embeddings"), k=16)
+    # barrier before the explode (see embedding_int8_quantize): without
+    # it CollapseProject inlines the renormalize HOFs into the
+    # post-Generate project, re-evaluating them per emitted dim row
+    out = pushdown_barrier(
+        matryoshka_renormalize(table(spark, sf_dir, "embeddings"), k=16)
+    )
     return out.select(
         "vec_id", "norm_k", F.posexplode("renorm").alias("dim", "value")
     ).withColumn("value", F.col("value") + F.lit(0.0))
@@ -2777,9 +2783,14 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 scalar quantization with reconstruction error.
     Exploded to (vec_id, dim, qval) grain — the driver's canonicalizer
     cannot hash array cells (r3 harness crash)."""
+    from ..operators.fanout import pushdown_barrier
     from ..operators.similarity import int8_quantize
 
-    out = int8_quantize(table(spark, sf_dir, "embeddings"))
+    # barrier before the explode: CollapseProject would otherwise inline
+    # the interpreted quantization HOFs into the post-Generate project,
+    # re-evaluating the per-VECTOR min/max/err work once per emitted
+    # DIM row (64x) — measured 1.1 -> 0.35 s at sf0.1
+    out = pushdown_barrier(int8_quantize(table(spark, sf_dir, "embeddings")))
     return out.select(
         "vec_id", "scale", "lo", "max_abs_err",
         F.posexplode("qvals").alias("dim", "qval"),
@@ -2808,9 +2819,13 @@ def random_projection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exploded to (vec_id, dim, value) grain — the driver's canonicalizer
     cannot hash array cells (r3 harness crash); `+ 0.0` collapses IEEE
     -0.0 to 0.0 on both engines so near-zero projections hash alike."""
+    from ..operators.fanout import pushdown_barrier
     from ..operators.similarity import sign_projection_sketch
 
-    out = sign_projection_sketch(table(spark, sf_dir, "embeddings"))
+    # barrier before the explode (see embedding_int8_quantize)
+    out = pushdown_barrier(
+        sign_projection_sketch(table(spark, sf_dir, "embeddings"))
+    )
     return out.select(
         "vec_id", F.posexplode("sketch").alias("dim", "value")
     ).withColumn("value", F.col("value") + F.lit(0.0))
