@@ -244,7 +244,10 @@ def partition_zonemap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a full scan into a handful of file reads at 100 TB. (The NDV
     here is exact — count(DISTINCT) expands the aggregate; production
     writers substitute approx_count_distinct, same plan shape minus the
-    expand.)"""
+    expand.) fan_out measured and REJECTED here (interleaved A/B 1.02
+    plain vs 1.17 fanned at sf0.1): min/max/ndv per-row work is too
+    cheap to amortize a 600k-row round-robin shuffle — unlike the md5
+    row hashing in partition_checksums, where it wins 1.9x."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy(
         F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
