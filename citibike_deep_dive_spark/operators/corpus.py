@@ -403,11 +403,17 @@ def bigram_cross_entropy(docs: DataFrame, k_smooth: float = 0.5) -> DataFrame:
         "transform(sequence(1, size(ws) - 1), "
         "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
     )
-    doc_bigrams = (
+    # doc_bigrams feeds BOTH the corpus-count aggregation and the scored
+    # join side; Catalyst does not dedupe aliased subplans, so without
+    # the lazy checkpoint the bigram explode+agg runs twice
+    from ..functions.lineage import truncate_lineage
+
+    doc_bigrams = truncate_lineage(
         toks.filter(F.size("ws") >= 2)
         .select("doc_id", F.explode(pairs).alias("p"))
         .groupBy("doc_id", "p.w1", "p.w2")
-        .agg(F.count("*").alias("dc"))
+        .agg(F.count("*").alias("dc")),
+        eager=False,
     )
     corpus_bigrams = doc_bigrams.groupBy("w1", "w2").agg(F.sum("dc").alias("cb"))
     unigrams = (

@@ -965,12 +965,20 @@ def frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every item is frequent, so the prune is a documented no-op here.
     Lift is one integer multiply and one division on both engines — raw
     bit-identical double, no rounding."""
+    from ..functions.lineage import truncate_lineage
+
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    items = (
+    # items feeds FOUR consumers (singles, the basket count, both pair
+    # aliases) and Catalyst does not dedupe aliased subplans — without
+    # the lazy checkpoint each consumer re-runs the fact join + distinct
+    # (the training_corpus_prep shared-intermediate pattern; 1.4 ->
+    # ~0.8 s at sf0.1)
+    items = truncate_lineage(
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     single = items.groupBy("p_brand").agg(F.count(F.lit(1)).alias("sup"))
     n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
