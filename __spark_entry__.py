@@ -70,6 +70,14 @@ VERIFY_FIRST = [
     "bloom_prefilter_join",
     "dedup_lsh_candidate_pairs",
     "dedup_ngram_jaccard",
+    # (b') late-round perf rewrites from the full-catalog sf0.1 sweep
+    "frequent_brand_pairs",
+    "bigram_lm_cross_entropy",
+    "partition_checksums",
+    "embedding_int8_quantize",
+    "matryoshka_truncate_renormalize",
+    "random_projection_sketch",
+    "simhash_hamming_pairs",
     # (c) round-6 additions (all preflight-exact at authoring time)
     "k_anonymity_audit",
     "cusum_changepoint",
