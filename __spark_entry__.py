@@ -78,6 +78,7 @@ VERIFY_FIRST = [
     "matryoshka_truncate_renormalize",
     "random_projection_sketch",
     "simhash_hamming_pairs",
+    "min_cost_supplier_per_part",
     # (c) round-6 additions (all preflight-exact at authoring time)
     "k_anonymity_audit",
     "cusum_changepoint",

@@ -1053,8 +1053,22 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-way-boundary divergence between the engines' round()
     implementations. Dims (part/supplier/nation/region) broadcast; the only
     big shuffles are the two keyed aggregates over lineitem; the final
-    top-100 is TakeOrderedAndProject with a unique p_partkey tiebreak."""
+    top-100 is TakeOrderedAndProject with a unique p_partkey tiebreak.
+
+    The part predicate is pushed BELOW the aggregations as a broadcast
+    semi-join on the fact scan (p_size >= 30 keeps ~42% of parts, so both
+    keyed shuffles shrink by ~2.4×) — safe because the per-part argmin is
+    independent of which parts survive, and a rewrite Catalyst will not
+    derive on its own (it cannot push a join through an aggregate). The
+    supplier-side region filter must NOT be pushed the same way: the
+    argmin ranges over ALL suppliers, and EUROPE filters the winner."""
     li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
+    li = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
     quote = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
@@ -1067,7 +1081,6 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_suppkey").alias("l_suppkey"),
         )
     )
-    p = table(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
