@@ -79,6 +79,7 @@ VERIFY_FIRST = [
     "random_projection_sketch",
     "simhash_hamming_pairs",
     "min_cost_supplier_per_part",
+    "prefix_filter_jaccard_join",
     # (c) round-6 additions (all preflight-exact at authoring time)
     "k_anonymity_audit",
     "cusum_changepoint",

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.lineage import truncate_lineage
-from .fanout import fan_out
+from .fanout import fan_out, pushdown_barrier
 
 SHINGLE_WIDTH = 3
 
@@ -496,12 +496,22 @@ def prefix_filter_jaccard_pairs(
     # prefix length = n - ceil(t*n) + 1, ceil via integers: (a+den-1) div den
     ceil_tn = F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}")
     prefix = ranked.filter(F.col("rn") <= F.col("n") - ceil_tn + 1).select(
-        "doc_id", "tok"
+        "doc_id", "tok", "n"
     )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        # Length filter (PPJoin): J(A,B) <= min/max, so J >= t already
+        # forces t_num*max(|A|,|B|) <= t_den*min(|A|,|B|) — exact integer
+        # arithmetic, applied DURING the candidate join so length-
+        # incompatible pairs never reach the distinct or the verify join.
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.lit(t_num) * F.greatest(F.col("a.n"), F.col("b.n"))
+                <= F.lit(t_den) * F.least(F.col("a.n"), F.col("b.n"))
+            )
+        )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
@@ -509,14 +519,28 @@ def prefix_filter_jaccard_pairs(
     )
     sets_a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sets_b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (
-        F.size("sh_a") + F.size("sh_b") - inter
-    ).cast("double")
-    return (
+    # Evaluate the O(|A|+|B|) intersection ONCE per pair: without the
+    # barrier, CollapseProject inlines `inter` into every consumer (both
+    # sides of the union-size denominator, the threshold filter, and the
+    # output projection), re-running array_intersect up to 4x per pair —
+    # the same interpreted-expression re-evaluation the embedding explode
+    # carriers fixed. The barrier Project pins it as data.
+    verified = pushdown_barrier(
         cand.join(sets_a, "id_a")
         .join(sets_b, "id_b")
-        .withColumn("jac", jac)
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        verified.withColumn("jac", jac)
         .filter(F.col("jac") >= F.lit(t_num) / F.lit(t_den))
         .select("id_a", "id_b", F.round("jac", 4).alias("jaccard"))
     )
