@@ -483,20 +483,27 @@ def prefix_filter_jaccard_pairs(
         if shingles is not None
         else truncate_lineage(shingle_frame(docs), eager=False)
     )
-    posting = sh.select("doc_id", F.explode("sh").alias("tok"))
+    # n rides along from the array length, so the rank pass needs only the
+    # row_number window (one Window node, one sort) instead of a second
+    # unbounded count(*) window over the same partitioning.
+    posting = sh.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("tok")
+    )
     freq = posting.groupBy("tok").agg(F.count("*").alias("gf"))
     w_rank = Window.partitionBy("doc_id").orderBy("tok_gf", "tok")
-    w_doc = Window.partitionBy("doc_id")
     ranked = (
         posting.join(freq, "tok")
-        .select("doc_id", "tok", F.col("gf").alias("tok_gf"))
+        .select("doc_id", "n", "tok", F.col("gf").alias("tok_gf"))
         .withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("n", F.count("*").over(w_doc))
     )
     # prefix length = n - ceil(t*n) + 1, ceil via integers: (a+den-1) div den
     ceil_tn = F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}")
     prefix = ranked.filter(F.col("rn") <= F.col("n") - ceil_tn + 1).select(
-        "doc_id", "tok", "n"
+        "doc_id", "tok", "n", "rn"
+    )
+    # Overlap requirement: J >= t  =>  |A∩B| >= alpha = ceil(t/(1+t)*(n_a+n_b))
+    alpha = F.expr(
+        f"({t_num} * (na + nb) + {t_num} + {t_den} - 1) div ({t_num} + {t_den})"
     )
     cand = (
         prefix.alias("a")
@@ -504,7 +511,7 @@ def prefix_filter_jaccard_pairs(
         # Length filter (PPJoin): J(A,B) <= min/max, so J >= t already
         # forces t_num*max(|A|,|B|) <= t_den*min(|A|,|B|) — exact integer
         # arithmetic, applied DURING the candidate join so length-
-        # incompatible pairs never reach the distinct or the verify join.
+        # incompatible pairs never reach the aggregation or the verify join.
         .filter(
             (F.col("a.doc_id") < F.col("b.doc_id"))
             & (
@@ -512,10 +519,29 @@ def prefix_filter_jaccard_pairs(
                 <= F.lit(t_den) * F.least(F.col("a.n"), F.col("b.n"))
             )
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .distinct()
+        # Positional filter (PPJoin): prefixes are ordered by the GLOBAL
+        # (gf, tok) comparator, so the minimum common token c of A and B is
+        # the same element in both lists; every other common token ranks
+        # after it, hence |A∩B| <= min(n_a - rn_a(c), n_b - rn_b(c)) + 1.
+        # Over the matching prefix tokens that bound is maximal exactly at
+        # c (later matches have larger ranks on both sides), so keeping
+        # pairs where max(min(n_a-rn_a, n_b-rn_b)) + 1 >= alpha is
+        # LOSSLESS. The aggregation also replaces the distinct — same
+        # shuffle, one more running max per group.
+        .agg(
+            F.max(
+                F.least(
+                    F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
+                )
+            ).alias("ub"),
+            F.max(F.col("a.n")).alias("na"),
+            F.max(F.col("b.n")).alias("nb"),
+        )
+        .filter(F.col("ub") + 1 >= alpha)
+        .select("id_a", "id_b")
     )
     sets_a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sets_b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
