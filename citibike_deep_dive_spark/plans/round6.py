@@ -709,8 +709,17 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         _norm(F.col("embedding")).alias("norm_b"),
     )
-    scored = (
-        a.join(b, (a.label == b.label_b) & (F.col("src") != F.col("dst")))
+    # Score each unordered pair ONCE and mirror: cosine is bit-commutative
+    # here (zip_with multiplies elementwise in array order and the fold
+    # order is identical both ways), so the src<dst half-join carries the
+    # full information at half the interpreted-HOF cost. The half frame is
+    # lazily checkpointed so the union's two branches consume the scored
+    # rows as data instead of re-running the pair join per branch
+    # (Catalyst does not dedupe aliased subplans).
+    from ..functions.lineage import truncate_lineage
+
+    half = truncate_lineage(
+        a.join(b, (a.label == b.label_b) & (F.col("src") < F.col("dst")))
         .select(
             "label",
             "src",
@@ -720,6 +729,15 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("norm_a") * F.col("norm_b")),
                 4,
             ).alias("cos_sim"),
+        ),
+        eager=False,
+    )
+    scored = half.unionByName(
+        half.select(
+            "label",
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "cos_sim",
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
