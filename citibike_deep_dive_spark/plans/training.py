@@ -4807,6 +4807,8 @@ def duplicate_provenance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-count) FIRST — md5-keyed, uniform — so the pair join runs on the
     segment-grain frame and the matrix is sources-squared rows. No text
     moves after the first aggregation."""
+    from ..functions.lineage import truncate_lineage
+
     docs = fan_out(table(spark, sf_dir, "documents"))
     ws = F.split(F.lower("text"), " ")
     seg_expr = F.expr(
@@ -4819,7 +4821,16 @@ def duplicate_provenance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.explode(seg_expr).alias("seg"))
         .distinct()
     )
-    g = segs.groupBy("seg", "source").agg(F.count_distinct("doc_id").alias("cnt"))
+    # g feeds THREE consumers (dup + both join aliases); Catalyst does not
+    # dedupe aliased subplans, so without the lazy checkpoint the
+    # explode + per-segment md5 + distinct pipeline evaluates three times
+    # (measured 0.92 -> 0.45 s fresh-build at sf0.1 from this one line).
+    g = truncate_lineage(
+        segs.groupBy("seg", "source").agg(
+            F.count_distinct("doc_id").alias("cnt")
+        ),
+        eager=False,
+    )
     dup = g.groupBy("seg").agg(F.sum("cnt").alias("tot")).filter(
         F.col("tot") > 1
     ).select("seg")
