@@ -5353,33 +5353,46 @@ def ngram_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     even if no single prior doc matches it; near-dup pair methods miss
     that many-sources case entirely). Attribution is an argmin over the
     gram's posting list (min doc_id = first owner), so the whole metric
-    is: distinct (doc, gram) explode → gram-keyed min → join back →
-    doc-keyed ratio. All shuffle keys are md5 grams or doc ids
-    (uniform); integer counts make the ratio exact."""
+    is: distinct (doc, gram) explode → two doc-grain aggregates joined at
+    DOC grain — a doc's novel-gram count is how many grams it FIRST owns,
+    which falls out of the gram-keyed argmin regrouped by owner, so the
+    gram-grain join-back (and its 2M-row reshuffle) never happens. All
+    shuffle keys are md5 grams or doc ids (uniform); integer counts make
+    the ratio exact."""
+    from ..functions.lineage import truncate_lineage
+
     docs = fan_out(table(spark, sf_dir, "documents"))
     ws = F.split(F.lower("text"), " ")
     gram_expr = F.expr(
         "transform(sequence(1, size(w) - 2),"
         " i -> md5(concat_ws(' ', slice(w, i, 3))))"
     )
-    grams = (
+    # grams feeds both aggregates; checkpoint so the explode + per-gram
+    # md5 + distinct pipeline runs once (aliased subplans don't dedupe).
+    grams = truncate_lineage(
         docs.select("doc_id", ws.alias("w"))
         .filter(F.size("w") >= 3)
         .select("doc_id", F.explode(gram_expr).alias("g"))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
-    owner = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    novel = (F.col("doc_id") == F.col("first_doc")).cast("long")
-    return (
-        grams.join(owner, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(novel).alias("novel_grams"),
-            F.round(
-                F.sum(novel.cast("double")) / F.count(F.lit(1)), 6
-            ).alias("novelty_frac"),
-        )
+    n_per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    novel_per_doc = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("novel_grams"))
+    )
+    novel = F.coalesce(F.col("novel_grams"), F.lit(0).cast("long"))
+    return n_per_doc.join(novel_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        novel.alias("novel_grams"),
+        F.round(novel.cast("double") / F.col("n_grams"), 6).alias(
+            "novelty_frac"
+        ),
     )
 
 
