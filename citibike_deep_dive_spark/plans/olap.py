@@ -1563,14 +1563,31 @@ def open_order_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     and GPU-reservation overlap at 100 TB."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
-    span = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("start_day"))
-        .agg(F.to_date(F.max("l_shipdate")).alias("end_day"))
+    # Aggregate lineitem to order grain BEFORE meeting orders: the join
+    # then carries 150k rows per side instead of streaming 600k lineitem
+    # rows through it, and the order-grain groupBy disappears.
+    last = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.to_date(F.max("l_shipdate")).alias("end_day")
     )
+    span = last.join(
+        o.select("o_orderkey", F.to_date("o_orderdate").alias("start_day")),
+        "o_orderkey",
+    )
+    # Both sweep deltas come out of ONE pass over span via explode — the
+    # two-branch union re-evaluated the span subplan per branch (aliased
+    # subplans don't dedupe).
     deltas = span.select(
-        F.col("start_day").alias("day"), F.lit(1).alias("delta")
-    ).unionAll(span.select(F.col("end_day").alias("day"), F.lit(-1).alias("delta")))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_day").alias("day"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("end_day").alias("day"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("e")
+    ).select("e.day", "e.delta")
     daily = deltas.groupBy("day").agg(F.sum("delta").cast("long").alias("net_change"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return daily.select(
