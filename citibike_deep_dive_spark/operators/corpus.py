@@ -416,10 +416,13 @@ def bigram_cross_entropy(docs: DataFrame, k_smooth: float = 0.5) -> DataFrame:
         eager=False,
     )
     corpus_bigrams = doc_bigrams.groupBy("w1", "w2").agg(F.sum("dc").alias("cb"))
-    unigrams = (
+    # unigrams feeds the probability join AND the vocab-size scalar; the
+    # lazy checkpoint keeps the word explode+agg from running twice.
+    unigrams = truncate_lineage(
         toks.select(F.explode("ws").alias("w"))
         .groupBy("w")
-        .agg(F.count("*").alias("cu"))
+        .agg(F.count("*").alias("cu")),
+        eager=False,
     )
     vocab = unigrams.agg(F.count("*").cast("double").alias("V"))
     probs = (
