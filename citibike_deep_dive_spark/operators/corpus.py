@@ -192,11 +192,21 @@ def pmi_collocations(
         .select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
     )
-    big_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
-    uni_counts = (
+    from ..functions.lineage import truncate_lineage
+
+    # big_counts feeds the n2 scalar and the candidate join (2 consumers);
+    # uni_counts feeds n1 and BOTH unigram join sides (3 consumers) —
+    # without the lazy checkpoints the bigram explode+agg runs twice and
+    # the unigram explode+agg three times (aliased subplans don't dedupe).
+    big_counts = truncate_lineage(
+        bigrams.groupBy("w1", "w2").agg(F.count("*").alias("pair_count")),
+        eager=False,
+    )
+    uni_counts = truncate_lineage(
         toks.select(F.explode("ws").alias("w"))
         .groupBy("w")
-        .agg(F.count("*").alias("c"))
+        .agg(F.count("*").alias("c")),
+        eager=False,
     )
     n1 = uni_counts.agg(F.sum("c").cast("double").alias("n1"))
     n2 = big_counts.agg(F.sum("pair_count").cast("double").alias("n2"))
@@ -271,11 +281,16 @@ def repeated_segment_stats(docs: DataFrame, seg_len: int = 16) -> DataFrame:
         f"transform(sequence(0, size(ws) div {seg_len} - 1), "
         f"i -> md5(concat_ws(' ', slice(ws, i * {seg_len} + 1, {seg_len}))))"
     )
-    segs = (
+    from ..functions.lineage import truncate_lineage
+
+    # segs feeds the frequency pass and the verdict join; the checkpoint
+    # keeps the segment explode + per-segment md5 from running twice.
+    segs = truncate_lineage(
         fan_out(docs)
         .select("doc_id", ws.alias("ws"))
         .filter(F.size("ws") >= seg_len)
-        .select("doc_id", F.explode(segs_expr).alias("seg_hash"))
+        .select("doc_id", F.explode(segs_expr).alias("seg_hash")),
+        eager=False,
     )
     freq = segs.groupBy("seg_hash").agg(
         F.count_distinct("doc_id").alias("n_docs_with_seg")
