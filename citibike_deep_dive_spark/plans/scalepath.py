@@ -241,23 +241,51 @@ def partition_zonemap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans can skip files: min/max per prunable column + key NDV, one
     map-side-combined aggregation keyed by the partition expression.
     Feeding these into a catalog is what turns `WHERE l_orderkey = k`
-    from a full scan into a handful of file reads at 100 TB. (The NDV
-    here is exact — count(DISTINCT) expands the aggregate; production
-    writers substitute approx_count_distinct, same plan shape minus the
-    expand.) fan_out measured and REJECTED here (interleaved A/B 1.02
-    plain vs 1.17 fanned at sf0.1): min/max/ndv per-row work is too
-    cheap to amortize a 600k-row round-robin shuffle — unlike the md5
-    row hashing in partition_checksums, where it wins 1.9x."""
+    from a full scan into a handful of file reads at 100 TB. The NDV is
+    exact but NOT count(DISTINCT): a distinct aggregate's partial phase
+    barely reduces here (~500k near-unique (month, partkey) pairs kept
+    shuffling — measured 0.92 s alone), so the key is packed into a
+    BITMAP instead — bit_or of 64-bit words keyed by (month, partkey
+    div 64), map-side combined down to |months| x |parts|/64 ≈ 27k rows,
+    then a popcount sum. Same exact answer for any integer key domain,
+    ~2x the whole query (0.88 -> 0.44 s at sf0.1), and the 100 TB
+    shuffle is bounded by the key range, not the row count. The group
+    key stays an int (y*100+m) until the final 85-row projection, so no
+    per-row date formatting either. fan_out measured and REJECTED here
+    (interleaved A/B 1.02 plain vs 1.17 fanned at sf0.1): min/max
+    per-row work is too cheap to amortize a 600k-row round-robin
+    shuffle — unlike the md5 row hashing in partition_checksums, where
+    it wins 1.9x."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy(
-        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
-    ).agg(
+    m = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("m")
+    stats = li.groupBy(m).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("l_orderkey").alias("min_orderkey"),
         F.max("l_orderkey").alias("max_orderkey"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.countDistinct("l_partkey").alias("ndv_partkey"),
+    )
+    words = li.groupBy(m, F.expr("l_partkey div 64").alias("w")).agg(
+        F.bit_or(F.expr("shiftleft(1L, cast(l_partkey % 64 as int))")).alias(
+            "bits"
+        )
+    )
+    ndv = words.groupBy("m").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("ndv_partkey")
+    )
+    ship_month = F.concat(
+        (F.col("m") / 100).cast("int").cast("string"),
+        F.lit("-"),
+        F.lpad((F.col("m") % 100).cast("string"), 2, "0"),
+    ).alias("ship_month")
+    return stats.join(ndv, "m").select(
+        ship_month,
+        "n_rows",
+        "min_orderkey",
+        "max_orderkey",
+        "min_price",
+        "max_price",
+        "ndv_partkey",
     )
 
 
