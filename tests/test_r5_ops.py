@@ -70,6 +70,58 @@ def test_prefix_filter_equals_brute_force(spark):
     assert got  # sf0.001 corpus does contain near-dup pairs
 
 
+def test_prefix_filter_filters_lossless_randomized(spark):
+    """Adversarial check of the PPJoin length + positional filters: many
+    short docs over an 8-word vocabulary (maximal shingle collisions and
+    length spread — the regime where an off-by-one in the overlap bound
+    alpha or the rank inequality would over-prune), three thresholds,
+    exact equality with the all-pairs brute force each time."""
+    import random
+
+    from citibike_deep_dive_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+        shingle_frame,
+    )
+
+    rng = random.Random(20260814)
+    vocab = list("abcdefgh")
+    rows = []
+    for i in range(0, 60, 2):
+        base = [rng.choice(vocab) for _ in range(rng.randint(3, 12))]
+        # even ids: the base doc; odd ids: a light perturbation of it
+        # (append/replace one word) so every threshold has true pairs at
+        # assorted lengths, not just the trivially identical ones
+        rows.append((i, " ".join(base)))
+        mut = list(base)
+        if rng.random() < 0.5:
+            mut.append(rng.choice(vocab))
+        else:
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+        rows.append((i + 1, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_frame(docs)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    ).cast("double")
+    for t_num, t_den in ((1, 2), (3, 5), (4, 5)):
+        got = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in prefix_filter_jaccard_pairs(docs, t_num, t_den).collect()
+        )
+        brute = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("jac", jac)
+            .filter(F.col("jac") >= F.lit(t_num) / F.lit(t_den))
+            .select("id_a", "id_b", F.round("jac", 4).alias("jaccard"))
+        )
+        want = sorted((r.id_a, r.id_b, r.jaccard) for r in brute.collect())
+        assert got == want, f"mismatch at t={t_num}/{t_den}"
+        assert got, f"degenerate fixture at t={t_num}/{t_den}"
+
+
 def test_bm25_monotone_in_tf(spark):
     """More occurrences of a query term -> higher BM25, same doc length
     (idf and length normalization fixed across the pair)."""
