@@ -265,10 +265,16 @@ def partition_zonemap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
     )
-    words = li.groupBy(m, F.expr("l_partkey div 64").alias("w")).agg(
-        F.bit_or(F.expr("shiftleft(1L, cast(l_partkey % 64 as int))")).alias(
-            "bits"
-        )
+    # pmod (not %) and the derived floor-word keep the mapping injective
+    # for NEGATIVE keys too: l_partkey % 64 is sign-following and Java's
+    # shift masks the amount to 6 bits, so -5 would alias with +59 in
+    # word 0 under the naive form. Positive domains are bit-identical.
+    words = li.groupBy(
+        m, F.expr("(l_partkey - pmod(l_partkey, 64)) div 64").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, cast(pmod(l_partkey, 64) as int))")
+        ).alias("bits")
     )
     ndv = words.groupBy("m").agg(
         F.sum(F.bit_count("bits")).cast("long").alias("ndv_partkey")

@@ -129,3 +129,36 @@ def test_bloom_rejects_non_multiple_of_64_m(spark):
     for bad_m in (100, 63, 0, -64):
         with _pytest.raises(ValueError):
             bloom_bitmap_frame(keys, "k", m=bad_m)
+
+
+def test_bitmap_ndv_idiom_matches_count_distinct_with_negatives(spark):
+    """The zone-map NDV's bit_or-word idiom (pmod bit index + derived
+    floor word) must stay injective across SIGNED keys: the naive
+    `key % 64` / `key div 64` form aliases -5 with +59 in word 0
+    (sign-following % plus Java's 6-bit shift mask). Random signed keys,
+    exact equality with count(DISTINCT)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    rows = [
+        (rng.choice("ab"), rng.randint(-200, 200)) for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long")
+    words = df.groupBy(
+        "g", F.expr("(k - pmod(k, 64)) div 64").alias("w")
+    ).agg(F.bit_or(F.expr("shiftleft(1L, cast(pmod(k, 64) as int))")).alias("bits"))
+    got = {
+        r.g: r.ndv
+        for r in words.groupBy("g")
+        .agg(F.sum(F.bit_count("bits")).cast("long").alias("ndv"))
+        .collect()
+    }
+    want = {
+        r.g: r.ndv
+        for r in df.groupBy("g")
+        .agg(F.countDistinct("k").alias("ndv"))
+        .collect()
+    }
+    assert got == want
