@@ -4830,9 +4830,12 @@ def duplicate_provenance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedupe aliased subplans, so without the lazy checkpoint the
     # explode + per-segment md5 + distinct pipeline evaluates three times
     # (measured 0.92 -> 0.45 s fresh-build at sf0.1 from this one line).
+    # count(*), not count_distinct: segs is .distinct() at (doc, source,
+    # seg) grain, so doc_ids are already unique within each group and the
+    # distinct aggregate's Expand phase would be pure overhead.
     g = truncate_lineage(
         segs.groupBy("seg", "source").agg(
-            F.count_distinct("doc_id").alias("cnt")
+            F.count(F.lit(1)).alias("cnt")
         ),
         eager=False,
     )
@@ -4854,7 +4857,9 @@ def duplicate_provenance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("ca") * (F.col("ca") - 1) / 2)
     return pairs.groupBy("source_a", "source_b").agg(
         F.sum(n_pairs).cast("long").alias("n_pair_incidences"),
-        F.count_distinct("seg").alias("n_shared_segments"),
+        # g is unique per (seg, source), so the a⋈b pair frame is unique
+        # per (seg, source_a, source_b) — plain count counts segments.
+        F.count(F.lit(1)).alias("n_shared_segments"),
     )
 
 
