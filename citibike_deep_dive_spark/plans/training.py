@@ -2103,11 +2103,27 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     input, so the boolean is a stable hashable value, and pytest pins
     it true at every sf dir the driver uses."""
     ev = table(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+    # The exact side is the zone-map bitmap NDV, not count(DISTINCT):
+    # a distinct aggregate's partial phase cannot reduce the near-unique
+    # (type, user) pairs, while bit_or words keyed by (type, user div 64)
+    # map-side-combine to |types| x |users|/64 rows (sign-safe pmod
+    # form, scalepath.partition_zonemap_stats rationale). The HLL keeps
+    # its own raw-grain pass: per-word sketches don't merge through sum.
+    words = ev.groupBy(
+        "event_type",
+        F.expr("(user_id - pmod(user_id, 64)) div 64").alias("w"),
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, cast(pmod(user_id, 64) as int))")
+        ).alias("bits")
     )
-    return agg.select(
+    agg = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("exact_users")
+    )
+    hll = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+    return agg.join(hll, "event_type").select(
         "event_type",
         "exact_users",
         (
