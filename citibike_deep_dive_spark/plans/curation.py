@@ -213,40 +213,12 @@ def moment_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.covar_samp("l_quantity", "l_extendedprice"), 4
         ).alias("qty_price_covar"),
     )
-    hist = (
-        li.filter(F.col("l_quantity").isNotNull())
-        .groupBy("l_returnflag", "l_quantity")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_quantity")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("l_returnflag")
-    cum = hist.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
-        "n", F.sum("c").over(w_all)
-    )
-    # middle ranks: lo = (n+1) div 2, hi = n div 2 + 1 (equal when n odd);
-    # the value at rank r is the smallest quantity whose cumulative count
-    # reaches r — interpolated median = mean of the two middle values.
-    lo = (F.col("n") + 1).cast("long") / 2
-    v_at = lambda r: F.min(  # noqa: E731
-        F.when(F.col("cum") >= r, F.col("l_quantity"))
-    )
-    medians = cum.groupBy("l_returnflag").agg(
-        F.round(
-            (
-                v_at(F.floor(lo))
-                + v_at(F.floor(F.col("n").cast("long") / 2) + 1)
-            ).cast("double")
-            / 2,
-            4,
-        ).alias("qty_median")
-    )
+    from ..functions.stats import histogram_median
+
+    medians = histogram_median(li, "l_returnflag", "l_quantity", out="med")
     return moments.join(F.broadcast(medians), "l_returnflag").select(
         "l_returnflag",
-        "qty_median",
+        F.round("med", 4).alias("qty_median"),
         "disc_stddev",
         "qty_price_corr",
         "qty_price_covar",
