@@ -849,10 +849,17 @@ def value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").withColumn(
         "value", F.col("value").cast("double")
     )
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    # one array-percentile buffer, not three (the approx_quantiles_sketch
+    # lesson: each scalar percentile aggregate buffers the whole group)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("ps"))
+        .select(
+            "event_type",
+            F.round(F.col("ps")[0], 4).alias("p50"),
+            F.round(F.col("ps")[1], 4).alias("p90"),
+            F.round(F.col("ps")[2], 4).alias("p99"),
+        )
     )
 
 
