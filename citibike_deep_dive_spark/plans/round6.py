@@ -1037,18 +1037,27 @@ def simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=_SH64_BANDS,
     )
     sh_cols = [f"sh{b}" for b in range(_SH64_BANDS)]
-    bands = sims.select(
-        "doc_id",
-        *sh_cols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("b"), F.col(f"sh{b}").alias("bv"))
-                    for b in range(_SH64_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", *sh_cols, F.col("band.b").alias("b"), F.col("band.bv").alias("bv"))
+    from ..functions.lineage import truncate_lineage
+
+    # the band frame feeds BOTH join aliases; the lazy checkpoint keeps
+    # the token explode + 64-vote aggregation from running twice
+    bands = truncate_lineage(
+        sims.select(
+            "doc_id",
+            *sh_cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("b"), F.col(f"sh{b}").alias("bv"))
+                        for b in range(_SH64_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        ).select(
+            "doc_id", *sh_cols, F.col("band.b").alias("b"), F.col("band.bv").alias("bv")
+        ),
+        eager=False,
+    )
     a = bands.select(
         F.col("doc_id").alias("doc_id_a"),
         *[F.col(f"sh{b}").alias(f"a{b}") for b in range(_SH64_BANDS)],

@@ -4611,13 +4611,23 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are md5-derived and therefore uniform, the same skew contract as the
     minhash LSH path. Verification (bit_count of xor) is one codegen'd
     instruction pair per candidate."""
+    from ..functions.lineage import truncate_lineage
+
     docs = fan_out(table(spark, sf_dir, "documents"))
     sh = simhash(docs, bits=16)
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.array(*[F.lit(b) for b in range(_HAMMING_BANDS)])).alias("b"),
-    ).withColumn("bv", F.expr("shiftright(simhash, 4 * b) & 15"))
+    # the band frame feeds BOTH join aliases; without the lazy checkpoint
+    # the token explode + vote aggregation runs twice (the shared-bands
+    # fix the minhash LSH path got in round 6, applied to simhash)
+    bands = truncate_lineage(
+        sh.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(*[F.lit(b) for b in range(_HAMMING_BANDS)])
+            ).alias("b"),
+        ).withColumn("bv", F.expr("shiftright(simhash, 4 * b) & 15")),
+        eager=False,
+    )
     a = bands.select(
         F.col("b"), F.col("bv"),
         F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sa"),
