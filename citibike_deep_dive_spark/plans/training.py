@@ -3739,6 +3739,8 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     is value-checked cross-engine. Per-row fold, zero shuffle after the
     sub-id explode; a production pipeline would train the codebook with
     ivf_kmeans_cells and keep this exact assignment plan shape."""
+    from ..operators.fanout import pushdown_barrier
+
     emb = fan_out(table(spark, sf_dir, "embeddings"))
     sub = emb.select(
         "vec_id",
@@ -3763,18 +3765,29 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # init 0D is exact: 0.0 + x == x for the non-negative squares, so the
     # fold produces the same double as DuckDB's init-free list_reduce.
     dist = f"aggregate(sequence(1, 8), 0D, (a, j) -> a + ({diff}) * ({diff}))"
-    with_ds = sub.withColumn(
-        "ds", F.expr(f"transform(sequence(0, {_PQ_CODES - 1}), c -> {dist})")
+    # argmin + min in ONE struct-min, pinned by a barrier: the previous
+    # form referenced the 256-distance array three times in the output
+    # projection (array_position, and array_min twice), and CollapseProject
+    # inlined the transform into each — 3x the fold work per row. Struct
+    # ordering compares d first then c, reproducing array_position's
+    # first-minimum tiebreak; the barrier keeps the single m evaluation
+    # from being re-inlined per field access.
+    m_expr = (
+        f"array_min(transform(sequence(0, {_PQ_CODES - 1}), "
+        f"c -> struct({dist} AS d, c AS c)))"
     )
-    return with_ds.select(
+    pinned = pushdown_barrier(
+        sub.select("vec_id", "sub_id", F.expr(m_expr).alias("m"))
+    )
+    return pinned.select(
         "vec_id",
         F.col("sub_id").cast("long").alias("sub_id"),
-        F.expr("CAST(array_position(ds, array_min(ds)) - 1 AS INT)").alias("code"),
+        F.col("m.c").alias("code"),
         # raw double, deliberately UNROUNDED: the fold arithmetic is
         # bit-identical cross-engine, but round() is not — Spark rounds
         # the shortest decimal repr HALF_UP while DuckDB rounds the
         # binary double, flipping 268/4000 values at the 6th decimal.
-        F.array_min("ds").alias("sub_dist"),
+        F.col("m.d").alias("sub_dist"),
     )
 
 
@@ -4007,10 +4020,15 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff_q = f"(CAST(element_at(embedding, s*8+j) AS DOUBLE) - ({cent_q}))"
     dist_q = f"aggregate(sequence(1, 8), 0D, (a, j) -> a + ({diff_q}) * ({diff_q}))"
-    ds = f"transform(sequence(0, {_PQ_CODES - 1}), c -> {dist_q})"
+    # argmin via min over (dist, c) structs: each of the 256 centroid
+    # distances is evaluated ONCE (the array_position(ds, array_min(ds))
+    # form built the whole distance array twice per subspace); struct
+    # ordering compares dist first then c, which reproduces
+    # array_position's first-minimum tiebreak exactly.
     codes_expr = (
         f"transform(sequence(0, {_PQ_SUBS - 1}), s -> "
-        f"CAST(array_position({ds}, array_min({ds})) - 1 AS INT))"
+        f"array_min(transform(sequence(0, {_PQ_CODES - 1}), "
+        f"c -> struct({dist_q} AS d, c AS c))).c)"
     )
     codes = emb.select("vec_id", F.expr(codes_expr).alias("codes"))
 
