@@ -4503,14 +4503,23 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed aggregate over pair endpoints — at 100 TB the quadratic term
     is bounded by the largest cell, the same contract as the IVF/LSH
     paths, with AQE skew-split as the relief valve."""
+    from ..functions.lineage import truncate_lineage
     from ..operators.similarity import _as_double, cosine
 
     e = _as_double(table(spark, sf_dir, "embeddings"))
     rep = e.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
-    repv = rep.join(
-        e.select(F.col("vec_id").alias("rep_id"), F.col("embedding").alias("rep_emb")),
-        "rep_id",
-    ).select("label", "rep_emb")
+    # cluster-grain and consumed by both scored and the pair join; the
+    # checkpoint keeps the argmin groupBy + rep self-join single-run
+    repv = truncate_lineage(
+        rep.join(
+            e.select(
+                F.col("vec_id").alias("rep_id"),
+                F.col("embedding").alias("rep_emb"),
+            ),
+            "rep_id",
+        ).select("label", "rep_emb"),
+        eager=False,
+    )
     scored = e.join(F.broadcast(repv), "label").select(
         "vec_id",
         "label",
@@ -4549,6 +4558,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("vb"), F.col("rep_emb")), 4).alias("crb"),
         )
     )
+    # pairs feeds BOTH union branches of the partner unpivot; without the
+    # lazy checkpoint the quadratic in-cell pair scan (the expensive part
+    # of the whole query) executes once per branch.
+    pairs = truncate_lineage(pairs, eager=False)
     partners = pairs.select(
         F.col("id_a").alias("vec_id"),
         F.col("cra").alias("cos_x"),
