@@ -394,9 +394,19 @@ def connected_components(
     duplicate chain would split one cluster), and downstream split
     assignment must never see them.
     """
+    # symmetrize via explode, not a self-union: the union form evaluates
+    # the (possibly expensive) pair-generation plan once per branch on
+    # the first materialization, before the cache exists
     edges = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .distinct()
         .cache()
     )
@@ -669,9 +679,19 @@ def pagerank(
     reliable-vs-local checkpoint tradeoff). Degrees and N are computed
     once.
     """
+    # explode-symmetrize (not self-union): one evaluation of the pair
+    # plan on first materialization — same rationale as
+    # connected_components above
     edges = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .distinct()
         .cache()
     )

@@ -5644,17 +5644,25 @@ def touch_attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.struct("t_ts", "t_id", "t_type")).alias("first_t"),
         F.max(F.struct("t_ts", "t_id", "t_type")).alias("last_t"),
     )
+    # both attribution rows come out of ONE pass over elected via explode
+    # — a two-branch union would re-run the range join + election per
+    # branch (aliased subplans don't dedupe)
     credit = elected.select(
-        F.col("first_t.t_type").alias("event_type"),
-        F.lit("first_touch").alias("model"),
-        "revenue",
-    ).unionAll(
-        elected.select(
-            F.col("last_t.t_type").alias("event_type"),
-            F.lit("last_touch").alias("model"),
-            "revenue",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("first_t.t_type").alias("event_type"),
+                    F.lit("first_touch").alias("model"),
+                    F.col("revenue").alias("revenue"),
+                ),
+                F.struct(
+                    F.col("last_t.t_type").alias("event_type"),
+                    F.lit("last_touch").alias("model"),
+                    F.col("revenue").alias("revenue"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.event_type", "e.model", "e.revenue")
     return credit.groupBy("event_type", "model").agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.round(F.sum(F.col("revenue").cast("decimal(30,10)")), 2)
