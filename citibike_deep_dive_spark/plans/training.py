@@ -1293,10 +1293,20 @@ def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def intersect_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT (absent from the reference, SURVEY §2.7 note):
     retention cohorts — customers ordering in both years vs churned."""
+    from ..functions.lineage import truncate_lineage
+
     orders = table(spark, sf_dir, "orders")
     year = F.date_format("o_orderdate", "yyyy")
-    y95 = orders.filter(year == "1995").select("o_custkey").distinct()
-    y96 = orders.filter(year == "1996").select("o_custkey").distinct()
+    # each cohort frame feeds both the intersect and the except; the
+    # lazy checkpoints keep the scan+distinct single-run per year
+    y95 = truncate_lineage(
+        orders.filter(year == "1995").select("o_custkey").distinct(),
+        eager=False,
+    )
+    y96 = truncate_lineage(
+        orders.filter(year == "1996").select("o_custkey").distinct(),
+        eager=False,
+    )
     both = y95.intersect(y96).agg(
         F.count("*").alias("customers"), F.min("o_custkey").alias("min_key")
     ).select(F.lit("both").alias("cohort"), "customers", "min_key")
