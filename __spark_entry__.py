@@ -35,80 +35,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's verify walks queries() in order with a bounded budget, so
 # ordering decides which entries get a hard CORRECTNESS row this round.
-# Round-6 ordering (VERDICT r5 item 1): (a) the 11 round-5-tail queries
-# that were committed after the 50-row budget was spent — all
-# preflight-exact-verified but never driver-verified; (b) queries whose
-# implementation changed this round (ADVICE fixes: decimal sums in
-# nation_market_share/product_type_profit/rrf_hybrid_retrieval, lazy n in
-# linear_gd_gradient_step, distinct-pair counting in
-# duplicate_provenance_matrix; perf rewrites: training_corpus_prep,
-# dock_deep_merge_nested_maps); (c) round-6 additions, capped so that
-# (a)+(b)+(c) stays within the driver's 50-row budget (VERDICT r5 item 2);
-# everything already green on file sorts last.
-#
-# The list is exactly 50 entries. Seven further late-round perf rewrites
-# (moment_aggregates, partition_zonemap_stats, approx_quantiles_sketch,
-# approx_distinct_hll, pmi_bigram_collocations, repeated_segment_stats,
-# decontamination_ngram_overlap) did not fit the budget; each was
-# preflight.py-exact (the driver's own sf0.01 comparison) after its
-# change and again in the closing 215/215 full-catalog sweep, and they
-# head the round-7 re-verify queue. Never-verified entries kept strict
-# priority over re-verification of already-green ones.
+# Round-8 ordering (VERDICT r7 items 1-2): (a) the seven round-6 perf
+# rewrites whose last driver row predates the rewrite — the round-7 queue
+# that never ran; (b) queries whose implementation changed THIS round:
+# the three simhash carriers (lane repack 4x16 -> 3x20 after the ANSI
+# long-overflow regression test; vote-identical, preflight-exact),
+# moment_aggregates (left-join median for all-NULL-group parity — also
+# in (a)), semdedup_prune (parameterized cell count) and
+# dock_deep_merge_nested_maps (perf); (c) the 38 least-recently-verified
+# entries (last green r1-r2), so the oldest evidence refreshes. Exactly
+# 50 entries; every one preflight.py-exact before commit.
 VERIFY_FIRST = [
-    # (a) round-5 tail: never driver-verified, preflight-exact-OK
-    "late_interaction_maxsim",
-    "ks_drift_statistic",
-    "benford_first_digit_audit",
-    "daily_count_autocorrelation",
-    "ngram_novelty_fraction",
-    "open_order_backlog_sweepline",
-    "repeat_order_intervals",
-    "revenue_decile_concentration",
-    "source_sampling_rates",
-    "tokenizer_fertility_by_lang",
-    "touch_attribution_revenue",
-    # (b) implementation changed this round
-    "nation_market_share",
-    "product_type_profit",
-    "rrf_hybrid_retrieval",
-    "bm25_doc_scores",
-    "linear_gd_gradient_step",
-    "duplicate_provenance_matrix",
-    "training_corpus_prep",
-    "dock_deep_merge_nested_maps",
-    "bloom_prefilter_join",
-    "dedup_lsh_candidate_pairs",
-    "dedup_ngram_jaccard",
-    # (b') late-round perf rewrites from the full-catalog sf0.1 sweep
-    "frequent_brand_pairs",
-    "bigram_lm_cross_entropy",
-    "partition_checksums",
-    "embedding_int8_quantize",
-    "matryoshka_truncate_renormalize",
-    "random_projection_sketch",
+    # (a) round-6 perf rewrites, driver-stale since r3-r5
+    "moment_aggregates",
+    "partition_zonemap_stats",
+    "approx_quantiles_sketch",
+    "approx_distinct_hll",
+    "pmi_bigram_collocations",
+    "repeated_segment_stats",
+    "decontamination_ngram_overlap",
+    # (b) implementation changed in round 8
+    "dedup_simhash",
     "simhash_hamming_pairs",
-    "min_cost_supplier_per_part",
-    "prefix_filter_jaccard_join",
-    # (c) round-6 additions (all preflight-exact at authoring time)
-    "k_anonymity_audit",
-    "cusum_changepoint",
-    "markov_stationary_power",
-    "lsh_tuning_report",
-    "anova_f_by_group",
-    "chi2_lang_source",
-    "gini_split_scan",
-    "mutual_knn_pairs",
-    "dup_discounted_tokens",
-    "stratified_kfold_balance",
-    "vocab_zipf_fit",
     "simhash64_hamming_pairs",
-    "l_diversity_audit",
-    "rfm_segmentation",
-    "multimodal_audio_metadata",
-    "ewma_daily_volume",
-    "functional_dependency_audit",
-    "dup_cluster_size_histogram",
-    "conflicting_label_duplicates",
+    "semdedup_prune",
+    "dock_deep_merge_nested_maps",
+    # (c) least-recently-verified (r1-r2 evidence), oldest first
+    "deterministic_sample",
+    "linegraph_conditional_counts",
+    "heatmap_hourly_counts",
+    "anyvalue_deterministic",
+    "dock_flow_full_outer",
+    "monthly_to_yearly_rollup",
+    "json_object_aggregate",
+    "anti_join_missing",
+    "not_in_subquery",
+    "additive_upsert_merge",
+    "left_join_enrich_default",
+    "exists_semi_join",
+    "topk_per_group_window",
+    "conditional_pair_swap",
+    "case_value_normalization",
+    "multi_predicate_filter",
+    "distinct_years_ordered",
+    "union_by_name",
+    "group_count_min_time",
+    "state_gate_new_periods",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "text_token_counts",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprints",
+    "json_extract_props",
+    "multimodal_features",
+    "multimodal_image_dimensions",
+    "multimodal_frame_sampling",
+    "tumbling_window_hourly",
+    "skew_salted_aggregate",
+    "embedding_near_dup_sign_lsh",
+    "value_percentiles_exact",
+    "rollup_year_month",
+    "corpus_top_ngrams",
+    "asof_join_latest_profile",
+    "range_join_interval",
 ]
 
 

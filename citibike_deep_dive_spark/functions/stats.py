@@ -28,6 +28,12 @@ def histogram_median(
     (equal when n is odd) located as the smallest value whose cumulative
     count reaches the rank; the median is their mean. NULL values are
     ignored, like the aggregate.
+
+    Contract difference vs ``F.median``: a key whose values are ALL
+    NULL has an empty histogram and therefore NO output row (the
+    aggregate would keep the group with a null median). Callers needing
+    aggregate parity must LEFT-join this frame to the group keys and
+    read the null (see plans/curation.moment_aggregates).
     """
     hist = (
         df.filter(F.col(val).isNotNull())

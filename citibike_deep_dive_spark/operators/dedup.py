@@ -230,6 +230,53 @@ def ngram_jaccard_pairs(
     )
 
 
+# Lane geometry for the packed SimHash vote aggregation: 3 ones-counters
+# of 20 bits per long. Why NOT 4×16: with 4 lanes the top lane occupies
+# bits 48..63, so a document with ≥ 2^15 distinct tokens setting that
+# lane's hash bit pushes the running sum past Long.MAX — an ANSI-mode
+# ARITHMETIC_OVERFLOW crash at exactly the long-document regime a corpus
+# engine must survive (and, pre-ANSI, a silent sign-extension
+# corruption). With 3×20 the packed sum peaks below 2^61: always
+# positive, no lane ever reaches the sign bit, and the per-doc
+# distinct-token bound RISES from 2^16 to 2^20 (tokens beyond that
+# bleed into the next lane — widen the lanes before raising the limit;
+# the explode is over array_distinct output, so n is distinct tokens).
+_LANE_BITS = 20
+_LANES_PER_LONG = 3
+
+
+def _packed_vote_agg(words, n_bits, bit):
+    """groupBy(doc_id) with lane-packed ones-counters: ceil(n_bits/3)
+    longs of aggregate state instead of ``n_bits``. Returns the
+    aggregated frame (doc_id, n, p0..) and a ``vote(j)`` unpacker with
+    vote_j = 2·ones_j − n, identical to summing ±1 votes per bit."""
+    n_packed = (n_bits + _LANES_PER_LONG - 1) // _LANES_PER_LONG
+    packed_aggs = []
+    for g in range(n_packed):
+        expr = None
+        for lane in range(min(_LANES_PER_LONG, n_bits - _LANES_PER_LONG * g)):
+            term = F.shiftleft(bit(_LANES_PER_LONG * g + lane), _LANE_BITS * lane)
+            expr = term if expr is None else expr + term
+        packed_aggs.append(F.sum(expr).alias(f"p{g}"))
+    per_doc = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *packed_aggs
+    )
+
+    def vote(j: int) -> Column:
+        g, lane = j // _LANES_PER_LONG, j % _LANES_PER_LONG
+        # shiftrightunsigned + pmod (not shiftright + %) so the unpack
+        # stays lossless even if a future lane layout lets the packed
+        # long go negative — sign-extension and sign-following % both
+        # yield negative ones-counts silently.
+        ones = F.pmod(
+            F.shiftrightunsigned(F.col(f"p{g}"), _LANE_BITS * lane),
+            F.lit(1 << _LANE_BITS),
+        )
+        return ones * 2 - F.col("n")
+
+    return per_doc, vote
+
+
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash fingerprint: per hash-bit, sum +1/-1 votes over distinct
     tokens; bit set iff the vote is positive.
@@ -259,25 +306,10 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
             return F.shiftright(F.col("h1"), 4 * (7 - j)) % 2
         return F.shiftright(F.col("h2"), 4 * (15 - j)) % 2
 
-    # Lane-packed vote aggregation (see simhash_wide): bits/4 + 1 longs
-    # of per-group aggregate state instead of ``bits``; vote-identical
-    # (vote_j = 2·ones_j − n). Same 2^16-distinct-tokens lane bound.
-    n_packed = (bits + 3) // 4
-    packed_aggs = []
-    for g in range(n_packed):
-        expr = None
-        for lane in range(min(4, bits - 4 * g)):
-            term = F.shiftleft(_bit(4 * g + lane), 16 * lane)
-            expr = term if expr is None else expr + term
-        packed_aggs.append(F.sum(expr).alias(f"p{g}"))
-    per_doc = words.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"), *packed_aggs
-    )
-
-    def _vote(j: int) -> Column:
-        g, lane = j // 4, j % 4
-        ones = F.shiftright(F.col(f"p{g}"), 16 * lane) % (1 << 16)
-        return ones * 2 - F.col("n")
+    # Lane-packed vote aggregation (shared with simhash_wide):
+    # ceil(bits/3) longs of per-group aggregate state instead of
+    # ``bits``; vote-identical (vote_j = 2·ones_j − n).
+    per_doc, _vote = _packed_vote_agg(words, bits, _bit)
 
     fp = None
     for j in range(bits):
@@ -325,31 +357,10 @@ def simhash_wide(
         w, off = d // 8, d % 8
         return F.shiftright(F.col(f"h{w}"), 4 * (7 - off) + bitpos) % 2
 
-    # LANE-PACKED vote aggregation: 4 16-bit ones-counters per long, so
-    # the per-group aggregate state is total_bits/4 + 1 longs instead of
-    # total_bits — 3.7× less partial-agg hash-map memory and combiner
-    # traffic at 100 TB, and ~13% faster end-to-end at sf0.1 (A/B,
-    # vote-identical). vote_j = 2·ones_j − n unpacks after the shuffle.
-    # Lane bound: a lane counts ones per doc, so documents with ≥ 2^16
-    # DISTINCT tokens would overflow into the next lane — far beyond any
-    # real document (and the explode is over array_distinct output);
-    # widen the lanes before raising that limit.
-    n_packed = (total_bits + 3) // 4
-    packed_aggs = []
-    for g in range(n_packed):
-        expr = None
-        for lane in range(min(4, total_bits - 4 * g)):
-            term = F.shiftleft(_bit(4 * g + lane), 16 * lane)
-            expr = term if expr is None else expr + term
-        packed_aggs.append(F.sum(expr).alias(f"p{g}"))
-    per_doc = words.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"), *packed_aggs
-    )
-
-    def _vote(j: int) -> Column:
-        g, lane = j // 4, j % 4
-        ones = F.shiftright(F.col(f"p{g}"), 16 * lane) % (1 << 16)
-        return ones * 2 - F.col("n")
+    # LANE-PACKED vote aggregation (see _packed_vote_agg): ~3× less
+    # partial-agg hash-map memory and combiner traffic at 100 TB, and
+    # ~13% faster end-to-end at sf0.1 (A/B, vote-identical).
+    per_doc, _vote = _packed_vote_agg(words, total_bits, _bit)
 
     band_cols = []
     for b in range(n_bands):

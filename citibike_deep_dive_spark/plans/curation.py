@@ -215,8 +215,12 @@ def moment_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions.stats import histogram_median
 
+    # LEFT join: histogram_median emits NO row for a key whose values are
+    # all NULL (its histogram is empty), while F.median keeps the group
+    # with a null median. The left join restores aggregate parity —
+    # such a group keeps its moments row and gets qty_median = NULL.
     medians = histogram_median(li, "l_returnflag", "l_quantity", out="med")
-    return moments.join(F.broadcast(medians), "l_returnflag").select(
+    return moments.join(F.broadcast(medians), "l_returnflag", "left").select(
         "l_returnflag",
         F.round("med", 4).alias("qty_median"),
         "disc_stddev",

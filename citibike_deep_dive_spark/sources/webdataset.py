@@ -72,14 +72,18 @@ def read_tar_shards(spark: SparkSession, glob: str) -> DataFrame:
                     iter_tar_members(bytes(row.content))
                 ):
                     base = posixpath.basename(name)
-                    # WebDataset convention: the sample key is the basename
-                    # up to the FIRST dot; the component "extension" is
-                    # everything after it — multi-part extensions like
-                    # 000123.gt.txt must stay ONE component of sample
-                    # 000123, not become a separate sample "000123.gt".
+                    # WebDataset convention: the sample key is the member
+                    # PATH up to the first dot of the basename; the
+                    # component "extension" is everything after that dot —
+                    # multi-part extensions like 000123.gt.txt must stay
+                    # ONE component of sample 000123, not become a
+                    # separate sample "000123.gt". The directory is part
+                    # of the key: a/000123.jpg and b/000123.txt in one
+                    # shard are DIFFERENT samples.
                     stem, dot, ext = base.partition(".")
+                    key = posixpath.join(posixpath.dirname(name), stem)
                     rows.append(
-                        (row.path, stem, ext.lower(), name, ord_, payload)
+                        (row.path, key, ext.lower(), name, ord_, payload)
                     )
             yield pd.DataFrame(
                 rows, columns=["shard", "key", "ext", "member", "ord", "payload"]

@@ -52,6 +52,33 @@ def test_histogram_median_ignores_nulls(spark):
     assert len(got) == 1 and abs(got[0].med - 2.0) < 1e-12
 
 
+def test_histogram_median_all_null_group_contract(spark):
+    """Pinned contract: a key whose values are ALL NULL emits NO row
+    (its histogram is empty) — unlike F.median, which keeps the group
+    with a null median. Callers needing aggregate parity LEFT-join, as
+    moment_aggregates does; the left join restores the group with a
+    null median exactly."""
+    df = spark.createDataFrame(
+        [("live", 1.0), ("live", 3.0), ("ghost", None), ("ghost", None)],
+        "g string, v double",
+    )
+    med = histogram_median(df, "g", "v", out="med")
+    assert {r.g for r in med.collect()} == {"live"}  # ghost dropped
+
+    # the documented caller pattern: left-join onto the full key set
+    restored = {
+        r.g: r.med
+        for r in df.select("g").distinct().join(med, "g", "left").collect()
+    }
+    want = {
+        r.g: r.med
+        for r in df.groupBy("g").agg(F.median("v").alias("med")).collect()
+    }
+    assert restored.keys() == want.keys() == {"live", "ghost"}
+    assert restored["ghost"] is None and want["ghost"] is None
+    assert abs(restored["live"] - want["live"]) < 1e-12
+
+
 def test_histogram_median_randomized(spark):
     rng = random.Random(7)
     rows = [

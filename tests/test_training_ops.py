@@ -69,6 +69,56 @@ def test_simhash_similarity_ordering(spark):
     assert hamming(out[1], out[3]) < hamming(out[1], out[4])
 
 
+def test_simhash_lane3_vote_overflow(spark):
+    """Regression: a doc with >= 2^15 distinct tokens that all set a
+    lane-3 bit drives the packed vote long NEGATIVE; arithmetic shift +
+    sign-following % then produced a negative ones-count and a silently
+    wrong fingerprint. Unsigned shift + pmod must match a pure-Python
+    oracle of the documented bit definition."""
+    import hashlib
+
+    from citibike_deep_dive_spark.operators.dedup import simhash_wide
+
+    # tokens whose md5 hex digit 15 is odd -> narrow bit 15 (lane 3 of
+    # packed group 3) is 1 for every token; 33000 > 2^15 ones overflows
+    # the old signed unpack. Same condition is wide bit j=15 (also lane 3).
+    toks, k = [], 0
+    while len(toks) < 33000:
+        t = f"w{k}"
+        if int(hashlib.md5(t.encode()).hexdigest()[15], 16) & 1:
+            toks.append(t)
+        k += 1
+    n = len(toks)
+    hexes = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+
+    def narrow_bit(h, j):  # LSB of hex digit j
+        return int(h[j], 16) & 1
+
+    def wide_bit(h, j):  # bit (j//32) of hex digit (j%32)
+        return (int(h[j % 32], 16) >> (j // 32)) & 1
+
+    exp_narrow = sum(
+        1 << j
+        for j in range(16)
+        if 2 * sum(narrow_bit(h, j) for h in hexes) - n > 0
+    )
+    exp_bands = [
+        sum(
+            1 << r
+            for r in range(16)
+            if 2 * sum(wide_bit(h, b * 16 + r) for h in hexes) - n > 0
+        )
+        for b in range(4)
+    ]
+
+    docs = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    [row] = simhash(docs, bits=16).collect()
+    assert row.simhash == exp_narrow
+    assert row.simhash & (1 << 15)  # the overflowing bit is unanimously 1
+    [wrow] = simhash_wide(docs, band_bits=16, n_bands=4).collect()
+    assert [wrow.sh0, wrow.sh1, wrow.sh2, wrow.sh3] == exp_bands
+
+
 def emb_df(spark):
     rows = [
         (0, [1.0, 0.0, 0.0], 0),

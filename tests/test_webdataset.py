@@ -103,6 +103,34 @@ def test_duplicate_member_resolves_last_wins(spark, tmp_path):
     assert bytes(row.txt) == b"aaaa-new"
 
 
+def test_subdir_members_stay_distinct_samples(spark, tmp_path):
+    """The sample key includes the member's directory: a/000123.jpg and
+    b/000123.txt in one shard are DIFFERENT samples — keying on the bare
+    basename stem would silently conflate them through group_samples'
+    last-wins max_by."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in (
+            ("a/000123.jpg", b"jpeg-bytes"),
+            ("a/000123.txt", b"caption-a"),
+            ("b/000123.txt", b"caption-b"),
+        ):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    (tmp_path / "nested.tar").write_bytes(buf.getvalue())
+    members = read_tar_shards(spark, f"{tmp_path}/nested.tar")
+    keys = {r.key for r in members.collect()}
+    assert keys == {"a/000123", "b/000123"}
+    samples = {r.key: r for r in
+               group_samples(members, exts=("txt", "jpg")).collect()}
+    assert len(samples) == 2
+    assert bytes(samples["a/000123"].txt) == b"caption-a"
+    assert bytes(samples["a/000123"].jpg) == b"jpeg-bytes"
+    assert bytes(samples["b/000123"].txt) == b"caption-b"
+    assert samples["b/000123"].jpg is None
+
+
 def test_shard_manifest_counts(spark, shard_dir):
     members = read_tar_shards(spark, f"{shard_dir}/*.tar")
     m = {r.shard.rsplit("/", 1)[-1]: r for r in shard_manifest(members).collect()}
