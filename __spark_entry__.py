@@ -42,9 +42,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # long-overflow regression test; vote-identical, preflight-exact),
 # moment_aggregates (left-join median for all-NULL-group parity — also
 # in (a)), semdedup_prune (parameterized cell count) and
-# dock_deep_merge_nested_maps (perf); (c) the 38 least-recently-verified
-# entries (last green r1-r2), so the oldest evidence refreshes. Exactly
-# 50 entries; every one preflight.py-exact before commit.
+# dock_deep_merge_nested_maps (perf), plus the new
+# semdedup_prune_subcells; (c) the 37 least-recently-verified entries
+# (last green r1-r2), so the oldest evidence refreshes. Exactly 50
+# entries; every one preflight.py-exact before commit.
 VERIFY_FIRST = [
     # (a) round-6 perf rewrites, driver-stale since r3-r5
     "moment_aggregates",
@@ -59,6 +60,7 @@ VERIFY_FIRST = [
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",
     "semdedup_prune",
+    "semdedup_prune_subcells",
     "dock_deep_merge_nested_maps",
     # (c) least-recently-verified (r1-r2 evidence), oldest first
     "deterministic_sample",
@@ -98,7 +100,6 @@ VERIFY_FIRST = [
     "rollup_year_month",
     "corpus_top_ngrams",
     "asof_join_latest_profile",
-    "range_join_interval",
 ]
 
 

@@ -48,6 +48,7 @@ QUERIES = [
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",
     "semdedup_prune",
+    "semdedup_prune_subcells",
     "training_corpus_prep",
     "dock_deep_merge_nested_maps",
     "dedup_lsh_candidate_pairs",

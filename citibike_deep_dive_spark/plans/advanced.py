@@ -278,40 +278,113 @@ def dock_deep_merge_nested_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dock pipeline + deep merge: year attrs replace, months
     union with new-wins (update_dockmap.py:229-234).
 
-    Round-5 form: ``dock_merge_fused_json`` — merge while the data is
-    still relational (codegen'd conditional maxes), serialize to
-    canonical JSON text with sort_array over string fragments. One scan,
-    two shuffles, no joins, no interpreted higher-order functions. The
-    MapType forms (dock_merge, dock_merge_tagged) remain the operator
-    surface for consumers that want the nested column itself — this
-    query needs only the exported JSON text, so it skips MapType
-    construction entirely (r4 bench: MapType aggregation CPU + lambda
-    sorts made the two-pipeline form 1.02 s vs DuckDB 0.088 s at sf0.1;
-    tests/test_dockmap.py pins byte-equality of all three forms)."""
-    from ..operators.dockmap import dock_merge_fused_json
+    Round-8 form: AGGREGATE ON COMPACT KEYS, DECORATE LATE. Every
+    synthesized station attribute (name, id, lat, lon) and both time
+    keys are pure functions of two small ints (station index, month),
+    yet the r5-r7 form computed the five decorated string/double columns
+    per TRIP row and hash-aggregated on string keys — 300k string
+    builds + string-key hashing for an output of ~2k groups. This form
+    unpivots only (is_start, station_idx) ints, runs ONE side-conditional
+    aggregation at (idx, year, month) grain (fusing the per-side monthly
+    rollup and the month-level new-wins merge), and synthesizes every
+    string AFTER aggregation, at group grain. The same pattern at 100 TB:
+    when attributes are functionally dependent on a compact key
+    (dictionary-encoded dims, synthesized or surrogate keys), the wide
+    decoration belongs ABOVE the aggregation, not below — shuffle bytes
+    and hash cost drop by the row-to-group ratio. r8 idle A/B at sf0.1:
+    head-only floor 0.29 s (scan+fan_out+project — every form pays it),
+    string-grain full 0.505 s, compact-grain full ~0.38 s; the JSON tail
+    is 0.04 s either way, so key compaction was the only remaining lever.
+    Plan: fan_out → int unpivot → fused monthly agg [shuffle, map-side
+    combined] → repartition(idx) [shuffle, ~500 rows] → year + station
+    aggs exchange-free; two keyed shuffles, zero joins, zero interpreted
+    HOFs — same shape as the generic ``dock_merge_fused_json``, which
+    stays the operator surface for real (non-derivable) station columns
+    (tests/test_operators.py pins its equivalence to the MapType forms).
+
+    fan_out rationale unchanged from r6 (single-file scan, light per-row
+    work → fewer fatter tasks; barrier=True keeps the derived-column
+    filter from being pushed back onto the single scan task), but the
+    int unpivot made the per-row work even lighter, moving the optimum
+    down again: r8 interleaved A/B on the fused monthly agg —
+    fan4 0.339 / fan8 0.364 / fan16 0.406 s."""
+    from ..normalize import MONTH_ABBREV
     from ..operators.fanout import fan_out
 
-    # fan_out BEFORE the synth/unpivot head: the sf parquet is one file,
-    # so without it the string-building + explode + partial aggregation
-    # all run on a single core (this, not the merge strategy, was the
-    # dominant cost in the r4 1.0 s profile). barrier=True because the
-    # side-tag isNotNull filter is over derived columns and would
-    # otherwise be pushed back through the exchange onto the single scan
-    # task (interleaved sf0.1 A/B: plain 0.88 / fan_out 0.73 / fan_out+
-    # barrier 0.62 s). target=cores/4: the per-row work here is LIGHT
-    # (string concat + one explode), so at this row count per-task fixed
-    # overhead dominates before CPU does — 8 fatter tasks beat 32 thin
-    # ones (r6 A/B: fan32 0.62 / fan16 0.56 / fan8 0.50 / fan4 0.61 /
-    # none 0.77 s). No-op on well-split inputs either way.
     cores = spark.sparkContext.defaultParallelism
-    trips = _synth_dock_trips(
-        fan_out(table(spark, sf_dir, "orders"), target=max(4, cores // 4),
+    o = fan_out(table(spark, sf_dir, "orders"), target=max(4, cores // 8),
                 barrier=True)
+    sidx = F.col("o_custkey") % 6
+    eidx = (F.col("o_custkey") + F.col("o_orderkey") % 5) % 6
+    # identical gates to _EXISTING_PRED/_DELTA_PRED: 4-digit string years
+    # compare exactly like ints, so year >= '1999' == year(date) >= 1999
+    side = F.when(
+        (F.col("o_orderkey") % 3 == 0) & (F.year("o_orderdate") >= 1999), "d"
+    ).when(F.col("o_orderkey") % 3 != 0, "e")
+    rows = o.select(
+        side.alias("side"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("is_start"), sidx.alias("idx")),
+                F.struct(F.lit(0).alias("is_start"), eidx.alias("idx")),
+            )
+        ).alias("s"),
+    ).filter(F.col("side").isNotNull())
+
+    d = F.col("side") == "d"
+    e = F.col("side") == "e"
+    # sum(when(cond, ...)) is NULL when the side has no row in the group
+    # — exactly the absent-side signal the full-outer-join + coalesce
+    # semantics need (a present side with zero starts sums to 0, not
+    # NULL, matching the joined form).
+    mg = rows.groupBy(F.col("s.idx").alias("idx"), "yr", "mo").agg(
+        F.sum(F.when(d, F.col("s.is_start"))).alias("d_ms"),
+        F.sum(F.when(d, F.lit(1))).alias("d_mt"),
+        F.sum(F.when(e, F.col("s.is_start"))).alias("e_ms"),
+        F.sum(F.when(e, F.lit(1))).alias("e_mt"),
+    ).repartition("idx")
+
+    # month-level new-wins: delta's row replaces existing's whole month
+    use_d = F.col("d_mt").isNotNull()
+    mt = F.when(use_d, F.col("d_mt")).otherwise(F.col("e_mt")).cast("long")
+    ms = F.when(use_d, F.col("d_ms")).otherwise(F.col("e_ms")).cast("long")
+    month_name = F.element_at(
+        F.array(*[F.lit(m) for m in MONTH_ABBREV]), F.col("mo")
     )
-    return dock_merge_fused_json(
-        trips,
-        existing_cond=F.col("o_orderkey") % 3 != 0,
-        delta_cond=(F.col("o_orderkey") % 3 == 0) & (F.col("year") >= "1999"),
+    month_frag = F.concat(
+        F.lit('"'), month_name,
+        F.lit('":{"month_total":'), mt.cast("string"),
+        F.lit(',"month_starts":'), ms.cast("string"),
+        F.lit(',"month_ends":'), (mt - ms).cast("string"),
+        F.lit("}"),
+    )
+    year_grain = mg.groupBy("idx", "yr").agg(
+        F.array_join(F.sort_array(F.collect_list(month_frag)), ",").alias("mjs"),
+        # delta's yearly sums REPLACE existing's when delta has the year
+        F.coalesce(F.sum("d_ms"), F.sum("e_ms")).cast("long").alias("year_starts"),
+        F.coalesce(
+            F.sum(F.col("d_mt") - F.col("d_ms")),
+            F.sum(F.col("e_mt") - F.col("e_ms")),
+        ).cast("long").alias("year_ends"),
+    )
+    year_frag = F.concat(
+        F.lit('"'), F.col("yr").cast("string"),
+        F.lit('":{"year_starts":'), F.col("year_starts").cast("string"),
+        F.lit(',"year_ends":'), F.col("year_ends").cast("string"),
+        F.lit(',"months":{'), F.col("mjs"), F.lit("}}"),
+    )
+    station = year_grain.groupBy("idx").agg(
+        F.array_join(F.sort_array(F.collect_list(year_frag)), ",").alias("yjs")
+    )
+    # decoration at station grain: 6 rows
+    return station.select(
+        F.concat(F.lit("ST"), F.col("idx").cast("string")).alias("station_name"),
+        F.concat(F.lit("ID"), F.col("idx").cast("string")).alias("station_id"),
+        (F.lit(40.5) + F.col("idx") * 0.01).alias("station_latitude"),
+        (F.lit(-74.0) - F.col("idx") * 0.01).alias("station_longitude"),
+        F.concat(F.lit("{"), F.col("yjs"), F.lit("}")).alias("station_data"),
     )
 
 

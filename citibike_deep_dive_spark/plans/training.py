@@ -4453,25 +4453,46 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_COS = 0.35  # this corpus's near-dup tail; production ~0.95+
 
 
-def _semdedup_oracle() -> str:
+# Sub-cell geometry for the parameterized variant: 2^bits sign-LSH
+# sub-buckets per label. Total cells = |labels| × _SEMDEDUP_SUBCELLS —
+# the executable form of the "cells ∝ corpus" contract (at 100 TB the
+# quadratic in-cell pair term is bounded by the largest cell, so the
+# cell count must GROW with the corpus; here 8 labels × 8 = 64 cells
+# at the sf1 spot-bench).
+_SEMDEDUP_SUBBITS = 3
+_SEMDEDUP_SUBCELLS = 1 << _SEMDEDUP_SUBBITS
+
+
+def _semdedup_subcell_sql() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_SEMDEDUP_SUBBITS)
+    )
+    return f"CAST(label AS BIGINT) * {_SEMDEDUP_SUBCELLS} + ({bits})"
+
+
+def _semdedup_oracle(cell_sql: str = "label", cell_name: str = "label") -> str:
     cos_rep = _cos_sql("e.embedding", "r.rep_emb")
     cos_pair = _cos_sql("a.embedding", "b.embedding")
     return f"""
-    WITH rep AS (
-        SELECT label, min(vec_id) AS rep_id FROM embeddings GROUP BY 1
+    WITH cells AS (
+        SELECT vec_id, embedding, {cell_sql} AS cell FROM embeddings
+    ),
+    rep AS (
+        SELECT cell, min(vec_id) AS rep_id FROM cells GROUP BY 1
     ),
     repv AS (
-        SELECT r.label, e.embedding AS rep_emb
-        FROM rep r JOIN embeddings e ON e.vec_id = r.rep_id
+        SELECT r.cell, e.embedding AS rep_emb
+        FROM rep r JOIN cells e ON e.vec_id = r.rep_id
     ),
     scored AS (
-        SELECT e.vec_id, e.label, {cos_rep} AS cos_to_rep
-        FROM embeddings e JOIN repv r ON e.label = r.label
+        SELECT e.vec_id, e.cell, {cos_rep} AS cos_to_rep
+        FROM cells e JOIN repv r ON e.cell = r.cell
     ),
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
         WHERE {cos_pair} >= {_SEMDEDUP_COS}
     ),
     partners AS (
@@ -4491,15 +4512,16 @@ def _semdedup_oracle() -> str:
         JOIN scored sy ON sy.vec_id = p.partner
         GROUP BY p.vec_id
     )
-    SELECT s.vec_id, s.label, s.cos_to_rep,
+    SELECT s.vec_id, s.cell AS {cell_name}, s.cos_to_rep,
            coalesce(f.n_dup_partners, 0) AS n_dup_partners,
            coalesce(f.pruned, FALSE) AS pruned
     FROM scored s LEFT JOIN flags f ON f.vec_id = s.vec_id
     """
 
 
-@register("semdedup_prune", _semdedup_oracle(), tags=("X-semdedup",))
-def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semdedup_plan(
+    spark: SparkSession, sf_dir: str, cell: "Column", out_cell: str
+) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) as a relational plan: cluster the
     embedding space, find semantic near-duplicate pairs WITHIN each
     cluster only, and prune every vector that has a more-keepable
@@ -4512,12 +4534,20 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never cross-cluster, never all-pairs), and the prune verdict is a
     keyed aggregate over pair endpoints — at 100 TB the quadratic term
     is bounded by the largest cell, the same contract as the IVF/LSH
-    paths, with AQE skew-split as the relief valve."""
+    paths, with AQE skew-split as the relief valve.
+
+    ``cell`` is the cluster ASSIGNMENT, a column expression over
+    (vec_id, embedding, label) — the knob that keeps the largest cell
+    bounded as the corpus grows (cells ∝ corpus). The catalog registers
+    the label assignment (coarse, 8 cells at test scale) and a sign-LSH
+    sub-bucketed one (label × 2^bits cells); a k-means handle from
+    operators.similarity.kmeans plugs in the same way."""
     from ..functions.lineage import truncate_lineage
     from ..operators.similarity import _as_double, cosine
 
     e = _as_double(table(spark, sf_dir, "embeddings"))
-    rep = e.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
+    e = e.select("vec_id", "embedding", cell.alias("cell"))
+    rep = e.groupBy("cell").agg(F.min("vec_id").alias("rep_id"))
     # cluster-grain and consumed by both scored and the pair join; the
     # checkpoint keeps the argmin groupBy + rep self-join single-run
     repv = truncate_lineage(
@@ -4527,12 +4557,12 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("embedding").alias("rep_emb"),
             ),
             "rep_id",
-        ).select("label", "rep_emb"),
+        ).select("cell", "rep_emb"),
         eager=False,
     )
-    scored = e.join(F.broadcast(repv), "label").select(
+    scored = e.join(F.broadcast(repv), "cell").select(
         "vec_id",
-        "label",
+        "cell",
         F.round(cosine(F.col("embedding"), F.col("rep_emb")), 4).alias("cos_to_rep"),
     )
     # Fused pair frame: endpoint-to-rep cosines are computed ON THE
@@ -4544,13 +4574,13 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = e.select(
         F.col("vec_id").alias("id_a"),
-        F.col("label").alias("cell"),
+        "cell",
         F.col("embedding").alias("va"),
         _norm(F.col("embedding")).alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("id_b"),
-        F.col("label").alias("cell"),
+        "cell",
         F.col("embedding").alias("vb"),
         _norm(F.col("embedding")).alias("nb"),
     )
@@ -4560,7 +4590,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", cos_ab)
         .filter(F.col("cos_sim") >= _SEMDEDUP_COS)
-        .join(F.broadcast(repv.withColumnRenamed("label", "cell")), "cell")
+        .join(F.broadcast(repv), "cell")
         .select(
             "id_a",
             "id_b",
@@ -4595,11 +4625,42 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.join(flags, "vec_id", "left").select(
         "vec_id",
-        "label",
+        F.col("cell").alias(out_cell),
         "cos_to_rep",
         F.coalesce("n_dup_partners", F.lit(0)).alias("n_dup_partners"),
         F.coalesce("pruned", F.lit(False)).alias("pruned"),
     )
+
+
+@register("semdedup_prune", _semdedup_oracle(), tags=("X-semdedup",))
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the label as the cluster assignment — coarse cells
+    (8 at test scale); see _semdedup_plan for the algorithm and the
+    cells-∝-corpus contract."""
+    return _semdedup_plan(spark, sf_dir, F.col("label"), out_cell="label")
+
+
+@register(
+    "semdedup_prune_subcells",
+    _semdedup_oracle(_semdedup_subcell_sql(), cell_name="cell"),
+    tags=("X-semdedup",),
+)
+def semdedup_prune_subcells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the cell count as an executable parameter: each
+    label splits into 2^_SEMDEDUP_SUBBITS sign-LSH sub-buckets (sign of
+    the leading embedding components), so total cells = |labels| × 8 —
+    64 at this corpus's 8 labels. This is the production relief valve
+    for the quadratic in-cell pair term: near-identical vectors agree on
+    component signs, so true SemDeDup duplicates (production cos ≥ .95)
+    share a sub-bucket with high probability while cell sizes drop 8×
+    (pair volume ~64×). Same plan, same oracle family — only the cell
+    expression changes, which is the point: the knob is data, not code."""
+    from ..operators.similarity import sign_lsh_bucket
+
+    cell = F.col("label").cast("long") * _SEMDEDUP_SUBCELLS + sign_lsh_bucket(
+        F.col("embedding"), _SEMDEDUP_SUBBITS
+    )
+    return _semdedup_plan(spark, sf_dir, cell, out_cell="cell")
 
 
 # ---------------------------------------------------------------------------
