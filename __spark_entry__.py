@@ -43,9 +43,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # moment_aggregates (left-join median for all-NULL-group parity — also
 # in (a)), semdedup_prune (parameterized cell count) and
 # dock_deep_merge_nested_maps (perf), plus the new
-# semdedup_prune_subcells; (c) the 37 least-recently-verified entries
-# (last green r1-r2), so the oldest evidence refreshes. Exactly 50
-# entries; every one preflight.py-exact before commit.
+# semdedup_prune_subcells and the four round-8 additions
+# (dsir_importance_weights, ccnet_perplexity_buckets,
+# chunk_dedup_reconstruct, ann_ivfpq_rerank_exact — first-time
+# verification outranks evidence refresh); (c) the 33
+# least-recently-verified entries (last green r1-r2), so the oldest
+# evidence refreshes. Exactly 50 entries; every one preflight.py-exact
+# before commit.
 VERIFY_FIRST = [
     # (a) round-6 perf rewrites, driver-stale since r3-r5
     "moment_aggregates",
@@ -55,7 +59,11 @@ VERIFY_FIRST = [
     "pmi_bigram_collocations",
     "repeated_segment_stats",
     "decontamination_ngram_overlap",
-    # (b) implementation changed in round 8
+    # (b) implementation changed or NEW in round 8
+    "dsir_importance_weights",
+    "ccnet_perplexity_buckets",
+    "chunk_dedup_reconstruct",
+    "ann_ivfpq_rerank_exact",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",
@@ -96,10 +104,6 @@ VERIFY_FIRST = [
     "tumbling_window_hourly",
     "skew_salted_aggregate",
     "embedding_near_dup_sign_lsh",
-    "value_percentiles_exact",
-    "rollup_year_month",
-    "corpus_top_ngrams",
-    "asof_join_latest_profile",
 ]
 
 

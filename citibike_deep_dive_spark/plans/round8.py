@@ -1,0 +1,556 @@
+"""Round-8 additions: published data-selection / curation methods a
+training-data platform layers over the dedup + quality surface —
+DSIR hashed-ngram importance weighting (Xie et al. 2023), CCNet
+perplexity bucketing (Wenzek et al. 2020), exact chunk-grain dedup with
+document reconstruction (Lee et al. 2022's substring dedup at a fixed
+chunk grain), and the production two-stage ANN search (IVF-PQ ADC
+shortlist -> exact re-rank).
+
+Every query follows the catalog determinism rules (catalog.py module
+docstring): identical aliases on both engines, explicit tiebreaks on
+every ranking, rounding at the edge only, and the shared md5 hash
+family (functions/portable.py) wherever a bucket id must match DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.lineage import truncate_lineage
+from ..functions.portable import portable_hash64, portable_hash64_sql
+from ..operators.fanout import fan_out
+from .catalog import register, table
+from .training import _PQ_CODES, _PQ_SUBS
+
+# ---------------------------------------------------------------------------
+# DSIR — importance weights from hashed-bigram bucket distributions
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 512
+_DSIR_TARGET = "src0"  # the "high-quality target" slice of the corpus
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source = '{_DSIR_TARGET}' AS is_target,
+               string_split(lower(text), ' ') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, is_target,
+               {portable_hash64_sql("ws[i] || ' ' || ws[i + 1]")}
+                   % {_DSIR_BUCKETS} AS bucket
+        FROM (SELECT doc_id, is_target, ws,
+                     unnest(generate_series(1, len(ws) - 1)) AS i
+              FROM toks WHERE len(ws) >= 2)
+    ),
+    bg AS (
+        SELECT doc_id, is_target, bucket, count(*) AS c
+        FROM grams GROUP BY 1, 2, 3
+    ),
+    totals AS (
+        SELECT bucket,
+               sum(CASE WHEN is_target THEN c ELSE 0 END) AS tc,
+               sum(c) AS rc
+        FROM bg GROUP BY 1
+    ),
+    scalars AS (
+        SELECT CAST(sum(tc) AS DOUBLE) AS t_tot,
+               CAST(sum(rc) AS DOUBLE) AS r_tot
+        FROM totals
+    ),
+    ratios AS (
+        SELECT bucket,
+               ln((tc + 1.0) / (t_tot + {_DSIR_BUCKETS}))
+             - ln((rc + 1.0) / (r_tot + {_DSIR_BUCKETS})) AS lr
+        FROM totals CROSS JOIN scalars
+    )
+    SELECT bg.doc_id,
+           CAST(sum(bg.c) AS BIGINT) AS n_bigrams,
+           round(sum(bg.c * r.lr), 5) AS dsir_logw
+    FROM bg JOIN ratios r ON bg.bucket = r.bucket
+    GROUP BY bg.doc_id
+    """,
+    tags=("X-dsir",),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023):
+    score every raw document by how much more likely its hashed-bigram
+    features are under the target-slice distribution than under the raw
+    corpus — log w(doc) = Σ_b c_doc(b)·[ln p_target(b) − ln p_raw(b)]
+    with add-1 smoothing over {b} hashed buckets. Selection then samples
+    by these weights; the weight computation is the whole distributed
+    job, and it needs NO model — both "distributions" are one
+    512-row aggregate.
+
+    Distributed shape: one bigram explode feeding one (doc, bucket)
+    keyed aggregation (map-side combined — the ONLY data-grain shuffle);
+    the bucket-grain target/raw totals re-aggregate that already-reduced
+    frame (metadata scale), the two corpus totals ride as a broadcast
+    scalar row, and the 512-row log-ratio frame broadcast-joins back
+    onto the doc-bucket counts for the per-doc weight sum. The shared
+    doc-bucket frame has two consumers (totals + final join) so it is
+    lazily checkpointed — Catalyst does not dedupe aliased subplans.
+    Bucket ids come from the portable md5 family: uniform shuffle keys
+    AND engine-exact oracle parity. At 100 TB nothing here grows with
+    the corpus except the one map-combined explode."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    ws = F.split(F.lower("text"), " ")
+    grams_expr = F.expr(
+        "transform(sequence(1, size(ws) - 1), i -> array_join(slice(ws, i, 2), ' '))"
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            (F.col("source") == _DSIR_TARGET).alias("is_target"),
+            ws.alias("ws"),
+        )
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(grams_expr).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            (portable_hash64(F.col("gram")) % _DSIR_BUCKETS).alias("bucket"),
+        )
+    )
+    bg = truncate_lineage(
+        grams.groupBy("doc_id", "is_target", "bucket").agg(
+            F.count("*").alias("c")
+        ),
+        eager=False,
+    )
+    totals = bg.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias("tc"),
+        F.sum("c").alias("rc"),
+    )
+    scalars = totals.agg(
+        F.sum("tc").cast("double").alias("t_tot"),
+        F.sum("rc").cast("double").alias("r_tot"),
+    )
+    b = float(_DSIR_BUCKETS)
+    ratios = totals.crossJoin(F.broadcast(scalars)).select(
+        "bucket",
+        (
+            F.log((F.col("tc") + 1.0) / (F.col("t_tot") + b))
+            - F.log((F.col("rc") + 1.0) / (F.col("r_tot") + b))
+        ).alias("lr"),
+    )
+    return (
+        bg.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 5).alias("dsir_logw"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet — per-language perplexity terciles (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    doc_bi AS (
+        SELECT doc_id, w1, w2, count(*) AS dc
+        FROM (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+              FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM toks WHERE len(ws) >= 2))
+        GROUP BY 1, 2, 3
+    ),
+    cb AS (SELECT w1, w2, sum(dc) AS cb FROM doc_bi GROUP BY 1, 2),
+    cu AS (
+        SELECT w, count(*) AS cu
+        FROM (SELECT unnest(ws) AS w FROM toks)
+        GROUP BY 1
+    ),
+    v AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM cu),
+    probs AS (
+        SELECT cb.w1, cb.w2,
+               (cb.cb + 0.5) / (cu.cu + 0.5 * v.V) AS p
+        FROM cb JOIN cu ON cb.w1 = cu.w CROSS JOIN v
+    ),
+    ce AS (
+        SELECT d.doc_id,
+               round(-sum(d.dc * log2(p.p)) / sum(d.dc), 5) AS ce_bits
+        FROM doc_bi d JOIN probs p ON d.w1 = p.w1 AND d.w2 = p.w2
+        GROUP BY d.doc_id
+    ),
+    langed AS (
+        SELECT ce.doc_id, docs.lang, ce.ce_bits
+        FROM ce JOIN documents docs ON ce.doc_id = docs.doc_id
+    ),
+    cuts AS (
+        SELECT lang,
+               quantile_cont(ce_bits, CAST(1 AS DOUBLE) / 3) AS c1,
+               quantile_cont(ce_bits, CAST(2 AS DOUBLE) / 3) AS c2
+        FROM langed GROUP BY 1
+    )
+    SELECT l.doc_id, l.lang, l.ce_bits AS cross_entropy_bits,
+           CASE WHEN l.ce_bits <= c.c1 THEN 'head'
+                WHEN l.ce_bits <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM langed l JOIN cuts c ON l.lang = c.lang
+    """,
+    tags=("X-ccnet",),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's quality split (Wenzek et al. 2020): per language, rank
+    documents by LM perplexity and cut the corpus into head / middle /
+    tail terciles — the bucketing CommonCrawl pipelines use to keep the
+    fluent third and drop (or down-sample) the tail. The LM here is the
+    corpus bigram model of bigram_lm_cross_entropy, reused as a frame.
+
+    Distributed shape: the per-doc cross-entropy is the existing
+    bigram-LM plan (corpus counts map-combined, probabilities joined at
+    bigram grain); the tercile CUTOFFS are a per-language
+    array-percentile aggregate — a few rows per language — broadcast
+    back onto the doc frame for the bucket CASE. No data-grain window
+    anywhere: the naive ntile(3) formulation sorts every document within
+    a language on one machine's worth of state, while this form reduces
+    to metadata, so it survives a language with 99% of the corpus. The
+    doc-grain cross-entropy frame has two consumers (cutoffs + final
+    join) and is lazily checkpointed. Exactness: Spark percentile() and
+    DuckDB quantile_cont() share linear-interpolation semantics
+    (value_percentiles_exact precedent) over identical round-5 inputs."""
+    from ..operators.corpus import bigram_cross_entropy
+
+    docs = table(spark, sf_dir, "documents")
+    ce = bigram_cross_entropy(docs).select(
+        "doc_id", F.col("cross_entropy_bits").alias("ce_bits")
+    )
+    langed = truncate_lineage(
+        ce.join(docs.select("doc_id", "lang"), "doc_id"), eager=False
+    )
+    cuts = langed.groupBy("lang").agg(
+        F.expr(
+            "percentile(ce_bits, array(CAST(1 AS DOUBLE) / 3, CAST(2 AS DOUBLE) / 3))"
+        ).alias("ps")
+    )
+    cuts = cuts.select(
+        "lang", F.col("ps")[0].alias("c1"), F.col("ps")[1].alias("c2")
+    )
+    return langed.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("ce_bits").alias("cross_entropy_bits"),
+        F.when(F.col("ce_bits") <= F.col("c1"), "head")
+        .when(F.col("ce_bits") <= F.col("c2"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact chunk-grain dedup with document reconstruction (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+_CHUNK_WORDS = 16
+
+
+@register(
+    "chunk_dedup_reconstruct",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               CAST((len(string_split(text, ' ')) - 1) // {_CHUNK_WORDS} + 1
+                    AS BIGINT) AS n_chunks
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id,
+               CAST((start - 1) // {_CHUNK_WORDS} AS BIGINT) AS pos,
+               array_to_string(w[start:start + {_CHUNK_WORDS - 1}], ' ') AS chunk,
+               md5(array_to_string(w[start:start + {_CHUNK_WORDS - 1}], ' '))
+                   AS digest
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w), {_CHUNK_WORDS})) AS start
+              FROM toks)
+    ),
+    kept AS (
+        SELECT doc_id, pos, chunk FROM (
+            SELECT doc_id, pos, chunk,
+                   min(doc_id * 100000 + pos) OVER (PARTITION BY digest) AS k
+            FROM ch
+        ) WHERE doc_id * 100000 + pos = k
+    ),
+    recon AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY pos) AS dedup_text
+        FROM kept GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_chunks,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.dedup_text, '') AS dedup_text
+    FROM toks t LEFT JOIN recon r ON t.doc_id = r.doc_id
+    """,
+    tags=("X-chunk-dedup",),
+)
+def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-grain dedup with reconstruction (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", at a
+    fixed {16}-word chunk grain): every chunk keeps exactly ONE owner
+    corpus-wide — the lexicographically first (doc_id, position)
+    occurrence — and each document is re-assembled from the chunks it
+    owns, so repeated boilerplate vanishes from every copy but the
+    first while unique prose survives. Unlike doc-grain dedup this
+    removes duplication INSIDE surviving documents too.
+
+    Distributed shape: a narrow chunk fan-out (sequence + slice, zero
+    Python), ONE shuffle on md5(chunk) — uniform keys — where a window
+    min over the digest partition marks owners (same shuffle the exact
+    dedup takes; no second join pass), then one keyed aggregation
+    re-assembles owned chunks in position order via sort_array before
+    concat (deterministic, not collect-order-dependent). The final
+    frame left-joins back to the doc grain so fully-duplicated
+    documents keep their row with an empty reconstruction — the
+    accounting a dedup report needs. The oracle's integer owner key
+    (doc_id*100000+pos) equals the struct min because positions are
+    bounded by the chunk count; the Spark side orders on the struct
+    itself."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+    ).select(
+        "doc_id",
+        "w",
+        (((F.size("w") - 1) / _CHUNK_WORDS).cast("long") + 1).alias("n_chunks"),
+    )
+    ch = toks.select(
+        "doc_id",
+        "n_chunks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("w"), F.lit(_CHUNK_WORDS))
+        ).alias("start"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "n_chunks",
+        ((F.col("start") - 1) / _CHUNK_WORDS).cast("long").alias("pos"),
+        F.concat_ws(" ", F.slice("w", F.col("start"), _CHUNK_WORDS)).alias(
+            "chunk"
+        ),
+    )
+    ch = ch.withColumn("digest", F.md5("chunk"))
+    w_dig = Window.partitionBy("digest")
+    kept = (
+        ch.withColumn(
+            "k", F.min(F.struct(F.col("doc_id"), F.col("pos"))).over(w_dig)
+        )
+        .filter(
+            (F.col("doc_id") == F.col("k.doc_id"))
+            & (F.col("pos") == F.col("k.pos"))
+        )
+        .select("doc_id", "pos", "chunk")
+    )
+    recon = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, chunk))), s -> s.chunk)"
+            ),
+        ).alias("dedup_text"),
+    )
+    base = toks.select("doc_id", "n_chunks")
+    return base.join(recon, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage ANN: IVF-PQ ADC shortlist -> exact re-rank
+# ---------------------------------------------------------------------------
+
+_RERANK_SHORTLIST = 50
+
+
+def _adc_oracle_ctes() -> str:
+    """The codes + ADC CTE pair shared with ann_ivfpq_adc_topk's oracle
+    (training.py): corpus PQ codes from the closed-form LCG codebook,
+    then asymmetric distances for the 5 probe queries."""
+    return f"""
+    codes AS (
+        SELECT vec_id,
+               list_transform(generate_series(0, {_PQ_SUBS - 1}), s ->
+                   CAST(list_indexof(
+                       list_transform(generate_series(0, {_PQ_CODES - 1}), c ->
+                           list_reduce(list_transform(generate_series(1, 8), j ->
+                               (CAST(embedding[CAST(s*8+j AS INT)] AS DOUBLE)
+                                - ((((s*{_PQ_CODES}+c)*8 + j) * 1103515245 + 12345)
+                                   % 65536 / 32768.0 - 1.0))
+                               * (CAST(embedding[CAST(s*8+j AS INT)] AS DOUBLE)
+                                  - ((((s*{_PQ_CODES}+c)*8 + j) * 1103515245 + 12345)
+                                     % 65536 / 32768.0 - 1.0))),
+                               (a, b) -> a + b)),
+                       list_min(
+                       list_transform(generate_series(0, {_PQ_CODES - 1}), c ->
+                           list_reduce(list_transform(generate_series(1, 8), j ->
+                               (CAST(embedding[CAST(s*8+j AS INT)] AS DOUBLE)
+                                - ((((s*{_PQ_CODES}+c)*8 + j) * 1103515245 + 12345)
+                                   % 65536 / 32768.0 - 1.0))
+                               * (CAST(embedding[CAST(s*8+j AS INT)] AS DOUBLE)
+                                  - ((((s*{_PQ_CODES}+c)*8 + j) * 1103515245 + 12345)
+                                     % 65536 / 32768.0 - 1.0))),
+                               (a, b) -> a + b)))) - 1 AS INT)) AS codes
+        FROM embeddings
+    ),
+    adc AS (
+        SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(0, {_PQ_SUBS - 1}), s ->
+                   list_reduce(list_transform(generate_series(1, 8), j ->
+                       (CAST(q.embedding[CAST(s*8+j AS INT)] AS DOUBLE)
+                        - ((((s*{_PQ_CODES}+x.codes[CAST(s+1 AS INT)])*8 + j)
+                            * 1103515245 + 12345) % 65536 / 32768.0 - 1.0))
+                       * (CAST(q.embedding[CAST(s*8+j AS INT)] AS DOUBLE)
+                          - ((((s*{_PQ_CODES}+x.codes[CAST(s+1 AS INT)])*8 + j)
+                              * 1103515245 + 12345) % 65536 / 32768.0 - 1.0))),
+                       (a, b) -> a + b)),
+                   (a, b) -> a + b) AS adc_dist
+        FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+        JOIN codes x ON x.vec_id <> q.vec_id
+    )"""
+
+
+@register(
+    "ann_ivfpq_rerank_exact",
+    f"""
+    WITH {_adc_oracle_ctes()},
+    shortlist AS (
+        SELECT query_id, cand_id, adc_rank FROM (
+            SELECT query_id, cand_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY adc_dist, cand_id
+                   ) AS INT) AS adc_rank
+            FROM adc
+        ) WHERE adc_rank <= {_RERANK_SHORTLIST}
+    ),
+    exact AS (
+        SELECT s.query_id, s.cand_id, s.adc_rank,
+               round(list_reduce(list_transform(generate_series(1, 64), j ->
+                   (CAST(q.embedding[CAST(j AS INT)] AS DOUBLE)
+                    - CAST(e.embedding[CAST(j AS INT)] AS DOUBLE))
+                   * (CAST(q.embedding[CAST(j AS INT)] AS DOUBLE)
+                      - CAST(e.embedding[CAST(j AS INT)] AS DOUBLE))),
+                   (a, b) -> a + b), 6) AS l2_dist
+        FROM shortlist s
+        JOIN embeddings e ON e.vec_id = s.cand_id
+        JOIN embeddings q ON q.vec_id = s.query_id
+    )
+    SELECT query_id, cand_id, l2_dist, adc_rank, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY l2_dist, cand_id) AS rank
+        FROM exact
+    ) WHERE rank <= 10
+    """,
+    tags=("X-ivfpq-rerank",),
+)
+def ann_ivfpq_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN serving path: the IVF-PQ ADC scan
+    produces a {50}-candidate shortlist per query (cheap — 8-byte codes,
+    ~128x less IO than the float corpus), then ONLY the shortlist rows
+    are re-scored against their true float vectors for the final exact
+    top-10. This two-stage shape is what FAISS/SCANN deployments
+    actually run: PQ compression bounds the scan cost, re-ranking
+    removes the quantization error from the final ordering — the emitted
+    adc_rank vs rank columns show exactly which candidates the
+    compressed stage mis-ordered.
+
+    Distributed shape: stage 1 is the ann_ivfpq_adc_topk plan (queries
+    broadcast against a scan of codes, per-query k-cut pushed below the
+    exchange by WindowGroupLimit). Stage 2 joins the tiny shortlist
+    (queries x {50} rows, broadcast) against the embeddings scan to pull
+    true vectors — the corpus is touched only at shortlist positions;
+    at 100 TB this is the random-read tail a row-group-pruned parquet
+    scan serves — then a fixed-order fold computes exact L2, rounded
+    before ranking so the tiebreak (dist, cand_id) is engine-exact."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+
+    cent_q = (
+        f"(((CAST(s AS BIGINT)*{_PQ_CODES}+c)*8 + j) * 1103515245 + 12345)"
+        " % 65536 / 32768.0D - 1.0D"
+    )
+    diff_q = f"(CAST(element_at(embedding, s*8+j) AS DOUBLE) - ({cent_q}))"
+    dist_q = f"aggregate(sequence(1, 8), 0D, (a, j) -> a + ({diff_q}) * ({diff_q}))"
+    codes_expr = (
+        f"transform(sequence(0, {_PQ_SUBS - 1}), s -> "
+        f"array_min(transform(sequence(0, {_PQ_CODES - 1}), "
+        f"c -> struct({dist_q} AS d, c AS c))).c)"
+    )
+    codes = emb.select("vec_id", F.expr(codes_expr).alias("codes"))
+
+    queries = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    )
+    cent_adc = (
+        f"(((CAST(s AS BIGINT)*{_PQ_CODES}+element_at(codes, s+1))*8 + j)"
+        " * 1103515245 + 12345) % 65536 / 32768.0D - 1.0D"
+    )
+    diff_adc = f"(CAST(element_at(q_emb, s*8+j) AS DOUBLE) - ({cent_adc}))"
+    adc = (
+        f"aggregate(sequence(0, {_PQ_SUBS - 1}), 0D, (acc, s) -> acc + "
+        f"aggregate(sequence(1, 8), 0D, (a, j) -> a + ({diff_adc}) * ({diff_adc})))"
+    )
+    pairs = codes.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.expr(adc).alias("adc_dist"),
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= _RERANK_SHORTLIST)
+        .select("query_id", "cand_id", F.col("adc_rank").cast("int").alias("adc_rank"))
+    )
+
+    exact_fold = (
+        "aggregate(sequence(1, 64), 0D, (a, j) -> a + "
+        "(CAST(element_at(q_emb, j) AS DOUBLE) - CAST(element_at(c_emb, j) AS DOUBLE))"
+        " * (CAST(element_at(q_emb, j) AS DOUBLE) - CAST(element_at(c_emb, j) AS DOUBLE)))"
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    exact = (
+        cands.join(F.broadcast(shortlist), "cand_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "adc_rank",
+            F.round(F.expr(exact_fold), 6).alias("l2_dist"),
+        )
+    )
+    w_ex = Window.partitionBy("query_id").orderBy("l2_dist", "cand_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w_ex))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "cand_id",
+            "l2_dist",
+            "adc_rank",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1,0 +1,117 @@
+"""Semantic properties of the round-8 data-selection / two-stage-ANN
+operators (oracle parity is covered by test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from citibike_deep_dive_spark.plans import CATALOG
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_dsir_target_slice_scores_higher_on_average(spark):
+    """The whole point of DSIR: documents FROM the target slice must be
+    rated more target-like than the rest on average."""
+    w = CATALOG["dsir_importance_weights"].build(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    joined = w.join(docs, "doc_id")
+    means = (
+        joined.groupBy(F.col("source") == "src0")
+        .agg(F.avg("dsir_logw").alias("m"))
+        .collect()
+    )
+    by_flag = {r[0]: r["m"] for r in means}
+    assert by_flag[True] > by_flag[False]
+
+
+def test_dsir_covers_every_multiword_doc(spark):
+    w = CATALOG["dsir_importance_weights"].build(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_multi = docs.filter(F.size(F.split("text", " ")) >= 2).count()
+    assert w.count() == n_multi
+    assert w.filter(F.col("n_bigrams") < 1).count() == 0
+
+
+def test_ccnet_buckets_are_ordered_within_language(spark):
+    """head <= middle <= tail in cross-entropy, per language, and the
+    three buckets partition each language's docs."""
+    b = CATALOG["ccnet_perplexity_buckets"].build(spark, SF_DIR)
+    rows = (
+        b.groupBy("lang", "ppl_bucket")
+        .agg(
+            F.min("cross_entropy_bits").alias("lo"),
+            F.max("cross_entropy_bits").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    per_lang: dict[str, dict[str, tuple[float, float, int]]] = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], {})[r["ppl_bucket"]] = (
+            r["lo"], r["hi"], r["n"],
+        )
+    for lang, buckets in per_lang.items():
+        assert set(buckets) <= {"head", "middle", "tail"}, lang
+        if "head" in buckets and "tail" in buckets:
+            assert buckets["head"][1] <= buckets["tail"][0], lang
+        if "head" in buckets and "middle" in buckets:
+            assert buckets["head"][1] <= buckets["middle"][0], lang
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_multi = docs.filter(F.size(F.split(F.lower("text"), " ")) >= 2).count()
+    assert b.count() == n_multi
+
+
+def test_chunk_dedup_conserves_distinct_chunks(spark):
+    """Every distinct chunk digest keeps exactly one owner: the kept
+    chunk count across the corpus equals the distinct digest count, and
+    no doc keeps more chunks than it has."""
+    r = CATALOG["chunk_dedup_reconstruct"].build(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    chunks = docs.select(F.split("text", " ").alias("w")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w), 16),"
+                " s -> array_join(slice(w, s, 16), ' '))"
+            )
+        ).alias("chunk")
+    )
+    n_distinct = chunks.select("chunk").distinct().count()
+    agg = r.agg(F.sum("n_kept").alias("k"), F.sum("n_chunks").alias("t")).first()
+    assert agg["k"] == n_distinct
+    assert r.filter(F.col("n_kept") > F.col("n_chunks")).count() == 0
+    assert r.count() == docs.count()
+
+
+def test_chunk_dedup_reconstruction_matches_kept_count(spark):
+    """A doc's reconstruction is word-consistent: empty iff n_kept = 0,
+    and a doc whose chunks are all kept reproduces its original text."""
+    r = CATALOG["chunk_dedup_reconstruct"].build(spark, SF_DIR)
+    assert (
+        r.filter(
+            (F.col("n_kept") == 0) != (F.length("dedup_text") == 0)
+        ).count()
+        == 0
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    full = r.filter(F.col("n_kept") == F.col("n_chunks")).join(docs, "doc_id")
+    assert full.count() > 0
+    assert full.filter(F.col("dedup_text") != F.col("text")).count() == 0
+
+
+def test_rerank_orders_exact_distance_within_shortlist(spark):
+    res = CATALOG["ann_ivfpq_rerank_exact"].build(spark, SF_DIR).collect()
+    assert len(res) == 5 * 10
+    by_query: dict[int, list] = {}
+    for row in res:
+        by_query.setdefault(row["query_id"], []).append(row)
+    for qid, rows in by_query.items():
+        rows.sort(key=lambda r: r["rank"])
+        dists = [r["l2_dist"] for r in rows]
+        assert dists == sorted(dists), qid
+        assert all(1 <= r["adc_rank"] <= 50 for r in rows), qid
+        assert [r["rank"] for r in rows] == list(range(1, 11)), qid
