@@ -53,6 +53,11 @@ QUERIES = [
     "dock_deep_merge_nested_maps",
     "dedup_lsh_candidate_pairs",
     "minhash_jaccard_estimate",
+    # round-8 additions
+    "dsir_importance_weights",
+    "ccnet_perplexity_buckets",
+    "chunk_dedup_reconstruct",
+    "ann_ivfpq_rerank_exact",
 ]
 
 ALPHA = string.ascii_lowercase
@@ -134,8 +139,13 @@ def main() -> None:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SRC}/{t}.parquet'"
         )
 
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     results: dict[str, dict[str, float]] = {}
     for name in QUERIES:
+        if only is not None and name not in only:
+            continue
         spec = CATALOG[name]
         df = spec.build(spark, DST)
         runs = []

@@ -99,8 +99,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus except the one map-combined explode."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     ws = F.split(F.lower("text"), " ")
+    # zip_with over two shifted slices beats transform+slice+array_join
+    # ~2x per-row (no per-bigram array allocation; measured at sf0.1)
     grams_expr = F.expr(
-        "transform(sequence(1, size(ws) - 1), i -> array_join(slice(ws, i, 2), ' '))"
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
     )
     grams = (
         docs.select(
@@ -264,10 +267,7 @@ _CHUNK_WORDS = 16
     "chunk_dedup_reconstruct",
     f"""
     WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS w,
-               CAST((len(string_split(text, ' ')) - 1) // {_CHUNK_WORDS} + 1
-                    AS BIGINT) AS n_chunks
-        FROM documents
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
     ch AS (
         SELECT doc_id,
@@ -279,23 +279,19 @@ _CHUNK_WORDS = 16
                      unnest(generate_series(1, len(w), {_CHUNK_WORDS})) AS start
               FROM toks)
     ),
-    kept AS (
-        SELECT doc_id, pos, chunk FROM (
-            SELECT doc_id, pos, chunk,
-                   min(doc_id * 100000 + pos) OVER (PARTITION BY digest) AS k
-            FROM ch
-        ) WHERE doc_id * 100000 + pos = k
-    ),
-    recon AS (
-        SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_kept,
-               string_agg(chunk, ' ' ORDER BY pos) AS dedup_text
-        FROM kept GROUP BY 1
+    flagged AS (
+        SELECT doc_id, pos, chunk,
+               doc_id * 100000 + pos
+                   = min(doc_id * 100000 + pos) OVER (PARTITION BY digest)
+                   AS kept
+        FROM ch
     )
-    SELECT t.doc_id, t.n_chunks,
-           COALESCE(r.n_kept, 0) AS n_kept,
-           COALESCE(r.dedup_text, '') AS dedup_text
-    FROM toks t LEFT JOIN recon r ON t.doc_id = r.doc_id
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN kept THEN chunk END,
+                               ' ' ORDER BY pos), '') AS dedup_text
+    FROM flagged GROUP BY 1
     """,
     tags=("X-chunk-dedup",),
 )
@@ -313,33 +309,26 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python), ONE shuffle on md5(chunk) — uniform keys — where a window
     min over the digest partition marks owners (same shuffle the exact
     dedup takes; no second join pass), then one keyed aggregation
-    re-assembles owned chunks in position order via sort_array before
-    concat (deterministic, not collect-order-dependent). The final
-    frame left-joins back to the doc grain so fully-duplicated
-    documents keep their row with an empty reconstruction — the
-    accounting a dedup report needs. The oracle's integer owner key
+    re-assembles owned chunks in position order via array_sort before
+    concat (deterministic, not collect-order-dependent). Ownership is a
+    FLAG, not a filter: the conditional collect (collect_list skips
+    NULLs) lets the same aggregation count all chunks AND re-assemble
+    only owned ones, so fully-duplicated documents keep their row with
+    an empty reconstruction — the accounting a dedup report needs —
+    without a join back to the doc grain. The oracle's integer owner key
     (doc_id*100000+pos) equals the struct min because positions are
     bounded by the chunk count; the Spark side orders on the struct
     itself."""
     docs = fan_out(table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id",
-        F.split("text", " ").alias("w"),
-    ).select(
-        "doc_id",
-        "w",
-        (((F.size("w") - 1) / _CHUNK_WORDS).cast("long") + 1).alias("n_chunks"),
-    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
     ch = toks.select(
         "doc_id",
-        "n_chunks",
         F.explode(
             F.sequence(F.lit(1), F.size("w"), F.lit(_CHUNK_WORDS))
         ).alias("start"),
         F.col("w"),
     ).select(
         "doc_id",
-        "n_chunks",
         ((F.col("start") - 1) / _CHUNK_WORDS).cast("long").alias("pos"),
         F.concat_ws(" ", F.slice("w", F.col("start"), _CHUNK_WORDS)).alias(
             "chunk"
@@ -347,31 +336,27 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ch = ch.withColumn("digest", F.md5("chunk"))
     w_dig = Window.partitionBy("digest")
-    kept = (
-        ch.withColumn(
-            "k", F.min(F.struct(F.col("doc_id"), F.col("pos"))).over(w_dig)
-        )
-        .filter(
-            (F.col("doc_id") == F.col("k.doc_id"))
-            & (F.col("pos") == F.col("k.pos"))
-        )
-        .select("doc_id", "pos", "chunk")
+    flagged = ch.withColumn(
+        "kept",
+        F.struct(F.col("doc_id"), F.col("pos"))
+        == F.min(F.struct(F.col("doc_id"), F.col("pos"))).over(w_dig),
     )
-    recon = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
+    # conditional aggregation instead of kept-filter + left-join back to
+    # the doc grain: collect_list skips NULLs, so the when() drops
+    # non-owned chunks inside ONE keyed aggregation and fully-duplicated
+    # docs keep their row with n_kept = 0 for free (one shuffle saved)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
         F.concat_ws(
             " ",
             F.expr(
-                "transform(array_sort(collect_list(struct(pos, chunk))), s -> s.chunk)"
+                "transform(array_sort(collect_list("
+                "CASE WHEN kept THEN struct(pos, chunk) END)), s -> s.chunk)"
             ),
         ).alias("dedup_text"),
-    )
-    base = toks.select("doc_id", "n_chunks")
-    return base.join(recon, "doc_id", "left").select(
-        "doc_id",
-        "n_chunks",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
     )
 
 
