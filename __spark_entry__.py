@@ -43,10 +43,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # moment_aggregates (left-join median for all-NULL-group parity — also
 # in (a)), semdedup_prune (parameterized cell count) and
 # dock_deep_merge_nested_maps (perf), plus the new
-# semdedup_prune_subcells and the four round-8 additions
-# (dsir_importance_weights, ccnet_perplexity_buckets,
-# chunk_dedup_reconstruct, ann_ivfpq_rerank_exact — first-time
-# verification outranks evidence refresh); (c) the 33
+# semdedup_prune_subcells and the eight round-8 additions (DSIR, CCNet
+# buckets, chunk dedup+reconstruct, two-stage ANN rerank, NDCG@k,
+# t-closeness, filter funnel, rendezvous sharding — first-time
+# verification outranks evidence refresh); (c) the 29
 # least-recently-verified entries (last green r1-r2), so the oldest
 # evidence refreshes. Exactly 50 entries; every one preflight.py-exact
 # before commit.
@@ -64,6 +64,10 @@ VERIFY_FIRST = [
     "ccnet_perplexity_buckets",
     "chunk_dedup_reconstruct",
     "ann_ivfpq_rerank_exact",
+    "ndcg_at_k_eval",
+    "t_closeness_audit",
+    "filter_funnel_attrition",
+    "shard_assignment_rendezvous",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",
@@ -100,10 +104,6 @@ VERIFY_FIRST = [
     "json_extract_props",
     "multimodal_features",
     "multimodal_image_dimensions",
-    "multimodal_frame_sampling",
-    "tumbling_window_hourly",
-    "skew_salted_aggregate",
-    "embedding_near_dup_sign_lsh",
 ]
 
 

@@ -539,3 +539,487 @@ def ann_ivfpq_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@k — ranked-retrieval evaluation over the label-relevance task
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+
+
+@register(
+    "ndcg_at_k_eval",
+    f"""
+    WITH ranked AS (
+        SELECT query_id, cand_id, rank FROM (
+            SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(
+                           list_reduce(list_transform(generate_series(1, 64), j ->
+                               CAST(a.embedding[CAST(j AS INT)] AS DOUBLE)
+                               * CAST(q.embedding[CAST(j AS INT)] AS DOUBLE)),
+                               (x, y) -> x + y)
+                           / (sqrt(list_reduce(list_transform(generate_series(1, 64), j ->
+                               CAST(a.embedding[CAST(j AS INT)] AS DOUBLE)
+                               * CAST(a.embedding[CAST(j AS INT)] AS DOUBLE)),
+                               (x, y) -> x + y))
+                            * sqrt(list_reduce(list_transform(generate_series(1, 64), j ->
+                               CAST(q.embedding[CAST(j AS INT)] AS DOUBLE)
+                               * CAST(q.embedding[CAST(j AS INT)] AS DOUBLE)),
+                               (x, y) -> x + y))), 4) DESC, a.vec_id
+                   ) AS rank
+            FROM embeddings a
+            JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+              ON a.vec_id <> q.vec_id
+        ) WHERE rank <= {_NDCG_K}
+    ),
+    labeled AS (
+        SELECT r.query_id, r.rank,
+               CASE WHEN e.label = ql.label THEN 1 ELSE 0 END AS rel
+        FROM ranked r
+        JOIN embeddings e ON e.vec_id = r.cand_id
+        JOIN embeddings ql ON ql.vec_id = r.query_id
+    ),
+    rtot AS (
+        SELECT q.vec_id AS query_id, count(*) AS n_rel
+        FROM embeddings a
+        JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+          ON a.vec_id <> q.vec_id AND a.label = q.label
+        GROUP BY 1
+    ),
+    dcg AS (
+        SELECT query_id,
+               sum(rel / log2(rank + 1.0)) AS dcg
+        FROM labeled GROUP BY 1
+    )
+    SELECT d.query_id,
+           round(d.dcg, 5) AS dcg,
+           round(list_reduce(list_transform(
+                     generate_series(1, CAST(least({_NDCG_K}, r.n_rel) AS INT)),
+                     i -> 1.0 / log2(i + 1.0)), (x, y) -> x + y), 5) AS idcg,
+           round(d.dcg / list_reduce(list_transform(
+                     generate_series(1, CAST(least({_NDCG_K}, r.n_rel) AS INT)),
+                     i -> 1.0 / log2(i + 1.0)), (x, y) -> x + y), 5) AS ndcg
+    FROM dcg d JOIN rtot r ON d.query_id = r.query_id
+    """,
+    tags=("X-ndcg",),
+)
+def ndcg_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 for the label-relevance retrieval task: rank by exact
+    cosine (the brute-force oracle ranking), score a hit when the
+    candidate carries the query's label, normalize by the ideal DCG
+    given how many relevant candidates exist at all — the standard
+    graded-relevance eval a retrieval stack reports next to recall
+    (ann_recall_report gives recall@k; this adds rank-position credit).
+
+    Distributed shape: stage 1 is the brute_force_topk plan (queries
+    broadcast, corpus scanned once, WindowGroupLimit k-cut); labels for
+    the 50 shortlist rows come from a broadcast of the shortlist onto a
+    second corpus scan; the per-query relevant-total is one conditional
+    count on that same scan. The ideal-DCG series is a fixed-order
+    64-free fold over at most k terms — closed form, no data. All
+    per-query sums are <= 10 terms, rounded at the edge."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    ranked = brute_force_topk(emb, queries, k=_NDCG_K).select(
+        "query_id", "cand_id", "rank"
+    )
+    q_labels = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    c_labels = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("c_label")
+    )
+    labeled = (
+        c_labels.join(F.broadcast(ranked), "cand_id")
+        .join(F.broadcast(q_labels), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            F.when(F.col("c_label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    rtot = (
+        emb.join(
+            F.broadcast(q_labels),
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") == F.col("q_label")),
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_rel"))
+    )
+    dcg = labeled.groupBy("query_id").agg(
+        F.sum(F.col("rel") / F.log2(F.col("rank") + 1.0)).alias("dcg")
+    )
+    idcg_fold = (
+        f"aggregate(sequence(1, CAST(least({_NDCG_K}, n_rel) AS INT)), 0D,"
+        " (x, i) -> x + 1.0D / log2(i + 1.0D))"
+    )
+    return dcg.join(rtot, "query_id").select(
+        "query_id",
+        F.round("dcg", 5).alias("dcg"),
+        F.round(F.expr(idcg_fold), 5).alias("idcg"),
+        F.round(F.col("dcg") / F.expr(idcg_fold), 5).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit — EMD between class and global sensitive distributions
+# ---------------------------------------------------------------------------
+
+_TC_BUCKET = 1000.0
+
+
+@register(
+    "t_closeness_audit",
+    f"""
+    WITH base AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(CAST(c_acctbal AS DOUBLE) / {_TC_BUCKET}) AS BIGINT)
+                   AS bucket
+        FROM customer
+    ),
+    gdist AS (
+        SELECT bucket, count(*) AS g_cnt FROM base GROUP BY 1
+    ),
+    gtot AS (SELECT CAST(count(*) AS DOUBLE) AS g_tot,
+                    CAST(count(DISTINCT bucket) AS DOUBLE) AS n_buckets
+             FROM base),
+    classes AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n
+        FROM base GROUP BY 1, 2
+    ),
+    cdist AS (
+        SELECT c_nationkey, c_mktsegment, bucket, count(*) AS c_cnt
+        FROM base GROUP BY 1, 2, 3
+    ),
+    grid AS (
+        SELECT cl.c_nationkey, cl.c_mktsegment, cl.n, g.bucket,
+               COALESCE(cd.c_cnt, 0) / CAST(cl.n AS DOUBLE)
+                   - g.g_cnt / gt.g_tot AS diff
+        FROM classes cl
+        CROSS JOIN gdist g
+        CROSS JOIN gtot gt
+        LEFT JOIN cdist cd
+          ON cd.c_nationkey = cl.c_nationkey
+         AND cd.c_mktsegment = cl.c_mktsegment
+         AND cd.bucket = g.bucket
+    ),
+    cum AS (
+        SELECT c_nationkey, c_mktsegment, n,
+               sum(diff) OVER (
+                   PARTITION BY c_nationkey, c_mktsegment
+                   ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_diff
+        FROM grid
+    )
+    SELECT c.c_nationkey, c.c_mktsegment,
+           CAST(c.n AS BIGINT) AS n,
+           round(sum(abs(c.cum_diff)) / (gt.n_buckets - 1), 5) AS t_emd
+    FROM cum c CROSS JOIN gtot gt
+    GROUP BY c.c_nationkey, c.c_mktsegment, c.n, gt.n_buckets
+    """,
+    tags=("X-t-closeness",),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (Li et al. 2007), the governance gate k_anonymity /
+    l_diversity stop short of: for every quasi-identifier class
+    (nation, market segment), the Earth-Mover's Distance between the
+    class's sensitive-attribute distribution (account balance, fixed
+    1000-unit buckets — an ordered attribute, so EMD is the running
+    cumulative difference) and the global distribution. Classes with
+    large t leak the sensitive attribute even when k and l pass.
+
+    Distributed shape: three keyed aggregations over one scan reduce the
+    table to metadata (global buckets, classes, class x bucket counts);
+    the dense class x bucket grid, the ordered cumulative window, and
+    the final EMD sum all run on that reduced frame (~classes x ~11
+    buckets rows). The per-class window is bucket-bounded, never
+    data-grain. Sums are <= n_buckets doubles, rounded at the edge."""
+    base = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / _TC_BUCKET)
+        .cast("long")
+        .alias("bucket"),
+    )
+    base = truncate_lineage(base, eager=False)
+    gdist = base.groupBy("bucket").agg(F.count("*").alias("g_cnt"))
+    gtot = base.agg(
+        F.count("*").cast("double").alias("g_tot"),
+        F.countDistinct("bucket").cast("double").alias("n_buckets"),
+    )
+    classes = base.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n")
+    )
+    cdist = base.groupBy("c_nationkey", "c_mktsegment", "bucket").agg(
+        F.count("*").alias("c_cnt")
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(gdist))
+        .crossJoin(F.broadcast(gtot))
+        .join(
+            cdist,
+            ["c_nationkey", "c_mktsegment", "bucket"],
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            "bucket",
+            "n_buckets",
+            (
+                F.coalesce(F.col("c_cnt"), F.lit(0)) / F.col("n").cast("double")
+                - F.col("g_cnt") / F.col("g_tot")
+            ).alias("diff"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn("cum_diff", F.sum("diff").over(w_cum))
+    return cum.groupBy("c_nationkey", "c_mktsegment", "n", "n_buckets").agg(
+        F.round(
+            F.sum(F.abs(F.col("cum_diff"))) / (F.col("n_buckets") - 1), 5
+        ).alias("t_emd")
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        "t_emd",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter-funnel attrition — stage-by-stage survivor accounting
+# ---------------------------------------------------------------------------
+
+_FUNNEL_LANGS = ("en", "de", "fr")
+
+
+@register(
+    "filter_funnel_attrition",
+    f"""
+    WITH flags AS (
+        SELECT doc_id,
+               len(w) >= 25 AS g_len,
+               1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) < 0.6
+                   AS g_rep,
+               lang IN ('en', 'de', 'fr') AS g_lang,
+               doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS g_uniq
+        FROM (SELECT doc_id, lang, text,
+                     string_split(lower(text), ' ') AS w
+              FROM documents)
+    ),
+    agg AS (
+        SELECT count(*) AS n0,
+               sum(CASE WHEN g_len THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN g_len AND g_rep THEN 1 ELSE 0 END) AS n2,
+               sum(CASE WHEN g_len AND g_rep AND g_lang THEN 1 ELSE 0 END)
+                   AS n3,
+               sum(CASE WHEN g_len AND g_rep AND g_lang AND g_uniq
+                        THEN 1 ELSE 0 END) AS n4
+        FROM flags
+    )
+    SELECT stage_idx, stage,
+           CAST(docs_in AS BIGINT) AS docs_in,
+           CAST(docs_out AS BIGINT) AS docs_out,
+           CASE WHEN docs_in > 0
+                THEN round((docs_in - docs_out) / CAST(docs_in AS DOUBLE), 5)
+                END AS drop_rate
+    FROM (
+        SELECT 1 AS stage_idx, 'length' AS stage, n0 AS docs_in, n1 AS docs_out FROM agg
+        UNION ALL
+        SELECT 2, 'repetition', n1, n2 FROM agg
+        UNION ALL
+        SELECT 3, 'language', n2, n3 FROM agg
+        UNION ALL
+        SELECT 4, 'exact_dedup', n3, n4 FROM agg
+    )
+    """,
+    tags=("X-funnel",),
+)
+def filter_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage attrition accounting for a quality-filter funnel
+    (length -> repetition -> language -> exact dedup): how many
+    documents enter and survive each gate, in gate order — the report a
+    curation team reads before touching thresholds (Dolma/RefinedWeb
+    publish exactly this table). Gates reuse the catalog's filter
+    definitions (gopher length/repetition bounds, language allowlist,
+    md5 first-occurrence dedup).
+
+    Distributed shape: all gate flags are narrow codegen except the
+    dedup flag's one md5(text) window shuffle (the exact-dedup
+    exchange); the funnel itself is ONE conditional aggregation to a
+    single row — prefix conjunctions, so each survivor count is a
+    map-side combined sum — then a 4-row explode of that row into the
+    stage table. Nothing after the aggregation touches data grain."""
+    docs = table(spark, sf_dir, "documents")
+    w_dig = Window.partitionBy(F.md5("text"))
+    flags = docs.select(
+        "doc_id",
+        "lang",
+        F.split(F.lower("text"), " ").alias("w"),
+        (F.col("doc_id") == F.min("doc_id").over(w_dig)).alias("g_uniq"),
+    ).select(
+        (F.size("w") >= 25).alias("g_len"),
+        (
+            1.0 - F.size(F.array_distinct("w")) / F.size("w").cast("double")
+            < 0.6
+        ).alias("g_rep"),
+        F.col("lang").isin(*_FUNNEL_LANGS).alias("g_lang"),
+        "g_uniq",
+    )
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when(F.col("g_len"), 1).otherwise(0)).alias("n1"),
+        F.sum(
+            F.when(F.col("g_len") & F.col("g_rep"), 1).otherwise(0)
+        ).alias("n2"),
+        F.sum(
+            F.when(F.col("g_len") & F.col("g_rep") & F.col("g_lang"), 1)
+            .otherwise(0)
+        ).alias("n3"),
+        F.sum(
+            F.when(
+                F.col("g_len")
+                & F.col("g_rep")
+                & F.col("g_lang")
+                & F.col("g_uniq"),
+                1,
+            ).otherwise(0)
+        ).alias("n4"),
+    )
+    stages = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_idx"),
+                    F.lit("length").alias("stage"),
+                    F.col("n0").alias("docs_in"),
+                    F.col("n1").alias("docs_out"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_idx"),
+                    F.lit("repetition").alias("stage"),
+                    F.col("n1").alias("docs_in"),
+                    F.col("n2").alias("docs_out"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_idx"),
+                    F.lit("language").alias("stage"),
+                    F.col("n2").alias("docs_in"),
+                    F.col("n3").alias("docs_out"),
+                ),
+                F.struct(
+                    F.lit(4).alias("stage_idx"),
+                    F.lit("exact_dedup").alias("stage"),
+                    F.col("n3").alias("docs_in"),
+                    F.col("n4").alias("docs_out"),
+                ),
+            )
+        ).alias("s")
+    )
+    return stages.select(
+        F.col("s.stage_idx").alias("stage_idx"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.docs_in").cast("long").alias("docs_in"),
+        F.col("s.docs_out").cast("long").alias("docs_out"),
+        F.when(
+            F.col("s.docs_in") > 0,
+            F.round(
+                (F.col("s.docs_in") - F.col("s.docs_out"))
+                / F.col("s.docs_in").cast("double"),
+                5,
+            ),
+        ).alias("drop_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) shard assignment + balance audit
+# ---------------------------------------------------------------------------
+
+_HRW_SHARDS = 16
+
+
+def hrw_shard_expr(n_shards: int) -> str:
+    """SQL expression assigning the current row's doc_id to its
+    rendezvous shard over ``n_shards`` candidates: argmax_s of the
+    portable 60-bit hash of 'doc_id:s', ties to the higher s (struct
+    max == the oracle's ORDER BY h DESC, s DESC). Shared by the catalog
+    query and the single-shard-movement regression test."""
+    return (
+        f"array_max(transform(sequence(0, {n_shards - 1}), s -> "
+        "struct(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',"
+        " CAST(s AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h, s AS s))).s"
+    )
+
+
+@register(
+    "shard_assignment_rendezvous",
+    f"""
+    WITH assigned AS (
+        SELECT doc_id, s AS shard FROM (
+            SELECT doc_id, s,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY {portable_hash64_sql(
+                           "CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)"
+                       )} DESC, s DESC
+                   ) AS rn
+            FROM documents,
+                 (SELECT unnest(generate_series(0, {_HRW_SHARDS - 1})) AS s)
+        ) WHERE rn = 1
+    ),
+    counts AS (
+        SELECT shard, count(*) AS n_docs FROM assigned GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS t FROM counts)
+    SELECT CAST(c.shard AS INT) AS shard,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           round(c.n_docs / (t.t / {_HRW_SHARDS}) - 1.0, 5) AS skew
+    FROM counts c CROSS JOIN tot t
+    """,
+    tags=("X-rendezvous",),
+)
+def shard_assignment_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: every doc
+    goes to argmax_s hash(doc, s) over {16} shards, plus the balance
+    audit (per-shard count and skew vs the uniform expectation). HRW is
+    the placement scheme whose contract matters at fleet scale: when a
+    shard is added or removed, ONLY the docs whose argmax was that
+    shard move (~1/S of the data) — no global reshuffle — which is why
+    it backs consistent cache/shard routing (Thaler & Ravishankar 1998).
+    The regression test pins exactly that single-shard-movement
+    property.
+
+    Distributed shape: the argmax is a per-row array fold (transform
+    over {16} candidate shards -> array_max on (hash, s) structs —
+    first-max tiebreak matches the oracle's DESC,DESC window), zero
+    explode, zero shuffle; then one keyed count and a broadcast scalar
+    for the skew. The oracle unnests and windows instead — same
+    semantics, test-scale only."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    assigned = docs.select(
+        F.expr(hrw_shard_expr(_HRW_SHARDS)).cast("int").alias("shard")
+    )
+    counts = assigned.groupBy("shard").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").cast("double").alias("t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("shard").cast("int").alias("shard"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(
+            F.col("n_docs") / (F.col("t") / _HRW_SHARDS) - 1.0, 5
+        ).alias("skew"),
+    )

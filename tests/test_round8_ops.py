@@ -115,3 +115,67 @@ def test_rerank_orders_exact_distance_within_shortlist(spark):
         assert dists == sorted(dists), qid
         assert all(1 <= r["adc_rank"] <= 50 for r in rows), qid
         assert [r["rank"] for r in rows] == list(range(1, 11)), qid
+
+
+def test_ndcg_bounded_and_consistent(spark):
+    res = CATALOG["ndcg_at_k_eval"].build(spark, SF_DIR).collect()
+    assert len(res) == 5
+    for r in res:
+        assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9, r
+        assert r["dcg"] <= r["idcg"] + 1e-9, r
+        assert abs(r["ndcg"] - round(r["dcg"] / r["idcg"], 5)) <= 1e-4, r
+
+
+def test_t_closeness_bounded_and_covers_classes(spark):
+    res = CATALOG["t_closeness_audit"].build(spark, SF_DIR)
+    customers = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    n_classes = (
+        customers.select("c_nationkey", "c_mktsegment").distinct().count()
+    )
+    rows = res.collect()
+    assert len(rows) == n_classes
+    for r in rows:
+        assert 0.0 <= r["t_emd"] <= 1.0 + 1e-9, r
+    assert sum(r["n"] for r in rows) == customers.count()
+
+
+def test_funnel_chains_and_decreases(spark):
+    rows = sorted(
+        CATALOG["filter_funnel_attrition"].build(spark, SF_DIR).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "length", "repetition", "language", "exact_dedup",
+    ]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert rows[0]["docs_in"] == docs
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["docs_in"] == prev["docs_out"]
+    for r in rows:
+        assert 0 <= r["docs_out"] <= r["docs_in"]
+
+
+def test_rendezvous_single_shard_movement(spark):
+    """THE rendezvous property: dropping shard 15 moves ONLY the docs
+    that were assigned to shard 15; everyone else keeps their shard."""
+    from citibike_deep_dive_spark.plans.round8 import hrw_shard_expr
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    both = docs.select(
+        "doc_id",
+        F.expr(hrw_shard_expr(16)).alias("s16"),
+        F.expr(hrw_shard_expr(15)).alias("s15"),
+    )
+    moved_but_not_from_dropped = both.filter(
+        (F.col("s16") != 15) & (F.col("s16") != F.col("s15"))
+    ).count()
+    assert moved_but_not_from_dropped == 0
+    # and the dropped shard's docs land somewhere valid
+    assert both.filter((F.col("s16") == 15) & (F.col("s15") > 14)).count() == 0
+
+
+def test_rendezvous_counts_partition_the_corpus(spark):
+    res = CATALOG["shard_assignment_rendezvous"].build(spark, SF_DIR)
+    total = res.agg(F.sum("n_docs")).first()[0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert total == docs
