@@ -98,6 +98,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND engine-exact oracle parity. At 100 TB nothing here grows with
     the corpus except the one map-combined explode."""
     docs = fan_out(table(spark, sf_dir, "documents"))
+    bg = truncate_lineage(dsir_doc_buckets(docs), eager=False)
+    model = dsir_model(bg)
+    return dsir_weights(bg, model)
+
+
+def dsir_doc_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, is_target, bucket, c): per-doc hashed-bigram bucket
+    counts — the only data-grain frame in the DSIR pipeline. Factored
+    out so the streaming form can compute per-micro-batch deltas with
+    the identical definition."""
     ws = F.split(F.lower("text"), " ")
     # zip_with over two shifted slices beats transform+slice+array_join
     # ~2x per-row (no per-bigram array allocation; measured at sf0.1)
@@ -123,22 +133,34 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (portable_hash64(F.col("gram")) % _DSIR_BUCKETS).alias("bucket"),
         )
     )
-    bg = truncate_lineage(
-        grams.groupBy("doc_id", "is_target", "bucket").agg(
-            F.count("*").alias("c")
-        ),
-        eager=False,
+    return grams.groupBy("doc_id", "is_target", "bucket").agg(
+        F.count("*").alias("c")
     )
-    totals = bg.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias("tc"),
-        F.sum("c").alias("rc"),
+
+
+def dsir_model(bg: DataFrame) -> DataFrame:
+    """(bucket, tc, rc): target and raw bucket totals. ADDITIVE across
+    document slices — summing two slices' models equals the model of
+    their union — which is what makes the streaming form a plain
+    additive_upsert_sink on this grain (no re-scan of history)."""
+    return bg.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("tc"),
+        F.sum("c").cast("long").alias("rc"),
     )
-    scalars = totals.agg(
+
+
+def dsir_weights(bg: DataFrame, model: DataFrame) -> DataFrame:
+    """Per-doc importance log-weights from a (bucket, tc, rc) model —
+    the model may come from the same frame (the catalog query) or from
+    an incrementally-maintained table (the streaming form)."""
+    scalars = model.agg(
         F.sum("tc").cast("double").alias("t_tot"),
         F.sum("rc").cast("double").alias("r_tot"),
     )
     b = float(_DSIR_BUCKETS)
-    ratios = totals.crossJoin(F.broadcast(scalars)).select(
+    ratios = model.crossJoin(F.broadcast(scalars)).select(
         "bucket",
         (
             F.log((F.col("tc") + 1.0) / (F.col("t_tot") + b))

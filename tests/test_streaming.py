@@ -509,3 +509,62 @@ def test_streaming_quota_gate_tws_requires_protobuf(spark):
     df = spark.readStream.format("rate").load()
     with pytest.raises(RuntimeError, match="protobuf"):
         streaming_quota_gate_tws(df, "value", 10)
+
+
+def test_streaming_dsir_model_matches_batch(spark, tmp_path):
+    """Incremental DSIR: the (bucket, tc, rc) model is additive, so
+    maintaining it with additive_upsert_sink over document micro-batches
+    must reproduce the batch model exactly — and scoring docs against
+    the streamed model must equal the catalog query's weights."""
+    from citibike_deep_dive_spark.plans.round8 import (
+        dsir_doc_buckets,
+        dsir_model,
+        dsir_weights,
+    )
+    from citibike_deep_dive_spark.streaming.stateful import additive_upsert_sink
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    # stage the corpus as three parquet slices -> three file-stream batches
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"slice_{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+
+    target = str(tmp_path / "dsir_model")
+    sink = additive_upsert_sink(target, keys=["bucket"], counters=["tc", "rc"])
+
+    def merge_model(batch_df, batch_id):
+        sink(dsir_model(dsir_doc_buckets(batch_df)), batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_model)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dsir"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed_model = spark.read.parquet(target).select("bucket", "tc", "rc")
+    batch_model = dsir_model(dsir_doc_buckets(docs))
+    want = {r["bucket"]: (r["tc"], r["rc"]) for r in batch_model.collect()}
+    got = {r["bucket"]: (r["tc"], r["rc"]) for r in streamed_model.collect()}
+    assert got == want
+
+    bg = dsir_doc_buckets(docs)
+    w_stream = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_weights(bg, streamed_model).collect()
+    }
+    w_batch = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_weights(bg, batch_model).collect()
+    }
+    assert w_stream == w_batch
