@@ -732,3 +732,82 @@ def pagerank(
     edges.unpersist()
     deg.unpersist()
     return out
+
+
+_LPA_K = 10_000_000_000  # count multiplier in the packed argmax score
+_LPA_KL = 1_000_000_000  # label offset: picks the SMALLEST label on ties
+
+
+def label_propagation(
+    pairs: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    iterations: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    symmetrized duplicate-pair graph: each node adopts the most frequent
+    label among its neighbors (ties to the smallest label), for a fixed
+    number of rounds. Where connected_components answers "what is
+    reachable" and pagerank answers "what is central", LPA answers
+    "what is DENSE" — near-dup communities tighter than the component.
+
+    Fixed synchronous ``iterations`` keep it deterministic (classic LPA
+    randomizes update order and can oscillate on bipartite structure;
+    the fixed unrolled form is exactly reproducible and has an exact
+    unrolled SQL oracle, the pagerank precedent).
+
+    The per-round argmax is a PACKED integer max — score =
+    c*{K} + ({KL} - label) — so "max count, then min label" is ONE
+    64-bit max aggregate on both engines (no struct-ordering or window
+    pass); valid while neighbor counts < 10^8 and labels < 10^9,
+    asserted nowhere because both are doc_id/degree bounded at 10^5
+    scale — revisit the constants before a corpus with >10^9 docs.
+
+    Scale: per round, one join keyed on the edge source + one
+    (node, label) count + one packed max per node — two shuffles a
+    round on reduced frames, each round's label frame checkpointed so
+    the plan stays one round deep (the pagerank lineage lesson).
+    """
+    from ..functions.lineage import truncate_lineage
+
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("s").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    ).cache()
+    for _ in range(iterations):
+        counts = (
+            edges.join(labels, edges["s"] == labels["id"])
+            .groupBy(F.col("d").alias("nid"), F.col("lbl"))
+            .agg(F.count("*").alias("c"))
+        )
+        packed = counts.groupBy(F.col("nid").alias("id")).agg(
+            F.max(
+                F.col("c") * F.lit(_LPA_K) + (F.lit(_LPA_KL) - F.col("lbl"))
+            ).alias("score")
+        )
+        labels = truncate_lineage(
+            packed.select(
+                "id", (F.lit(_LPA_KL) - F.col("score") % F.lit(_LPA_K)).alias("lbl")
+            )
+        )
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("community_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("community"),
+            F.col("community_size").cast("long").alias("community_size"),
+        )
+    )

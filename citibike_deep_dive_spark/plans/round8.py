@@ -1045,3 +1045,68 @@ def shard_assignment_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs") / (F.col("t") / _HRW_SHARDS) - 1.0, 5
         ).alias("skew"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 4
+_LPA_STEPS = "".join(
+    f""",
+    c{i} AS (
+        SELECT e.dst AS nid, p.lbl, count(*) AS c
+        FROM sym e JOIN l{i} p ON e.src = p.id
+        GROUP BY 1, 2
+    ),
+    l{i + 1} AS (
+        SELECT nid AS id,
+               1000000000 - (max(c * 10000000000 + (1000000000 - lbl))
+                             % 10000000000) AS lbl
+        FROM c{i} GROUP BY 1
+    )"""
+    for i in range(_LPA_ITERS)
+)
+
+
+def _register_lpa():
+    from .training import _BANDS_CTE, _MINHASH_CTE, _PAIRS_CTE, _SHINGLES_CTE
+
+    @register(
+        "dedup_label_propagation",
+        f"""
+        WITH RECURSIVE {_SHINGLES_CTE}, {_MINHASH_CTE}, {_BANDS_CTE}, {_PAIRS_CTE},
+        sym AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION
+            SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+        ),
+        l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM sym)
+        {_LPA_STEPS},
+        sizes AS (
+            SELECT lbl, count(*) AS community_size FROM l{_LPA_ITERS} GROUP BY 1
+        )
+        SELECT l.id AS doc_id, l.lbl AS community,
+               CAST(s.community_size AS BIGINT) AS community_size
+        FROM l{_LPA_ITERS} l JOIN sizes s ON l.lbl = s.lbl
+        """,
+        tags=("X-label-propagation",),
+    )
+    def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near-dup COMMUNITIES by synchronous label propagation
+        (Raghavan et al. 2007), the density-sensitive sibling of
+        connected components (reachability) and pagerank (centrality)
+        over the same LSH candidate-pair graph. Fixed {4} synchronous
+        rounds with a packed-integer "max count, min label" argmax —
+        deterministic, exactly reproducible, exact unrolled-CTE oracle
+        (the pagerank precedent). See operators/dedup.label_propagation
+        for the per-round shuffle inventory."""
+        from ..operators.dedup import label_propagation, lsh_candidate_pairs
+
+        docs = table(spark, sf_dir, "documents")
+        return label_propagation(lsh_candidate_pairs(docs, k=4, rows_per_band=2))
+
+    return dedup_label_propagation
+
+
+dedup_label_propagation = _register_lpa()

@@ -179,3 +179,31 @@ def test_rendezvous_counts_partition_the_corpus(spark):
     total = res.agg(F.sum("n_docs")).first()[0]
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert total == docs
+
+
+def test_label_propagation_communities_refine_components(spark):
+    """Every LPA community sits inside ONE connected component (labels
+    only travel along edges), and community labels are member doc_ids."""
+    from citibike_deep_dive_spark.operators.dedup import (
+        connected_components,
+        label_propagation,
+        lsh_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = lsh_candidate_pairs(docs, k=4, rows_per_band=2)
+    lpa = label_propagation(pairs)
+    cc = connected_components(pairs)
+    joined = lpa.join(cc, "doc_id")
+    # community -> must map to exactly one component
+    n_bad = (
+        joined.groupBy("community")
+        .agg(F.countDistinct("cluster_id").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert n_bad == 0
+    # label values are node ids of the graph
+    node_ids = {r["doc_id"] for r in lpa.select("doc_id").collect()}
+    for r in lpa.select("community").distinct().collect():
+        assert r["community"] in node_ids
