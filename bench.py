@@ -66,6 +66,13 @@ HEADLINE = [
     # round-6: the production-width simhash (CPU-bound; the other r6
     # additions are scheduling-floor-bound at sf0.1 — BASELINE.md policy)
     "simhash64_hamming_pairs",
+    # round-8: the three real-per-row-work additions (DSIR bigram
+    # hashing, chunk-grain dedup+reconstruct, ADC shortlist + exact
+    # re-rank); ccnet/ndcg/funnel/t-closeness/rendezvous/LPA are
+    # floor-bound at sf0.1 — per-query rows in BASELINE.md instead
+    "dsir_importance_weights",
+    "chunk_dedup_reconstruct",
+    "ann_ivfpq_rerank_exact",
 ]
 
 
