@@ -757,7 +757,7 @@ def label_propagation(
     unrolled SQL oracle, the pagerank precedent).
 
     The per-round argmax is a PACKED integer max — score =
-    c*{K} + ({KL} - label) — so "max count, then min label" is ONE
+    c*1e10 + (1e9 - label) — so "max count, then min label" is ONE
     64-bit max aggregate on both engines (no struct-ordering or window
     pass); valid while neighbor counts < 10^8 and labels < 10^9,
     asserted nowhere because both are doc_id/degree bounded at 10^5

@@ -81,7 +81,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     score every raw document by how much more likely its hashed-bigram
     features are under the target-slice distribution than under the raw
     corpus — log w(doc) = Σ_b c_doc(b)·[ln p_target(b) − ln p_raw(b)]
-    with add-1 smoothing over {b} hashed buckets. Selection then samples
+    with add-1 smoothing over 512 hashed buckets. Selection then samples
     by these weights; the weight computation is the whole distributed
     job, and it needs NO model — both "distributions" are one
     512-row aggregate.
@@ -320,7 +320,7 @@ _CHUNK_WORDS = 16
 def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-grain dedup with reconstruction (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better", at a
-    fixed {16}-word chunk grain): every chunk keeps exactly ONE owner
+    fixed 16-word chunk grain): every chunk keeps exactly ONE owner
     corpus-wide — the lexicographically first (doc_id, position)
     occurrence — and each document is re-assembled from the chunks it
     owns, so repeated boilerplate vanishes from every copy but the
@@ -472,7 +472,7 @@ def _adc_oracle_ctes() -> str:
 )
 def ann_ivfpq_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production ANN serving path: the IVF-PQ ADC scan
-    produces a {50}-candidate shortlist per query (cheap — 8-byte codes,
+    produces a 50-candidate shortlist per query (cheap — 8-byte codes,
     ~128x less IO than the float corpus), then ONLY the shortlist rows
     are re-scored against their true float vectors for the final exact
     top-10. This two-stage shape is what FAISS/SCANN deployments
@@ -484,7 +484,7 @@ def ann_ivfpq_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distributed shape: stage 1 is the ann_ivfpq_adc_topk plan (queries
     broadcast against a scan of codes, per-query k-cut pushed below the
     exchange by WindowGroupLimit). Stage 2 joins the tiny shortlist
-    (queries x {50} rows, broadcast) against the embeddings scan to pull
+    (queries x 50 rows, broadcast) against the embeddings scan to pull
     true vectors — the corpus is touched only at shortlist positions;
     at 100 TB this is the random-read tail a row-group-pruned parquet
     scan serves — then a fixed-order fold computes exact L2, rounded
@@ -1017,7 +1017,7 @@ def hrw_shard_expr(n_shards: int) -> str:
 )
 def shard_assignment_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous (highest-random-weight) shard assignment: every doc
-    goes to argmax_s hash(doc, s) over {16} shards, plus the balance
+    goes to argmax_s hash(doc, s) over 16 shards, plus the balance
     audit (per-shard count and skew vs the uniform expectation). HRW is
     the placement scheme whose contract matters at fleet scale: when a
     shard is added or removed, ONLY the docs whose argmax was that
@@ -1027,7 +1027,7 @@ def shard_assignment_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     property.
 
     Distributed shape: the argmax is a per-row array fold (transform
-    over {16} candidate shards -> array_max on (hash, s) structs —
+    over 16 candidate shards -> array_max on (hash, s) structs —
     first-max tiebreak matches the oracle's DESC,DESC window), zero
     explode, zero shuffle; then one keyed count and a broadcast scalar
     for the skew. The oracle unnests and windows instead — same
@@ -1096,7 +1096,7 @@ def _register_lpa():
         """Near-dup COMMUNITIES by synchronous label propagation
         (Raghavan et al. 2007), the density-sensitive sibling of
         connected components (reachability) and pagerank (centrality)
-        over the same LSH candidate-pair graph. Fixed {4} synchronous
+        over the same LSH candidate-pair graph. Fixed 4 synchronous
         rounds with a packed-integer "max count, min label" argmax —
         deterministic, exactly reproducible, exact unrolled-CTE oracle
         (the pagerank precedent). See operators/dedup.label_propagation
