@@ -285,6 +285,28 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_WORDS = 16
 
 
+def chunk_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, chunk, digest): the fixed 16-word chunk fan-out —
+    a narrow transform (sequence + slice + md5, zero Python, zero
+    shuffle). Shared by the batch reconstruct query and the streaming
+    first-seen chunk-dedup form (same definition, so a chunk hashed in
+    a stream matches one hashed in batch)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("w"), F.lit(_CHUNK_WORDS))
+        ).alias("start"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        ((F.col("start") - 1) / _CHUNK_WORDS).cast("long").alias("pos"),
+        F.concat_ws(" ", F.slice("w", F.col("start"), _CHUNK_WORDS)).alias(
+            "chunk"
+        ),
+    ).withColumn("digest", F.md5("chunk"))
+
+
 @register(
     "chunk_dedup_reconstruct",
     f"""
@@ -342,21 +364,7 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the chunk count; the Spark side orders on the struct
     itself."""
     docs = fan_out(table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
-    ch = toks.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.size("w"), F.lit(_CHUNK_WORDS))
-        ).alias("start"),
-        F.col("w"),
-    ).select(
-        "doc_id",
-        ((F.col("start") - 1) / _CHUNK_WORDS).cast("long").alias("pos"),
-        F.concat_ws(" ", F.slice("w", F.col("start"), _CHUNK_WORDS)).alias(
-            "chunk"
-        ),
-    )
-    ch = ch.withColumn("digest", F.md5("chunk"))
+    ch = chunk_frame(docs)
     w_dig = Window.partitionBy("digest")
     flagged = ch.withColumn(
         "kept",
@@ -1110,3 +1118,109 @@ def _register_lpa():
 
 
 dedup_label_propagation = _register_lpa()
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance RESAMPLING — Gumbel top-k over the importance weights
+# ---------------------------------------------------------------------------
+
+_DSIR_SAMPLE_K = 100
+
+
+def _register_dsir_resample():
+    from ..functions.portable import portable_unit_uniform_sql
+
+    u_sql = portable_unit_uniform_sql("'dsir:' || CAST(doc_id AS VARCHAR)")
+
+    @register(
+        "dsir_importance_resample",
+        f"""
+        WITH toks AS (
+            SELECT doc_id, source = '{_DSIR_TARGET}' AS is_target,
+                   string_split(lower(text), ' ') AS ws
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, is_target,
+                   {portable_hash64_sql("ws[i] || ' ' || ws[i + 1]")}
+                       % {_DSIR_BUCKETS} AS bucket
+            FROM (SELECT doc_id, is_target, ws,
+                         unnest(generate_series(1, len(ws) - 1)) AS i
+                  FROM toks WHERE len(ws) >= 2)
+        ),
+        bg AS (
+            SELECT doc_id, is_target, bucket, count(*) AS c
+            FROM grams GROUP BY 1, 2, 3
+        ),
+        totals AS (
+            SELECT bucket,
+                   sum(CASE WHEN is_target THEN c ELSE 0 END) AS tc,
+                   sum(c) AS rc
+            FROM bg GROUP BY 1
+        ),
+        scalars AS (
+            SELECT CAST(sum(tc) AS DOUBLE) AS t_tot,
+                   CAST(sum(rc) AS DOUBLE) AS r_tot
+            FROM totals
+        ),
+        ratios AS (
+            SELECT bucket,
+                   ln((tc + 1.0) / (t_tot + {_DSIR_BUCKETS}))
+                 - ln((rc + 1.0) / (r_tot + {_DSIR_BUCKETS})) AS lr
+            FROM totals CROSS JOIN scalars
+        ),
+        weights AS (
+            SELECT bg.doc_id,
+                   round(sum(bg.c * r.lr), 5) AS dsir_logw
+            FROM bg JOIN ratios r ON bg.bucket = r.bucket
+            GROUP BY bg.doc_id
+        )
+        SELECT doc_id, dsir_logw,
+               round(dsir_logw + (-ln(-ln({u_sql}))), 6) AS gumbel_key
+        FROM weights
+        ORDER BY gumbel_key DESC, doc_id
+        LIMIT {_DSIR_SAMPLE_K}
+        """,
+        tags=("X-dsir-resample",),
+    )
+    def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The RESAMPLING half of DSIR: draw a without-replacement sample
+        of 100 docs with probability proportional to exp(importance
+        log-weight), via the Gumbel top-k trick — key = logw + Gumbel
+        noise, take the k largest. The noise is hash-seeded
+        (portable_unit_uniform, g = -ln(-ln(u))), so the "random" sample
+        replays identically on both engines and across task retries —
+        the same determinism contract as weighted_sample_wor
+        (Efraimidis-Spirakis), stated in Gumbel form because DSIR's
+        weights arrive in log space where exp() would overflow first.
+
+        Distributed shape: the dsir_importance_weights plan (one
+        map-combined explode shuffle, broadcast 512-row model) plus a
+        per-row key and a TakeOrderedAndProject k-cut — no global sort
+        materializes; each partition keeps its top-100, the driver
+        merges k-sized heaps."""
+        docs = fan_out(table(spark, sf_dir, "documents"))
+        from ..functions.portable import portable_unit_uniform
+
+        bg = truncate_lineage(dsir_doc_buckets(docs), eager=False)
+        weights = dsir_weights(bg, dsir_model(bg)).select(
+            "doc_id", "dsir_logw"
+        )
+        u = portable_unit_uniform(
+            F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))
+        )
+        keyed = weights.select(
+            "doc_id",
+            "dsir_logw",
+            F.round(F.col("dsir_logw") + (-F.log(-F.log(u))), 6).alias(
+                "gumbel_key"
+            ),
+        )
+        return keyed.orderBy(
+            F.col("gumbel_key").desc(), F.col("doc_id")
+        ).limit(_DSIR_SAMPLE_K)
+
+    return dsir_importance_resample
+
+
+dsir_importance_resample = _register_dsir_resample()

