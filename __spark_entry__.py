@@ -43,10 +43,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # moment_aggregates (left-join median for all-NULL-group parity — also
 # in (a)), semdedup_prune (parameterized cell count) and
 # dock_deep_merge_nested_maps (perf), plus the new
-# semdedup_prune_subcells and the ten round-8 additions (DSIR + its resample, CCNet
+# semdedup_prune_subcells and the twelve round-8 additions (DSIR + its resample, CCNet
 # buckets, chunk dedup+reconstruct, two-stage ANN rerank, NDCG@k,
-# t-closeness, filter funnel, rendezvous sharding, LPA communities —
-# first-time verification outranks evidence refresh); (c) the 27
+# t-closeness, filter funnel, rendezvous sharding, LPA communities, positional phrase search,
+# T5 span-corruption planning —
+# first-time verification outranks evidence refresh); (c) the 25
 # least-recently-verified entries (last green r1-r2), so the oldest
 # evidence refreshes. Exactly 50 entries; every one preflight.py-exact
 # before commit.
@@ -70,6 +71,8 @@ VERIFY_FIRST = [
     "shard_assignment_rendezvous",
     "dedup_label_propagation",
     "dsir_importance_resample",
+    "phrase_search_positional",
+    "span_corruption_masks",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",
@@ -102,8 +105,6 @@ VERIFY_FIRST = [
     "text_token_counts",
     "text_quality_scores",
     "text_language_id",
-    "text_fingerprints",
-    "json_extract_props",
 ]
 
 

@@ -1224,3 +1224,159 @@ def _register_dsir_resample():
 
 
 dsir_importance_resample = _register_dsir_resample()
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search over the corpus's own top trigrams
+# ---------------------------------------------------------------------------
+
+_PHRASE_TOP = 2
+
+
+@register(
+    "phrase_search_positional",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    tri AS (
+        SELECT doc_id,
+               i - 1 AS pos,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS phrase
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+              FROM toks WHERE len(ws) >= 3)
+    ),
+    top_phrases AS (
+        SELECT phrase FROM (
+            SELECT phrase, count(*) AS cnt FROM tri GROUP BY 1
+        ) ORDER BY cnt DESC, phrase LIMIT {_PHRASE_TOP}
+    )
+    SELECT t.phrase, t.doc_id, CAST(t.pos AS BIGINT) AS pos
+    FROM tri t JOIN top_phrases p ON t.phrase = p.phrase
+    """,
+    tags=("X-phrase-search",),
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search with positions — the positional-index lookup
+    a search stack runs after BM25 narrows candidates: every occurrence
+    (doc, word offset) of the corpus's two most frequent trigram
+    phrases (self-deriving keeps the demo non-empty at any scale; a
+    production call passes literal phrases).
+
+    Distributed shape: ONE narrow trigram fan-out feeds both sides —
+    the phrase-frequency aggregate cut to top-2 by
+    TakeOrderedAndProject (no global sort), broadcast back as a 2-row
+    semi-filter over the same fan-out. The trigram frame has two
+    consumers → lazily checkpointed, so the explode runs once. No
+    positional self-joins: positions ride the explode for free
+    (posexplode-style index arithmetic), which is what makes phrase
+    lookup at 100 TB a scan + broadcast filter, not a pos+1 equi-join
+    per word."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    ws = F.split(F.lower("text"), " ")
+    tri_expr = F.expr(
+        "transform(sequence(1, size(ws) - 2),"
+        " i -> struct(i - 1 AS pos, array_join(slice(ws, i, 3), ' ') AS phrase))"
+    )
+    tri = truncate_lineage(
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", F.explode(tri_expr).alias("t"))
+        .select("doc_id", F.col("t.pos").alias("pos"), F.col("t.phrase").alias("phrase")),
+        eager=False,
+    )
+    top = (
+        tri.groupBy("phrase")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "phrase")
+        .limit(_PHRASE_TOP)
+        .select("phrase")
+    )
+    return tri.join(F.broadcast(top), "phrase").select(
+        "phrase", "doc_id", F.col("pos").cast("long").alias("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption mask planning
+# ---------------------------------------------------------------------------
+
+_SPAN_LEN = 3
+_SPAN_SEG = 20  # one masked span per 20 words ≈ 15% corruption at len 3
+
+
+@register(
+    "span_corruption_masks",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws,
+               len(string_split(lower(text), ' ')) AS n
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, ws, i AS sentinel_id,
+               i * {_SPAN_SEG} + 1
+                 + {portable_hash64_sql(
+                     "'span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
+                 )} % ({_SPAN_SEG} - {_SPAN_LEN} + 1) AS span_start
+        FROM (SELECT doc_id, ws, n,
+                     unnest(generate_series(0, CAST(n // {_SPAN_SEG} AS INT) - 1)) AS i
+              FROM toks WHERE n >= {_SPAN_SEG})
+    )
+    SELECT doc_id, CAST(sentinel_id AS INT) AS sentinel_id,
+           CAST(span_start AS BIGINT) AS span_start,
+           {_SPAN_LEN} AS span_len,
+           array_to_string(ws[CAST(span_start AS INT):CAST(span_start AS INT) + {_SPAN_LEN - 1}], ' ')
+               AS masked_tokens
+    FROM spans
+    """,
+    tags=("X-span-corruption",),
+)
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning (Raffel et al. 2020): one
+    3-word masked span per 20-word segment (≈15% corruption), span
+    starts hash-seeded WITHIN each segment so spans never overlap by
+    construction — no rejection sampling, no sequential scan, and the
+    same doc always yields the same masks on any engine or retry (the
+    determinism property an interruptible 100 TB preprocessing job
+    needs). Emits the mask PLAN (doc, sentinel, start, masked tokens) —
+    the join-free narrow artifact the pack/tokenize stage consumes.
+
+    Distributed shape: pure narrow codegen — sequence over segments,
+    portable hash per (doc, segment), slice for the masked tokens. Zero
+    shuffles, zero joins."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    ws = F.split(F.lower("text"), " ")
+    base = docs.select("doc_id", ws.alias("ws"), F.size(ws).alias("n")).filter(
+        F.col("n") >= _SPAN_SEG
+    )
+    fan = base.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n") / _SPAN_SEG).cast("int") - 1)
+        ).alias("i"),
+    )
+    h = portable_hash64(
+        F.concat(
+            F.lit("span:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("i").cast("string"),
+        )
+    )
+    planned = fan.withColumn(
+        "span_start",
+        (F.col("i") * _SPAN_SEG + 1 + h % (_SPAN_SEG - _SPAN_LEN + 1)).cast(
+            "long"
+        ),
+    )
+    return planned.select(
+        "doc_id",
+        F.col("i").cast("int").alias("sentinel_id"),
+        "span_start",
+        F.lit(_SPAN_LEN).alias("span_len"),
+        F.concat_ws(
+            " ", F.expr(f"slice(ws, CAST(span_start AS INT), {_SPAN_LEN})")
+        ).alias("masked_tokens"),
+    )

@@ -223,3 +223,45 @@ def test_dsir_resample_prefers_high_weight_docs(spark):
     # deterministic replay: a second build yields the identical sample
     res2 = CATALOG["dsir_importance_resample"].build(spark, SF_DIR).collect()
     assert {r["doc_id"] for r in res} == {r["doc_id"] for r in res2}
+
+
+def test_phrase_search_hits_are_real_occurrences(spark):
+    """Every reported (phrase, doc, pos) is verifiable against the raw
+    text, and only the top-2 phrases appear."""
+    rows = CATALOG["phrase_search_positional"].build(spark, SF_DIR).collect()
+    assert rows
+    phrases = {r["phrase"] for r in rows}
+    assert len(phrases) <= 2
+    texts = {
+        r["doc_id"]: r["text"].lower().split(" ")
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    for r in rows:
+        w = texts[r["doc_id"]]
+        pos = int(r["pos"])
+        assert " ".join(w[pos:pos + 3]) == r["phrase"], r
+
+
+def test_span_corruption_is_nonoverlapping_and_verifiable(spark):
+    """Spans stay inside their 20-word segment (so they never overlap),
+    and the masked tokens match the document at the planned offsets."""
+    rows = CATALOG["span_corruption_masks"].build(spark, SF_DIR).collect()
+    assert rows
+    texts = {
+        r["doc_id"]: r["text"].lower().split(" ")
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, spans in by_doc.items():
+        w = texts[doc_id]
+        for r in spans:
+            s = int(r["span_start"])  # 1-based
+            seg = r["sentinel_id"]
+            assert seg * 20 + 1 <= s <= seg * 20 + 18, r
+            assert r["span_len"] == 3
+            assert " ".join(w[s - 1:s + 2]) == r["masked_tokens"], r
+        starts = sorted(int(r["span_start"]) for r in spans)
+        for a, b in zip(starts, starts[1:]):
+            assert b >= a + 3  # non-overlap
