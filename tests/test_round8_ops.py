@@ -265,3 +265,17 @@ def test_span_corruption_is_nonoverlapping_and_verifiable(spark):
         starts = sorted(int(r["span_start"]) for r in spans)
         for a, b in zip(starts, starts[1:]):
             assert b >= a + 3  # non-overlap
+
+
+def test_bpe_apply_merges_reduces_tokens_and_reconstructs(spark):
+    """After 3 merge rounds: every word's tokens concatenate back to
+    the word, total tokens strictly drop vs character count (some merge
+    fired), and no token crosses a word boundary."""
+    rows = CATALOG["bpe_apply_merges"].build(spark, SF_DIR).collect()
+    assert rows
+    total_chars = sum(len(r["word"]) * r["freq"] for r in rows)
+    total_tokens = sum(r["n_tokens"] * r["freq"] for r in rows)
+    assert total_tokens < total_chars
+    for r in rows:
+        assert "".join(r["tokens"].split("|")) == r["word"], r
+        assert r["n_tokens"] == len(r["tokens"].split("|")), r
