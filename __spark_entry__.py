@@ -43,11 +43,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # moment_aggregates (left-join median for all-NULL-group parity — also
 # in (a)), semdedup_prune (parameterized cell count) and
 # dock_deep_merge_nested_maps (perf), plus the new
-# semdedup_prune_subcells and the thirteen round-8 additions (DSIR + its resample, CCNet
+# semdedup_prune_subcells and the fourteen round-8 additions (DSIR + its resample, CCNet
 # buckets, chunk dedup+reconstruct, two-stage ANN rerank, NDCG@k,
 # t-closeness, filter funnel, rendezvous sharding, LPA communities, positional phrase search,
-# T5 span-corruption planning, BPE merge application —
-# first-time verification outranks evidence refresh); (c) the 24
+# T5 span-corruption planning, BPE merge application, suffix/prefix split detection —
+# first-time verification outranks evidence refresh); (c) the 23
 # least-recently-verified entries (last green r1-r2), so the oldest
 # evidence refreshes. Exactly 50 entries; every one preflight.py-exact
 # before commit.
@@ -74,6 +74,7 @@ VERIFY_FIRST = [
     "phrase_search_positional",
     "span_corruption_masks",
     "bpe_apply_merges",
+    "dedup_suffix_prefix_overlap",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",
@@ -104,7 +105,6 @@ VERIFY_FIRST = [
     "dedup_exact",
     "dedup_minhash_signatures",
     "text_token_counts",
-    "text_quality_scores",
 ]
 
 

@@ -1534,3 +1534,78 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("s", "|").alias("tokens"),
         F.size("s").cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Suffix/prefix overlap pairs — split-document boundary detection
+# ---------------------------------------------------------------------------
+
+_EDGE_WORDS = 4  # production uses ~50; 4 makes the synthetic corpus non-vacuous
+
+
+@register(
+    "dedup_suffix_prefix_overlap",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    edges AS (
+        SELECT doc_id,
+               md5(array_to_string(ws[len(ws) - {_EDGE_WORDS - 1}:len(ws)], ' '))
+                   AS suffix_digest,
+               md5(array_to_string(ws[1:{_EDGE_WORDS}], ' ')) AS prefix_digest
+        FROM toks WHERE len(ws) >= {_EDGE_WORDS}
+    )
+    SELECT a.doc_id AS head_doc, b.doc_id AS tail_doc
+    FROM edges a JOIN edges b
+      ON a.suffix_digest = b.prefix_digest AND a.doc_id <> b.doc_id
+    """,
+    tags=("X-suffix-prefix",),
+)
+def dedup_suffix_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-document detection: pairs where one document's last
+    4 words equal another's first 4 (the edge width is a constant —
+    production runs ~50; the demo width keeps the synthetic corpus
+    non-vacuous) — the signature of a source doc
+    sharded mid-stream (or of boundary contamination between adjacent
+    crawl records). Downstream either reassembles the chain
+    (head -> tail) or strips the duplicated boundary.
+
+    Distributed shape: ONE narrow projection computes both edge digests
+    per doc (no explode — slice + md5 on the ends only), then a single
+    self-equi-join on uniform md5 keys, suffix side against prefix
+    side. At 100 TB this is the exact_dedup shuffle shape: join keys
+    are 32-char digests, payload is two longs; never all-pairs."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    ws = F.split(F.lower("text"), " ")
+    edges = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= _EDGE_WORDS)
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        f"slice(ws, size(ws) - {_EDGE_WORDS - 1}, {_EDGE_WORDS})"
+                    ),
+                )
+            ).alias("suffix_digest"),
+            F.md5(
+                F.concat_ws(" ", F.expr(f"slice(ws, 1, {_EDGE_WORDS})"))
+            ).alias("prefix_digest"),
+        )
+    )
+    a = edges.select(
+        F.col("doc_id").alias("head_doc"),
+        F.col("suffix_digest").alias("k"),
+    )
+    b = edges.select(
+        F.col("doc_id").alias("tail_doc"),
+        F.col("prefix_digest").alias("k"),
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("head_doc") != F.col("tail_doc"))
+        .select("head_doc", "tail_doc")
+    )

@@ -279,3 +279,42 @@ def test_bpe_apply_merges_reduces_tokens_and_reconstructs(spark):
     for r in rows:
         assert "".join(r["tokens"].split("|")) == r["word"], r
         assert r["n_tokens"] == len(r["tokens"].split("|")), r
+
+
+def test_suffix_prefix_overlap_finds_constructed_splits(spark, tmp_path):
+    """A document split mid-stream with a 4-word overlap is found as a
+    (head, tail) pair; unrelated docs are not."""
+    from citibike_deep_dive_spark.plans import CATALOG as _CAT
+
+    words = [f"w{i}" for i in range(40)]
+    head = " ".join(words[:22])          # ends with w18..w21
+    tail = " ".join(words[18:40])        # starts with w18..w21
+    other = " ".join(f"x{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, head, "en", "s", len(head)),
+         (1, tail, "en", "s", len(tail)),
+         (2, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "docs")
+    df.write.parquet(f"{path}/documents.parquet")
+    res = CATALOG["dedup_suffix_prefix_overlap"].build(spark, path).collect()
+    pairs = {(r["head_doc"], r["tail_doc"]) for r in res}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_suffix_prefix_overlap_nonvacuous_on_testdata(spark):
+    """The demo edge width yields real matches on the shipped corpus
+    (guards against a silently-empty oracle comparison at sf0.01)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    n = con.execute(
+        f"SELECT count(*) FROM ({CATALOG['dedup_suffix_prefix_overlap'].oracle})"
+    ).fetchone()[0]
+    assert n > 0
