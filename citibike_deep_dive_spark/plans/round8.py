@@ -1,10 +1,15 @@
 """Round-8 additions: published data-selection / curation methods a
 training-data platform layers over the dedup + quality surface —
-DSIR hashed-ngram importance weighting (Xie et al. 2023), CCNet
-perplexity bucketing (Wenzek et al. 2020), exact chunk-grain dedup with
-document reconstruction (Lee et al. 2022's substring dedup at a fixed
-chunk grain), and the production two-stage ANN search (IVF-PQ ADC
-shortlist -> exact re-rank).
+DSIR hashed-ngram importance weighting + Gumbel top-k resampling (Xie
+et al. 2023), CCNet perplexity bucketing (Wenzek et al. 2020), exact
+chunk-grain dedup with document reconstruction (Lee et al. 2022),
+the production two-stage ANN search (IVF-PQ ADC shortlist -> exact
+re-rank), NDCG@k retrieval eval, t-closeness governance audit (Li et
+al. 2007), filter-funnel attrition reporting, rendezvous-hash shard
+placement (Thaler & Ravishankar 1998), label-propagation communities
+(Raghavan et al. 2007), positional phrase search, T5 span-corruption
+planning (Raffel et al. 2020), BPE merge application (Sennrich et al.
+2016), and suffix/prefix split-document detection.
 
 Every query follows the catalog determinism rules (catalog.py module
 docstring): identical aliases on both engines, explicit tiebreaks on
