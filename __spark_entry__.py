@@ -46,11 +46,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # semdedup_prune_subcells and the fourteen round-8 additions (DSIR + its resample, CCNet
 # buckets, chunk dedup+reconstruct, two-stage ANN rerank, NDCG@k,
 # t-closeness, filter funnel, rendezvous sharding, LPA communities, positional phrase search,
-# T5 span-corruption planning, BPE merge application, suffix/prefix split detection —
-# first-time verification outranks evidence refresh); (c) the 23
-# least-recently-verified entries (last green r1-r2), so the oldest
-# evidence refreshes. Exactly 50 entries; every one preflight.py-exact
-# before commit.
+# T5 span-corruption planning, BPE merge application, suffix/prefix split detection,
+# plus the five late mining additions: winnowing fingerprints,
+# margin bitext mining, prototype hard-keep, token-budget water-fill,
+# semantic decontamination — first-time verification outranks evidence
+# refresh); (c) the least-recently-verified entries (last green r1-r2),
+# so the oldest evidence refreshes. Exactly 50 entries; every one
+# preflight.py-exact before commit.
 VERIFY_FIRST = [
     # (a) round-6 perf rewrites, driver-stale since r3-r5
     "moment_aggregates",
@@ -75,6 +77,11 @@ VERIFY_FIRST = [
     "span_corruption_masks",
     "bpe_apply_merges",
     "dedup_suffix_prefix_overlap",
+    "winnowing_fingerprints",
+    "margin_bitext_mining",
+    "prototype_hard_keep",
+    "token_budget_waterfill",
+    "decontamination_semantic",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",
@@ -100,11 +107,6 @@ VERIFY_FIRST = [
     "multi_predicate_filter",
     "distinct_years_ordered",
     "union_by_name",
-    "group_count_min_time",
-    "state_gate_new_periods",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "text_token_counts",
 ]
 
 
