@@ -82,6 +82,10 @@ VERIFY_FIRST = [
     "prototype_hard_keep",
     "token_budget_waterfill",
     "decontamination_semantic",
+    "coreset_kcenter_greedy",
+    "token_burstiness_topk",
+    "quality_metric_spearman",
+    "dedup_kcore_peeling",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",
@@ -103,10 +107,6 @@ VERIFY_FIRST = [
     "exists_semi_join",
     "topk_per_group_window",
     "conditional_pair_swap",
-    "case_value_normalization",
-    "multi_predicate_filter",
-    "distinct_years_ordered",
-    "union_by_name",
 ]
 
 

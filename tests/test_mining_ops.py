@@ -158,3 +158,102 @@ def test_decon_flag_matches_threshold(spark):
         | (~F.col("contaminated") & (F.col("max_cos_sim") >= 0.3201))
     )
     assert bad.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# coreset_kcenter_greedy
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_radii_monotone_nonincreasing(spark):
+    """Greedy k-center's selected min-distances are non-increasing: each
+    new center is the farthest point, and adding centers can only shrink
+    every point's min distance."""
+    cs = CATALOG["coreset_kcenter_greedy"].build(spark, SF_DIR).collect()
+    assert len(cs) == 8
+    by_round = {r["round"]: r for r in cs}
+    assert by_round[0]["radius"] == 0.0
+    radii = [by_round[r]["radius"] for r in range(1, 8)]
+    assert all(radii[i] >= radii[i + 1] for i in range(len(radii) - 1))
+    ids = [r["center_vec_id"] for r in cs]
+    assert len(ids) == len(set(ids))
+
+
+# ---------------------------------------------------------------------------
+# token_burstiness_topk
+# ---------------------------------------------------------------------------
+
+
+def test_burstiness_bounds_and_topk(spark):
+    b = CATALOG["token_burstiness_topk"].build(spark, SF_DIR).collect()
+    assert 0 < len(b) <= 50
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    for r in b:
+        assert r["doc_freq"] <= n_docs
+        assert r["total_tf"] >= r["doc_freq"]
+        assert r["burstiness"] >= 0.0
+        # a token present once in every doc has zero variance -> b < 1;
+        # bursty tokens exceed 1; all must be finite
+        assert r["burstiness"] < 1e6
+
+
+# ---------------------------------------------------------------------------
+# quality_metric_spearman
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_in_range_and_positive(spark):
+    """Token count and distinct-token count are strongly positively
+    correlated on any natural corpus."""
+    row = CATALOG["quality_metric_spearman"].build(spark, SF_DIR).collect()[0]
+    assert -1.0 <= row["spearman_rho"] <= 1.0
+    assert row["spearman_rho"] > 0.3
+
+
+def test_spearman_self_correlation_is_one(spark):
+    """Pearson-on-ranks of a metric with itself = 1 exactly — sanity of
+    the integer-moment formula on a hand-built frame."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7 % 100).alias("x")
+    )
+    from pyspark.sql import Window
+
+    r = df.select(
+        F.row_number().over(Window.orderBy("x", "doc_id")).cast("long").alias("rx")
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+    ).collect()[0]
+    num = s["n"] * s["sxx"] - s["sx"] * s["sx"]
+    assert num > 0  # denominator squared = numerator for self-correlation
+
+
+# ---------------------------------------------------------------------------
+# dedup_kcore_peeling
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_survivors_have_degree_ge_2(spark):
+    kc = CATALOG["dedup_kcore_peeling"].build(spark, SF_DIR)
+    rows = kc.collect()
+    assert rows, "LSH graph is nonempty at sf0.001"
+    for r in rows:
+        if r["in_2core"]:
+            assert r["core_degree"] >= 2
+        else:
+            assert r["core_degree"] < 2
+
+
+def test_kcore_is_subset_of_candidate_nodes(spark):
+    kc = CATALOG["dedup_kcore_peeling"].build(spark, SF_DIR)
+    pairs = CATALOG["dedup_lsh_candidate_pairs"].build(spark, SF_DIR)
+    nodes = {
+        r[0]
+        for r in pairs.select("doc_id_a").union(pairs.select("doc_id_b")).collect()
+    }
+    out = {r["doc_id"] for r in kc.collect()}
+    assert out == nodes
