@@ -86,6 +86,11 @@ VERIFY_FIRST = [
     "token_burstiness_topk",
     "quality_metric_spearman",
     "dedup_kcore_peeling",
+    "calibration_ece_bins",
+    "bootstrap_ci_mean",
+    "cohens_kappa_agreement",
+    "lang_source_mutual_info",
+    "coverage_curve_by_quality",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",
@@ -102,11 +107,6 @@ VERIFY_FIRST = [
     "json_object_aggregate",
     "anti_join_missing",
     "not_in_subquery",
-    "additive_upsert_merge",
-    "left_join_enrich_default",
-    "exists_semi_join",
-    "topk_per_group_window",
-    "conditional_pair_swap",
 ]
 
 

@@ -13,3 +13,4 @@ from . import scalepath  # noqa: F401  (registers the scale-technique suite)
 from . import round6  # noqa: F401  (governance/drift/eval/statistics additions)
 from . import round8  # noqa: F401  (data-selection / two-stage-ANN additions)
 from . import mining  # noqa: F401  (winnowing / bitext / pruning / budget additions)
+from . import round8b  # noqa: F401  (calibration / bootstrap / agreement statistics)

@@ -1,0 +1,115 @@
+"""Semantic properties of the statistical-rigor additions
+(plans/round8b.py); oracle parity is covered by test_oracle_parity.py /
+preflight.py."""
+
+from __future__ import annotations
+
+import math
+
+from citibike_deep_dive_spark.plans import CATALOG
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# calibration_ece_bins
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_bins_partition_and_bounds(spark):
+    rows = CATALOG["calibration_ece_bins"].build(spark, SF_DIR).collect()
+    assert rows
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs  # bins partition the corpus
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["n_pos"] <= r["n_docs"]
+        assert 0.0 <= r["pos_rate"] <= 1.0
+        assert 0.0 <= r["mean_conf"] <= 1.0
+        # mean confidence must sit inside its own bin (fixed-point error << 0.1)
+        assert r["bin"] / 10 - 1e-6 <= r["mean_conf"] <= (r["bin"] + 1) / 10 + 1e-6
+        assert abs(r["calib_gap"] - (r["mean_conf"] - r["pos_rate"])) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_ci_mean
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_point_mean(spark):
+    [r] = CATALOG["bootstrap_ci_mean"].build(spark, SF_DIR).collect()
+    assert r["n_boot"] == 100
+    assert r["ci_lo"] <= r["ci_hi"]
+    # the 95% CI of the mean should bracket the point estimate
+    assert r["ci_lo"] <= r["point_mean"] <= r["ci_hi"]
+    # and be narrow relative to the mean at n >= hundreds of docs
+    assert (r["ci_hi"] - r["ci_lo"]) < r["point_mean"]
+
+
+def test_bootstrap_weights_are_poisson_like(spark):
+    """Mean Poisson(1) weight is 1, so each replicate's effective sample
+    size should be within a few sigma of n."""
+    from citibike_deep_dive_spark.plans.round8b import _BOOT_T
+
+    # thresholds are an increasing sequence below 2^32
+    assert _BOOT_T == sorted(_BOOT_T) and _BOOT_T[-1] < (1 << 32)
+    # CDF values match Poisson(1) to fixed-point precision
+    c = 0.0
+    for k, t in enumerate(_BOOT_T):
+        c += math.exp(-1) / math.factorial(k)
+        assert abs(t / (1 << 32) - c) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa_agreement
+# ---------------------------------------------------------------------------
+
+
+def test_kappa_identities(spark):
+    [r] = CATALOG["cohens_kappa_agreement"].build(spark, SF_DIR).collect()
+    n = r["n_docs"]
+    assert r["n11"] + r["n10"] + r["n01"] + r["n00"] == n
+    po, pe = r["p_observed"], r["p_expected"]
+    assert abs(po - (r["n11"] + r["n00"]) / n) < 1e-12
+    assert -1.0 <= r["kappa"] <= 1.0
+    assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1e-12
+    # both gates fire on length-like signals, so agreement beats chance
+    assert r["kappa"] > 0
+
+
+# ---------------------------------------------------------------------------
+# lang_source_mutual_info
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_info_nonnegative_and_bounded(spark):
+    [r] = CATALOG["lang_source_mutual_info"].build(spark, SF_DIR).collect()
+    assert r["mi_nats"] >= 0.0  # MI is nonnegative
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_lang = docs.select("lang").distinct().count()
+    n_src = docs.select("source").distinct().count()
+    assert r["n_cells"] <= n_lang * n_src
+    # I(X;Y) <= min(H(X), H(Y)) <= ln(min(|X|, |Y|))
+    assert r["mi_nats"] <= math.log(min(n_lang, n_src)) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# coverage_curve_by_quality
+# ---------------------------------------------------------------------------
+
+
+def test_coverage_curve_monotone_to_one(spark):
+    rows = sorted(
+        CATALOG["coverage_curve_by_quality"].build(spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert rows
+    assert all(1 <= r["decile"] <= 10 for r in rows)
+    # cumulative counts are the running sum of new_grams and end at 100%
+    cum = 0
+    for r in rows:
+        cum += r["new_grams"]
+        assert r["cum_grams"] == cum
+    assert abs(rows[-1]["coverage"] - 1.0) < 1e-12
+    covs = [r["coverage"] for r in rows]
+    assert all(covs[i] < covs[i + 1] for i in range(len(covs) - 1))
