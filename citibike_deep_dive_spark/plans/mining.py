@@ -716,7 +716,7 @@ def coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     is how facility-location-style data pruning actually runs at scale
     (and the centers double as IVF seeds for ivf_kmeans_cells)."""
     emb = truncate_lineage(
-        fan_out(table(spark, sf_dir, "embeddings")).select(
+        table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         ),
         eager=False,
@@ -805,7 +805,7 @@ def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     by total frequency. The zero-inflation is ALGEBRAIC (N rides as a
     broadcast scalar) — no dense doc x token frame ever exists, which
     is what makes the statistic computable at 100 TB."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     n = docs.agg(F.count("*").cast("long").alias("n_docs"))
     tf = (
         docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
@@ -888,7 +888,7 @@ def quality_metric_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number sorts (rank assignment is the unavoidable total-order
     step; at 100 TB both become approx-percentile bucket ranks with the
     identical downstream algebra), one scalar moment aggregation."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     ws = F.split(F.lower("text"), " ")
     m = docs.select(
         "doc_id",
@@ -980,7 +980,7 @@ def dedup_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     below corpus scale."""
     from ..operators.dedup import lsh_bands, lsh_candidate_pairs, minhash_signatures
 
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     bands = truncate_lineage(
         lsh_bands(minhash_signatures(docs, 4), rows_per_band=2), eager=False
     )

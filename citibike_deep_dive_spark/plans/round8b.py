@@ -26,7 +26,6 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.fanout import fan_out
 from .catalog import register, table
 
 # ---------------------------------------------------------------------------
@@ -77,7 +76,7 @@ def calibration_ece_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, one 10-group hash aggregation (map-side combined).
     Nothing else — the whole diagram is one shuffle of 10 rows at any
     corpus size."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     ws = F.split(F.lower("text"), " ")
     m = docs.select(
         F.when(F.col("n_chars") >= _CAL_NCHARS, 1).otherwise(0).alias("pos"),
@@ -173,11 +172,16 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     100) — no quantile interpolation formula has to agree across
     engines. Tie-broken by replicate id.
 
-    Distributed shape: one scan exploded x100 (narrow — no shuffle),
-    one 100-group hash aggregation, then driver-scale work on 100 rows.
+    Distributed shape: ONE scan exploded x100 (narrow — no shuffle),
+    one 100-group hash aggregation that also carries the point
+    estimate's moments (every replicate group sees every doc, so
+    count(*)/sum(n_chars) per group ARE the corpus totals — no second
+    docs pass), a 100-row rank window, and a conditional-aggregation
+    pick of the two order statistics (winning-pattern 10: one
+    aggregation, not two filter+join branches re-running the parent).
     At 100 TB this is THE bootstrap that works: row-resampling is a
     full shuffle per replicate; this is one map-combined pass total."""
-    docs = fan_out(table(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     x = docs.select(
         "doc_id",
         "n_chars",
@@ -193,30 +197,19 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = w.groupBy("b").agg(
         F.sum(F.col("w") * F.col("n_chars")).cast("long").alias("sw"),
         F.sum("w").cast("long").alias("ww"),
-    )
-    m = (F.col("sw").cast("double") / F.col("ww").cast("double")).alias("m")
-    means = reps.select(m, "b").withColumn(
-        "rn", F.row_number().over(Window.orderBy("m", "b"))
-    )
-    pt = docs.agg(
-        F.count("*").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("nd"),
         F.sum("n_chars").cast("long").alias("sx"),
     )
-    lo = means.filter(F.col("rn") == _BOOT_LO).select(F.col("m").alias("ci_lo"))
-    hi = means.filter(F.col("rn") == _BOOT_HI).select(F.col("m").alias("ci_hi"))
-    return (
-        pt.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
-        .select(
-            "n_docs",
-            (F.col("sx").cast("double") / F.col("n_docs").cast("double")).alias(
-                "point_mean"
-            ),
-            "ci_lo",
-            "ci_hi",
-            F.lit(_BOOT_B).cast("int").alias("n_boot"),
-        )
+    m = (F.col("sw").cast("double") / F.col("ww").cast("double")).alias("m")
+    means = reps.select(m, "b", "nd", "sx").withColumn(
+        "rn", F.row_number().over(Window.orderBy("m", "b"))
     )
+    return means.agg(
+        F.min("nd").alias("n_docs"),
+        (F.min("sx").cast("double") / F.min("nd").cast("double")).alias("point_mean"),
+        F.min(F.when(F.col("rn") == _BOOT_LO, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == _BOOT_HI, F.col("m"))).alias("ci_hi"),
+    ).withColumn("n_boot", F.lit(_BOOT_B).cast("int"))
 
 
 # ---------------------------------------------------------------------------
@@ -270,7 +263,7 @@ def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distributed shape: one scan, one scalar hash aggregation with
     map-side combine. No shuffle of data-grain rows at any scale."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     c = docs.select(
         F.when(F.col("n_chars") >= _KAPPA_NCHARS, 1).otherwise(0).alias("a"),
         F.when(
@@ -338,29 +331,44 @@ def lang_source_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     final sum crosses ~|langs| x |sources| cells and is rounded at the
     edge per the bigram_lm_cross_entropy precedent.
 
-    Distributed shape: one hash aggregation to cell grain (map-side
-    combined — the only data-grain pass), then joins among cell/margin
-    frames that are FIXED-size (|langs| x |sources|) at any corpus
-    scale; n rides as a broadcast scalar."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
-    cells = docs.groupBy("lang", "source").agg(F.count("*").cast("long").alias("c"))
-    lm = cells.groupBy("lang").agg(F.sum("c").cast("long").alias("cl"))
-    sm = cells.groupBy("source").agg(F.sum("c").cast("long").alias("cs"))
-    n = cells.agg(F.sum("c").cast("long").alias("n"))
-    term = (F.col("c").cast("double") / F.col("n").cast("double")) * F.log(
-        (F.col("c") * F.col("n")).cast("double")
-        / (F.col("cl") * F.col("cs")).cast("double")
-    )
-    return (
-        cells.join(F.broadcast(lm), "lang")
-        .join(F.broadcast(sm), "source")
-        .crossJoin(F.broadcast(n))
-        .groupBy("n")
+    Distributed shape: ONE hash aggregation to cell grain (map-side
+    combined — the only data-grain pass) collected straight into a
+    single array row; margins, total, and the MI fold are higher-order
+    functions over that array, which is FIXED-size
+    (|langs| x |sources|, ~dozens of cells at any corpus scale) — the
+    O(cells^2) margin lookups are constant work, and no window, join,
+    or second exchange ever runs. Two stages total at any data size."""
+    docs = table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("c"))
         .agg(
-            F.count("*").cast("long").alias("n_cells"),
-            F.round(F.sum(term), 5).alias("mi_nats"),
+            F.collect_list(
+                F.struct(F.col("lang"), F.col("source"), F.col("c"))
+            ).alias("arr")
         )
-        .select(F.col("n").alias("n_docs"), "n_cells", "mi_nats")
+    )
+    return cells.select(
+        F.expr("aggregate(arr, 0L, (a, x) -> a + x.c)").alias("n_docs"),
+        F.size("arr").cast("long").alias("n_cells"),
+        F.round(
+            F.expr(
+                """
+                aggregate(
+                  transform(arr, x ->
+                    (CAST(x.c AS DOUBLE) / CAST(aggregate(arr, 0L,
+                         (a, y) -> a + y.c) AS DOUBLE))
+                    * ln(CAST(x.c * aggregate(arr, 0L, (a, y) -> a + y.c)
+                              AS DOUBLE)
+                         / CAST(aggregate(filter(arr, y -> y.lang = x.lang),
+                                          0L, (a, y) -> a + y.c)
+                                * aggregate(filter(arr, y -> y.source = x.source),
+                                            0L, (a, y) -> a + y.c) AS DOUBLE))),
+                  CAST(0 AS DOUBLE), (a, t) -> a + t)
+                """
+            ),
+            5,
+        ).alias("mi_nats"),
     )
 
 
@@ -420,30 +428,43 @@ def coverage_curve_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distributed shape: decile assignment is one global rank (the
     spearman precedent: at 100 TB it becomes a range-partition /
-    approx-percentile bucket with identical downstream algebra); grams
-    dedupe at (decile, gram) grain map-side before the single min
-    aggregation at gram grain; the final cumulative sum is a 10-row
-    window. One data-grain shuffle total (the gram dedupe+min)."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
-    ranked = docs.select(
+    approx-percentile bucket with identical downstream algebra) over a
+    NARROW (doc_id, n_chars) projection — the text column never rides
+    the rank sort's single ordered pass; the per-doc decile frame joins
+    back onto the text scan on doc_id (data-grain, so NOT forced
+    broadcast — AQE picks broadcast at small scale, sort-merge at
+    100 TB). Exploded grams go STRAIGHT into the gram-grain min
+    aggregation — no (decile, gram) pre-distinct, since duplicates
+    cannot change a min and the dedupe would be a second data-grain
+    shuffle; the final cumulative sum is a 10-row window. One
+    data-grain shuffle total (the gram min)."""
+    docs = table(spark, sf_dir, "documents")
+    keys = docs.select("doc_id", "n_chars")
+    ranked = keys.select(
         "doc_id",
-        "text",
         F.row_number()
         .over(Window.orderBy(F.desc("n_chars"), "doc_id"))
         .cast("long")
         .alias("rn"),
-    ).crossJoin(
-        F.broadcast(docs.agg(F.count("*").cast("long").alias("n")))
-    )
+    ).crossJoin(F.broadcast(keys.agg(F.count("*").cast("long").alias("n"))))
     decile = (
         F.floor(((F.col("rn") - 1) * 10).cast("double") / F.col("n").cast("double"))
         .cast("int")
         + 1
     ).alias("decile")
+    deciles = ranked.select("doc_id", decile)
     ws = F.split(F.lower("text"), " ")
-    toks = ranked.select(decile, ws.alias("ws")).filter(F.size("ws") >= 2)
+    toks = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .join(deciles, "doc_id")
+        .select("decile", "ws")
+    )
     # winning-pattern 9: bigrams as zip_with over two shifted slices —
     # no per-gram array allocation.
+    # No (decile, gram) DISTINCT before the min — duplicates cannot
+    # change a min, so the dedupe shuffle is pure waste; the single
+    # gram-grain aggregation absorbs them map-side.
     grams = toks.select(
         "decile",
         F.explode(
@@ -453,7 +474,7 @@ def coverage_curve_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda a, b: F.concat(a, F.lit(" "), b),
             )
         ).alias("gram"),
-    ).distinct()
+    )
     firsts = grams.groupBy("gram").agg(F.min("decile").cast("int").alias("decile"))
     per = firsts.groupBy("decile").agg(F.count("*").cast("long").alias("new_grams"))
     tot = per.agg(F.sum("new_grams").cast("long").alias("total"))
