@@ -91,6 +91,8 @@ VERIFY_FIRST = [
     "cohens_kappa_agreement",
     "lang_source_mutual_info",
     "coverage_curve_by_quality",
+    "pca_power_iteration",
+    "loo_source_value",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",
@@ -105,8 +107,6 @@ VERIFY_FIRST = [
     "dock_flow_full_outer",
     "monthly_to_yearly_rollup",
     "json_object_aggregate",
-    "anti_join_missing",
-    "not_in_subquery",
 ]
 
 

@@ -487,3 +487,289 @@ def coverage_curve_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.cast("long").alias("cum_grams"),
         (cum.cast("double") / F.col("total").cast("double")).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component by power iteration (decimal-exact, markov precedent)
+# ---------------------------------------------------------------------------
+
+_PCA_D = 16
+_PCA_ITERS = 5
+_PCA_Q = 1_000_000  # fixed-point quantization of embedding dims
+
+_PCA_STEPS = ",\n".join(
+    f"""
+    y{t} AS (
+        SELECT c.i AS i,
+               CAST(sum(CAST(c.cd * x.v AS DECIMAL(30, 18))) AS DOUBLE) AS y
+        FROM cmat c JOIN x{t - 1} x ON c.j = x.i
+        GROUP BY 1
+    ),
+    n{t} AS (
+        SELECT sqrt(CAST(sum(CAST(y * y AS DECIMAL(30, 18))) AS DOUBLE)) AS nrm
+        FROM y{t}
+    ),
+    x{t} AS (SELECT i, y / nrm AS v FROM y{t}, n{t})"""
+    for t in range(1, _PCA_ITERS + 1)
+)
+
+
+@register(
+    "pca_power_iteration",
+    f"""
+    WITH q AS (
+        SELECT vec_id, g.i - 1 AS i,
+               CAST(round(CAST(embedding[g.i] AS DOUBLE) * {_PCA_Q}, 0)
+                    AS BIGINT) AS q
+        FROM embeddings, generate_series(1, {_PCA_D}) g(i)
+    ),
+    s AS (
+        SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s
+        FROM q a JOIN q b USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    sx AS (SELECT i, CAST(sum(q) AS BIGINT) AS sx FROM q GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    cmat AS (
+        SELECT s.i, s.j,
+               (CAST(nn.n * s.s AS DOUBLE) - CAST(a.sx * b.sx AS DOUBLE))
+               / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)
+                  * {float(_PCA_Q) ** 2}) AS cd
+        FROM s JOIN sx a ON s.i = a.i JOIN sx b ON s.j = b.i CROSS JOIN nn
+    ),
+    x0 AS (SELECT i, 1.0 / sqrt({float(_PCA_D)}) AS v FROM sx),
+    {_PCA_STEPS}
+    SELECT CAST(x.i AS INT) AS dim, round(x.v, 6) AS loading,
+           round(n.nrm, 6) AS eigenvalue
+    FROM x{_PCA_ITERS} x, n{_PCA_ITERS} n
+    """,
+    tags=("X-pca",),
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the first 16 embedding dims by 5
+    power-iteration steps — the distributed PCA that embedding-space
+    curation (SemDeDup cells, whitening, spectral outliers) builds on.
+    The ONLY data-grain pass is the quantized second-moment
+    accumulation: dims are fixed-point int64 (round(x*1e6), the
+    mining.py distance idiom), so the Gram matrix and the column sums
+    are EXACT integer sums over any partitioning; the centered scatter
+    n*S - sx*sxT stays in int64 to ~200k vectors per slice (shard and
+    add moments beyond — they merge exactly). The iteration is the
+    markov_stationary_power pattern: products in double, sums in
+    DECIMAL(30,18), L2 norm per step, 5 unrolled relational stages over
+    the d^2-row (=256) matrix frame; the final step's norm IS the
+    Rayleigh eigenvalue estimate (covariance is PSD). Start vector is
+    uniform 1/sqrt(d), so the sign convention is deterministic.
+
+    Distributed shape: one flat-map to (vec, i, q) grain and one
+    d^2-bounded moment aggregation (map-side combined); everything
+    after is fixed 256-row frames — iteration cost does not grow with
+    the corpus at all. Spark-side the moment pass emits (i, j, qi*qj)
+    structs from ONE projection (no self-join of the exploded frame,
+    no double scan), with sx and n riding the same aggregation as
+    sentinel rows j=-1 / j=-2."""
+    from ..functions.lineage import truncate_lineage
+
+    emb = table(spark, sf_dir, "embeddings")
+    qa = F.transform(
+        F.slice("embedding", 1, _PCA_D),
+        lambda x: F.round(x.cast("double") * _PCA_Q, 0).cast("long"),
+    )
+    # per-row triples: 256 products + 16 sx sentinels (j=-1) + 1 n
+    # sentinel (i=0, j=-2), all through one explode + one aggregation
+    trips = emb.select(
+        F.explode(
+            F.concat(
+                F.flatten(
+                    F.transform(
+                        qa,
+                        lambda qi, i: F.transform(
+                            qa,
+                            lambda qj, j: F.struct(
+                                i.alias("i"), j.alias("j"), (qi * qj).alias("p")
+                            ),
+                        ),
+                    )
+                ),
+                F.transform(
+                    qa,
+                    lambda qi, i: F.struct(
+                        i.alias("i"), F.lit(-1).alias("j"), qi.alias("p")
+                    ),
+                ),
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("i"),
+                        F.lit(-2).alias("j"),
+                        F.lit(1).cast("long").alias("p"),
+                    )
+                ),
+            )
+        ).alias("t")
+    )
+    moments = truncate_lineage(
+        trips.groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j")).agg(
+            F.sum("t.p").cast("long").alias("s")
+        ),
+        eager=False,
+    )
+    sx = moments.filter(F.col("j") == -1).select("i", F.col("s").alias("sx"))
+    nn = moments.filter(F.col("j") == -2).select(F.col("s").alias("n"))
+    cmat = (
+        moments.filter(F.col("j") >= 0)
+        .join(F.broadcast(sx.select(F.col("i").alias("ii"), F.col("sx").alias("sxi"))),
+              F.col("i") == F.col("ii"))
+        .join(F.broadcast(sx.select(F.col("i").alias("jj"), F.col("sx").alias("sxj"))),
+              F.col("j") == F.col("jj"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            (
+                ((F.col("n") * F.col("s")).cast("double")
+                 - (F.col("sxi") * F.col("sxj")).cast("double"))
+                / (F.col("n").cast("double") * F.col("n").cast("double")
+                   * F.lit(float(_PCA_Q) ** 2))
+            ).alias("cd"),
+        )
+    )
+    cmat = truncate_lineage(cmat, eager=False)
+    x = sx.select("i", F.lit(1.0 / math.sqrt(_PCA_D)).alias("v"))
+    nrm_frame = None
+    for _ in range(_PCA_ITERS):
+        y = truncate_lineage(
+            cmat.join(x.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("cd") * F.col("v")).cast("decimal(30,18)"))
+                .cast("double")
+                .alias("y")
+            ),
+            eager=False,
+        )
+        nrm_frame = y.agg(
+            F.sqrt(
+                F.sum((F.col("y") * F.col("y")).cast("decimal(30,18)")).cast("double")
+            ).alias("nrm")
+        )
+        x = y.crossJoin(F.broadcast(nrm_frame)).select(
+            "i", (F.col("y") / F.col("nrm")).alias("v")
+        )
+    return x.crossJoin(F.broadcast(nrm_frame)).select(
+        F.col("i").cast("int").alias("dim"),
+        F.round("v", 6).alias("loading"),
+        F.round("nrm", 6).alias("eigenvalue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-source-out data valuation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "loo_source_value",
+    """
+    WITH toks AS (
+        SELECT source, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    base AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(ws)) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY 1
+    ),
+    grams AS (
+        SELECT DISTINCT source, ws[i] || ' ' || ws[i + 1] AS gram
+        FROM (SELECT source, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+              FROM toks WHERE len(ws) >= 2)
+    ),
+    gs AS (
+        SELECT gram, CAST(count(*) AS BIGINT) AS nsrc, min(source) AS only_src
+        FROM grams GROUP BY 1
+    ),
+    uniq AS (
+        SELECT only_src AS source, CAST(count(*) AS BIGINT) AS unique_bigrams
+        FROM gs WHERE nsrc = 1 GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total_bigrams FROM gs)
+    SELECT b.source, b.n_docs, b.n_tokens,
+           coalesce(u.unique_bigrams, 0) AS unique_bigrams,
+           CAST(coalesce(u.unique_bigrams, 0) AS DOUBLE)
+               / CAST(tot.total_bigrams AS DOUBLE) AS unique_share
+    FROM base b LEFT JOIN uniq u USING (source) CROSS JOIN tot
+    """,
+    tags=("X-data-valuation",),
+)
+def loo_source_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out marginal value: for each source, the count
+    and corpus share of word-bigrams that exist ONLY in that source —
+    the coverage a pipeline loses by dropping it. This is the
+    first-order (singleton) term of data Shapley valuation, the
+    standard cheap screen before paying for full ablation runs; sources
+    whose unique share is ~0 are redundant with the rest of the mix.
+    Integer-exact: per-gram source counts and the min-source tiebreak
+    are one aggregation, and shares are exact int64 ratios.
+
+    Distributed shape: one (source, gram) dedupe shuffle (map-side
+    combined), one gram-grain count+min aggregation, then source-grain
+    frames of |sources| rows. The 'appears in exactly one source' test
+    never materializes per-source gram sets — count + min in one pass
+    identifies the owner without a second join against the gram
+    frame."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    toks = docs.select("source", ws.alias("ws"))
+    base = toks.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("ws")).cast("long").alias("n_tokens"),
+    )
+    grams = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    gs = grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("nsrc"), F.min("source").alias("only_src")
+    )
+    # owner-or-null grouping folds "unique per source" and "total grams"
+    # into ONE pass over the gram frame (multiply-consumed-frame rule:
+    # a separate scalar count would re-run the whole gram pipeline);
+    # the |sources|+1-row result is lazily checkpointed because uniq
+    # and tot both read it.
+    from ..functions.lineage import truncate_lineage
+
+    g2 = truncate_lineage(
+        gs.groupBy(
+            F.when(F.col("nsrc") == 1, F.col("only_src")).alias("source")
+        ).agg(F.count("*").cast("long").alias("cnt")),
+        eager=False,
+    )
+    uniq = g2.filter(F.col("source").isNotNull()).select(
+        "source", F.col("cnt").alias("unique_bigrams")
+    )
+    tot = g2.agg(F.sum("cnt").cast("long").alias("total_bigrams"))
+    return (
+        base.join(uniq, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.coalesce(F.col("unique_bigrams"), F.lit(0))
+            .cast("long")
+            .alias("unique_bigrams"),
+            (
+                F.coalesce(F.col("unique_bigrams"), F.lit(0)).cast("double")
+                / F.col("total_bigrams").cast("double")
+            ).alias("unique_share"),
+        )
+    )

@@ -113,3 +113,64 @@ def test_coverage_curve_monotone_to_one(spark):
     assert abs(rows[-1]["coverage"] - 1.0) < 1e-12
     covs = [r["coverage"] for r in rows]
     assert all(covs[i] < covs[i + 1] for i in range(len(covs) - 1))
+
+
+# ---------------------------------------------------------------------------
+# pca_power_iteration
+# ---------------------------------------------------------------------------
+
+
+def test_pca_unit_vector_and_psd_eigenvalue(spark):
+    rows = CATALOG["pca_power_iteration"].build(spark, SF_DIR).collect()
+    assert len(rows) == 16
+    assert sorted(r["dim"] for r in rows) == list(range(16))
+    norm = sum(r["loading"] ** 2 for r in rows)
+    assert abs(norm - 1.0) < 1e-4  # unit eigenvector (6-dp rounded components)
+    eig = {r["eigenvalue"] for r in rows}
+    assert len(eig) == 1  # one scalar broadcast to every row
+    assert eig.pop() > 0  # covariance is PSD; dominant eigenvalue positive
+
+
+def test_pca_matches_numpy(spark):
+    """Power iteration from uniform start, replicated in numpy on the
+    same quantized moments, must agree with the Spark result."""
+    import numpy as np
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("embedding")
+        .toPandas()["embedding"]
+    )
+    X = np.round(np.stack(emb.to_numpy())[:, :16].astype("float64") * 1e6)
+    n = X.shape[0]
+    C = (n * (X.T @ X) - np.outer(X.sum(0), X.sum(0))) / (n * n * 1e12)
+    v = np.full(16, 1 / 4.0)
+    for _ in range(5):
+        y = C @ v
+        nrm = float(np.sqrt((y * y).sum()))
+        v = y / nrm
+    got = {
+        r["dim"]: (r["loading"], r["eigenvalue"])
+        for r in CATALOG["pca_power_iteration"].build(spark, SF_DIR).collect()
+    }
+    for d in range(16):
+        assert abs(got[d][0] - v[d]) < 1e-3
+        assert abs(got[d][1] - nrm) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# loo_source_value
+# ---------------------------------------------------------------------------
+
+
+def test_loo_source_partition_and_shares(spark):
+    rows = CATALOG["loo_source_value"].build(spark, SF_DIR).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(rows) == docs.select("source").distinct().count()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["unique_bigrams"] >= 0
+        assert 0.0 <= r["unique_share"] <= 1.0
+    # unique gram sets are disjoint, so shares sum below 1
+    assert sum(r["unique_share"] for r in rows) <= 1.0 + 1e-12
