@@ -49,10 +49,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # T5 span-corruption planning, BPE merge application, suffix/prefix split detection,
 # plus the five late mining additions: winnowing fingerprints,
 # margin bitext mining, prototype hard-keep, token-budget water-fill,
-# semantic decontamination — first-time verification outranks evidence
-# refresh); (c) the least-recently-verified entries (last green r1-r2),
-# so the oldest evidence refreshes. Exactly 50 entries; every one
-# preflight.py-exact before commit.
+# semantic decontamination, the four resumed-session mining queries
+# (k-center coreset, token burstiness, Spearman metric agreement,
+# k-core peeling) and the eleven extension-batch statistics queries
+# (calibration ECE, Poisson bootstrap CI, Cohen's kappa, lang-source
+# MI, coverage curve, PCA power iteration, LOO source valuation,
+# isotonic calibration, Hill tail index) — first-time verification
+# outranks evidence refresh); (c) the least-recently-verified entries
+# (last green r1-r2), so the oldest evidence refreshes. Exactly 50
+# entries; every one preflight.py-exact before commit.
 VERIFY_FIRST = [
     # (a) round-6 perf rewrites, driver-stale since r3-r5
     "moment_aggregates",
@@ -93,6 +98,8 @@ VERIFY_FIRST = [
     "coverage_curve_by_quality",
     "pca_power_iteration",
     "loo_source_value",
+    "isotonic_calibration_bins",
+    "hill_tail_index",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",
@@ -105,8 +112,6 @@ VERIFY_FIRST = [
     "heatmap_hourly_counts",
     "anyvalue_deterministic",
     "dock_flow_full_outer",
-    "monthly_to_yearly_rollup",
-    "json_object_aggregate",
 ]
 
 

@@ -773,3 +773,225 @@ def loo_source_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unique_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration over score bins (PAV via the minimax identity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "isotonic_calibration_bins",
+    f"""
+    WITH m AS (
+        SELECT CASE WHEN n_chars >= {_CAL_NCHARS} THEN 1 ELSE 0 END AS pos,
+               CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS s
+        FROM (SELECT n_chars, string_split(lower(text), ' ') AS ws FROM documents)
+    ),
+    b AS (
+        SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
+               CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+        FROM m GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, n, p,
+               CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+               CAST(sum(p) OVER (ORDER BY bin) AS BIGINT) AS cp
+        FROM b
+    ),
+    lo AS (
+        SELECT bin AS j, coalesce(lag(cn) OVER (ORDER BY bin), 0) AS cn0,
+               coalesce(lag(cp) OVER (ORDER BY bin), 0) AS cp0
+        FROM cum
+    ),
+    mm AS (
+        SELECT lo.j, cum.bin AS k,
+               CAST(cum.cp - lo.cp0 AS DOUBLE)
+                   / CAST(cum.cn - lo.cn0 AS DOUBLE) AS mjk
+        FROM lo JOIN cum ON cum.bin >= lo.j
+    ),
+    inner_min AS (
+        SELECT c.bin AS i, mm.j, min(mm.mjk) AS inner_m
+        FROM cum c JOIN mm ON mm.j <= c.bin AND mm.k >= c.bin
+        GROUP BY 1, 2
+    ),
+    iso AS (SELECT i AS bin, max(inner_m) AS iso_rate FROM inner_min GROUP BY 1)
+    SELECT cum.bin, cum.n AS n_docs, cum.p AS n_pos,
+           CAST(cum.p AS DOUBLE) / CAST(cum.n AS DOUBLE) AS raw_rate,
+           iso.iso_rate AS iso_rate
+    FROM cum JOIN iso ON cum.bin = iso.bin
+    """,
+    tags=("X-isotonic",),
+)
+def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone nondecreasing) calibration of the binned
+    quality score via the minimax identity — the closed form of
+    pool-adjacent-violators (Ayer et al. 1955; Zadrozny & Elkan 2002
+    for classifier calibration): iso(i) = max_{{j<=i}} min_{{k>=i}}
+    mean(pos rate over bins j..k). Where the raw reliability diagram
+    (calibration_ece_bins) is non-monotone, isotonic pooling is the
+    standard repair before scores become sampling weights. Every pooled
+    mean is an exact int64 prefix-difference ratio, and min/max of
+    exact doubles is engine-deterministic — no iteration, no rounding
+    anywhere.
+
+    Distributed shape: the data-grain work is the SAME single 10-group
+    aggregation as calibration_ece_bins; the minimax runs over
+    O(bins^3)=220 combinations of a 10-row frame (three bounded window
+    /join stages) — constant work at any corpus size. The classic
+    sequential PAV loop would be a driver-side scan; the minimax form
+    is order-free and fully relational."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    m = docs.select(
+        F.when(F.col("n_chars") >= _CAL_NCHARS, 1).otherwise(0).alias("pos"),
+        (
+            F.size(F.array_distinct(ws)).cast("double") / F.size(ws).cast("double")
+        ).alias("s"),
+    )
+    from ..functions.lineage import truncate_lineage
+
+    b = m.groupBy(
+        F.least(F.floor(F.col("s") * 10).cast("int"), F.lit(9)).alias("bin")
+    ).agg(F.count("*").cast("long").alias("n"), F.sum("pos").cast("long").alias("p"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = truncate_lineage(
+        b.select(
+            "bin",
+            "n",
+            "p",
+            F.sum("n").over(wcum).cast("long").alias("cn"),
+            F.sum("p").over(wcum).cast("long").alias("cp"),
+        ),
+        eager=False,
+    )  # 10 rows, consumed by lo / mm / inner_min / final join
+    wlag = Window.orderBy("bin")
+    lo = cum.select(
+        F.col("bin").alias("j"),
+        F.coalesce(F.lag("cn").over(wlag), F.lit(0).cast("long")).alias("cn0"),
+        F.coalesce(F.lag("cp").over(wlag), F.lit(0).cast("long")).alias("cp0"),
+    )
+    mm = lo.join(cum, cum.bin >= lo.j).select(
+        "j",
+        F.col("bin").alias("k"),
+        (
+            (F.col("cp") - F.col("cp0")).cast("double")
+            / (F.col("cn") - F.col("cn0")).cast("double")
+        ).alias("mjk"),
+    )
+    inner = (
+        cum.select(F.col("bin").alias("i"))
+        .join(mm, (mm.j <= F.col("i")) & (mm.k >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("mjk").alias("inner_m"))
+    )
+    iso = inner.groupBy(F.col("i").alias("bin")).agg(
+        F.max("inner_m").alias("iso_rate")
+    )
+    return cum.join(iso, "bin").select(
+        "bin",
+        F.col("n").alias("n_docs"),
+        F.col("p").alias("n_pos"),
+        (F.col("p").cast("double") / F.col("n").cast("double")).alias("raw_rate"),
+        "iso_rate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator on the token frequency distribution
+# ---------------------------------------------------------------------------
+
+_HILL_K = 50
+
+
+@register(
+    "hill_tail_index",
+    f"""
+    WITH counts AS (
+        SELECT gram, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT ws[i] || ' ' || ws[i + 1] AS gram
+              FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM (SELECT string_split(lower(text), ' ') AS ws
+                          FROM documents)
+                    WHERE len(ws) >= 2))
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, gram) AS rn FROM counts
+    ),
+    thr AS (SELECT c AS c_k1 FROM ranked WHERE rn = {_HILL_K + 1})
+    SELECT CAST({_HILL_K} AS INT) AS k,
+           thr.c_k1 AS threshold_count,
+           round(sum(ln(CAST(r.c AS DOUBLE) / CAST(thr.c_k1 AS DOUBLE)))
+                 / {_HILL_K}, 5) AS hill_inv_alpha,
+           round({_HILL_K} / sum(ln(CAST(r.c AS DOUBLE)
+                                    / CAST(thr.c_k1 AS DOUBLE))), 5) AS alpha
+    FROM ranked r CROSS JOIN thr
+    WHERE r.rn <= {_HILL_K}
+    GROUP BY thr.c_k1
+    """,
+    tags=("X-tail-index",),
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator (Hill 1975) of the power-law tail index over the
+    word-bigram frequency distribution (the unigram vocabulary of the
+    synthetic corpus is only 31 types — below k+1 — so the estimator
+    runs at the bigram grain, where Zipf structure is real):
+    alpha^-1 = mean over the top-k frequencies of ln(x_(i) / x_(k+1)). The maximum-likelihood
+    complement to vocab_zipf_fit's regression slope — tail indexes
+    drive vocabulary sizing and BPE merge budgets (how much mass the
+    long tail holds decides how many merges pay off). Every ln argument
+    is an exact int64 count ratio; the k-term sum is rounded at the
+    edge (bigram_lm precedent). Ranking ties break by token, and only
+    COUNT VALUES enter the estimate, so tie order cannot change it.
+
+    Distributed shape: one token-grain count aggregation (map-side
+    combined), a TakeOrdered top-(k+1) — never a full sort of the
+    vocabulary — and a k-row scalar aggregation with the threshold
+    count broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    counts = (
+        docs.select(ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    from ..functions.lineage import truncate_lineage
+
+    ranked = truncate_lineage(
+        counts.select(
+            "c", F.row_number().over(Window.orderBy(F.desc("c"), "gram")).alias("rn")
+        ).filter(F.col("rn") <= _HILL_K + 1),
+        eager=False,
+    )  # 51 rows; consumed by the top-k sum and the threshold row
+    thr = ranked.filter(F.col("rn") == _HILL_K + 1).select(
+        F.col("c").alias("c_k1")
+    )
+    lnsum = F.sum(
+        F.log(F.col("c").cast("double") / F.col("c_k1").cast("double"))
+    )
+    return (
+        ranked.filter(F.col("rn") <= _HILL_K)
+        .crossJoin(F.broadcast(thr))
+        .groupBy("c_k1")
+        .agg(
+            F.round(lnsum / _HILL_K, 5).alias("hill_inv_alpha"),
+            F.round(F.lit(_HILL_K) / lnsum, 5).alias("alpha"),
+        )
+        .select(
+            F.lit(_HILL_K).cast("int").alias("k"),
+            F.col("c_k1").alias("threshold_count"),
+            "hill_inv_alpha",
+            "alpha",
+        )
+    )
