@@ -75,10 +75,10 @@ def incremental_exact_survivors(
     """
     is_new = _is_new(new_mod, new_rem)
     corpus_digests = (
-        fan_out(docs.filter(~is_new)).select(F.md5("text").alias("digest")).distinct()
+        docs.filter(~is_new).select(F.md5("text").alias("digest")).distinct()
     )
     return (
-        fan_out(docs.filter(is_new))
+        docs.filter(is_new)
         .select("doc_id", F.md5("text").alias("digest"))
         .join(corpus_digests, "digest", "left_anti")
         .select("doc_id", "digest")
@@ -151,7 +151,7 @@ def vocab_coverage(docs: DataFrame, top_k: int = 100) -> DataFrame:
     heap + driver merge, NOT a global sort. The cumulative-coverage
     window then runs over exactly k rows.
     """
-    toks = fan_out(docs).select(
+    toks = docs.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
     )
     counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
@@ -250,7 +250,7 @@ def word_entropy(docs: DataFrame) -> DataFrame:
     (doc_id), both uniform — no global state, scales with the corpus.
     """
     counts = (
-        fan_out(docs)
+        docs
         .select(
             "doc_id",
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
@@ -290,7 +290,7 @@ def repeated_segment_stats(docs: DataFrame, seg_len: int = 16) -> DataFrame:
     # segs feeds the frequency pass and the verdict join; the checkpoint
     # keeps the segment explode + per-segment md5 from running twice.
     segs = truncate_lineage(
-        fan_out(docs)
+        docs
         .select("doc_id", ws.alias("ws"))
         .filter(F.size("ws") >= seg_len)
         .select("doc_id", F.explode(segs_expr).alias("seg_hash")),
@@ -324,7 +324,7 @@ def vocab_growth_by_source(docs: DataFrame) -> DataFrame:
     runs over one row per (source, contributing doc), not per word.
     """
     first_seen = (
-        fan_out(docs)
+        docs
         .select(
             "source",
             "doc_id",
@@ -365,7 +365,7 @@ def countmin_heavy_hitters(
     (TakeOrdered) exists to expose the estimate quality (CMS never
     undercounts; overcount = collision mass).
     """
-    toks = fan_out(docs).select(
+    toks = docs.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
     )
     tok_counts = toks.groupBy("w").agg(F.count("*").alias("c"))

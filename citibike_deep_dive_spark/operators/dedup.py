@@ -74,7 +74,7 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups: md5(text) digest → keeper (min doc_id) and
     duplicate count. One hash aggregation; digest keys shuffle uniformly."""
     return (
-        fan_out(docs).select("doc_id", F.md5("text").alias("digest"))
+        docs.select("doc_id", F.md5("text").alias("digest"))
         .groupBy("digest")
         .agg(
             F.min("doc_id").alias("keeper_doc_id"),
@@ -285,7 +285,7 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     engine with md5 + substring. Explode + conditional aggregation keeps
     the whole plan in codegen; one shuffle on doc_id.
     """
-    toks = fan_out(docs).select(
+    toks = docs.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
     )
     digest = F.md5("tok")

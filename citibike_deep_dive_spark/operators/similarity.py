@@ -306,7 +306,7 @@ def dim_covariance(embeddings: DataFrame, d: int = 16) -> DataFrame:
     driver-side matrix.
     """
     e = F.transform(F.slice("embedding", 1, d), lambda x: x.cast("double"))
-    src = fan_out(embeddings).select(e.alias("xs"))
+    src = embeddings.select(e.alias("xs"))
     means = (
         src.select(F.posexplode("xs").alias("i", "x"))
         .groupBy("i")

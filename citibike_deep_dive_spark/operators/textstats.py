@@ -77,7 +77,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     punct = F.regexp_count(text, F.lit("[^a-zA-Z0-9 ]")).cast("double")
     punct_ratio = punct / n_chars
     stop_ratio = _stopword_hits(text, STOPWORDS["en"]).cast("double") / n_tokens
-    return fan_out(docs).select(
+    return docs.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
@@ -140,7 +140,7 @@ def boilerplate_prefix_scrub(
     corpus reshuffle.
     """
     prefix = F.array_join(F.slice(F.split(F.col("text"), " "), 1, width), " ")
-    with_prefix = fan_out(docs).select(
+    with_prefix = docs.select(
         "doc_id", "source", "text", prefix.alias("prefix")
     )
     frequent = (

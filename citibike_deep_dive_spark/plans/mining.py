@@ -208,7 +208,7 @@ def margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist (ann_ivfpq_rerank_exact) feeding the SAME margin/mutual
     plan — the normalization and mutual-best logic is shortlist-local."""
     emb = (
-        fan_out(table(spark, sf_dir, "embeddings"))
+        table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     dot = F.aggregate(
@@ -354,7 +354,7 @@ def prototype_hard_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort each). At 100 TB the centroids come from ivf_kmeans_cells and
     the per-cluster rank is exactly the WindowGroupLimit shape —
     per-cluster top-(n/2) pushes the cut below the exchange."""
-    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    emb = table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").cast("int").alias("cluster_id"),
         F.col("embedding").cast("array<double>").alias("centroid"),

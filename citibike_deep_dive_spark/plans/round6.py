@@ -338,7 +338,7 @@ def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed too so the candidate self-join doesn't evaluate the
     # interpreted minhash transforms on both aliases (the same sharing
     # the standalone LSH queries adopted this round).
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     sh = truncate_lineage(shingle_frame(docs), eager=False)
     bands = truncate_lineage(
         lsh_bands(minhash_signatures(docs, 4, shingles=sh), rows_per_band=2),
@@ -918,7 +918,7 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is a distributed TakeOrderedAndProject, so ranking and the
     log-log regression run on a k-row-bounded frame; the regression
     itself is decomposable decimal sums (the ols_trend pattern)."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     tf = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
         .groupBy("term")

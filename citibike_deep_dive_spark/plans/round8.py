@@ -102,7 +102,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucket ids come from the portable md5 family: uniform shuffle keys
     AND engine-exact oracle parity. At 100 TB nothing here grows with
     the corpus except the one map-combined explode."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     bg = truncate_lineage(dsir_doc_buckets(docs), eager=False)
     model = dsir_model(bg)
     return dsir_weights(bg, model)
@@ -368,7 +368,7 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id*100000+pos) equals the struct min because positions are
     bounded by the chunk count; the Spark side orders on the struct
     itself."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     ch = chunk_frame(docs)
     w_dig = Window.partitionBy("digest")
     flagged = ch.withColumn(
@@ -658,7 +658,7 @@ def ndcg_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query sums are <= 10 terms, rounded at the edge."""
     from ..operators.similarity import brute_force_topk
 
-    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     ranked = brute_force_topk(emb, queries, k=_NDCG_K).select(
         "query_id", "cand_id", "rank"
@@ -1045,7 +1045,7 @@ def shard_assignment_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, zero shuffle; then one keyed count and a broadcast scalar
     for the skew. The oracle unnests and windows instead — same
     semantics, test-scale only."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     assigned = docs.select(
         F.expr(hrw_shard_expr(_HRW_SHARDS)).cast("int").alias("shard")
     )
@@ -1277,7 +1277,7 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     (posexplode-style index arithmetic), which is what makes phrase
     lookup at 100 TB a scan + broadcast filter, not a pos+1 equi-join
     per word."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     ws = F.split(F.lower("text"), " ")
     tri_expr = F.expr(
         "transform(sequence(1, size(ws) - 2),"

@@ -127,7 +127,7 @@ def dedup_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.lineage import truncate_lineage
     from ..operators.dedup import lsh_bands, minhash_signatures
 
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     bands = truncate_lineage(
         lsh_bands(minhash_signatures(docs, 4), rows_per_band=2), eager=False
     )
@@ -155,7 +155,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.lineage import truncate_lineage
     from ..operators.dedup import lsh_bands, minhash_signatures, shingle_frame
 
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     sh = truncate_lineage(shingle_frame(docs), eager=False)
     bands = truncate_lineage(
         lsh_bands(minhash_signatures(docs, 4, shingles=sh), rows_per_band=2),
@@ -193,7 +193,7 @@ _SIMHASH_BITS = " + ".join(
     tags=("X-dedup-simhash",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(fan_out(table(spark, sf_dir, "documents")), bits=16)
+    return simhash(table(spark, sf_dir, "documents"), bits=16)
 
 
 # ---------------------------------------------------------------------------
@@ -301,7 +301,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    bf = fan_out(emb).transform(
+    bf = emb.transform(
         lambda e: brute_force_topk(e, queries, k=10)
     ).select("query_id", "cand_id")
     ivf = ivf_topk(emb, queries, k=10).select("query_id", "cand_id")
@@ -2317,7 +2317,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition thresholds. At 100 TB the explode path is the only
     shuffle, keyed by doc_id (uniform — no skew); everything else is
     whole-stage codegen over arrays."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     ws = F.split(F.lower(F.col("text")), " ")
     grams = F.expr(
         "transform(sequence(1, size(ws) - 2), i -> array_join(slice(ws, i, 3), ' '))"
@@ -4201,7 +4201,7 @@ def vocab_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integers and the two divisions are written in the same
     order on both engines, so the double is emitted RAW (bit-identical),
     no rounding."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     tf = (
         docs.select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
         .groupBy("source", "tok")
@@ -4420,7 +4420,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     over distinct words only, weighting by word frequency. Corpus scan →
     word-dict shuffle → pair shuffle → TakeOrdered(20); the pair
     explosion never touches raw text volume."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     wf = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
         .filter(F.length("word") >= 2)
@@ -4715,7 +4715,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     instruction pair per candidate."""
     from ..functions.lineage import truncate_lineage
 
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     sh = simhash(docs, bits=16)
     # the band frame feeds BOTH join aliases; without the lazy checkpoint
     # the token explode + vote aggregation runs twice (the shared-bands
@@ -5208,7 +5208,7 @@ def feature_hashing_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation with map-side combine; bucket ids are md5-derived
     (uniform shuffle keys), and the triple form feeds any downstream
     linear model trainer as a co-partitioned join on doc_id."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
@@ -5275,7 +5275,7 @@ def linear_gd_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal; iterating = re-running with the updated broadcast w, same
     plan per epoch (the SGD loop is the k-means loop with a different
     update rule)."""
-    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    emb = table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
@@ -5570,7 +5570,7 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd regexp/split counts summed in ONE pass; the ratio of two
     exact integers is deterministic. At 100 TB: one scan, a
     languages-sized aggregate."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     ws = F.size(F.split(F.lower("text"), " ")).cast("long")
     bpe = F.regexp_count(F.col("text"), F.lit(TOKEN_REGEX)).cast("long")
     return docs.groupBy("lang").agg(
@@ -5618,7 +5618,7 @@ def source_sampling_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass; the target math is a broadcast of two scalars (total tokens,
     source count). Swapping the uniform target for a learned one
     (DoReMi-style weights) changes one literal vector, not the plan."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
     src = docs.groupBy("source").agg(
         F.sum(F.size(F.split(F.lower("text"), " "))).cast("long").alias("src_tokens")
     )
