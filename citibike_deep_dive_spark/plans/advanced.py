@@ -295,25 +295,22 @@ def dock_deep_merge_nested_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     head-only floor 0.29 s (scan+fan_out+project — every form pays it),
     string-grain full 0.505 s, compact-grain full ~0.38 s; the JSON tail
     is 0.04 s either way, so key compaction was the only remaining lever.
-    Plan: fan_out → int unpivot → fused monthly agg [shuffle, map-side
+    Plan: scan → int unpivot → fused monthly agg [shuffle, map-side
     combined] → repartition(idx) [shuffle, ~500 rows] → year + station
     aggs exchange-free; two keyed shuffles, zero joins, zero interpreted
     HOFs — same shape as the generic ``dock_merge_fused_json``, which
     stays the operator surface for real (non-derivable) station columns
     (tests/test_operators.py pins its equivalence to the MapType forms).
 
-    fan_out rationale unchanged from r6 (single-file scan, light per-row
-    work → fewer fatter tasks; barrier=True keeps the derived-column
-    filter from being pushed back onto the single scan task), but the
-    int unpivot made the per-row work even lighter, moving the optimum
-    down again: r8 interleaved A/B on the fused monthly agg —
-    fan4 0.339 / fan8 0.364 / fan16 0.406 s."""
+    No fan_out: the r6-r8 width trail ended at zero — the int unpivot
+    made the per-row work so light that even the quarter-width
+    repartition+barrier is pure cost on top of the first exchange
+    (r8 interleaved A/B, min-of-5 x3: fan4 0.46 s vs no-fan 0.28 s;
+    earlier trail fan4 0.339 / fan8 0.364 / fan16 0.406 compared widths
+    only and never re-tested none after the compact-key rework)."""
     from ..normalize import MONTH_ABBREV
-    from ..operators.fanout import fan_out
 
-    cores = spark.sparkContext.defaultParallelism
-    o = fan_out(table(spark, sf_dir, "orders"), target=max(4, cores // 8),
-                barrier=True)
+    o = table(spark, sf_dir, "orders")
     sidx = F.col("o_custkey") % 6
     eidx = (F.col("o_custkey") + F.col("o_orderkey") % 5) % 6
     # identical gates to _EXISTING_PRED/_DELTA_PRED: 4-digit string years
