@@ -41,8 +41,15 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
-    return fan_out(df).withColumn(col, F.col(col).cast("array<double>"))
+def _as_double(
+    df: DataFrame, col: str = "embedding", fan: bool = True
+) -> DataFrame:
+    # fan=False for aggregation-first consumers (k-means, IVF assign):
+    # they recover parallelism at their first exchange, so the fan-out
+    # repartition is pure cost there (r8 site-level A/B, SCALE.md);
+    # default True protects the heavy per-row scorers (near-dup pairs).
+    out = fan_out(df) if fan else df
+    return out.withColumn(col, F.col(col).cast("array<double>"))
 
 
 def brute_force_topk(
@@ -189,7 +196,11 @@ def embedding_near_dups_sign_lsh(
 
 
 def kmeans(
-    embeddings: DataFrame, k: int = 8, iters: int = 3, id_col: str = "vec_id"
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    fan: bool = True,
 ) -> DataFrame:
     """Deterministic mini k-means over the embedding column: centroids
     seeded from the k lowest ids, ``iters`` rounds of assign→mean.
@@ -203,7 +214,7 @@ def kmeans(
 
     Returns (cluster_id, centroid: array<double>, n_members).
     """
-    e = _as_double(embeddings).select(
+    e = _as_double(embeddings, fan=fan).select(
         F.col(id_col).alias("__id"), F.col("embedding").alias("v")
     )
     centroids = (
@@ -280,10 +291,13 @@ def _assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def ivf_assign(
-    embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    fan: bool = True,
 ) -> DataFrame:
     """Final IVF cell assignment: (id, cell) for every vector."""
-    e = _as_double(embeddings).select(
+    e = _as_double(embeddings, fan=fan).select(
         F.col(id_col).alias("__id"), F.col("embedding").alias("v")
     )
     return _assign(e, centroids).select(

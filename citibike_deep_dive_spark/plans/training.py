@@ -1686,8 +1686,8 @@ def ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_assign, kmeans
 
     emb = table(spark, sf_dir, "embeddings")
-    centroids = kmeans(emb, k=8, iters=3)
-    assigned = ivf_assign(emb, centroids)
+    centroids = kmeans(emb, k=8, iters=3, fan=False)
+    assigned = ivf_assign(emb, centroids, fan=False)
     return assigned.groupBy("cell").agg(
         F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
     )
@@ -1734,7 +1734,7 @@ def ivf_fixed_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("embedding").cast("array<double>").alias("centroid"),
         )
     )
-    assigned = ivf_assign(emb, centroids)
+    assigned = ivf_assign(emb, centroids, fan=False)
     return assigned.groupBy("cell").agg(
         F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
     )
