@@ -54,7 +54,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # k-core peeling) and the eleven extension-batch statistics queries
 # (calibration ECE, Poisson bootstrap CI, Cohen's kappa, lang-source
 # MI, coverage curve, PCA power iteration, LOO source valuation,
-# isotonic calibration, Hill tail index) — first-time verification
+# isotonic calibration, Hill tail index, pairwise Wasserstein source
+# distances, packing-efficiency curve) — first-time verification
 # outranks evidence refresh); (c) the least-recently-verified entries
 # (last green r1-r2), so the oldest evidence refreshes. Exactly 50
 # entries; every one preflight.py-exact before commit.
@@ -100,6 +101,8 @@ VERIFY_FIRST = [
     "loo_source_value",
     "isotonic_calibration_bins",
     "hill_tail_index",
+    "wasserstein_source_lengths",
+    "packing_efficiency_curve",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",
@@ -107,8 +110,6 @@ VERIFY_FIRST = [
     "semdedup_prune_subcells",
     "dock_deep_merge_nested_maps",
     # (c) least-recently-verified (r1-r2 evidence), oldest first
-    "deterministic_sample",
-    "linegraph_conditional_counts",
     "heatmap_hourly_counts",
     "anyvalue_deterministic",
     "dock_flow_full_outer",

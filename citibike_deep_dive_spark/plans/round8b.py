@@ -995,3 +995,193 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alpha",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise 1-D Wasserstein distance between source length distributions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wasserstein_source_lengths",
+    """
+    WITH counts AS (
+        SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    support AS (SELECT DISTINCT x FROM counts),
+    srcs AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1
+    ),
+    grid AS (
+        SELECT s.source, s.n, sup.x, coalesce(c.c, 0) AS c
+        FROM srcs s CROSS JOIN support sup
+        LEFT JOIN counts c ON c.source = s.source AND c.x = sup.x
+    ),
+    cdf AS (
+        SELECT source, n, x,
+               CAST(sum(c) OVER (PARTITION BY source ORDER BY x) AS BIGINT)
+                   AS cum,
+               lead(x) OVER (PARTITION BY source ORDER BY x) AS x_next
+        FROM grid
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(sum(abs(a.cum * b.n - b.cum * a.n)
+                    * (a.x_next - a.x)) AS DOUBLE)
+               / CAST(a.n * b.n AS DOUBLE) AS w1_chars
+    FROM cdf a
+    JOIN cdf b ON a.x = b.x AND a.source < b.source
+    WHERE a.x_next IS NOT NULL
+    GROUP BY 1, 2, a.n, b.n
+    """,
+    tags=("X-wasserstein",),
+)
+def wasserstein_source_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between every
+    pair of per-source document-length distributions: W1 = integral of
+    |CDF_a - CDF_b|, evaluated on the merged support grid. The
+    distribution-shift complement to ks_drift_statistic (KS is the max
+    CDF gap — W1 is its integral, the quantity mixture rebalancing
+    actually moves). INTEGER-EXACT throughout: the integrand is
+    |cum_a*n_b - cum_b*n_a| * dx in int64 (cross-multiplied CDFs never
+    form a float), and the single final division by n_a*n_b is the only
+    double — no transcendentals, no rounding.
+
+    Distributed shape: one (source, length) count aggregation
+    (map-side combined — the only data-grain pass), then a
+    |sources| x |support| grid (~10^3 rows at ANY corpus size: support
+    is value-distinct, Heaps-bounded) with per-source cumulative
+    windows and a self-join on the grid point. At 100 TB the grid is
+    unchanged — corpus size only raises the counts."""
+    docs = table(spark, sf_dir, "documents")
+    from ..functions.lineage import truncate_lineage
+
+    counts = truncate_lineage(
+        docs.groupBy("source", F.col("n_chars").alias("x")).agg(
+            F.count("*").cast("long").alias("c")
+        ),
+        eager=False,
+    )  # consumed by support, srcs, and the grid join
+    support = counts.select("x").distinct()
+    srcs = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        srcs.crossJoin(F.broadcast(support))
+        .join(counts, ["source", "x"], "left")
+        .select("source", "n", "x", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy("x")
+    cdf = truncate_lineage(
+        grid.select(
+            "source",
+            "n",
+            "x",
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cum"),
+            F.lead("x").over(w).alias("x_next"),
+        ),
+        eager=False,
+    )  # both sides of the pair self-join read it
+    a = cdf.alias("a")
+    b = cdf.alias("b")
+    term = F.abs(
+        F.col("a.cum") * F.col("b.n") - F.col("b.cum") * F.col("a.n")
+    ) * (F.col("a.x_next") - F.col("a.x"))
+    return (
+        a.join(
+            b,
+            (F.col("a.x") == F.col("b.x")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .filter(F.col("a.x_next").isNotNull())
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.sum(term).cast("double").alias("num"))
+        .select(
+            "source_a",
+            "source_b",
+            (F.col("num") / (F.col("na") * F.col("nb")).cast("double")).alias(
+                "w1_chars"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-packing efficiency curve across context lengths
+# ---------------------------------------------------------------------------
+
+_PACK_CTXS = (64, 256, 1024)
+
+
+@register(
+    "packing_efficiency_curve",
+    f"""
+    WITH t AS (
+        SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok
+        FROM documents
+    ),
+    ctx AS (SELECT unnest(ARRAY{list(_PACK_CTXS)}) AS ctx)
+    SELECT CAST(ctx AS INT) AS ctx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           CAST(sum(((tok + ctx - 1) // ctx) * ctx) AS BIGINT) AS padded_tokens,
+           CAST(sum(tok) AS DOUBLE)
+               / CAST(sum(((tok + ctx - 1) // ctx) * ctx) AS DOUBLE)
+               AS pad_efficiency,
+           CAST(sum(tok) AS DOUBLE)
+               / CAST(((sum(tok) + ctx - 1) // ctx) * ctx AS DOUBLE)
+               AS concat_efficiency
+    FROM t CROSS JOIN ctx
+    GROUP BY ctx
+    """,
+    tags=("X-packing-curve",),
+)
+def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing efficiency at three context lengths under the two
+    canonical batching models: per-document padding (each doc rounded
+    up to whole ctx blocks — the no-packing baseline) vs ideal stream
+    concatenation (one global ceil — the upper bound any packer chases;
+    token_packing implements the greedy middle ground at one ctx). The
+    efficiency GAP between the two columns is the packer's headroom,
+    and how it closes as ctx shrinks drives the context-length choice
+    for heterogeneous corpora. Integer-exact: ceil-division in int64,
+    two exact final ratios per row.
+
+    Distributed shape: one scan exploded x3 contexts straight into a
+    3-group aggregation (map-side combined). One tiny shuffle at any
+    corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("tok")
+    )
+    ctxs = F.explode(
+        F.array(*[F.lit(c).cast("long") for c in _PACK_CTXS])
+    ).alias("ctx")
+    x = t.select("tok", ctxs)
+    blocks = F.floor((F.col("tok") + F.col("ctx") - 1) / F.col("ctx"))
+    agg = x.groupBy("ctx").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.sum(blocks * F.col("ctx")).cast("long").alias("padded_tokens"),
+    )
+    concat_blocks = F.floor(
+        (F.col("total_tokens") + F.col("ctx") - 1) / F.col("ctx")
+    )
+    return agg.select(
+        F.col("ctx").cast("int").alias("ctx"),
+        "n_docs",
+        "total_tokens",
+        "padded_tokens",
+        (
+            F.col("total_tokens").cast("double")
+            / F.col("padded_tokens").cast("double")
+        ).alias("pad_efficiency"),
+        (
+            F.col("total_tokens").cast("double")
+            / (concat_blocks * F.col("ctx")).cast("double")
+        ).alias("concat_efficiency"),
+    )

@@ -233,3 +233,62 @@ def test_hill_estimator_consistency(spark):
     assert r["threshold_count"] >= 1
     assert r["hill_inv_alpha"] > 0  # top-k counts strictly above... >= threshold
     assert abs(r["alpha"] * r["hill_inv_alpha"] - 1.0) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# wasserstein_source_lengths
+# ---------------------------------------------------------------------------
+
+
+def test_wasserstein_matches_scipy_style(spark):
+    """W1 on the merged support must equal the mean-absolute-difference
+    of sorted quantile functions computed directly in Python."""
+    rows = CATALOG["wasserstein_source_lengths"].build(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "source", "n_chars"
+    ).collect()
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    import itertools
+
+    def w1(xs, ys):
+        xs, ys = sorted(xs), sorted(ys)
+        support = sorted(set(xs) | set(ys))
+        import bisect
+
+        tot = 0.0
+        for x0, x1 in zip(support, support[1:]):
+            fa = bisect.bisect_right(xs, x0) / len(xs)
+            fb = bisect.bisect_right(ys, x0) / len(ys)
+            tot += abs(fa - fb) * (x1 - x0)
+        return tot
+
+    got = {(r["source_a"], r["source_b"]): r["w1_chars"] for r in rows}
+    srcs = sorted(by_src)
+    assert len(got) == len(list(itertools.combinations(srcs, 2)))
+    for a, b in itertools.combinations(srcs, 2):
+        assert abs(got[(a, b)] - w1(by_src[a], by_src[b])) < 1e-9
+    assert all(v >= 0 for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# packing_efficiency_curve
+# ---------------------------------------------------------------------------
+
+
+def test_packing_curve_bounds_and_ordering(spark):
+    rows = sorted(
+        CATALOG["packing_efficiency_curve"].build(spark, SF_DIR).collect(),
+        key=lambda r: r["ctx"],
+    )
+    assert [r["ctx"] for r in rows] == [64, 256, 1024]
+    for r in rows:
+        assert r["padded_tokens"] >= r["total_tokens"]
+        assert 0 < r["pad_efficiency"] <= 1.0
+        # concatenation can never be worse than per-doc padding
+        assert r["concat_efficiency"] >= r["pad_efficiency"] - 1e-12
+        assert r["concat_efficiency"] <= 1.0
+    # per-doc padding waste grows with context length
+    effs = [r["pad_efficiency"] for r in rows]
+    assert effs[0] >= effs[1] >= effs[2]
