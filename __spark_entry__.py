@@ -55,7 +55,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (calibration ECE, Poisson bootstrap CI, Cohen's kappa, lang-source
 # MI, coverage curve, PCA power iteration, LOO source valuation,
 # isotonic calibration, Hill tail index, pairwise Wasserstein source
-# distances, packing-efficiency curve) — first-time verification
+# distances, packing-efficiency curve, Fleiss kappa, pairwise
+# Mann-Whitney AUC) — first-time verification
 # outranks evidence refresh); (c) the least-recently-verified entries
 # (last green r1-r2), so the oldest evidence refreshes. Exactly 50
 # entries; every one preflight.py-exact before commit.
@@ -103,6 +104,8 @@ VERIFY_FIRST = [
     "hill_tail_index",
     "wasserstein_source_lengths",
     "packing_efficiency_curve",
+    "fleiss_kappa_three_raters",
+    "mannwhitney_source_lengths",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",
@@ -110,8 +113,6 @@ VERIFY_FIRST = [
     "semdedup_prune_subcells",
     "dock_deep_merge_nested_maps",
     # (c) least-recently-verified (r1-r2 evidence), oldest first
-    "heatmap_hourly_counts",
-    "anyvalue_deterministic",
     "dock_flow_full_outer",
 ]
 

@@ -1185,3 +1185,191 @@ def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (concat_blocks * F.col("ctx")).cast("double")
         ).alias("concat_efficiency"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa across three quality heuristics
+# ---------------------------------------------------------------------------
+
+_FLEISS_RATERS = 3
+_FLEISS_RATIO = 0.55  # distinct-token-ratio gate for rater 3
+
+
+@register(
+    "fleiss_kappa_three_raters",
+    f"""
+    WITH r AS (
+        SELECT (CASE WHEN n_chars >= {_KAPPA_NCHARS} THEN 1 ELSE 0 END
+              + CASE WHEN len(ws) >= {_KAPPA_NTOKS} THEN 1 ELSE 0 END
+              + CASE WHEN CAST(len(list_distinct(ws)) AS DOUBLE)
+                          / CAST(len(ws) AS DOUBLE) >= {_FLEISS_RATIO}
+                     THEN 1 ELSE 0 END) AS pos
+        FROM (SELECT n_chars, string_split(lower(text), ' ') AS ws
+              FROM documents)
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS tot_pos,
+               CAST(sum(pos * pos) AS BIGINT) AS s2
+        FROM r
+    )
+    SELECT n AS n_docs,
+           CAST({_FLEISS_RATERS} AS INT) AS n_raters,
+           -- P_bar: mean per-item agreement = (s2 + (m^2 - m) - (2m-2)*tot_pos
+           -- over items) / (n*m*(m-1)); derived from pos and m-pos pair counts
+           CAST(2 * s2 - 2 * {_FLEISS_RATERS} * tot_pos
+                + n * {_FLEISS_RATERS * (_FLEISS_RATERS - 1)} AS DOUBLE)
+               / CAST(n * {_FLEISS_RATERS * (_FLEISS_RATERS - 1)} AS DOUBLE)
+               AS p_bar,
+           CAST(tot_pos * tot_pos
+                + (n * {_FLEISS_RATERS} - tot_pos)
+                  * (n * {_FLEISS_RATERS} - tot_pos) AS DOUBLE)
+               / CAST(n * n * {_FLEISS_RATERS * _FLEISS_RATERS} AS DOUBLE)
+               AS p_e,
+           (CAST(2 * s2 - 2 * {_FLEISS_RATERS} * tot_pos
+                 + n * {_FLEISS_RATERS * (_FLEISS_RATERS - 1)} AS DOUBLE)
+                / CAST(n * {_FLEISS_RATERS * (_FLEISS_RATERS - 1)} AS DOUBLE)
+            - CAST(tot_pos * tot_pos
+                   + (n * {_FLEISS_RATERS} - tot_pos)
+                     * (n * {_FLEISS_RATERS} - tot_pos) AS DOUBLE)
+                  / CAST(n * n * {_FLEISS_RATERS * _FLEISS_RATERS} AS DOUBLE))
+           / (1 - CAST(tot_pos * tot_pos
+                       + (n * {_FLEISS_RATERS} - tot_pos)
+                         * (n * {_FLEISS_RATERS} - tot_pos) AS DOUBLE)
+                      / CAST(n * n * {_FLEISS_RATERS * _FLEISS_RATERS}
+                             AS DOUBLE)) AS fleiss_kappa
+    FROM s
+    """,
+    tags=("X-fleiss",),
+)
+def fleiss_kappa_three_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) for THREE labeling functions (length,
+    token count, distinct-token ratio) on the binary quality task —
+    the multi-rater generalization of cohens_kappa_agreement, the
+    standard check before majority-voting weak labels into a training
+    gate (on this synthetic corpus the distinct-ratio rater
+    ANTI-correlates with the two length gates — longer docs repeat more
+    words — so kappa lands below zero: exactly the disagreement signal
+    the audit exists to surface before votes are trusted). With m raters and binary categories, per-item agreement
+    reduces algebraically to pos^2 terms: P_i = (pos*(pos-1) +
+    (m-pos)*(m-pos-1)) / (m*(m-1)), so ONE aggregation carrying
+    sum(pos) and sum(pos^2) determines P_bar exactly, and P_e comes
+    from the two category marginals. Every term is an int64 ratio —
+    engine-exact, no rounding.
+
+    Distributed shape: one scan, one scalar hash aggregation with
+    map-side combine; n^2 products stay inside int64 to ~3e9 docs per
+    slice (moments merge additively across shards beyond)."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    m = _FLEISS_RATERS
+    pos = (
+        F.when(F.col("n_chars") >= _KAPPA_NCHARS, 1).otherwise(0)
+        + F.when(F.size(ws) >= _KAPPA_NTOKS, 1).otherwise(0)
+        + F.when(
+            F.size(F.array_distinct(ws)).cast("double")
+            / F.size(ws).cast("double")
+            >= _FLEISS_RATIO,
+            1,
+        ).otherwise(0)
+    ).alias("pos")
+    s = docs.select(pos).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("tot_pos"),
+        F.sum(F.col("pos") * F.col("pos")).cast("long").alias("s2"),
+    )
+    n, tp, s2 = F.col("n"), F.col("tot_pos"), F.col("s2")
+    p_bar = (2 * s2 - 2 * m * tp + n * (m * (m - 1))).cast("double") / (
+        n * (m * (m - 1))
+    ).cast("double")
+    neg = n * m - tp
+    p_e = (tp * tp + neg * neg).cast("double") / (n * n * m * m).cast("double")
+    return s.select(
+        n.alias("n_docs"),
+        F.lit(m).cast("int").alias("n_raters"),
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        ((p_bar - p_e) / (1 - p_e)).alias("fleiss_kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Mann-Whitney U between source length distributions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mannwhitney_source_lengths",
+    """
+    WITH counts AS (
+        SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(sum(CASE WHEN a.x > b.x THEN a.c * b.c ELSE 0 END)
+                    AS BIGINT) AS wins,
+               CAST(sum(CASE WHEN a.x = b.x THEN a.c * b.c ELSE 0 END)
+                    AS BIGINT) AS ties,
+               CAST(sum(a.c * b.c) AS BIGINT) AS total
+        FROM counts a JOIN counts b ON a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(wins AS DOUBLE) + CAST(ties AS DOUBLE) / 2 AS u_stat,
+           (CAST(wins AS DOUBLE) + CAST(ties AS DOUBLE) / 2)
+               / CAST(total AS DOUBLE) AS auc
+    FROM pairs
+    """,
+    tags=("X-mannwhitney",),
+)
+def mannwhitney_source_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Mann-Whitney U between per-source document-length
+    distributions, reported as the AUC form P(X_a > X_b) + P(=)/2 —
+    the nonparametric twin of ab_test_welch_t and the probability-scale
+    complement to wasserstein_source_lengths (W1 measures HOW FAR the
+    distributions sit apart; AUC measures how OFTEN one dominates).
+    AUC ~ 0.5 means interchangeable length profiles. Computed on the
+    VALUE-COUNT grid, never on row pairs: U = sum over value pairs of
+    c_a*c_b [+ half ties], so the join is |support_a| x |support_b|
+    (Heaps-bounded) regardless of corpus size, and every term is an
+    exact int64 product — two exact final doubles per pair.
+
+    Distributed shape: one (source, length) count aggregation (the
+    only data-grain pass, map-side combined), then a few-hundred-row
+    count-grid self-join. The naive n_a x n_b row comparison never
+    happens at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    from ..functions.lineage import truncate_lineage
+
+    counts = truncate_lineage(
+        docs.groupBy("source", F.col("n_chars").alias("x")).agg(
+            F.count("*").cast("long").alias("c")
+        ),
+        eager=False,
+    )  # both sides of the grid self-join read it
+    a = counts.alias("a")
+    b = counts.alias("b")
+    prod = F.col("a.c") * F.col("b.c")
+    pairs = (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(
+            F.sum(F.when(F.col("a.x") > F.col("b.x"), prod).otherwise(0))
+            .cast("long")
+            .alias("wins"),
+            F.sum(F.when(F.col("a.x") == F.col("b.x"), prod).otherwise(0))
+            .cast("long")
+            .alias("ties"),
+            F.sum(prod).cast("long").alias("total"),
+        )
+    )
+    u = F.col("wins").cast("double") + F.col("ties").cast("double") / 2
+    return pairs.select(
+        "source_a",
+        "source_b",
+        u.alias("u_stat"),
+        (u / F.col("total").cast("double")).alias("auc"),
+    )

@@ -292,3 +292,68 @@ def test_packing_curve_bounds_and_ordering(spark):
     # per-doc padding waste grows with context length
     effs = [r["pad_efficiency"] for r in rows]
     assert effs[0] >= effs[1] >= effs[2]
+
+
+# ---------------------------------------------------------------------------
+# fleiss_kappa_three_raters
+# ---------------------------------------------------------------------------
+
+
+def test_fleiss_kappa_identities(spark):
+    [r] = CATALOG["fleiss_kappa_three_raters"].build(spark, SF_DIR).collect()
+    assert r["n_raters"] == 3
+    assert 0.0 <= r["p_bar"] <= 1.0
+    assert 0.0 <= r["p_e"] <= 1.0
+    assert abs(r["fleiss_kappa"] - (r["p_bar"] - r["p_e"]) / (1 - r["p_e"])) < 1e-12
+    # on this corpus the distinct-ratio rater ANTI-correlates with the
+    # two length raters (longer docs repeat more words), so kappa is
+    # legitimately below zero — assert the hard bounds only
+    assert -1.0 <= r["fleiss_kappa"] <= 1.0
+
+
+def test_fleiss_matches_direct_computation(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    m = 3
+    pos_counts = []
+    for d in docs:
+        ws = d["text"].lower().split(" ")
+        pos = (
+            (d["n_chars"] >= 160)
+            + (len(ws) >= 30)
+            + (len(set(ws)) / len(ws) >= 0.55)
+        )
+        pos_counts.append(pos)
+    n = len(pos_counts)
+    p_bar = sum(p * (p - 1) + (m - p) * (m - p - 1) for p in pos_counts) / (
+        n * m * (m - 1)
+    )
+    tp = sum(pos_counts)
+    p1, p0 = tp / (n * m), (n * m - tp) / (n * m)
+    p_e = p1 * p1 + p0 * p0
+    [r] = CATALOG["fleiss_kappa_three_raters"].build(spark, SF_DIR).collect()
+    assert abs(r["p_bar"] - p_bar) < 1e-12
+    assert abs(r["p_e"] - p_e) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# mannwhitney_source_lengths
+# ---------------------------------------------------------------------------
+
+
+def test_mannwhitney_auc_antisymmetric_and_exact(spark):
+    rows = CATALOG["mannwhitney_source_lengths"].build(spark, SF_DIR).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "source", "n_chars"
+    ).collect()
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    for r in rows:
+        assert 0.0 <= r["auc"] <= 1.0
+        xs, ys = by_src[r["source_a"]], by_src[r["source_b"]]
+        wins = sum(1 for x in xs for y in ys if x > y)
+        ties = sum(1 for x in xs for y in ys if x == y)
+        expect = (wins + ties / 2) / (len(xs) * len(ys))
+        assert abs(r["auc"] - expect) < 1e-12
+        assert abs(r["u_stat"] - (wins + ties / 2)) < 1e-9
