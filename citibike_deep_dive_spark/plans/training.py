@@ -5362,9 +5362,15 @@ def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     winner. Per-class accuracy is an exact integer ratio. Swap the
     scored CTE for the IVF path and this same query grades the ANN
     index's end-task regression, not just its recall."""
-    from ..operators.similarity import _as_double, brute_force_topk
+    from ..operators.similarity import brute_force_topk
 
-    emb = _as_double(table(spark, sf_dir, "embeddings"))
+    # raw frames in, single _as_double inside the scorer: pre-wrapping
+    # here stacked a second fan-out repartition + cast under EVERY one
+    # of the four consumers (scorer corpus, scorer queries, labels,
+    # qlab) — r8 ext A/B: 1.02 -> 0.80 s warm at sf0.1; the remainder
+    # is the genuine 250k-pair HOF cosine (the unrolled element_at
+    # form is 4x worse — SCALE.md negative-A/B list)
+    emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 50)
     top = brute_force_topk(emb, queries, k=10)
     labels = emb.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label"))
