@@ -454,38 +454,55 @@ def coverage_curve_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("decile")
     deciles = ranked.select("doc_id", decile)
     ws = F.split(F.lower("text"), " ")
-    toks = (
-        docs.select("doc_id", ws.alias("ws"))
-        .filter(F.size("ws") >= 2)
-        .join(deciles, "doc_id")
-        .select("decile", "ws")
-    )
+    # Explode grams STRAIGHT off the scan (full scan parallelism), then
+    # join the NARROW per-doc decile frame onto the gram stream: joining
+    # deciles into the text frame BEFORE the explode made the planner
+    # broadcast the text side and run the whole explode on the rank
+    # window's single output partition (sf1 A/B: 2.2 s single-core tail).
     # winning-pattern 9: bigrams as zip_with over two shifted slices —
     # no per-gram array allocation.
     # No (decile, gram) DISTINCT before the min — duplicates cannot
     # change a min, so the dedupe shuffle is pure waste; the single
     # gram-grain aggregation absorbs them map-side.
-    grams = toks.select(
-        "decile",
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("ws"), 1, F.size("ws") - 1),
-                F.slice(F.col("ws"), 2, F.size("ws") - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("gram"),
+    grams = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("gram"),
+        )
+        .join(deciles.hint("shuffle_hash"), "doc_id")
+        # shuffle-hash hint: Catalyst's size estimate through Generate
+        # undercounts the exploded gram side and broadcasts IT (1.5M
+        # rows at sf1) while probing from the rank window's single
+        # partition; hashing both sides on doc_id is parallel at every
+        # scale and never broadcasts data-grain frames.
     )
     firsts = grams.groupBy("gram").agg(F.min("decile").cast("int").alias("decile"))
     per = firsts.groupBy("decile").agg(F.count("*").cast("long").alias("new_grams"))
-    tot = per.agg(F.sum("new_grams").cast("long").alias("total"))
+    # the grand total is a FULL-RANGE window over the same 10-row frame,
+    # NOT a separate per.agg() + crossJoin — that second consumer
+    # re-ran the entire gram pipeline (sf1: 4.4 -> ~0.5 s warm;
+    # multiply-consumed-frame rule)
     cum = F.sum("new_grams").over(
         Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     )
-    return per.crossJoin(F.broadcast(tot)).select(
+    total = F.sum("new_grams").over(
+        Window.orderBy("decile").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return per.select(
         "decile",
         "new_grams",
         cum.cast("long").alias("cum_grams"),
-        (cum.cast("double") / F.col("total").cast("double")).alias("coverage"),
+        (cum.cast("double") / total.cast("double")).alias("coverage"),
     )
 
 
