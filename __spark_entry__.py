@@ -56,7 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # MI, coverage curve, PCA power iteration, LOO source valuation,
 # isotonic calibration, Hill tail index, pairwise Wasserstein source
 # distances, packing-efficiency curve, Fleiss kappa, pairwise
-# Mann-Whitney AUC) — first-time verification
+# Mann-Whitney AUC, margin mining over the sign-LSH shortlist — the
+# production form that survives sf1 where the cross join OOMs) —
+# first-time verification
 # outranks evidence refresh); (c) the least-recently-verified entries
 # (last green r1-r2), so the oldest evidence refreshes. Exactly 50
 # entries; every one preflight.py-exact before commit.
@@ -106,6 +108,7 @@ VERIFY_FIRST = [
     "packing_efficiency_curve",
     "fleiss_kappa_three_raters",
     "mannwhitney_source_lengths",
+    "margin_bitext_ann_shortlist",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",
@@ -113,7 +116,6 @@ VERIFY_FIRST = [
     "semdedup_prune_subcells",
     "dock_deep_merge_nested_maps",
     # (c) least-recently-verified (r1-r2 evidence), oldest first
-    "dock_flow_full_outer",
 ]
 
 

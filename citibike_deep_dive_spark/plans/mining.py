@@ -237,6 +237,15 @@ def margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.crossJoin(F.broadcast(y)).select("src_id", "tgt_id", cos_i.alias("cos_i")),
         eager=False,
     )
+    return _margin_from_pairs(pairs)
+
+
+def _margin_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Shared margin/mutual-best tail over a scored (src_id, tgt_id,
+    cos_i) candidate frame — identical algebra whether the candidates
+    came from the exhaustive cross join (margin_bitext_mining) or an
+    LSH shortlist (margin_bitext_ann_shortlist); Artetxe & Schwenk's
+    margin is shortlist-local by definition."""
     k = _MARGIN_K
     # Neighborhood top-k sums as map-combined groupBy aggregations (sort
     # the per-group value array, not the global frame): no 1M-row sort
@@ -294,6 +303,118 @@ def margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("margin", 5).alias("margin_score"),
         )
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Margin bitext mining over a sign-LSH shortlist (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+_MARGIN_LSH_BITS = 6  # 64 buckets at test scale; bits grow with the corpus
+
+
+@register(
+    "margin_bitext_ann_shortlist",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)) AS bucket
+        FROM embeddings
+    ),
+    x AS (SELECT vec_id AS src_id, embedding, bucket FROM b WHERE vec_id % 2 = 0),
+    y AS (SELECT vec_id AS tgt_id, embedding, bucket FROM b WHERE vec_id % 2 = 1),
+    p AS (
+        SELECT src_id, tgt_id,
+               CAST(round(({_MINE_COS.format(a="x.embedding", b="y.embedding")})
+                    * 10000) AS BIGINT) AS cos_i
+        FROM x JOIN y USING (bucket)
+    ),
+    ranked AS (
+        SELECT src_id, tgt_id, cos_i,
+               ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos_i DESC, tgt_id) AS rn_s,
+               ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos_i DESC, src_id) AS rn_t
+        FROM p
+    ),
+    denom AS (
+        SELECT src_id, tgt_id, cos_i,
+               sum(CASE WHEN rn_s <= {_MARGIN_K} THEN cos_i END)
+                   OVER (PARTITION BY src_id) AS dx,
+               sum(CASE WHEN rn_t <= {_MARGIN_K} THEN cos_i END)
+                   OVER (PARTITION BY tgt_id) AS dy
+        FROM ranked
+    ),
+    margins AS (
+        SELECT src_id, tgt_id, cos_i,
+               CAST(cos_i AS DOUBLE) * {2 * _MARGIN_K} / CAST(dx + dy AS DOUBLE)
+                   AS margin,
+               ROW_NUMBER() OVER (PARTITION BY src_id
+                   ORDER BY CAST(cos_i AS DOUBLE) * {2 * _MARGIN_K}
+                            / CAST(dx + dy AS DOUBLE) DESC, tgt_id) AS rm_s,
+               ROW_NUMBER() OVER (PARTITION BY tgt_id
+                   ORDER BY CAST(cos_i AS DOUBLE) * {2 * _MARGIN_K}
+                            / CAST(dx + dy AS DOUBLE) DESC, src_id) AS rm_t
+        FROM denom
+    )
+    SELECT src_id, tgt_id,
+           round(CAST(cos_i AS DOUBLE) / 10000.0, 4) AS cos_sim,
+           round(margin, 5) AS margin_score
+    FROM margins WHERE rm_s = 1 AND rm_t = 1
+    """,
+    tags=("X-bitext-margin-ann",),
+)
+def margin_bitext_ann_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of margin_bitext_mining — the same Artetxe &
+    Schwenk margin/mutual-best algebra fed by a sign-LSH shortlist
+    instead of the exhaustive cross join (which OOMs at sf1 by design:
+    625M materialized pairs; BASELINE.md). Candidates must share a
+    {_MARGIN_LSH_BITS}-bit random-hyperplane bucket
+    (operators/similarity.sign_lsh_bucket — the same family as
+    embedding_near_dup_sign_lsh), so pair generation is an EQUI-join on
+    a uniform integer key: per-bucket work is (n/2^bits)^2 and bits
+    grows with the corpus, exactly the cells-proportional-to-corpus
+    contract semdedup_prune_subcells established. Margins and
+    mutual-best are shortlist-local by definition (Artetxe & Schwenk
+    2019 compute them over the k-NN shortlist, never the full cross),
+    so the downstream is the SAME _margin_from_pairs tail, verbatim.
+
+    Distributed shape: per-row bucket bits (codegen), one hash
+    equi-join on bucket, then the shared integer-exact margin tail —
+    no broadcast of a data-grain side, no quadratic blow-up at any
+    scale."""
+    from ..operators.similarity import sign_lsh_bucket
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        sign_lsh_bucket(F.col("embedding"), bits=_MARGIN_LSH_BITS).alias("bucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with("xv", "yv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda t: t * t), F.lit(0.0), lambda acc, v: acc + v
+            )
+        )
+
+    x = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("v").alias("xv"), "bucket"
+    )
+    y = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("v").alias("yv"), "bucket"
+    )
+    cos_i = F.round(dot / (norm(F.col("xv")) * norm(F.col("yv"))) * 10000, 0).cast(
+        "long"
+    )
+    pairs = truncate_lineage(
+        x.join(y, "bucket").select("src_id", "tgt_id", cos_i.alias("cos_i")),
+        eager=False,
+    )
+    return _margin_from_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -257,3 +257,33 @@ def test_kcore_is_subset_of_candidate_nodes(spark):
     }
     out = {r["doc_id"] for r in kc.collect()}
     assert out == nodes
+
+
+# ---------------------------------------------------------------------------
+# margin_bitext_ann_shortlist
+# ---------------------------------------------------------------------------
+
+
+def test_margin_shortlist_subsets_bucket_pairs(spark):
+    """Every mined pair must be mutual-best within its bucket shortlist,
+    share a sign-LSH bucket, and pair an even src with an odd tgt."""
+    from citibike_deep_dive_spark.operators.similarity import sign_lsh_bucket
+
+    rows = CATALOG["margin_bitext_ann_shortlist"].build(spark, SF_DIR).collect()
+    assert rows
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", sign_lsh_bucket(F.col("embedding"), bits=6).alias("b")
+        ).collect()
+    }
+    srcs = [r["src_id"] for r in rows]
+    tgts = [r["tgt_id"] for r in rows]
+    assert len(srcs) == len(set(srcs))  # mutual-best: each src at most once
+    assert len(tgts) == len(set(tgts))
+    for r in rows:
+        assert r["src_id"] % 2 == 0 and r["tgt_id"] % 2 == 1
+        assert buckets[r["src_id"]] == buckets[r["tgt_id"]]
+        assert -1.0 <= r["cos_sim"] <= 1.0
+        assert r["margin_score"] > 0
