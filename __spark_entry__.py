@@ -109,11 +109,11 @@ VERIFY_FIRST = [
     "fleiss_kappa_three_raters",
     "mannwhitney_source_lengths",
     "margin_bitext_ann_shortlist",
+    "kaplan_meier_retention",
+    "frequent_triple_itemsets",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",
-    "semdedup_prune",
-    "semdedup_prune_subcells",
     "dock_deep_merge_nested_maps",
     # (c) least-recently-verified (r1-r2 evidence), oldest first
 ]

@@ -1428,3 +1428,255 @@ def mannwhitney_source_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.alias("u_stat"),
         (u / (F.col("na") * F.col("nb")).cast("double")).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier retention curve over user activity spans
+# ---------------------------------------------------------------------------
+
+_KM_CHURN_GAP_DAYS = 3
+
+
+@register(
+    "kaplan_meier_retention",
+    f"""
+    WITH spans AS (
+        SELECT user_id,
+               CAST(date_diff('day', min(ts), max(ts)) AS BIGINT) AS dur,
+               CASE WHEN max(ts) < (SELECT max(ts) FROM events)
+                                   - INTERVAL {_KM_CHURN_GAP_DAYS} DAY
+                    THEN 1 ELSE 0 END AS churned
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM spans),
+    per_t AS (
+        SELECT dur AS t, CAST(count(*) AS BIGINT) AS n_ending,
+               CAST(sum(churned) AS BIGINT) AS d
+        FROM spans GROUP BY 1
+    ),
+    risk AS (
+        SELECT t, d,
+               tot.n_users
+                 - coalesce(CAST(sum(n_ending) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS n_risk
+        FROM per_t CROSS JOIN tot
+    )
+    SELECT t AS duration_days, n_risk, d AS n_churned,
+           CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard,
+           round(exp(sum(ln(1 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 5)
+               AS km_survival
+    FROM risk
+    """,
+    tags=("X-kaplan-meier",),
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve (Kaplan & Meier 1958) over user
+    activity spans: duration = days between a user's first and last
+    event; a user whose last event predates the corpus horizon by more
+    than {_KM_CHURN_GAP_DAYS} days counts as churned at that duration,
+    later users are right-censored — the canonical retention read that
+    naive "percent still active" curves get wrong by dropping censored
+    users. n_at_risk descends by total-minus-prior-endings (one
+    cumulative window over the duration-grain frame, never a per-user
+    self-join); hazards are exact int64 ratios; the survival product is
+    exp of the windowed ln sum — a DETERMINISTIC left-to-right order,
+    rounded at the edge (bigram_lm precedent).
+
+    Distributed shape: one user-grain aggregation (map-side combined)
+    with the horizon as a broadcast scalar, then duration-grain frames
+    (bounded by the observation window in days) with two k-bounded
+    cumulative windows. One data-grain shuffle total."""
+    ev = table(spark, sf_dir, "events")
+    from ..functions.lineage import truncate_lineage
+
+    horizon = ev.agg(F.max("ts").alias("h"))
+    spans = truncate_lineage(
+        ev.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("dur"),
+            F.when(
+                F.max("ts") < F.first("h") - F.expr(
+                    f"INTERVAL {_KM_CHURN_GAP_DAYS} DAY"
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("churned"),
+        ),
+        eager=False,
+    )  # consumed by tot and per_t
+    tot = spans.agg(F.count("*").cast("long").alias("n_users"))
+    per_t = spans.groupBy(F.col("dur").alias("t")).agg(
+        F.count("*").cast("long").alias("n_ending"),
+        F.sum("churned").cast("long").alias("d"),
+    )
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("n_ending").over(w_prior), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    hazard = F.col("d").cast("double") / F.col("n_risk").cast("double")
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return risk.select(
+        F.col("t").alias("duration_days"),
+        "n_risk",
+        F.col("d").alias("n_churned"),
+        hazard.alias("hazard"),
+        F.round(F.exp(F.sum(F.log(1 - hazard)).over(w_cum)), 5).alias(
+            "km_survival"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A-priori frequent triples with level-wise pruning
+# ---------------------------------------------------------------------------
+
+_APRIORI_MINSUP_BP = 36  # threshold in basis points of baskets (0.36%)
+
+
+@register(
+    "frequent_triple_itemsets",
+    f"""
+    WITH items AS MATERIALIZED (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_b FROM items),
+    minsup AS MATERIALIZED (
+        SELECT CAST(n_b * {_APRIORI_MINSUP_BP} // 10000 AS BIGINT) AS ms,
+                      n_b FROM n),
+    l1 AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS sup
+        FROM items GROUP BY 1
+        HAVING count(*) >= (SELECT ms FROM minsup)
+    ),
+    items1 AS MATERIALIZED (
+        SELECT i.* FROM items i JOIN l1 ON l1.p_brand = i.p_brand),
+    -- the oracle skips the L2 semi-join pruning: downward closure makes
+    -- it value-neutral (any triple >= ms has all pairs >= ms), and the
+    -- brute triple count is what PROVES the pruned plan lossless
+    trips AS (
+        SELECT a.p_brand AS ba, b.p_brand AS bb, c.p_brand AS bc,
+               CAST(count(*) AS BIGINT) AS support
+        FROM items1 a
+        JOIN items1 b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        JOIN items1 c ON a.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= (SELECT ms FROM minsup)
+    )
+    SELECT t.ba AS brand_a, t.bb AS brand_b, t.bc AS brand_c, t.support,
+           CAST(t.support AS DOUBLE) * m.n_b * m.n_b
+               / (sa.sup * sb.sup * sc.sup) AS lift3
+    FROM trips t
+    JOIN l1 sa ON sa.p_brand = t.ba
+    JOIN l1 sb ON sb.p_brand = t.bb
+    JOIN l1 sc ON sc.p_brand = t.bc
+    CROSS JOIN minsup m
+    """,
+    tags=("X-apriori",),
+)
+def frequent_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-wise a-priori (Agrawal & Srikant 1994) to the TRIPLE level
+    with a real min-support threshold ({_APRIORI_MINSUP_BP} basis
+    points of baskets) — the pruning frequent_brand_pairs documents as a no-op at
+    25 brands becomes LOAD-BEARING here: items below L1 never enter the
+    pair join, and the triple join is semi-filtered by ALL THREE of its
+    frequent pairs (the downward-closure property) before any counting.
+    lift3 = P(abc) / (P(a)P(b)P(c)) as one exact int64 product ratio.
+
+    Distributed shape: baskets dedupe once; every level is a
+    basket-keyed equi-join (never all-pairs across baskets); L1/L2 are
+    dimension-sized and broadcast into the candidate joins, so the only
+    data-grain shuffles are the level-wise support counts. This is
+    exactly how a-priori distributes at 100 TB — the candidate
+    explosion is bounded by the downward-closure pruning, not by the
+    item-space size."""
+    from ..functions.lineage import truncate_lineage
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = truncate_lineage(
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct(),
+        eager=False,
+    )  # consumed by n, l1, and the level joins
+    n = items.agg(F.countDistinct("l_orderkey").cast("long").alias("n_b"))
+    minsup = n.select(
+        F.floor(F.col("n_b") * _APRIORI_MINSUP_BP / 10000).cast("long").alias("ms"),
+        "n_b",
+    )
+    l1 = truncate_lineage(
+        items.groupBy("p_brand")
+        .agg(F.count("*").cast("long").alias("sup"))
+        .crossJoin(F.broadcast(minsup))
+        .filter(F.col("sup") >= F.col("ms"))
+        .select("p_brand", "sup"),
+        eager=False,
+    )
+    items1 = items.join(
+        F.broadcast(l1.select("p_brand")), "p_brand"
+    ).select("l_orderkey", "p_brand")
+    a = items1.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("ba"))
+    b = items1.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("bb"))
+    c = items1.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("bc"))
+    l2 = truncate_lineage(
+        a.join(b, "k")
+        .filter(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count("*").cast("long").alias("sup"))
+        .crossJoin(F.broadcast(minsup.select("ms")))
+        .filter(F.col("sup") >= F.col("ms"))
+        .select("ba", "bb"),
+        eager=False,
+    )
+    trips = (
+        a.join(b, "k")
+        .filter(F.col("ba") < F.col("bb"))
+        .join(c, "k")
+        .filter(F.col("bb") < F.col("bc"))
+        .join(F.broadcast(l2), ["ba", "bb"])
+        .join(
+            F.broadcast(l2.select(F.col("ba").alias("ba"), F.col("bb").alias("bc"))),
+            ["ba", "bc"],
+        )
+        .join(
+            F.broadcast(l2.select(F.col("ba").alias("bb"), F.col("bb").alias("bc"))),
+            ["bb", "bc"],
+        )
+        .groupBy("ba", "bb", "bc")
+        .agg(F.count("*").cast("long").alias("support"))
+        .crossJoin(F.broadcast(minsup.select("ms")))
+        .filter(F.col("support") >= F.col("ms"))
+    )
+    sa = l1.select(F.col("p_brand").alias("ba"), F.col("sup").alias("sup_a"))
+    sb = l1.select(F.col("p_brand").alias("bb"), F.col("sup").alias("sup_b"))
+    sc = l1.select(F.col("p_brand").alias("bc"), F.col("sup").alias("sup_c"))
+    return (
+        trips.join(F.broadcast(sa), "ba")
+        .join(F.broadcast(sb), "bb")
+        .join(F.broadcast(sc), "bc")
+        .crossJoin(F.broadcast(minsup.select("n_b")))
+        .select(
+            F.col("ba").alias("brand_a"),
+            F.col("bb").alias("brand_b"),
+            F.col("bc").alias("brand_c"),
+            "support",
+            (
+                F.col("support").cast("double")
+                * F.col("n_b")
+                * F.col("n_b")
+                / (F.col("sup_a") * F.col("sup_b") * F.col("sup_c"))
+            ).alias("lift3"),
+        )
+    )

@@ -357,3 +357,70 @@ def test_mannwhitney_auc_antisymmetric_and_exact(spark):
         expect = (wins + ties / 2) / (len(xs) * len(ys))
         assert abs(r["auc"] - expect) < 1e-12
         assert abs(r["u_stat"] - (wins + ties / 2)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier_retention
+# ---------------------------------------------------------------------------
+
+
+def test_km_survival_monotone_and_bounded(spark):
+    rows = sorted(
+        CATALOG["kaplan_meier_retention"].build(spark, SF_DIR).collect(),
+        key=lambda r: r["duration_days"],
+    )
+    assert rows
+    n_users = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[0]["n_risk"] == n_users  # everyone at risk at the first time
+    surv = [r["km_survival"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(surv[i] >= surv[i + 1] - 1e-9 for i in range(len(surv) - 1))
+    risks = [r["n_risk"] for r in rows]
+    assert all(risks[i] >= risks[i + 1] for i in range(len(risks) - 1))
+    for r in rows:
+        assert 0 <= r["n_churned"] <= r["n_risk"]
+        assert abs(r["hazard"] - r["n_churned"] / r["n_risk"]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# frequent_triple_itemsets
+# ---------------------------------------------------------------------------
+
+
+def test_apriori_triples_downward_closure(spark):
+    rows = CATALOG["frequent_triple_itemsets"].build(spark, SF_DIR).collect()
+    assert rows  # the 36bp threshold must leave survivors at every sf
+    from pyspark.sql import functions as SF
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    items = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_b = items.select("l_orderkey").distinct().count()
+    ms = n_b * 36 // 10000
+    for r in rows:
+        assert r["brand_a"] < r["brand_b"] < r["brand_c"]
+        assert r["support"] >= ms
+        assert r["lift3"] > 0
+    # spot-verify one triple's support directly
+    r = rows[0]
+    got = (
+        items.filter(SF.col("p_brand").isin(r["brand_a"], r["brand_b"], r["brand_c"]))
+        .groupBy("l_orderkey")
+        .agg(SF.countDistinct("p_brand").alias("k"))
+        .filter(SF.col("k") == 3)
+        .count()
+    )
+    assert got == r["support"]
