@@ -1680,3 +1680,52 @@ def frequent_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: forecast revenue change (pure pushdown showcase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_change_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("Q6",),
+)
+def revenue_change_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    predicate-pushdown benchmark — a single scan whose FOUR conjunctive
+    predicates (date range, discount band, quantity cap) must all reach
+    the parquet reader as PushedFilters, followed by one scalar
+    aggregation with map-side combine. No shuffle of data-grain rows,
+    no join; at 100 TB the date predicate additionally prunes
+    partitions when the table is shipdate-partitioned. Sum rounded at
+    the edge (the pricing_summary_report precedent for double money
+    columns).
+
+    Was the one classic TPC-H shape still missing from the OLAP suite
+    (Q1/Q3-Q5/Q7-Q10/Q12-Q15/Q17-Q19/Q21-Q22 analogs are in
+    plans/olap.py; Q2/Q11/Q16/Q20 need the partsupp table the testdata
+    does not ship)."""
+    li = table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "forecast_revenue"
+        ),
+        F.count("*").cast("long").alias("n_lines"),
+    )

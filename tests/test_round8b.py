@@ -424,3 +424,38 @@ def test_apriori_triples_downward_closure(spark):
         .count()
     )
     assert got == r["support"]
+
+
+# ---------------------------------------------------------------------------
+# revenue_change_forecast (TPC-H Q6)
+# ---------------------------------------------------------------------------
+
+
+def test_q6_matches_direct_filter(spark):
+    [r] = CATALOG["revenue_change_forecast"].build(spark, SF_DIR).collect()
+    from pyspark.sql import functions as SF
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    manual = li.filter(
+        (SF.col("l_shipdate") >= "1996-01-01")
+        & (SF.col("l_shipdate") < "1997-01-01")
+        & SF.col("l_discount").between(0.05, 0.07)
+        & (SF.col("l_quantity") < 24)
+    )
+    assert r["n_lines"] == manual.count()
+    assert r["forecast_revenue"] > 0
+
+
+def test_q6_predicates_fully_pushed(spark):
+    """All four Q6 predicates must reach the parquet scan."""
+    import io, contextlib
+
+    df = CATALOG["revenue_change_forecast"].build(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for frag in ("l_shipdate,1996-01-01", "l_shipdate,1997-01-01",
+                 "l_discount,0.05", "l_discount,0.07", "LessThan(l_quantity,24"):
+        assert frag in pushed, (frag, pushed)
