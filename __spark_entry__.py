@@ -80,7 +80,6 @@ VERIFY_FIRST = [
     "t_closeness_audit",
     "filter_funnel_attrition",
     "shard_assignment_rendezvous",
-    "dsir_importance_resample",
     "phrase_search_positional",
     "span_corruption_masks",
     "bpe_apply_merges",
@@ -111,6 +110,7 @@ VERIFY_FIRST = [
     "kaplan_meier_retention",
     "frequent_triple_itemsets",
     "revenue_change_forecast",
+    "theil_sen_trend",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",

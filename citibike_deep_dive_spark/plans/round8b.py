@@ -1729,3 +1729,83 @@ def revenue_change_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").cast("long").alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend over daily event volume
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theil_sen_trend",
+    """
+    WITH daily AS (
+        SELECT CAST(date_diff('day',
+                   (SELECT min(CAST(ts AS DATE)) FROM events),
+                   CAST(ts AS DATE)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    slopes AS (
+        SELECT a.d AS d1, b.d AS d2,
+               CAST(b.n - a.n AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    ranked AS (
+        SELECT s, ROW_NUMBER() OVER (ORDER BY s, d1, d2) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM slopes
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+           m AS n_pairs,
+           s AS theil_sen_slope
+    FROM ranked
+    WHERE rn = (m + 1) // 2
+    """,
+    tags=("X-theil-sen",),
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator (Theil 1950; Sen 1968) of the daily
+    event-volume trend: the MEDIAN of all pairwise slopes — robust to
+    ~29% outliers where the OLS slope (vocab_zipf_fit's regression
+    machinery) is wrecked by one anomalous day. Slopes are exact int64
+    difference ratios; the median is the ORDER STATISTIC at rank
+    ceil(m/2) (lower median, tie-broken by day pair — no interpolation
+    formula, engine-exact like bootstrap_ci_mean). The pairwise frame
+    is day-grain squared — days, not rows, so it is calendar-bounded
+    (a decade is ~6.7M pairs) at ANY corpus size; the only data-grain
+    pass is the daily count aggregation.
+
+    Distributed shape: one map-combined daily aggregation, a
+    day-grain self-join (bounded), one rank sort of the slope frame."""
+    ev = table(spark, sf_dir, "events")
+    from ..functions.lineage import truncate_lineage
+
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = truncate_lineage(
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy(F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias("d"))
+        .agg(F.count("*").cast("long").alias("n")),
+        eager=False,
+    )  # consumed by both sides of the pair join and the n_days scalar
+    a = daily.select(F.col("d").alias("d1"), F.col("n").alias("n1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("n").alias("n2"))
+    slopes = a.join(b, F.col("d1") < F.col("d2")).select(
+        "d1",
+        "d2",
+        (
+            (F.col("n2") - F.col("n1")).cast("double")
+            / (F.col("d2") - F.col("d1")).cast("double")
+        ).alias("s"),
+    )
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(Window.orderBy("s", "d1", "d2")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    nd = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        ranked.filter(F.col("rn") == F.floor((F.col("m") + 1) / 2))
+        .crossJoin(F.broadcast(nd))
+        .select("n_days", F.col("m").alias("n_pairs"), F.col("s").alias("theil_sen_slope"))
+    )

@@ -459,3 +459,29 @@ def test_q6_predicates_fully_pushed(spark):
     for frag in ("l_shipdate,1996-01-01", "l_shipdate,1997-01-01",
                  "l_discount,0.05", "l_discount,0.07", "LessThan(l_quantity,24"):
         assert frag in pushed, (frag, pushed)
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_trend
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_matches_direct_median(spark):
+    [r] = CATALOG["theil_sen_trend"].build(spark, SF_DIR).collect()
+    from collections import Counter
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("ts").collect()
+    days = Counter(x["ts"].date() for x in ev)
+    d0 = min(days)
+    pts = sorted((d - d0).days for d in days)
+    counts = {(d - d0).days: c for d, c in days.items()}
+    slopes = sorted(
+        (counts[d2] - counts[d1]) / (d2 - d1)
+        for i, d1 in enumerate(pts)
+        for d2 in pts[i + 1 :]
+    )
+    m = len(slopes)
+    assert r["n_days"] == len(pts)
+    assert r["n_pairs"] == m
+    # lower median at rank ceil(m/2): value-identical regardless of ties
+    assert abs(r["theil_sen_slope"] - slopes[(m + 1) // 2 - 1]) < 1e-12
