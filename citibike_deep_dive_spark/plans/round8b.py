@@ -1809,3 +1809,75 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nd))
         .select("n_days", F.col("m").alias("n_pairs"), F.col("s").alias("theil_sen_slope"))
     )
+
+
+# ---------------------------------------------------------------------------
+# word2vec-style frequent-token subsampling plan (Mikolov et al. 2013)
+# ---------------------------------------------------------------------------
+
+_W2V_T = 1e-3  # subsampling threshold
+
+
+@register(
+    "word2vec_subsampling_plan",
+    f"""
+    WITH counts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+    p AS (
+        SELECT tok, c,
+               CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS f,
+               least(1.0, sqrt({_W2V_T} / (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+                          + {_W2V_T} / (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+                   AS p_keep
+        FROM counts CROSS JOIN tot
+    )
+    SELECT tok AS token, c AS cnt, f AS freq_share, p_keep,
+           CAST(round(c * p_keep, 0) AS BIGINT) AS expected_kept
+    FROM p
+    ORDER BY c DESC, tok
+    LIMIT 20
+    """,
+    tags=("X-subsampling",),
+)
+def word2vec_subsampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token subsampling plan (Mikolov et al. 2013 §2.3, the
+    word2vec heuristic modern corpus pipelines reuse to down-weight
+    stop-token mass): p_keep(w) = min(1, sqrt(t/f) + t/f) with
+    t = 1e-3. Per-token expected survivors round to integers per row
+    (both engines compute the identical exact double first — IEEE sqrt
+    and division are exactly rounded, so no accumulation ever crosses
+    engines), reported for the top-20 tokens by count with total
+    tiebreak.
+
+    Distributed shape: one token-grain count aggregation (map-side
+    combined), corpus total as a broadcast scalar, per-row closed-form
+    math, TakeOrderedAndProject top-20 — no full vocabulary sort."""
+    docs = table(spark, sf_dir, "documents")
+    from ..functions.lineage import truncate_lineage
+
+    counts = truncate_lineage(
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c")),
+        eager=False,
+    )  # consumed by the total and the per-token plan
+    tot = counts.agg(F.sum("c").cast("long").alias("n"))
+    f = F.col("c").cast("double") / F.col("n").cast("double")
+    p_keep = F.least(F.lit(1.0), F.sqrt(_W2V_T / f) + _W2V_T / f)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("c").alias("cnt"),
+            f.alias("freq_share"),
+            p_keep.alias("p_keep"),
+            F.round(F.col("c") * p_keep, 0).cast("long").alias("expected_kept"),
+        )
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )

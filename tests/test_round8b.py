@@ -485,3 +485,25 @@ def test_theil_sen_matches_direct_median(spark):
     assert r["n_pairs"] == m
     # lower median at rank ceil(m/2): value-identical regardless of ties
     assert abs(r["theil_sen_slope"] - slopes[(m + 1) // 2 - 1]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# word2vec_subsampling_plan
+# ---------------------------------------------------------------------------
+
+
+def test_subsampling_keeps_rare_drops_frequent(spark):
+    import math
+
+    rows = CATALOG["word2vec_subsampling_plan"].build(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert 0.0 < r["p_keep"] <= 1.0
+        assert 0 <= r["expected_kept"] <= r["cnt"]
+        t, f = 1e-3, r["freq_share"]
+        assert abs(r["p_keep"] - min(1.0, math.sqrt(t / f) + t / f)) < 1e-12
+    # frequencies are descending; keep probability must be nondecreasing
+    ps = [r["p_keep"] for r in rows]
+    fs = [r["freq_share"] for r in rows]
+    assert all(fs[i] >= fs[i + 1] for i in range(len(fs) - 1))
+    assert all(ps[i] <= ps[i + 1] + 1e-12 for i in range(len(ps) - 1))
