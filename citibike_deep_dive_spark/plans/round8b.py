@@ -1881,3 +1881,112 @@ def word2vec_subsampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# ROC AUC of the quality confidence score against the binary label
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_score_roc_auc",
+    f"""
+    WITH m AS (
+        SELECT CASE WHEN n_chars >= {_CAL_NCHARS} THEN 1 ELSE 0 END AS pos,
+               CAST(round(CAST(len(list_distinct(ws)) AS DOUBLE)
+                          / CAST(len(ws) AS DOUBLE) * {_CAL_SCALE}, 0)
+                    AS BIGINT) AS s_m
+        FROM (SELECT n_chars, string_split(lower(text), ' ') AS ws FROM documents)
+    ),
+    counts AS (
+        SELECT s_m, CAST(sum(pos) AS BIGINT) AS cp,
+               CAST(count(*) - sum(pos) AS BIGINT) AS cn
+        FROM m GROUP BY 1
+    ),
+    cdf AS (
+        SELECT s_m, cp, cn,
+               CAST(sum(cn) OVER (ORDER BY s_m) AS BIGINT) AS cum_n
+        FROM counts
+    ),
+    tot AS (
+        SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn
+        FROM counts
+    )
+    SELECT tot.np AS n_pos, tot.nn AS n_neg,
+           CAST(sum(cp * (cum_n - cn)) AS DOUBLE) / CAST(tot.np * tot.nn AS DOUBLE)
+               + CAST(sum(cp * cn) AS DOUBLE) / CAST(2 * tot.np * tot.nn AS DOUBLE)
+               AS roc_auc
+    FROM cdf CROSS JOIN tot
+    GROUP BY tot.np, tot.nn
+    """,
+    tags=("X-roc-auc",),
+)
+def quality_score_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the distinct-token-ratio quality score against the
+    length label — the single-number discrimination check that pairs
+    with calibration_ece_bins (calibration) and isotonic repair: AUC is
+    P(score_pos > score_neg) + P(=)/2, i.e. the Mann-Whitney statistic
+    between the positive and negative score distributions. Computed on
+    the fixed-point VALUE-COUNT grid (scores quantized at 1e-6, the
+    calibration family's scale): wins = sum over score values of
+    pos_count * negatives_below (one cumulative window), ties get half
+    credit — every term an exact int64 product, one exact final
+    division. The naive per-pair comparison (n_pos x n_neg rows) never
+    materializes at any scale.
+
+    Distributed shape: one scan + one score-grain aggregation
+    (Heaps-bounded support), a cumulative window over the support, one
+    scalar aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    from ..functions.lineage import truncate_lineage
+
+    m = docs.select(
+        F.when(F.col("n_chars") >= _CAL_NCHARS, 1).otherwise(0).alias("pos"),
+        F.round(
+            F.size(F.array_distinct(ws)).cast("double")
+            / F.size(ws).cast("double")
+            * _CAL_SCALE,
+            0,
+        )
+        .cast("long")
+        .alias("s_m"),
+    )
+    counts = truncate_lineage(
+        m.groupBy("s_m").agg(
+            F.sum("pos").cast("long").alias("cp"),
+            (F.count("*") - F.sum("pos")).cast("long").alias("cn"),
+        ),
+        eager=False,
+    )  # consumed by the cdf window and the totals
+    cdf = counts.select(
+        "cp",
+        "cn",
+        F.sum("cn")
+        .over(Window.orderBy("s_m").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_n"),
+    )
+    tot = counts.agg(
+        F.sum("cp").cast("long").alias("np"), F.sum("cn").cast("long").alias("nn")
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy("np", "nn")
+        .agg(
+            F.sum(F.col("cp") * (F.col("cum_n") - F.col("cn")))
+            .cast("long")
+            .alias("wins"),
+            F.sum(F.col("cp") * F.col("cn")).cast("long").alias("ties"),
+        )
+        .select(
+            F.col("np").alias("n_pos"),
+            F.col("nn").alias("n_neg"),
+            (
+                F.col("wins").cast("double")
+                / (F.col("np") * F.col("nn")).cast("double")
+                + F.col("ties").cast("double")
+                / (2 * F.col("np") * F.col("nn")).cast("double")
+            ).alias("roc_auc"),
+        )
+    )

@@ -507,3 +507,24 @@ def test_subsampling_keeps_rare_drops_frequent(spark):
     fs = [r["freq_share"] for r in rows]
     assert all(fs[i] >= fs[i + 1] for i in range(len(fs) - 1))
     assert all(ps[i] <= ps[i + 1] + 1e-12 for i in range(len(ps) - 1))
+
+
+# ---------------------------------------------------------------------------
+# quality_score_roc_auc
+# ---------------------------------------------------------------------------
+
+
+def test_roc_auc_matches_pairwise_definition(spark):
+    [r] = CATALOG["quality_score_roc_auc"].build(spark, SF_DIR).collect()
+    assert 0.0 <= r["roc_auc"] <= 1.0
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    pos, neg = [], []
+    for d in docs:
+        ws = d["text"].lower().split(" ")
+        s = round(len(set(ws)) / len(ws) * 1_000_000)
+        (pos if d["n_chars"] >= 160 else neg).append(s)
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    expect = (wins + ties / 2) / (len(pos) * len(neg))
+    assert abs(r["roc_auc"] - expect) < 1e-12
