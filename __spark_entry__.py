@@ -80,7 +80,6 @@ VERIFY_FIRST = [
     "t_closeness_audit",
     "filter_funnel_attrition",
     "shard_assignment_rendezvous",
-    "bpe_apply_merges",
     "dedup_suffix_prefix_overlap",
     "winnowing_fingerprints",
     "margin_bitext_mining",
@@ -111,6 +110,7 @@ VERIFY_FIRST = [
     "theil_sen_trend",
     "word2vec_subsampling_plan",
     "quality_score_roc_auc",
+    "embedding_hubness_koccurrence",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",

@@ -1990,3 +1990,152 @@ def quality_score_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("roc_auc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding hubness audit: k-occurrence distribution (Radovanovic 2010)
+# ---------------------------------------------------------------------------
+
+_HUB_K = 5
+
+
+@register(
+    "embedding_hubness_koccurrence",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               round(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    topk AS (
+        SELECT dst FROM (
+            SELECT dst, ROW_NUMBER() OVER (PARTITION BY src
+                        ORDER BY cos_sim DESC, dst) AS rn
+            FROM scored
+        ) WHERE rn <= {_HUB_K}
+    ),
+    occ AS (
+        SELECT e.vec_id,
+               coalesce(o.c, 0) AS k_occ
+        FROM e LEFT JOIN (SELECT dst, CAST(count(*) AS BIGINT) AS c
+                          FROM topk GROUP BY 1) o
+          ON o.dst = e.vec_id
+    ),
+    hist AS (
+        SELECT k_occ, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM occ GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(sum(n_vectors) AS BIGINT) AS n,
+               CAST(sum(k_occ * n_vectors) AS BIGINT) AS s1,
+               CAST(sum(k_occ * k_occ * n_vectors) AS BIGINT) AS s2,
+               CAST(sum(k_occ * k_occ * k_occ * n_vectors) AS BIGINT) AS s3
+        FROM hist
+    )
+    SELECT h.k_occ, h.n_vectors,
+           round((CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)
+                  * CAST(m.n * m.s3 - 3 * m.s1 * m.s2 AS DOUBLE)
+                  + 2 * CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE)
+                      * CAST(m.s1 AS DOUBLE))
+                 / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)
+                    * CAST(m.n AS DOUBLE))
+                 / pow(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                       / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)), 1.5),
+                 5) AS occ_skewness
+    FROM hist h CROSS JOIN mom m
+    """,
+    tags=("X-hubness",),
+)
+def embedding_hubness_koccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit (Radovanovic et al. 2010): the k-occurrence
+    histogram — how many vectors appear in exactly o other vectors'
+    cosine top-{_HUB_K} — plus its skewness, THE summary statistic for
+    hub pathology in high-dimensional retrieval (skew >> 0 means a few
+    hub vectors dominate everyone's neighbor lists and mutual-kNN /
+    margin corrections are mandatory; see mutual_knn_pairs and
+    margin_bitext_mining, which exist to counter exactly this).
+    Zero-occurrence vectors enter via a left join from the vector
+    frame (anti-hubs are the other half of the pathology). Skewness is
+    the third standardized CENTRAL moment assembled from raw integer
+    moments (n^2(n*s3 - 3*s1*s2) + 2*s1^3)/n^3 over variance^1.5 —
+    doubles only in the final expression, rounded at the edge.
+
+    Distributed shape: the pair scan is CELL-RESTRICTED (label =
+    IVF cell, the mutual_knn_pairs / ann_ivf_label_topk pattern) with
+    hoisted per-vector norms; the per-src top-k compiles to
+    WindowGroupLimit; k-occurrence counting and the histogram are
+    k*n-bounded aggregations; the moment row is a broadcast scalar."""
+    from ..functions.lineage import truncate_lineage
+    from ..operators.similarity import _dot, _norm
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    a = emb.select(
+        "label",
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("emb_a"),
+        _norm(F.col("embedding")).alias("norm_a"),
+    )
+    b = emb.select(
+        F.col("label").alias("label"),
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("emb_b"),
+        _norm(F.col("embedding")).alias("norm_b"),
+    )
+    scored = (
+        a.join(b, "label")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    topk = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+            ),
+        )
+        .filter(F.col("rn") <= _HUB_K)
+        .select("dst")
+    )
+    occ_counts = topk.groupBy("dst").agg(F.count("*").cast("long").alias("c"))
+    occ = emb.select("vec_id").join(
+        occ_counts, emb.vec_id == occ_counts.dst, "left"
+    ).select(F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("k_occ"))
+    hist = truncate_lineage(
+        occ.groupBy("k_occ").agg(F.count("*").cast("long").alias("n_vectors")),
+        eager=False,
+    )  # consumed by the moment scalar and the final rows
+    mom = hist.agg(
+        F.sum("n_vectors").cast("long").alias("n"),
+        F.sum(F.col("k_occ") * F.col("n_vectors")).cast("long").alias("s1"),
+        F.sum(F.col("k_occ") * F.col("k_occ") * F.col("n_vectors"))
+        .cast("long")
+        .alias("s2"),
+        F.sum(F.col("k_occ") * F.col("k_occ") * F.col("k_occ") * F.col("n_vectors"))
+        .cast("long")
+        .alias("s3"),
+    )
+    n_d = F.col("n").cast("double")
+    m3 = (
+        n_d * n_d * (F.col("n") * F.col("s3") - 3 * F.col("s1") * F.col("s2")).cast("double")
+        + 2 * F.col("s1").cast("double") * F.col("s1").cast("double")
+        * F.col("s1").cast("double")
+    ) / (n_d * n_d * n_d)
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") / (
+        n_d * n_d
+    )
+    return hist.crossJoin(F.broadcast(mom)).select(
+        "k_occ",
+        "n_vectors",
+        F.round(m3 / F.pow(var, 1.5), 5).alias("occ_skewness"),
+    )

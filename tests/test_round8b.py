@@ -528,3 +528,21 @@ def test_roc_auc_matches_pairwise_definition(spark):
     ties = sum(1 for p in pos for n in neg if p == n)
     expect = (wins + ties / 2) / (len(pos) * len(neg))
     assert abs(r["roc_auc"] - expect) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# embedding_hubness_koccurrence
+# ---------------------------------------------------------------------------
+
+
+def test_hubness_histogram_mass_and_skew(spark):
+    rows = CATALOG["embedding_hubness_koccurrence"].build(spark, SF_DIR).collect()
+    assert rows
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_vec = emb.count()
+    assert sum(r["n_vectors"] for r in rows) == n_vec  # histogram covers all
+    # total k-occurrences == total directed edges == 5 per src (cells big enough)
+    total_occ = sum(r["k_occ"] * r["n_vectors"] for r in rows)
+    assert total_occ <= 5 * n_vec
+    skews = {r["occ_skewness"] for r in rows}
+    assert len(skews) == 1  # one scalar broadcast to every histogram row
