@@ -81,7 +81,6 @@ VERIFY_FIRST = [
     "filter_funnel_attrition",
     "shard_assignment_rendezvous",
     "dedup_suffix_prefix_overlap",
-    "winnowing_fingerprints",
     "margin_bitext_mining",
     "prototype_hard_keep",
     "token_budget_waterfill",
@@ -111,6 +110,7 @@ VERIFY_FIRST = [
     "word2vec_subsampling_plan",
     "quality_score_roc_auc",
     "embedding_hubness_koccurrence",
+    "conformal_quantile_coverage",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",

@@ -2139,3 +2139,114 @@ def embedding_hubness_koccurrence(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_vectors",
         F.round(m3 / F.pow(var, 1.5), 5).alias("occ_skewness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal coverage audit (Vovk et al. 2005; Angelopoulos 2023)
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA_PCT = 10  # target miscoverage: 10% -> 90% intervals
+
+
+@register(
+    "conformal_quantile_coverage",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               abs(n_chars - 150) AS nonconf,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':conf'), 1, 8))
+                   ::BIGINT % 2 = 0 AS is_calib
+        FROM documents
+    ),
+    calib AS (
+        SELECT nonconf, ROW_NUMBER() OVER (ORDER BY nonconf, doc_id) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS nc
+        FROM (SELECT doc_id, nonconf FROM scored WHERE is_calib)
+    ),
+    qhat AS (
+        SELECT nonconf AS q, nc FROM calib
+        WHERE rn = least(nc, CAST(ceil((nc + 1) * (100 - {_CONF_ALPHA_PCT})
+                                       / 100.0) AS BIGINT))
+    )
+    SELECT qhat.nc AS n_calib,
+           CAST(count(*) AS BIGINT) AS n_test,
+           qhat.q AS q_hat,
+           CAST(sum(CASE WHEN s.nonconf <= qhat.q THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered,
+           CAST(sum(CASE WHEN s.nonconf <= qhat.q THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS coverage
+    FROM scored s CROSS JOIN qhat
+    WHERE NOT s.is_calib
+    GROUP BY qhat.nc, qhat.q
+    """,
+    tags=("X-conformal",),
+)
+def conformal_quantile_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal coverage audit (Vovk et al. 2005; the modern
+    recipe of Angelopoulos & Bates 2023): hash-split the corpus into
+    calibration and test halves, take q-hat as the ceil((n+1)(1-alpha))
+    ORDER STATISTIC of the calibration nonconformity scores
+    (|n_chars - 150| as the score), and report empirical test coverage
+    — the finite-sample guarantee says coverage >= 1 - alpha in
+    expectation, and this query is the audit that checks it on real
+    data before conformal thresholds gate a production filter. The
+    split is the portable-md5 hash family (deterministic on both
+    engines), q-hat is an exact order statistic (no interpolation), and
+    coverage is an exact integer ratio.
+
+    Distributed shape: one scan computing score + split bit, one rank
+    sort of the calibration half (at 100 TB: approx-quantile with the
+    same downstream algebra, the spearman precedent), q-hat broadcast
+    to the streaming test half — one scalar aggregation, no data-grain
+    join."""
+    docs = table(spark, sf_dir, "documents")
+    from ..functions.lineage import truncate_lineage
+
+    scored = truncate_lineage(
+        docs.select(
+            "doc_id",
+            F.abs(F.col("n_chars") - 150).alias("nonconf"),
+            (
+                F.expr(
+                    "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),"
+                    " ':conf')), 1, 8), 16, 10) AS BIGINT)"
+                )
+                % 2
+                == 0
+            ).alias("is_calib"),
+        ),
+        eager=False,
+    )  # consumed by the calibration rank and the test aggregation
+    calib = scored.filter(F.col("is_calib")).select(
+        "nonconf",
+        F.row_number().over(Window.orderBy("nonconf", "doc_id")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("nc"),
+    )
+    qhat = calib.filter(
+        F.col("rn")
+        == F.least(
+            F.col("nc"),
+            F.ceil((F.col("nc") + 1) * (100 - _CONF_ALPHA_PCT) / 100.0).cast("long"),
+        )
+    ).select(F.col("nonconf").alias("q"), "nc")
+    covered = F.sum(
+        F.when(F.col("nonconf") <= F.col("q"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        scored.filter(~F.col("is_calib"))
+        .crossJoin(F.broadcast(qhat))
+        .groupBy("nc", "q")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            covered.alias("n_covered"),
+        )
+        .select(
+            F.col("nc").alias("n_calib"),
+            "n_test",
+            F.col("q").alias("q_hat"),
+            "n_covered",
+            (F.col("n_covered").cast("double") / F.col("n_test").cast("double")).alias(
+                "coverage"
+            ),
+        )
+    )

@@ -546,3 +546,20 @@ def test_hubness_histogram_mass_and_skew(spark):
     assert total_occ <= 5 * n_vec
     skews = {r["occ_skewness"] for r in rows}
     assert len(skews) == 1  # one scalar broadcast to every histogram row
+
+
+# ---------------------------------------------------------------------------
+# conformal_quantile_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_coverage_meets_guarantee(spark):
+    [r] = CATALOG["conformal_quantile_coverage"].build(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert r["n_calib"] + r["n_test"] == n_docs
+    # the split should be near-even (portable md5 parity bit)
+    assert abs(r["n_calib"] - r["n_test"]) < 0.2 * n_docs
+    assert 0 <= r["n_covered"] <= r["n_test"]
+    # finite-sample guarantee: coverage >= 1 - alpha minus sampling slack
+    assert r["coverage"] >= 0.9 - 3 * (0.9 * 0.1 / r["n_test"]) ** 0.5
+    assert r["q_hat"] >= 0
