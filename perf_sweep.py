@@ -39,6 +39,11 @@ from citibike_deep_dive_spark.session import get_spark  # noqa: E402
 QUADRATIC_ORACLES = {
     "prefix_filter_jaccard_join",
     "lsh_tuning_report",
+    # r8 ext: k x N exact-distance / unrolled-peel proof oracles
+    # (55 s / 28 s at sf0.1 — they exist to prove the Spark plan
+    # lossless, not to race it; BASELINE.md "extension batch")
+    "coreset_kcenter_greedy",
+    "dedup_kcore_peeling",
 }
 
 
