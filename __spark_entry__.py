@@ -83,7 +83,6 @@ VERIFY_FIRST = [
     "dedup_suffix_prefix_overlap",
     "margin_bitext_mining",
     "prototype_hard_keep",
-    "token_budget_waterfill",
     "decontamination_semantic",
     "coreset_kcenter_greedy",
     "token_burstiness_topk",
@@ -111,6 +110,7 @@ VERIFY_FIRST = [
     "quality_score_roc_auc",
     "embedding_hubness_koccurrence",
     "conformal_quantile_coverage",
+    "vocab_overlap_matrix",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",

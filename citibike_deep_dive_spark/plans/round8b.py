@@ -2250,3 +2250,100 @@ def conformal_quantile_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise top-k vocabulary overlap between sources
+# ---------------------------------------------------------------------------
+
+_VOCAB_OVL_K = 50
+
+
+@register(
+    "vocab_overlap_matrix",
+    f"""
+    WITH counts AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    topk AS (
+        SELECT source, tok FROM (
+            SELECT source, tok, ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY c DESC, tok) AS rn
+            FROM counts
+        ) WHERE rn <= {_VOCAB_OVL_K}
+    ),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS k FROM topk GROUP BY 1),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM topk a JOIN topk b
+          ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.n_common,
+           CAST(i.n_common AS DOUBLE)
+               / CAST(sa.k + sb.k - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+    tags=("X-vocab-overlap",),
+)
+def vocab_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard overlap of each source's top-{_VOCAB_OVL_K}
+    vocabulary — the cheap screen for tokenizer transfer and mixture
+    redundancy (sources whose head vocabularies coincide share a
+    tokenizer and dilute each other in a mixture; low-overlap sources
+    need vocab budget). Top-k per source is a keyed window
+    (WindowGroupLimit — only candidate rows shuffle); the pair
+    intersection is an EQUI-join on the token (never a per-source-pair
+    theta join — the mannwhitney lesson), sized k * |sources|, and
+    Jaccard is an exact int64 ratio via |A|+|B|-|A∩B|.
+
+    Distributed shape: one (source, token) count shuffle (map-side
+    combined), a per-source top-k window, then joins over frames
+    bounded by k x |sources| at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    from ..functions.lineage import truncate_lineage
+
+    counts = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).groupBy("source", "tok").agg(F.count("*").cast("long").alias("c"))
+    topk = truncate_lineage(
+        counts.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("c"), "tok")
+            ),
+        )
+        .filter(F.col("rn") <= _VOCAB_OVL_K)
+        .select("source", "tok"),
+        eager=False,
+    )  # consumed by sizes and both sides of the intersection join
+    sizes = topk.groupBy("source").agg(F.count("*").cast("long").alias("k"))
+    a = topk.select(F.col("source").alias("source_a"), "tok")
+    b = topk.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("k").alias("ka"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("k").alias("kb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("ka") + F.col("kb") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -563,3 +563,31 @@ def test_conformal_coverage_meets_guarantee(spark):
     # finite-sample guarantee: coverage >= 1 - alpha minus sampling slack
     assert r["coverage"] >= 0.9 - 3 * (0.9 * 0.1 / r["n_test"]) ** 0.5
     assert r["q_hat"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# vocab_overlap_matrix
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_overlap_bounds_and_symmetric_truth(spark):
+    rows = CATALOG["vocab_overlap_matrix"].build(spark, SF_DIR).collect()
+    assert rows
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    per_src = {}
+    for d in docs:
+        per_src.setdefault(d["source"], Counter()).update(
+            d["text"].lower().split(" ")
+        )
+    tops = {
+        s: set(t for t, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50])
+        for s, c in per_src.items()
+    }
+    for r in rows:
+        a, b = tops[r["source_a"]], tops[r["source_b"]]
+        inter = len(a & b)
+        assert r["n_common"] == inter
+        assert abs(r["jaccard"] - inter / len(a | b)) < 1e-12
+        assert 0.0 <= r["jaccard"] <= 1.0
