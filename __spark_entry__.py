@@ -82,7 +82,6 @@ VERIFY_FIRST = [
     "shard_assignment_rendezvous",
     "dedup_suffix_prefix_overlap",
     "margin_bitext_mining",
-    "prototype_hard_keep",
     "decontamination_semantic",
     "coreset_kcenter_greedy",
     "token_burstiness_topk",
@@ -111,6 +110,7 @@ VERIFY_FIRST = [
     "embedding_hubness_koccurrence",
     "conformal_quantile_coverage",
     "vocab_overlap_matrix",
+    "split_half_vocab_stability",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",

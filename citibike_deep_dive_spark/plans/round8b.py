@@ -2347,3 +2347,101 @@ def vocab_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-half vocabulary rank stability (Spearman between corpus halves)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_half_vocab_stability",
+    """
+    WITH halves AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS half,
+               tok
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+    ),
+    counts AS (
+        SELECT tok,
+               CAST(sum(CASE WHEN half = 'even' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ce,
+               CAST(sum(CASE WHEN half = 'odd' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS co
+        FROM halves GROUP BY 1
+    ),
+    r AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY ce DESC, tok) AS BIGINT) AS rx,
+               CAST(ROW_NUMBER() OVER (ORDER BY co DESC, tok) AS BIGINT) AS ry
+        FROM counts
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+               CAST(sum(rx * rx) AS BIGINT) AS sxx,
+               CAST(sum(ry * ry) AS BIGINT) AS syy,
+               CAST(sum(rx * ry) AS BIGINT) AS sxy
+        FROM r
+    )
+    SELECT n AS n_tokens,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 5)
+               AS rank_stability_rho
+    FROM s
+    """,
+    tags=("X-split-half",),
+)
+def split_half_vocab_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half reliability of the vocabulary ranking: Spearman rank
+    correlation between token frequency ranks computed on the even-id
+    and odd-id document halves — the classic psychometric reliability
+    check applied to corpus statistics. rho near 1 says frequency-based
+    decisions (vocab truncation, subsampling thresholds, BPE merge
+    order) are stable to resampling; a low rho flags a heterogeneous
+    or too-small corpus whose head vocabulary is an artifact of the
+    split. Same integer-exact rank-moment algebra as
+    quality_metric_spearman: both half-counts ride ONE aggregation
+    (conditional sums — no second corpus pass), ranks are total orders
+    via token tiebreak, every aggregate an int64 sum, one rounded
+    division at the edge.
+
+    Distributed shape: one token explode into a (token, half-counts)
+    aggregation (map-side combined), two vocabulary-grain rank sorts
+    (Heaps-bounded), one scalar moment row."""
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("ce"),
+            F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("co"),
+        )
+    )
+    r = counts.select(
+        F.row_number().over(Window.orderBy(F.desc("ce"), "tok")).cast("long").alias("rx"),
+        F.row_number().over(Window.orderBy(F.desc("co"), "tok")).cast("long").alias("ry"),
+    )
+    s = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        F.col("n").alias("n_tokens"),
+        F.round(num / den, 5).alias("rank_stability_rho"),
+    )

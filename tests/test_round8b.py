@@ -591,3 +591,23 @@ def test_vocab_overlap_bounds_and_symmetric_truth(spark):
         assert r["n_common"] == inter
         assert abs(r["jaccard"] - inter / len(a | b)) < 1e-12
         assert 0.0 <= r["jaccard"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# split_half_vocab_stability
+# ---------------------------------------------------------------------------
+
+
+def test_split_half_rho_bounds_and_positive(spark):
+    [r] = CATALOG["split_half_vocab_stability"].build(spark, SF_DIR).collect()
+    assert -1.0 <= r["rank_stability_rho"] <= 1.0
+    # the synthetic corpus draws both halves from one distribution, so
+    # the head ranking must largely agree across halves
+    assert r["rank_stability_rho"] > 0.5
+    n_tok = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .selectExpr("explode(split(lower(text), ' ')) AS t")
+        .distinct()
+        .count()
+    )
+    assert r["n_tokens"] == n_tok
