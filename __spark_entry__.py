@@ -77,12 +77,10 @@ VERIFY_FIRST = [
     "chunk_dedup_reconstruct",
     "ann_ivfpq_rerank_exact",
     "ndcg_at_k_eval",
-    "t_closeness_audit",
     "filter_funnel_attrition",
     "shard_assignment_rendezvous",
     "dedup_suffix_prefix_overlap",
     "margin_bitext_mining",
-    "decontamination_semantic",
     "coreset_kcenter_greedy",
     "token_burstiness_topk",
     "quality_metric_spearman",
@@ -111,6 +109,8 @@ VERIFY_FIRST = [
     "conformal_quantile_coverage",
     "vocab_overlap_matrix",
     "split_half_vocab_stability",
+    "circular_peak_hour",
+    "corpus_entropy_rate",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",

@@ -2445,3 +2445,180 @@ def split_half_vocab_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_tokens"),
         F.round(num / den, 5).alias("rank_stability_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Circular peak hour per event type (directional statistics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "circular_peak_hour",
+    """
+    WITH hourly AS (
+        SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    vec AS (
+        SELECT event_type,
+               CAST(sum(c) AS BIGINT) AS n,
+               sum(c * cos(h * 2 * pi() / 24)) AS sx,
+               sum(c * sin(h * 2 * pi() / 24)) AS sy
+        FROM hourly GROUP BY 1
+    )
+    SELECT event_type, n AS n_events,
+           round((CASE WHEN atan2(sy, sx) < 0
+                       THEN atan2(sy, sx) + 2 * pi()
+                       ELSE atan2(sy, sx) END) * 24 / (2 * pi()), 4)
+               AS peak_hour,
+           round(sqrt(sx * sx + sy * sy) / n, 5) AS concentration_r
+    FROM vec
+    """,
+    tags=("X-circular-stats",),
+)
+def circular_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular mean peak hour per event type (directional statistics,
+    Mardia & Jupp 2000): hours live on a circle, so the arithmetic mean
+    of {23, 0, 1} is a nonsense 8 — the mean RESULTANT VECTOR
+    (sum of unit vectors at angle 2*pi*h/24) gives the true peak
+    direction, and its normalized length R in [0, 1] is the
+    concentration (R ~ 0: uniform around the clock; R ~ 1: sharply
+    peaked) — the correct way to compare diurnal load shapes across
+    event types. The trig arguments take only 24 DISTINCT values
+    because counts aggregate to hour grain FIRST; the 24-term
+    transcendental sums per type are rounded at the edge
+    (bigram_lm precedent).
+
+    Distributed shape: one (type, hour) count aggregation — the only
+    data-grain pass, map-side combined — then per-type math over <= 24
+    rows each. Bounded by the clock at any corpus size."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("h")
+    ).agg(F.count("*").cast("long").alias("c"))
+    two_pi = 2 * math.pi
+    vec = hourly.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.cos(F.col("h") * two_pi / 24)).alias("sx"),
+        F.sum(F.col("c") * F.sin(F.col("h") * two_pi / 24)).alias("sy"),
+    )
+    ang = F.atan2(F.col("sy"), F.col("sx"))
+    ang_pos = F.when(ang < 0, ang + two_pi).otherwise(ang)
+    return vec.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round(ang_pos * 24 / two_pi, 4).alias("peak_hour"),
+        F.round(
+            F.sqrt(F.col("sx") * F.col("sx") + F.col("sy") * F.col("sy"))
+            / F.col("n"),
+            5,
+        ).alias("concentration_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus entropy rate: unigram vs bigram conditional entropy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_entropy_rate",
+    """
+    WITH toks AS (
+        SELECT string_split(lower(text), ' ') AS ws FROM documents
+        ),
+    uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1
+    ),
+    n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    h1 AS (
+        SELECT round(-sum((CAST(c AS DOUBLE) / n)
+                          * log2(CAST(c AS DOUBLE) / n)), 5) AS h_unigram
+        FROM uni CROSS JOIN n1
+    ),
+    bi AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT ws[i] AS w1, ws[i + 1] AS w2
+              FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM toks WHERE len(ws) >= 2))
+        GROUP BY 1, 2
+    ),
+    n2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bi),
+    h2 AS (
+        SELECT round(-sum((CAST(c AS DOUBLE) / n)
+                          * log2(CAST(c AS DOUBLE) / n)), 5) AS h_bigram
+        FROM bi CROSS JOIN n2
+    )
+    SELECT (SELECT n FROM n1) AS n_tokens,
+           h1.h_unigram,
+           h2.h_bigram,
+           round(h2.h_bigram - h1.h_unigram, 5) AS h_conditional
+    FROM h1 CROSS JOIN h2
+    """,
+    tags=("X-entropy-rate",),
+)
+def corpus_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus entropy rate: unigram entropy H(W), bigram entropy
+    H(W1,W2), and the conditional entropy H(W2|W1) = H(W1,W2) - H(W1)
+    in bits — the information-theoretic predictability summary
+    (Shannon 1951's printed-English estimate pattern) that complements
+    the per-doc views (doc_word_entropy, bigram_lm_cross_entropy): a
+    low conditional entropy means bigram context already pins the next
+    token and longer-context models gain little on this corpus. All
+    probabilities are exact int64 ratios; the p*log2(p) sums run at
+    vocabulary/bigram grain and round at the edge (bigram_lm
+    precedent).
+
+    Distributed shape: one token explode and one zip_with bigram
+    explode, each into a map-side-combined count aggregation; the
+    entropy folds run at Heaps-bounded grains with corpus totals as
+    broadcast scalars."""
+    docs = table(spark, sf_dir, "documents")
+    from ..functions.lineage import truncate_lineage
+
+    ws = F.split(F.lower("text"), " ")
+    toks = truncate_lineage(docs.select(ws.alias("ws")), eager=False)
+    uni = toks.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    uni = truncate_lineage(uni, eager=False)
+    n1 = uni.agg(F.sum("c").cast("long").alias("n"))
+    p1 = F.col("c").cast("double") / F.col("n").cast("double")
+    h1 = (
+        uni.crossJoin(F.broadcast(n1))
+        .agg(F.round(-F.sum(p1 * F.log2(p1)), 5).alias("h_unigram"))
+        .crossJoin(F.broadcast(n1))
+    )
+    bi = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    bi = truncate_lineage(bi, eager=False)
+    n2 = bi.agg(F.sum("c").cast("long").alias("n"))
+    p2 = F.col("c").cast("double") / F.col("n").cast("double")
+    h2 = bi.crossJoin(F.broadcast(n2)).agg(
+        F.round(-F.sum(p2 * F.log2(p2)), 5).alias("h_bigram")
+    )
+    return (
+        h1.crossJoin(F.broadcast(h2))
+        .select(
+            F.col("n").alias("n_tokens"),
+            "h_unigram",
+            "h_bigram",
+            F.round(F.col("h_bigram") - F.col("h_unigram"), 5).alias(
+                "h_conditional"
+            ),
+        )
+    )

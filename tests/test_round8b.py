@@ -614,3 +614,50 @@ def test_split_half_rho_bounds_and_positive(spark):
         .count()
     )
     assert r["n_tokens"] == n_tok
+
+
+# ---------------------------------------------------------------------------
+# circular_peak_hour
+# ---------------------------------------------------------------------------
+
+
+def test_circular_peak_matches_direct(spark):
+    import cmath, math
+    from collections import Counter, defaultdict
+
+    rows = CATALOG["circular_peak_hour"].build(spark, SF_DIR).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "ts"
+    ).collect()
+    by_type = defaultdict(Counter)
+    for e in ev:
+        by_type[e["event_type"]][e["ts"].hour] += 1
+    for r in rows:
+        hrs = by_type[r["event_type"]]
+        z = sum(c * cmath.exp(1j * 2 * math.pi * h / 24) for h, c in hrs.items())
+        n = sum(hrs.values())
+        peak = (cmath.phase(z) % (2 * math.pi)) * 24 / (2 * math.pi)
+        assert r["n_events"] == n
+        assert abs(r["peak_hour"] - peak) < 1e-3
+        assert abs(r["concentration_r"] - abs(z) / n) < 1e-4
+        assert 0.0 <= r["concentration_r"] <= 1.0
+        assert 0.0 <= r["peak_hour"] < 24.0
+
+
+# ---------------------------------------------------------------------------
+# corpus_entropy_rate
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_rate_information_inequalities(spark):
+    import math
+
+    [r] = CATALOG["corpus_entropy_rate"].build(spark, SF_DIR).collect()
+    # conditioning cannot increase entropy: 0 <= H(W2|W1) <= H(W)
+    assert 0.0 <= r["h_conditional"] <= r["h_unigram"] + 1e-9
+    # joint <= sum of marginals (subadditivity, equal marginal approx)
+    assert r["h_bigram"] <= 2 * r["h_unigram"] + 1e-9
+    # unigram entropy bounded by log2 of vocab size (31 types)
+    assert r["h_unigram"] <= math.log2(31) + 1e-9
+    assert abs(r["h_conditional"] - (r["h_bigram"] - r["h_unigram"])) < 1e-9
