@@ -77,7 +77,6 @@ VERIFY_FIRST = [
     "chunk_dedup_reconstruct",
     "ann_ivfpq_rerank_exact",
     "ndcg_at_k_eval",
-    "filter_funnel_attrition",
     "shard_assignment_rendezvous",
     "dedup_suffix_prefix_overlap",
     "margin_bitext_mining",
@@ -111,6 +110,7 @@ VERIFY_FIRST = [
     "split_half_vocab_stability",
     "circular_peak_hour",
     "corpus_entropy_rate",
+    "source_minhash_similarity",
     "dedup_simhash",
     "simhash_hamming_pairs",
     "simhash64_hamming_pairs",

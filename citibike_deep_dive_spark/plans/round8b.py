@@ -2622,3 +2622,135 @@ def corpus_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-level MinHash similarity matrix
+# ---------------------------------------------------------------------------
+
+_SRC_MH_K = 32  # permutations; b_hex=14 keeps (k-1)*b + a inside int64
+
+
+@register(
+    "source_minhash_similarity",
+    f"""
+    WITH toks AS (
+        SELECT source, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(gram), 1, 15))::BIGINT AS a,
+               ('0x' || substr(md5(gram), 16, 14))::BIGINT AS b
+        FROM (SELECT source,
+                     array_to_string(list_transform(
+                         generate_series(i, i + 3), j -> ws[j]), ' ') AS gram
+              FROM (SELECT source, ws, unnest(generate_series(1, len(ws) - 3))
+                           AS i
+                    FROM toks WHERE len(ws) >= 4))
+    ),
+    sigs AS (
+        SELECT source, g.i,
+               CAST(min((a + g.i * b) % 1152921504606846976) AS BIGINT) AS mv
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {_SRC_MH_K - 1}))
+                            AS i) g
+        GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matching,
+           CAST(sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS DOUBLE)
+               / {float(_SRC_MH_K)} AS jaccard_est
+    FROM sigs a JOIN sigs b ON a.i = b.i AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    tags=("X-source-minhash",),
+)
+def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level MinHash similarity matrix: one {_SRC_MH_K}-permutation
+    signature per SOURCE over the union of its documents' word-4-shingles,
+    pairwise Jaccard estimated as the fraction of agreeing permutations —
+    the set-similarity screen for "is source B a scrape/clone of source A"
+    that runs BEFORE any doc-level dedup pays per-pair cost. Same
+    Carter-Wegman one-md5-per-shingle family as minhash_signatures
+    (operators/dedup.py:91) at b_hex=14 so k={_SRC_MH_K} permutations stay
+    inside int64; the estimate is an exact integer ratio of agreement
+    counts.
+
+    Distributed shape: shingles dedupe at (source, shingle) grain
+    map-side, permutations ride as cheap integer arithmetic on ONE md5,
+    the signature is a (source, i)-grain min aggregation, and the pair
+    matrix is an equi-join on the permutation index over a
+    |sources| x k frame — never a shingle-set cross join."""
+    docs = table(spark, sf_dir, "documents")
+    from ..functions.lineage import truncate_lineage
+
+    ws = F.split(F.lower("text"), " ")
+    grams = (
+        docs.select("source", ws.alias("ws"))
+        .filter(F.size("ws") >= 4)
+        .select(
+            "source",
+            F.explode(
+                F.zip_with(
+                    F.zip_with(
+                        F.slice(F.col("ws"), 1, F.size("ws") - 3),
+                        F.slice(F.col("ws"), 2, F.size("ws") - 3),
+                        lambda a, b: F.concat(a, F.lit(" "), b),
+                    ),
+                    F.zip_with(
+                        F.slice(F.col("ws"), 3, F.size("ws") - 3),
+                        F.slice(F.col("ws"), 4, F.size("ws") - 3),
+                        lambda c, d: F.concat(c, F.lit(" "), d),
+                    ),
+                    lambda l, r: F.concat(l, F.lit(" "), r),
+                )
+            ).alias("gram"),
+        )
+    )
+    sh = grams.select(
+        "source",
+        F.expr("CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").alias(
+            "a"
+        ),
+        F.expr("CAST(conv(substring(md5(gram), 16, 14), 16, 10) AS BIGINT)").alias(
+            "b"
+        ),
+    ).distinct()
+    sigs = truncate_lineage(
+        sh.select(
+            "source",
+            "a",
+            "b",
+            F.explode(F.sequence(F.lit(0), F.lit(_SRC_MH_K - 1))).alias("i"),
+        )
+        .groupBy("source", "i")
+        .agg(
+            F.min((F.col("a") + F.col("i") * F.col("b")) % F.lit(1 << 60))
+            .cast("long")
+            .alias("mv")
+        ),
+        eager=False,
+    )  # both sides of the pair join read it
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    match = F.sum(
+        F.when(F.col("a.mv") == F.col("b.mv"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(match.alias("n_matching"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_matching",
+            (F.col("n_matching").cast("double") / float(_SRC_MH_K)).alias(
+                "jaccard_est"
+            ),
+        )
+    )

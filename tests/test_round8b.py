@@ -661,3 +661,27 @@ def test_entropy_rate_information_inequalities(spark):
     # unigram entropy bounded by log2 of vocab size (31 types)
     assert r["h_unigram"] <= math.log2(31) + 1e-9
     assert abs(r["h_conditional"] - (r["h_bigram"] - r["h_unigram"])) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# source_minhash_similarity
+# ---------------------------------------------------------------------------
+
+
+def test_source_minhash_estimates_true_jaccard(spark):
+    rows = CATALOG["source_minhash_similarity"].build(spark, SF_DIR).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    shingles = {}
+    for d in docs:
+        ws = d["text"].lower().split(" ")
+        s = shingles.setdefault(d["source"], set())
+        for i in range(len(ws) - 3):
+            s.add(" ".join(ws[i : i + 4]))
+    for r in rows:
+        assert 0 <= r["n_matching"] <= 32
+        assert abs(r["jaccard_est"] - r["n_matching"] / 32) < 1e-12
+        a, b = shingles[r["source_a"]], shingles[r["source_b"]]
+        true_j = len(a & b) / len(a | b)
+        # 32 permutations: std ~ sqrt(j(1-j)/32) <= 0.09; allow 4 sigma
+        assert abs(r["jaccard_est"] - true_j) < 0.36
