@@ -14,3 +14,4 @@ from . import round6  # noqa: F401  (governance/drift/eval/statistics additions)
 from . import round8  # noqa: F401  (data-selection / two-stage-ANN additions)
 from . import mining  # noqa: F401  (winnowing / bitext / pruning / budget additions)
 from . import round8b  # noqa: F401  (calibration / bootstrap / agreement statistics)
+from . import round8c  # noqa: F401  (quantile-norm / KN-LM / MMR / neg-sampling / Heaps)
