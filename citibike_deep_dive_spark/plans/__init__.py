@@ -15,3 +15,4 @@ from . import round8  # noqa: F401  (data-selection / two-stage-ANN additions)
 from . import mining  # noqa: F401  (winnowing / bitext / pruning / budget additions)
 from . import round8b  # noqa: F401  (calibration / bootstrap / agreement statistics)
 from . import round8c  # noqa: F401  (quantile-norm / KN-LM / MMR / neg-sampling / Heaps)
+from . import round8d  # noqa: F401  (Good-Turing / DP-Laplace / stylometry / sparse cosine)
