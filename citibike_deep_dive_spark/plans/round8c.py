@@ -110,7 +110,10 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("gcnt"))
         .select("gq", F.sum("gcnt").over(w_glob).alias("gcum"))
     )
-    n = scored.agg(F.count("*").cast("long").alias("n"))
+    # Corpus size from the checkpointed grid, not a second scored scan —
+    # re-running the regex-heavy score projection just to count rows
+    # doubled the warm time.
+    n = cells.agg(F.sum("cnt").cast("long").alias("n"))
     return (
         src.crossJoin(F.broadcast(n))
         .join(

@@ -134,7 +134,7 @@ def test_sparse_cosine_finds_a_planted_neardup(spark):
             dfm[g] = dfm.get(g, 0) + 1
     def wvec(did):
         return {
-            g: c * round(math.log(n / dfm[g]) * 1e6)
+            g: c * round(math.log(n / dfm[g]) * 1e3)
             for g, c in tf[did].items()
             if 2 <= dfm[g] <= 100
         }
