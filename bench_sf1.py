@@ -58,6 +58,12 @@ QUERIES = [
     "ccnet_perplexity_buckets",
     "chunk_dedup_reconstruct",
     "ann_ivfpq_rerank_exact",
+    # round-8 session-2 additions (growth-sensitive shapes only: the
+    # pair join, the score grid, the source-pair grid, the greedy loop)
+    "sparse_cosine_neardup_pairs",
+    "quantile_normalize_scores",
+    "stylometry_burrows_delta",
+    "mmr_diversified_topk",
 ]
 
 ALPHA = string.ascii_lowercase
