@@ -16,3 +16,4 @@ from . import mining  # noqa: F401  (winnowing / bitext / pruning / budget addit
 from . import round8b  # noqa: F401  (calibration / bootstrap / agreement statistics)
 from . import round8c  # noqa: F401  (quantile-norm / KN-LM / MMR / neg-sampling / Heaps)
 from . import round8d  # noqa: F401  (Good-Turing / DP-Laplace / stylometry / sparse cosine)
+from . import round8e  # noqa: F401  (SAX / BH-FDR / association rules / modularity)
