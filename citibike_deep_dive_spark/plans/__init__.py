@@ -17,3 +17,4 @@ from . import round8b  # noqa: F401  (calibration / bootstrap / agreement statis
 from . import round8c  # noqa: F401  (quantile-norm / KN-LM / MMR / neg-sampling / Heaps)
 from . import round8d  # noqa: F401  (Good-Turing / DP-Laplace / stylometry / sparse cosine)
 from . import round8e  # noqa: F401  (SAX / BH-FDR / association rules / modularity)
+from . import round8f  # noqa: F401  (query-likelihood / Wilcoxon / KR-20 / SPRT / McNemar)
