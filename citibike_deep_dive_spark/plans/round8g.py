@@ -1,0 +1,410 @@
+"""Round-8 continuation batch 5: spectral analysis, sketch auditing,
+and windowed sequencing — discrete Fourier coefficients of the daily
+event volume (the frequency-domain complement to
+daily_count_autocorrelation's time-domain view), an oracle-checkable
+Bloom-filter false-positive-rate audit built on the portable md5
+Carter-Wegman hash family (the xxhash64 production sketch in
+plans/scalepath.py is Spark-private and can only be verified
+semantically; this one verifies the SKETCH itself), and a
+time-windowed SEQUENTIAL funnel (each step strictly after the previous
+matched step, whole chain inside a fixed window — the ClickHouse
+windowFunnel shape) complementing conversion_funnel's first-timestamp
+ordering.
+
+Engine-exactness: Fourier products are micro-unit integer cosines
+times integer counts (exact integer sums); the Bloom audit is pure
+md5-integer arithmetic; funnel timings are integer epoch-second
+differences.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.lineage import truncate_lineage
+from ..functions.portable import portable_hash64, portable_hash64_sql
+from .catalog import register, table
+
+# ---------------------------------------------------------------------------
+# DFT coefficients of the daily event volume
+# ---------------------------------------------------------------------------
+
+_FOURIER_KS = (1, 2, 3)
+
+
+@register(
+    "daily_volume_fourier",
+    f"""
+    WITH daily AS (
+        SELECT ts::DATE AS day, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(day) AS d0,
+                    CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT) AS t
+             FROM daily),
+    pts AS (
+        SELECT k.k,
+               d.c,
+               CAST(date_diff('day', s.d0, d.day) AS BIGINT) AS tt,
+               s.t
+        FROM daily d CROSS JOIN span s
+        CROSS JOIN (SELECT unnest([{", ".join(str(k) for k in _FOURIER_KS)}]) AS k) k
+    ),
+    terms AS (
+        SELECT k, t,
+               CAST(sum(c * CAST(round(cos(2 * pi() * k * tt / t) * 1000000)
+                                 AS BIGINT)) AS BIGINT) AS a_num,
+               CAST(sum(c * CAST(round(sin(2 * pi() * k * tt / t) * 1000000)
+                                 AS BIGINT)) AS BIGINT) AS b_num,
+               CAST(sum(c) AS BIGINT) AS total
+        FROM pts GROUP BY 1, 2
+    )
+    SELECT CAST(k AS INT) AS k,
+           t AS n_days,
+           round(CAST(a_num AS DOUBLE) / 1000000, 4) AS a_k,
+           round(CAST(b_num AS DOUBLE) / 1000000, 4) AS b_k,
+           round(sqrt((CAST(a_num AS DOUBLE) / 1000000)
+                      * (CAST(a_num AS DOUBLE) / 1000000)
+                      + (CAST(b_num AS DOUBLE) / 1000000)
+                        * (CAST(b_num AS DOUBLE) / 1000000))
+                 / (CAST(total AS DOUBLE) / t), 5) AS relative_amplitude,
+           round(atan2(CAST(b_num AS DOUBLE), CAST(a_num AS DOUBLE)), 5) AS phase
+    FROM terms
+    """,
+    tags=("X-fourier",),
+)
+def daily_volume_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Fourier coefficients a_k = sum_t c_t cos(2 pi k t / T),
+    b_k = sum_t c_t sin(...) of the daily event volume at the first
+    {len(_FOURIER_KS)} harmonics — the frequency-domain drift/seasonality
+    view that complements daily_count_autocorrelation (time domain) and
+    seasonal_baseline_profile (calendar profile): a strong k=1 harmonic
+    over a 30-day span is monthly drift, a spike near k = T/7 would be
+    weekly rhythm. relative_amplitude normalizes by the mean daily
+    volume so the number is scale-free.
+
+    The trigonometric factors are MICRO-UNIT INTEGERS (round(cos * 1e6))
+    multiplied by integer counts, so both coefficient sums are exact
+    int64 arithmetic — the float-sum-order problem spectral code
+    usually has simply does not exist here (the 1-ulp cos() difference
+    between libm and the JVM is absorbed by the fixed-point rounding).
+    Distributed shape: one map-side-combined daily count, a (harmonics
+    x day-grid) frame — bounded by the calendar, not the data — and one
+    aggregation per harmonic."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    daily = truncate_lineage(daily, eager=False)
+    span = daily.agg(
+        F.min("day").alias("d0"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).cast("long").alias("t"),
+    )
+    ks = spark.range(1, max(_FOURIER_KS) + 1).select(F.col("id").cast("int").alias("k"))
+    arg = 2 * math.pi * F.col("k") * F.col("tt") / F.col("t")
+    pts = (
+        daily.crossJoin(F.broadcast(span))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "k",
+            "c",
+            "t",
+            F.datediff(F.col("day"), F.col("d0")).cast("long").alias("tt"),
+        )
+    )
+    terms = pts.groupBy("k", "t").agg(
+        F.sum(F.col("c") * F.round(F.cos(arg) * 1000000, 0).cast("long"))
+        .cast("long")
+        .alias("a_num"),
+        F.sum(F.col("c") * F.round(F.sin(arg) * 1000000, 0).cast("long"))
+        .cast("long")
+        .alias("b_num"),
+        F.sum("c").cast("long").alias("total"),
+    )
+    a = F.col("a_num").cast("double") / 1000000
+    b = F.col("b_num").cast("double") / 1000000
+    return terms.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("t").alias("n_days"),
+        F.round(a, 4).alias("a_k"),
+        F.round(b, 4).alias("b_k"),
+        F.round(
+            F.sqrt(a * a + b * b) / (F.col("total").cast("double") / F.col("t")), 5
+        ).alias("relative_amplitude"),
+        F.round(F.atan2(F.col("b_num").cast("double"), F.col("a_num").cast("double")), 5).alias(
+            "phase"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter false-positive-rate audit (portable hash family)
+# ---------------------------------------------------------------------------
+
+_BFA_M = 4096  # bits
+_BFA_K = 4  # hash functions
+
+
+@register(
+    "bloom_fpp_audit",
+    f"""
+    WITH members AS (
+        SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    everyone AS (SELECT c_custkey AS key FROM customer),
+    hashes AS (
+        SELECT key,
+               {portable_hash64_sql("CAST(key AS VARCHAR)", start=1)} AS h1,
+               {portable_hash64_sql("CAST(key AS VARCHAR)", start=17)} | 1 AS h2
+        FROM everyone
+    ),
+    probe AS (
+        SELECT h.key, j.j, (h.h1 + j.j * h.h2) % {_BFA_M} AS pos
+        FROM hashes h
+        CROSS JOIN (SELECT unnest(generate_series(0, {_BFA_K - 1})) AS j) j
+    ),
+    bits AS (
+        SELECT DISTINCT pos FROM probe WHERE key IN (SELECT key FROM members)
+    ),
+    hits AS (
+        SELECT p.key, CAST(count(b.pos) AS BIGINT) AS set_bits
+        FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+        GROUP BY 1
+    ),
+    verdict AS (
+        SELECT h.key, h.set_bits = {_BFA_K} AS positive,
+               h.key IN (SELECT key FROM members) AS member
+        FROM hits h
+    ),
+    agg AS (
+        SELECT CAST(count(CASE WHEN member THEN 1 END) AS BIGINT) AS n_members,
+               CAST(count(CASE WHEN NOT member THEN 1 END) AS BIGINT) AS n_nonmembers,
+               CAST(count(CASE WHEN positive AND NOT member THEN 1 END) AS BIGINT)
+                   AS false_positives,
+               CAST(count(CASE WHEN NOT positive AND member THEN 1 END) AS BIGINT)
+                   AS false_negatives
+        FROM verdict
+    ),
+    nbits AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits)
+    SELECT a.n_members, a.n_nonmembers,
+           CAST({_BFA_M} AS BIGINT) AS m_bits, CAST({_BFA_K} AS BIGINT) AS k_hashes,
+           nb.bits_set,
+           a.false_negatives,
+           a.false_positives,
+           round(CAST(a.false_positives AS DOUBLE) / a.n_nonmembers, 6)
+               AS fpp_observed,
+           round(exp({_BFA_K} * ln(1.0 - exp(CAST({_BFA_K} AS DOUBLE) * a.n_members
+                                             * ln(1.0 - 1.0 / {_BFA_M})))), 6)
+               AS fpp_theory
+    FROM agg a CROSS JOIN nbits nb
+    """,
+    tags=("X-bloom-audit",),
+)
+def bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive-rate audit on an ORACLE-CHECKABLE
+    sketch: members (BUILDING-segment customer keys) are inserted with
+    k = {_BFA_K} Carter-Wegman hashes (h1 + j*h2 mod m) derived from two
+    windows of ONE portable md5 digest, every customer key is probed,
+    and the observed FPP over true non-members is compared to the
+    theoretical (1 - (1 - 1/m)^(kn))^k. The production prefilter
+    (plans/scalepath.bloom_might_contain) uses Spark-private xxhash64
+    and can only be verified semantically (the join result); this query
+    verifies the SKETCH MECHANICS themselves, cross-engine — the
+    false_negatives column is the structural invariant (must be 0, a
+    Bloom filter never lies negative). The lsh_tuning_report precedent:
+    audit the technique, not just the answer.
+
+    Everything is integer md5 arithmetic; the only transcendentals are
+    in the closed-form theory value at the edge. Distributed shape: the
+    bit set is dimension-sized (<= m rows) and broadcasts into the
+    probe join; the probe frame is (keys x k) narrow rows — at 100 TB
+    you'd fold the bitmap into an array literal and probe inside the
+    scan (the scalepath form); this query is the audit harness."""
+    cust = table(spark, sf_dir, "customer")
+    everyone = cust.select(F.col("c_custkey").alias("key"))
+    members = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    key_str = F.col("key").cast("string")
+    hashes = everyone.select(
+        "key",
+        portable_hash64(key_str, start=1).alias("h1"),
+        (portable_hash64(key_str, start=17).bitwiseOR(F.lit(1))).alias("h2"),
+    )
+    hashes = truncate_lineage(hashes, eager=False)
+    js = spark.range(_BFA_K).select(F.col("id").alias("j"))
+    probe = hashes.crossJoin(F.broadcast(js)).select(
+        "key", F.pmod(F.col("h1") + F.col("j") * F.col("h2"), F.lit(_BFA_M)).alias("pos")
+    )
+    bits = (
+        probe.join(F.broadcast(members), "key")
+        .select("pos")
+        .distinct()
+    )
+    bits = truncate_lineage(bits, eager=False)
+    hits = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("key")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("set_bits"))
+    )
+    verdict = hits.join(
+        F.broadcast(members.withColumn("is_m", F.lit(1))), "key", "left"
+    ).select(
+        (F.col("set_bits") == _BFA_K).alias("positive"),
+        F.coalesce("is_m", F.lit(0)).cast("boolean").alias("member"),
+    )
+    agg = verdict.agg(
+        F.count(F.when(F.col("member"), 1)).cast("long").alias("n_members"),
+        F.count(F.when(~F.col("member"), 1)).cast("long").alias("n_nonmembers"),
+        F.count(F.when(F.col("positive") & ~F.col("member"), 1))
+        .cast("long")
+        .alias("false_positives"),
+        F.count(F.when(~F.col("positive") & F.col("member"), 1))
+        .cast("long")
+        .alias("false_negatives"),
+    )
+    nbits = bits.agg(F.count("*").cast("long").alias("bits_set"))
+    theory = F.exp(
+        _BFA_K
+        * F.log(
+            1.0
+            - F.exp(
+                F.lit(float(_BFA_K))
+                * F.col("n_members")
+                * F.log(F.lit(1.0 - 1.0 / _BFA_M))
+            )
+        )
+    )
+    return agg.crossJoin(F.broadcast(nbits)).select(
+        "n_members",
+        "n_nonmembers",
+        F.lit(_BFA_M).cast("long").alias("m_bits"),
+        F.lit(_BFA_K).cast("long").alias("k_hashes"),
+        "bits_set",
+        "false_negatives",
+        "false_positives",
+        F.round(
+            F.col("false_positives").cast("double") / F.col("n_nonmembers"), 6
+        ).alias("fpp_observed"),
+        F.round(theory, 6).alias("fpp_theory"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-windowed sequential funnel (windowFunnel shape)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_DAYS = 7
+
+
+@register(
+    "sequential_funnel_windowed",
+    f"""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY 1
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    depths AS (
+        SELECT u.user_id,
+               CASE WHEN s3.t3 IS NOT NULL THEN 3
+                    WHEN s2.t2 IS NOT NULL THEN 2
+                    WHEN s1.t1 IS NOT NULL THEN 1
+                    ELSE 0 END AS depth,
+               CASE WHEN s3.t3 IS NOT NULL
+                    THEN epoch(s3.t3) - epoch(s1.t1) END AS secs_to_convert
+        FROM users u
+        LEFT JOIN s1 ON u.user_id = s1.user_id
+        LEFT JOIN s2 ON u.user_id = s2.user_id
+        LEFT JOIN s3 ON u.user_id = s3.user_id
+    )
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(CASE WHEN secs_to_convert
+                           <= {_FUNNEL_WINDOW_DAYS} * 86400 THEN 1 END) AS BIGINT)
+               AS n_within_window,
+           round(avg(CAST(secs_to_convert AS DOUBLE)) / 3600, 3) AS avg_hours_to_convert
+    FROM depths GROUP BY 1
+    """,
+    tags=("X-window-funnel",),
+)
+def sequential_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-SEQUENTIAL funnel with a completion window (the
+    windowFunnel shape): step 2 must be the first click AFTER the first
+    view, step 3 the first purchase AFTER that click, and a chain only
+    counts as in-window if purchase - view <= {_FUNNEL_WINDOW_DAYS}
+    days. conversion_funnel orders FIRST timestamps (cheap, one
+    aggregation, but a click that predates every view still counts);
+    this query enforces the event-order dependency the product question
+    actually asks, at the cost of one extra user-grain aggregation per
+    step — the honest trade, both shapes in the catalog.
+
+    Each step is a user-keyed conditional-min aggregation chained on the
+    previous step's frame (three shuffles on the same user key — at
+    scale these co-partition after the first exchange; AQE reuses the
+    partitioning). Conversion latency is integer epoch-second
+    arithmetic averaged at the edge."""
+    ev = table(spark, sf_dir, "events")
+    ev = truncate_lineage(ev.select("user_id", "event_type", "ts"), eager=False)
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    secs = F.when(
+        F.col("t3").isNotNull(),
+        F.unix_timestamp("t3") - F.unix_timestamp("t1"),
+    )
+    depths = (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(depth.alias("depth"), secs.alias("secs_to_convert"))
+    )
+    return depths.groupBy(F.col("depth").cast("int").alias("depth")).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count(
+            F.when(F.col("secs_to_convert") <= _FUNNEL_WINDOW_DAYS * 86400, 1)
+        )
+        .cast("long")
+        .alias("n_within_window"),
+        F.round(F.avg(F.col("secs_to_convert").cast("double")) / 3600, 3).alias(
+            "avg_hours_to_convert"
+        ),
+    )
