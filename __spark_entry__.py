@@ -118,13 +118,56 @@ VERIFY_FIRST = [
     # (c) least-recently-verified (r1-r2 evidence), oldest first
 ]
 
+# Never driver-verified entries that did NOT fit this round's 50-slot
+# budget (12 from the first round-8 session + 21 from the continuation
+# session). Placed immediately after VERIFY_FIRST in queries() so any
+# budget beyond 50 reaches them, and queued as the HEAD of round 9's
+# VERIFY_FIRST rotation — every one is preflight.py-exact at sf0.01.
+VERIFY_NEXT = [
+    "semdedup_prune_subcells",
+    "t_closeness_audit",
+    "filter_funnel_attrition",
+    "dedup_label_propagation",
+    "dsir_importance_resample",
+    "phrase_search_positional",
+    "span_corruption_masks",
+    "bpe_apply_merges",
+    "winnowing_fingerprints",
+    "prototype_hard_keep",
+    "token_budget_waterfill",
+    "decontamination_semantic",
+    "quantile_normalize_scores",
+    "kneser_ney_bigram_probs",
+    "mmr_diversified_topk",
+    "negative_sampling_table",
+    "heaps_law_loglog_fit",
+    "good_turing_bigram_smoothing",
+    "dp_noisy_histogram",
+    "stylometry_burrows_delta",
+    "sparse_cosine_neardup_pairs",
+    "sax_daily_volume_symbols",
+    "ks_source_bh_fdr",
+    "association_rule_directed",
+    "dedup_community_modularity",
+    "query_likelihood_dirichlet",
+    "wilcoxon_signed_rank_daily",
+    "kr20_gate_reliability",
+    "ab_sequential_sprt",
+    "mcnemar_gate_disagreement",
+    "daily_volume_fourier",
+    "bloom_fpp_audit",
+    "sequential_funnel_windowed",
+]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions),
     ordered so the driver's bounded verify covers new ground each round."""
+    head = set(VERIFY_FIRST) | set(VERIFY_NEXT)
     ordered = [n for n in VERIFY_FIRST if n in CATALOG]
-    ordered += [n for n in CATALOG if n not in VERIFY_FIRST]
+    ordered += [n for n in VERIFY_NEXT if n in CATALOG]
+    ordered += [n for n in CATALOG if n not in head]
     return {name: CATALOG[name].build for name in ordered}
 
 
