@@ -37,7 +37,7 @@ from typing import Callable
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -292,5 +292,79 @@ def partitioned_upsert_sink(
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         with open(marker, "w") as fh:
             fh.write(str(batch_id))
+
+    return merge
+
+
+def sprt_monitor_sink(
+    state_path: str,
+    bound: int,
+    order_cols: list[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink for a Wald SPRT monitor (the streaming form of
+    the ``ab_sequential_sprt`` catalog query): each micro-batch carries
+    integer log-likelihood increments in an ``inc`` column plus ordering
+    columns; the sink maintains the running integer LLR and latches the
+    FIRST boundary crossing (|LLR| >= ``bound``) — a sequential test
+    decides once and stops, so the decision is write-once state.
+
+    State is a single JSON document replaced atomically (os.replace), so
+    the applied batch id, the running total, and the decision commit in
+    ONE filesystem operation — exactly-once under foreachBatch's
+    at-least-once replay with no marker/data gap (tighter than the
+    parquet sinks can manage; a one-row monitor earns a one-file state).
+
+    The within-batch cumulative uses a window over ``order_cols`` — a
+    MICRO-BATCH-bounded global window, which is the correct scale story
+    here: a sequential test is inherently a totally-ordered scan, and
+    the stream's trigger interval bounds the window's input, not the
+    corpus. Batches must arrive in event order for the crossing to be
+    exact (file source: time-partitioned slices; rate/kafka: per-key
+    ordering), which is the SPRT's own requirement, not this sink's.
+    """
+    order = order_cols or ["ts", "event_id"]
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+
+        state = {"batch_id": -1, "n_events": 0, "total": 0,
+                 "decision": None, "crossed_at": None, "llr_at_crossing": None}
+        if os.path.exists(state_path):
+            with open(state_path) as fh:
+                state = json.load(fh)
+        if batch_id <= state["batch_id"]:
+            return  # replayed batch already applied
+        w = (
+            Window.orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = batch_df.select(
+            *order,
+            (F.lit(int(state["total"])) + F.sum("inc").over(w)).alias("llr"),
+        )
+        if state["decision"] is None:
+            hit = (
+                cum.filter((F.col("llr") >= bound) | (F.col("llr") <= -bound))
+                .orderBy(*order)
+                .limit(1)
+                .collect()
+            )
+            if hit:
+                row = hit[0]
+                state["decision"] = (
+                    "accept_h1" if row["llr"] >= bound else "accept_h0"
+                )
+                state["crossed_at"] = str(row[order[0]])
+                state["llr_at_crossing"] = int(row["llr"])
+        agg = batch_df.agg(
+            F.count("*").alias("n"), F.sum("inc").alias("s")
+        ).collect()[0]
+        state["n_events"] += int(agg["n"] or 0)
+        state["total"] += int(agg["s"] or 0)
+        state["batch_id"] = batch_id
+        tmp = state_path + f".tmp_{batch_id}"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, state_path)
 
     return merge

@@ -611,3 +611,86 @@ def test_streaming_chunk_dedup_first_seen_matches_batch_digests(spark, tmp_path)
     kept_digests = {r["digest"] for r in kept.select("digest").collect()}
     assert kept_rows == len(batch_digests)
     assert kept_digests == batch_digests
+
+
+def test_streaming_sprt_monitor_matches_batch(spark, tmp_path):
+    """The streaming SPRT monitor over time-ordered micro-batches must
+    reproduce the batch ab_sequential_sprt query exactly: same final
+    LLR, same decision, same crossing timestamp."""
+    import json
+
+    from citibike_deep_dive_spark.plans import CATALOG
+    from citibike_deep_dive_spark.plans.round8f import (
+        _SPRT_A,
+        _SPRT_I0,
+        _SPRT_I1,
+        _SPRT_SCALE,
+    )
+    from citibike_deep_dive_spark.streaming.stateful import sprt_monitor_sink
+
+    [batch] = CATALOG["ab_sequential_sprt"].build(spark, SF_DIR).collect()
+
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("ts", "event_id", "event_type")
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+
+    # three TIME-ORDERED slices -> three in-order micro-batches
+    src = tmp_path / "sprt_stream"
+    src.mkdir()
+    for i in range(3):
+        a = lo + span * i
+        b = hi if i == 2 else lo + span * (i + 1)
+        cond = (F.col("ts") >= a) & ((F.col("ts") <= b) if i == 2 else (F.col("ts") < b))
+        ev.filter(cond).coalesce(1).write.parquet(str(src / f"slice_{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    state_path = str(tmp_path / "sprt_state.json")
+    sink = sprt_monitor_sink(state_path, bound=_SPRT_A)
+
+    def step(batch_df, batch_id):
+        inc = batch_df.select(
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "click", F.lit(_SPRT_I1))
+            .otherwise(F.lit(_SPRT_I0))
+            .alias("inc"),
+        )
+        sink(inc, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sprt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    with open(state_path) as fh:
+        state = json.load(fh)
+    assert state["n_events"] == batch["n_events"]
+    assert round(state["total"] / _SPRT_SCALE, 6) == batch["final_llr"]
+    assert (state["decision"] or "continue") == batch["decision"]
+    if batch["decision"] != "continue":
+        assert state["crossed_at"].startswith(batch["crossed_at"][:19]) or \
+            state["crossed_at"][:19] == batch["crossed_at"]
+        assert round(state["llr_at_crossing"] / _SPRT_SCALE, 6) == batch["llr_at_crossing"]
+
+    # replaying the last batch id must be a no-op (exactly-once)
+    before = json.dumps(state, sort_keys=True)
+    sink(
+        spark.createDataFrame(
+            [(hi, 10**9, _SPRT_I1)], "ts timestamp, event_id long, inc long"
+        ),
+        state["batch_id"],
+    )
+    with open(state_path) as fh:
+        after = json.dumps(json.load(fh), sort_keys=True)
+    assert after == before
