@@ -19,3 +19,4 @@ from . import round8d  # noqa: F401  (Good-Turing / DP-Laplace / stylometry / sp
 from . import round8e  # noqa: F401  (SAX / BH-FDR / association rules / modularity)
 from . import round8f  # noqa: F401  (query-likelihood / Wilcoxon / KR-20 / SPRT / McNemar)
 from . import round8g  # noqa: F401  (Fourier / bloom-FPP audit / windowed funnel)
+from . import round8h  # noqa: F401  (held-out KN ppl / Brier decomposition / rolling median)
