@@ -157,6 +157,9 @@ VERIFY_NEXT = [
     "daily_volume_fourier",
     "bloom_fpp_audit",
     "sequential_funnel_windowed",
+    "kneser_ney_heldout_perplexity",
+    "brier_murphy_decomposition",
+    "rolling_median_daily_volume",
 ]
 
 
