@@ -20,3 +20,4 @@ from . import round8e  # noqa: F401  (SAX / BH-FDR / association rules / modular
 from . import round8f  # noqa: F401  (query-likelihood / Wilcoxon / KR-20 / SPRT / McNemar)
 from . import round8g  # noqa: F401  (Fourier / bloom-FPP audit / windowed funnel)
 from . import round8h  # noqa: F401  (held-out KN ppl / Brier decomposition / rolling median)
+from . import round8i  # noqa: F401  (Adamic-Adar link prediction / count sketch)

@@ -1,0 +1,272 @@
+"""Round-8 continuation batch 7: graph link prediction and the signed
+count sketch — Adamic-Adar common-neighbor scoring (Adamic & Adar 2003;
+Liben-Nowell & Kleinberg 2003) over the LSH near-dup graph, the
+PREDICTION member of the graph family (components/LPA/k-core answer
+"what is connected"; link prediction answers "what SHOULD be but the
+banding missed" — recall repair for the dedup pipeline), and the
+Count-Sketch (Charikar, Chen & Farach-Colton 2002), the signed
+median-estimator sibling of countmin_heavy_hitters (count-min biases UP
+and takes the min; count-sketch is unbiased and takes the MEDIAN of
+signed estimates).
+
+Engine-exactness: Adamic-Adar weights are micro-unit integer
+1/ln(degree) values summed exactly; the count sketch is pure integer
+cell arithmetic on the portable hash family with a 5-element integer
+median.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.lineage import truncate_lineage
+from ..functions.portable import portable_hash64, portable_hash64_sql
+from .catalog import register, table
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction on the near-dup graph
+# ---------------------------------------------------------------------------
+
+_AA_TOPK = 20
+
+
+def _aa_oracle() -> str:
+    from .training import _cos_sql
+
+    cos = _cos_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH scored AS (
+        SELECT a.label, a.vec_id AS src, b.vec_id AS dst, {cos} AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    knn AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY src
+                                         ORDER BY cos_sim DESC, dst) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    ),
+    pairs AS (
+        SELECT f.src AS doc_id_a, f.dst AS doc_id_b
+        FROM knn f JOIN knn r ON f.src = r.dst AND f.dst = r.src
+        WHERE f.src < f.dst
+    ),
+    sym AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+        UNION
+        SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    wedges AS (
+        SELECT e1.dst AS a, e2.dst AS b, e1.src AS z
+        FROM sym e1 JOIN sym e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    ),
+    cand AS (
+        SELECT w.a, w.b,
+               CAST(count(*) AS BIGINT) AS common_neighbors,
+               CAST(sum(CAST(round(1000000.0 / ln(CAST(d.d AS DOUBLE)))
+                             AS BIGINT)) AS BIGINT) AS aa_mu
+        FROM wedges w JOIN deg d ON w.z = d.id
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pairs p
+            WHERE p.doc_id_a = w.a AND p.doc_id_b = w.b
+        )
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT a, b, common_neighbors, aa_mu,
+               ROW_NUMBER() OVER (ORDER BY aa_mu DESC, a, b) AS rn
+        FROM cand
+    )
+    SELECT a AS vec_a, b AS vec_b, common_neighbors,
+           round(CAST(aa_mu AS DOUBLE) / 1000000, 5) AS adamic_adar
+    FROM ranked WHERE rn <= {_AA_TOPK}
+    """
+
+
+@register("link_prediction_adamic_adar", _aa_oracle(), tags=("X-link-prediction",))
+def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003; Liben-Nowell &
+    Kleinberg 2003) over the mutual-kNN embedding graph: for every
+    NON-edge (a, b) sharing at least one neighbor, score
+    sum_z 1/ln(deg(z)) over common neighbors z — rare shared neighbors
+    count more. The mutual-kNN graph is the right substrate: k-truncation
+    plus the mutuality filter makes it sparse with many OPEN wedges
+    (the LSH graph's near-dup clusters are complete cliques — nothing
+    to predict), and a high-AA non-edge is precisely a pair the
+    k-truncation clipped — recall repair for embedding-level dedup and
+    the PREDICTION member of the graph family (components/LPA/k-core/
+    triangles/modularity all describe what IS connected).
+
+    A common neighbor necessarily has degree >= 2, so ln(deg) is never
+    zero; the weights are micro-unit INTEGERS summed exactly.
+    Distributed shape: the mutual-kNN edges (cell-restricted pair scan,
+    k-bounded — see mutual_knn_pairs), one wedge join (edge frame joined
+    to itself on the center node — work bounded by sum of degree^2, the
+    triangle kernel's shape), one degree join, an anti-join against
+    existing edges, and a top-{_AA_TOPK} ranking window."""
+    from .round6 import mutual_knn_pairs
+
+    pairs = truncate_lineage(
+        mutual_knn_pairs(spark, sf_dir).select(
+            F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b")
+        ),
+        eager=False,
+    )
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+    sym = truncate_lineage(sym, eager=False)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    e1 = sym.select(F.col("src").alias("z"), F.col("dst").alias("a"))
+    e2 = sym.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    wedges = e1.join(e2, "z").filter(F.col("a") < F.col("b"))
+    aa_w = F.round(1000000.0 / F.log(F.col("d").cast("double")), 0).cast("long")
+    cand = (
+        wedges.join(F.broadcast(deg), wedges.z == deg.id)
+        .join(
+            pairs,
+            (F.col("a") == F.col("doc_id_a")) & (F.col("b") == F.col("doc_id_b")),
+            "left_anti",
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum(aa_w).cast("long").alias("aa_mu"),
+        )
+    )
+    ranked = cand.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("aa_mu"), "a", "b"))
+    ).filter(F.col("rn") <= _AA_TOPK)
+    return ranked.select(
+        F.col("a").alias("vec_a"),
+        F.col("b").alias("vec_b"),
+        "common_neighbors",
+        F.round(F.col("aa_mu").cast("double") / 1000000, 5).alias("adamic_adar"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Sketch heavy-hitter estimates (Charikar et al. 2002)
+# ---------------------------------------------------------------------------
+
+_CS_D = 5  # sketch rows
+_CS_W = 256  # sketch width
+_CS_TOPK = 20
+
+
+def _cs_hash_sql(row: int) -> tuple[str, str]:
+    """(bucket, sign) SQL expressions for sketch row ``row``."""
+    h = portable_hash64_sql(f"'cs{row}:' || tok")
+    return f"({h}) % {_CS_W}", f"CASE WHEN ({h}) % 2 = 0 THEN 1 ELSE -1 END"
+
+
+def _cs_oracle() -> str:
+    per_row = []
+    for j in range(_CS_D):
+        b, s = _cs_hash_sql(j)
+        per_row.append(
+            f"SELECT {j} AS j, {b} AS bucket, {s} AS sgn, tok, c FROM uni"
+        )
+    rows_cte = " UNION ALL ".join(per_row)
+    return f"""
+    WITH uni AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY 1
+    ),
+    hashed AS ({rows_cte}),
+    cells AS (
+        SELECT j, bucket, CAST(sum(sgn * c) AS BIGINT) AS cell
+        FROM hashed GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT h.tok, h.c, list_sort(list(h.sgn * ce.cell)) AS ests
+        FROM hashed h JOIN cells ce ON h.j = ce.j AND h.bucket = ce.bucket
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT tok, c, ests[{_CS_D // 2 + 1}] AS estimate,
+               ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn
+        FROM est
+    )
+    SELECT tok AS token, c AS true_count,
+           CAST(estimate AS BIGINT) AS cs_estimate,
+           CAST(estimate - c AS BIGINT) AS error
+    FROM ranked WHERE rn <= {_CS_TOPK}
+    """
+
+
+@register("count_sketch_estimates", _cs_oracle(), tags=("X-count-sketch",))
+def count_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch (Charikar, Chen & Farach-Colton 2002) frequency
+    estimates for the top-{_CS_TOPK} tokens, d = {_CS_D} rows x
+    w = {_CS_W} buckets: each row hashes the token to a bucket and a
+    +-1 sign, the cell accumulates the SIGNED counts, and the estimate
+    is the MEDIAN of the d signed cell readings — unbiased where
+    count-min (countmin_heavy_hitters) only over-estimates; the error
+    column is emitted per token so the two sketches' bias profiles are
+    directly comparable on the same corpus. Both hashes derive from one
+    portable md5 digest per (row, token), so the sketch is
+    engine-identical.
+
+    Everything is integer: signed cells are int64 sums, the median is
+    the middle element of a sorted {_CS_D}-element integer array.
+    Distributed shape: one token count, a (d x vocab) narrow fan-out,
+    one (d x w)-cell aggregation (the sketch — {_CS_D * _CS_W} cells,
+    broadcast back), one median per token."""
+    docs = table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    uni = truncate_lineage(uni, eager=False)
+    hashed = None
+    for j in range(_CS_D):
+        h = portable_hash64(F.concat(F.lit(f"cs{j}:"), F.col("tok")))
+        part = uni.select(
+            F.lit(j).alias("j"),
+            F.pmod(h, F.lit(_CS_W)).alias("bucket"),
+            F.when(F.pmod(h, F.lit(2)) == 0, 1).otherwise(-1).alias("sgn"),
+            "tok",
+            "c",
+        )
+        hashed = part if hashed is None else hashed.unionByName(part)
+    hashed = truncate_lineage(hashed, eager=False)
+    cells = hashed.groupBy("j", "bucket").agg(
+        F.sum(F.col("sgn") * F.col("c")).cast("long").alias("cell")
+    )
+    est = (
+        hashed.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("tok", "c")
+        .agg(F.array_sort(F.collect_list(F.col("sgn") * F.col("cell"))).alias("ests"))
+    )
+    ranked = est.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
+    ).filter(F.col("rn") <= _CS_TOPK)
+    mid = F.element_at("ests", _CS_D // 2 + 1)
+    return ranked.select(
+        F.col("tok").alias("token"),
+        F.col("c").alias("true_count"),
+        mid.cast("long").alias("cs_estimate"),
+        (mid - F.col("c")).cast("long").alias("error"),
+    )
