@@ -160,6 +160,8 @@ VERIFY_NEXT = [
     "kneser_ney_heldout_perplexity",
     "brier_murphy_decomposition",
     "rolling_median_daily_volume",
+    "link_prediction_adamic_adar",
+    "count_sketch_estimates",
 ]
 
 
