@@ -1,13 +1,16 @@
-"""Round-8 continuation batch 7: graph link prediction and the signed
-count sketch — Adamic-Adar common-neighbor scoring (Adamic & Adar 2003;
-Liben-Nowell & Kleinberg 2003) over the LSH near-dup graph, the
-PREDICTION member of the graph family (components/LPA/k-core answer
-"what is connected"; link prediction answers "what SHOULD be but the
-banding missed" — recall repair for the dedup pipeline), and the
-Count-Sketch (Charikar, Chen & Farach-Colton 2002), the signed
-median-estimator sibling of countmin_heavy_hitters (count-min biases UP
-and takes the min; count-sketch is unbiased and takes the MEDIAN of
-signed estimates).
+"""Round-8 continuation batch 7: graph link prediction, the signed
+count sketch, and cluster-quality auditing — Adamic-Adar common-neighbor
+scoring (Adamic & Adar 2003; Liben-Nowell & Kleinberg 2003) over the
+mutual-kNN embedding graph, the PREDICTION member of the graph family
+(components/LPA/k-core answer "what is connected"; link prediction
+answers "what SHOULD be but the k-truncation clipped" — recall repair
+for embedding dedup); the Count-Sketch (Charikar, Chen & Farach-Colton
+2002), the signed median-estimator sibling of countmin_heavy_hitters
+(count-min biases UP and takes the min; count-sketch is unbiased and
+takes the MEDIAN of signed estimates); and the simplified silhouette
+(Rousseeuw 1987, centroid variant) of the IVF k-means cells — the
+vector-cluster member of the quality-audit trio (modularity for graphs,
+KR-20 for item batteries).
 
 Engine-exactness: Adamic-Adar weights are micro-unit integer
 1/ln(degree) values summed exactly; the count sketch is pure integer
@@ -269,4 +272,139 @@ def count_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("true_count"),
         mid.cast("long").alias("cs_estimate"),
         (mid - F.col("c")).cast("long").alias("error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette of the IVF k-means cells (Rousseeuw 1987 variant)
+# ---------------------------------------------------------------------------
+
+
+def _silhouette_oracle() -> str:
+    from .training import _kmeans_cte
+
+    d2raw = (
+        "list_sum(list_transform(generate_series(1, len(e.v)), i ->"
+        " (e.v[i] - c.m[i]) * (e.v[i] - c.m[i])))"
+    )
+    return (
+        _kmeans_cte(8, 3)
+        + f""",
+    pts AS (
+        SELECT e.id, f.cell,
+               min(CASE WHEN c.cluster_id = f.cell THEN {d2raw} END) AS a2,
+               min(CASE WHEN c.cluster_id <> f.cell THEN {d2raw} END) AS b2
+        FROM e JOIN final f ON e.id = f.id CROSS JOIN cent_3 c
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT cell,
+               CAST(round(1000000 * CASE
+                   WHEN greatest(sqrt(a2), sqrt(b2)) = 0 THEN 0.0
+                   ELSE (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))
+               END) AS BIGINT) AS s_mu
+        FROM pts
+    ),
+    tot AS (SELECT CAST(sum(s_mu) AS BIGINT) AS ts,
+                   CAST(count(*) AS BIGINT) AS n FROM scored)
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(CAST(sum(s_mu) AS DOUBLE) / (count(*) * 1000000.0), 5)
+               AS mean_silhouette,
+           round(CAST(tot.ts AS DOUBLE) / (tot.n * 1000000.0), 5)
+               AS overall_silhouette
+    FROM scored CROSS JOIN tot
+    GROUP BY cell, tot.ts, tot.n
+    """
+    )
+
+
+@register("silhouette_simplified_ivf", _silhouette_oracle(), tags=("X-silhouette",))
+def silhouette_simplified_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette (the centroid-distance variant of Rousseeuw
+    1987) of the deterministic 8-cell / 3-iteration k-means that
+    ivf_kmeans_cells builds: per vector, a = distance to its OWN
+    centroid, b = distance to the nearest OTHER centroid, s = (b - a) /
+    max(a, b). The CLUSTERING-quality metric completing the audit trio —
+    modularity scores graph communities, KR-20 scores item batteries,
+    silhouette scores vector cells: a cell whose mean silhouette is near
+    zero is a split candidate before it poisons IVF recall. The
+    simplified (centroid) form is the one that scales: exact silhouette
+    is quadratic per cell, this is one pass over (vectors x k).
+
+    Per-point scores are micro-unit INTEGERS before the per-cell and
+    overall means, so the aggregation is exact int64 arithmetic; the
+    assignment reuses the kmeans oracle's rounded+tiebroken argmin so
+    both engines agree on cell membership bit-for-bit. Distributed
+    shape: the k-means loop (checkpointed per round), one broadcast
+    (vectors x 8 centroids) scan computing all distances, one struct-min
+    assignment aggregation, one cell-grain rollup."""
+    from ..operators.similarity import kmeans
+
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    cent = kmeans(emb, k=8, iters=3, fan=False).select(
+        "cluster_id", F.col("centroid").alias("m")
+    )
+    d2raw = F.aggregate(
+        F.zip_with("v", "m", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cross = truncate_lineage(
+        e.crossJoin(F.broadcast(cent)).select(
+            "id",
+            "cluster_id",
+            d2raw.alias("d2raw"),
+            F.round(d2raw, 6).alias("r6"),
+        ),
+        eager=False,
+    )
+    assign = cross.groupBy("id").agg(
+        F.min(F.struct(F.col("r6"), F.col("cluster_id"))).alias("ms")
+    ).select("id", F.col("ms.cluster_id").alias("cell"))
+    pts = (
+        cross.join(assign, "id")
+        .groupBy("id", "cell")
+        .agg(
+            F.min(F.when(F.col("cluster_id") == F.col("cell"), F.col("d2raw"))).alias(
+                "a2"
+            ),
+            F.min(F.when(F.col("cluster_id") != F.col("cell"), F.col("d2raw"))).alias(
+                "b2"
+            ),
+        )
+    )
+    a, b = F.sqrt("a2"), F.sqrt("b2")
+    s_mu = F.round(
+        1000000
+        * F.when(F.greatest(a, b) == 0, F.lit(0.0)).otherwise(
+            (b - a) / F.greatest(a, b)
+        ),
+        0,
+    ).cast("long")
+    scored = truncate_lineage(pts.select("cell", s_mu.alias("s_mu")), eager=False)
+    tot = scored.agg(
+        F.sum("s_mu").cast("long").alias("ts"), F.count("*").cast("long").alias("n")
+    )
+    return (
+        scored.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum("s_mu").cast("long").alias("sc"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(F.col("sc").cast("double") / (F.col("n_vectors") * 1000000.0), 5).alias(
+                "mean_silhouette"
+            ),
+            F.round(F.col("ts").cast("double") / (F.col("n") * 1000000.0), 5).alias(
+                "overall_silhouette"
+            ),
+        )
     )

@@ -1611,11 +1611,10 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
-    """Unrolled k-means oracle: the fixed-point loop is finite and
-    deterministic (decimal-exact centroid means, rounded+tiebroken
-    argmin assignment), so N iterations are N generated CTE blocks —
-    the catalog's last rows-only entry becomes value-checked."""
+def _kmeans_cte(k: int = 8, iters: int = 3) -> str:
+    """The unrolled k-means CTE chain ending in ``final`` (id -> cell)
+    with ``cent_{iters}`` in scope — shared by the ivf_kmeans_cells
+    oracle and the silhouette audit (round8i)."""
     d2 = (
         "round(list_sum(list_transform(generate_series(1, len(e.v)), i ->"
         " (e.v[i] - c.m[i]) * (e.v[i] - c.m[i]))), 6)"
@@ -1663,7 +1662,18 @@ def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
                                       ORDER BY {d2}, c.cluster_id) AS rn
             FROM e, cent_{iters} c
         ) WHERE rn = 1
+    )"""
     )
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    """Unrolled k-means oracle: the fixed-point loop is finite and
+    deterministic (decimal-exact centroid means, rounded+tiebroken
+    argmin assignment), so N iterations are N generated CTE blocks —
+    the catalog's last rows-only entry becomes value-checked."""
+    return (
+        _kmeans_cte(k, iters)
+        + """
     SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
            CAST(min(id) AS BIGINT) AS min_vec_id
     FROM final GROUP BY 1

@@ -73,3 +73,19 @@ def test_count_sketch_estimates_track_truth_for_heavy_hitters(spark):
     # and at least half the heavy hitters should be within 25%
     close = sum(1 for r in rows if abs(r["error"]) <= 0.25 * r["true_count"])
     assert close >= 10
+
+
+def test_silhouette_bounds_and_partition(spark):
+    rows = CATALOG["silhouette_simplified_ivf"].build(spark, SF_DIR).collect()
+    assert rows
+    n_vec = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert sum(r["n_vectors"] for r in rows) == n_vec  # cells partition corpus
+    overall = rows[0]["overall_silhouette"]
+    for r in rows:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+        assert r["overall_silhouette"] == overall  # constant column
+    # the overall is the n-weighted mean of the per-cell means
+    weighted = sum(r["mean_silhouette"] * r["n_vectors"] for r in rows) / n_vec
+    assert abs(overall - weighted) < 1e-3
+    # k-means on real data should separate at least somewhat
+    assert overall > -0.5
