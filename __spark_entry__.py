@@ -162,6 +162,7 @@ VERIFY_NEXT = [
     "rolling_median_daily_volume",
     "link_prediction_adamic_adar",
     "count_sketch_estimates",
+    "silhouette_simplified_ivf",
 ]
 
 
