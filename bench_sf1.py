@@ -64,6 +64,8 @@ QUERIES = [
     "quantile_normalize_scores",
     "stylometry_burrows_delta",
     "mmr_diversified_topk",
+    "link_prediction_adamic_adar",
+    "kneser_ney_heldout_perplexity",
 ]
 
 ALPHA = string.ascii_lowercase
