@@ -20,4 +20,5 @@ from . import round8e  # noqa: F401  (SAX / BH-FDR / association rules / modular
 from . import round8f  # noqa: F401  (query-likelihood / Wilcoxon / KR-20 / SPRT / McNemar)
 from . import round8g  # noqa: F401  (Fourier / bloom-FPP audit / windowed funnel)
 from . import round8h  # noqa: F401  (held-out KN ppl / Brier decomposition / rolling median)
-from . import round8i  # noqa: F401  (Adamic-Adar link prediction / count sketch)
+from . import round8i  # noqa: F401  (Adamic-Adar / count sketch / silhouette)
+from . import round8j  # noqa: F401  (HITS bipartite / importance-weight ESS)
