@@ -163,6 +163,8 @@ VERIFY_NEXT = [
     "link_prediction_adamic_adar",
     "count_sketch_estimates",
     "silhouette_simplified_ivf",
+    "hits_doc_term_bipartite",
+    "importance_weight_ess",
 ]
 
 
