@@ -119,10 +119,12 @@ VERIFY_FIRST = [
 ]
 
 # Never driver-verified entries that did NOT fit this round's 50-slot
-# budget (12 from the first round-8 session + 21 from the continuation
+# budget (12 from the first round-8 session + 29 from the continuation
 # session). Placed immediately after VERIFY_FIRST in queries() so any
 # budget beyond 50 reaches them, and queued as the HEAD of round 9's
-# VERIFY_FIRST rotation — every one is preflight.py-exact at sf0.01.
+# VERIFY_FIRST rotation — every one is preflight.py-exact at sf0.01
+# (full-catalog sweep: 0 problems across 292 at sweep time; the three
+# later additions preflighted individually on add).
 VERIFY_NEXT = [
     "semdedup_prune_subcells",
     "t_closeness_audit",
