@@ -120,11 +120,11 @@ VERIFY_FIRST = [
 
 # Never driver-verified entries that did NOT fit this round's 50-slot
 # budget (12 from the first round-8 session + 29 from the continuation
-# session). Placed immediately after VERIFY_FIRST in queries() so any
-# budget beyond 50 reaches them, and queued as the HEAD of round 9's
-# VERIFY_FIRST rotation — every one is preflight.py-exact at sf0.01
-# (full-catalog sweep: 0 problems across 292 at sweep time; the three
-# later additions preflighted individually on add).
+# session + 6 from the batch-9 session). Placed immediately after
+# VERIFY_FIRST in queries() so any budget beyond 50 reaches them, and
+# queued as the HEAD of round 9's VERIFY_FIRST rotation — every one is
+# preflight.py-exact at sf0.01 (full-catalog sweep: 0 problems across
+# 292 at sweep time; later additions preflighted individually on add).
 VERIFY_NEXT = [
     "semdedup_prune_subcells",
     "t_closeness_audit",
@@ -167,6 +167,12 @@ VERIFY_NEXT = [
     "silhouette_simplified_ivf",
     "hits_doc_term_bipartite",
     "importance_weight_ess",
+    "bradley_terry_strengths",
+    "cuped_adjusted_ab",
+    "js_divergence_source_unigrams",
+    "adjusted_rand_labels_vs_cells",
+    "doremi_domain_reweight_step",
+    "kmv_sketch_set_ops",
 ]
 
 

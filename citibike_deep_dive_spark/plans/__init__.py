@@ -22,3 +22,4 @@ from . import round8g  # noqa: F401  (Fourier / bloom-FPP audit / windowed funne
 from . import round8h  # noqa: F401  (held-out KN ppl / Brier decomposition / rolling median)
 from . import round8i  # noqa: F401  (Adamic-Adar / count sketch / silhouette)
 from . import round8j  # noqa: F401  (HITS bipartite / importance-weight ESS)
+from . import round8k  # noqa: F401  (Bradley-Terry / CUPED / JSD / ARI / DoReMi / KMV)
