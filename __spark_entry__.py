@@ -173,6 +173,12 @@ VERIFY_NEXT = [
     "adjusted_rand_labels_vs_cells",
     "doremi_domain_reweight_step",
     "kmv_sketch_set_ops",
+    "knn_shapley_values",
+    "log_odds_fightin_words",
+    "chao1_vocab_richness",
+    "knn_graph_assortativity",
+    "stl_additive_decomposition",
+    "rank_biased_overlap",
 ]
 
 

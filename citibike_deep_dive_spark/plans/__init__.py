@@ -23,3 +23,4 @@ from . import round8h  # noqa: F401  (held-out KN ppl / Brier decomposition / ro
 from . import round8i  # noqa: F401  (Adamic-Adar / count sketch / silhouette)
 from . import round8j  # noqa: F401  (HITS bipartite / importance-weight ESS)
 from . import round8k  # noqa: F401  (Bradley-Terry / CUPED / JSD / ARI / DoReMi / KMV)
+from . import round8l  # noqa: F401  (KNN-Shapley / log-odds / Chao1 / assortativity / STL / RBO)
