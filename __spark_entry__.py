@@ -179,6 +179,12 @@ VERIFY_NEXT = [
     "knn_graph_assortativity",
     "stl_additive_decomposition",
     "rank_biased_overlap",
+    "naive_bayes_lang_classifier",
+    "gmm_em_step_lengths",
+    "knn_label_error_candidates",
+    "randomization_test_mean_diff",
+    "textrank_keywords",
+    "knn_shapley_ivf_shortlist",
 ]
 
 
