@@ -185,6 +185,10 @@ VERIFY_NEXT = [
     "randomization_test_mean_diff",
     "textrank_keywords",
     "knn_shapley_ivf_shortlist",
+    "rocchio_query_expansion",
+    "cross_correlation_lagged",
+    "mann_kendall_trend",
+    "haar_wavelet_energy",
 ]
 
 

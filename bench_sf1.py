@@ -66,6 +66,13 @@ QUERIES = [
     "mmr_diversified_topk",
     "link_prediction_adamic_adar",
     "kneser_ney_heldout_perplexity",
+    # session-3 additions: the brute-force valuation (queries x corpus —
+    # the quadratic shape), its IVF-shortlist production form, and the
+    # in-cell consensus scan (quadratic within fixed cells at this SF;
+    # cells ∝ corpus at true scale)
+    "knn_shapley_values",
+    "knn_shapley_ivf_shortlist",
+    "knn_label_error_candidates",
 ]
 
 ALPHA = string.ascii_lowercase

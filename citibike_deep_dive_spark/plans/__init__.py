@@ -25,3 +25,4 @@ from . import round8j  # noqa: F401  (HITS bipartite / importance-weight ESS)
 from . import round8k  # noqa: F401  (Bradley-Terry / CUPED / JSD / ARI / DoReMi / KMV)
 from . import round8l  # noqa: F401  (KNN-Shapley / log-odds / Chao1 / assortativity / STL / RBO)
 from . import round8m  # noqa: F401  (Naive Bayes / GMM-EM / label errors / randomization test / TextRank / IVF-Shapley)
+from . import round8n  # noqa: F401  (Rocchio / CCF / Mann-Kendall / Haar energy)
