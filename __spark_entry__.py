@@ -189,6 +189,11 @@ VERIFY_NEXT = [
     "cross_correlation_lagged",
     "mann_kendall_trend",
     "haar_wavelet_energy",
+    "distance_correlation_daily",
+    "clarity_score_qpp",
+    "ipw_ate_estimate",
+    "did_panel_estimate",
+    "raking_ipf_weights",
 ]
 
 

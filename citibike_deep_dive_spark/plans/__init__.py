@@ -26,3 +26,4 @@ from . import round8k  # noqa: F401  (Bradley-Terry / CUPED / JSD / ARI / DoReMi
 from . import round8l  # noqa: F401  (KNN-Shapley / log-odds / Chao1 / assortativity / STL / RBO)
 from . import round8m  # noqa: F401  (Naive Bayes / GMM-EM / label errors / randomization test / TextRank / IVF-Shapley)
 from . import round8n  # noqa: F401  (Rocchio / CCF / Mann-Kendall / Haar energy)
+from . import round8o  # noqa: F401  (distance correlation / Clarity QPP / IPW / DiD / raking)
