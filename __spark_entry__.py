@@ -194,6 +194,9 @@ VERIFY_NEXT = [
     "ipw_ate_estimate",
     "did_panel_estimate",
     "raking_ipf_weights",
+    "min_k_prob_membership",
+    "rich_club_coefficient",
+    "pca_outlier_scores",
 ]
 
 

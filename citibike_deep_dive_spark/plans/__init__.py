@@ -27,3 +27,4 @@ from . import round8l  # noqa: F401  (KNN-Shapley / log-odds / Chao1 / assortati
 from . import round8m  # noqa: F401  (Naive Bayes / GMM-EM / label errors / randomization test / TextRank / IVF-Shapley)
 from . import round8n  # noqa: F401  (Rocchio / CCF / Mann-Kendall / Haar energy)
 from . import round8o  # noqa: F401  (distance correlation / Clarity QPP / IPW / DiD / raking)
+from . import round8p  # noqa: F401  (Min-K% membership / rich club / PCA outliers)
