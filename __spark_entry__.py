@@ -197,6 +197,8 @@ VERIFY_NEXT = [
     "min_k_prob_membership",
     "rich_club_coefficient",
     "pca_outlier_scores",
+    "rake_keyphrases",
+    "ransac_trend_consensus",
 ]
 
 

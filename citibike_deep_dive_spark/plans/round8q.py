@@ -1,0 +1,344 @@
+"""Round-8 continuation batch 15: phrase mining and robust consensus
+fitting — RAKE keyphrase extraction (Rose et al. 2010, "Rapid
+Automatic Keyword Extraction": stopword-delimited candidate phrases
+scored by the degree/frequency ratio of their member words — the
+PHRASE-level keyword member next to TextRank's word centrality and
+PMI's bigram association), and RANSAC consensus trend fitting (Fischler
+& Bolles 1981: hash-seeded two-point line hypotheses scored by integer
+inlier counts — the robust-fitting member that survives the outlier
+days Theil-Sen merely dampens and OLS absorbs).
+
+Engine-exactness: RAKE word scores are exact deg/freq rationals
+micro-quantized before phrase sums; phrase segmentation is a
+cumulative-stopword-count window (the sessionization discipline).
+RANSAC hypotheses come from the shared portable md5 (identical samples
+on both engines) and the inlier test cross-multiplies to pure integer
+arithmetic — no division anywhere in the consensus loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.lineage import truncate_lineage
+from ..functions.portable import portable_hash64, portable_hash64_sql
+from .catalog import register, table
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (Rose et al. 2010)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = ("the", "a", "of", "and", "is")  # operators/textstats.py EN list
+_RAKE_TOPK = 15
+
+
+def _rake_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, i AS pos, ws[i] AS tok,
+               CASE WHEN list_contains([{stops}], ws[i]) THEN 1 ELSE 0 END
+                   AS is_stop
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                    FROM documents))
+    ),
+    segmented AS (
+        SELECT doc_id, pos, tok, is_stop,
+               sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS phrase_id
+        FROM toks
+    ),
+    members AS (
+        SELECT doc_id, phrase_id, pos, tok FROM segmented WHERE is_stop = 0
+    ),
+    plen AS (
+        SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS plen
+        FROM members GROUP BY 1, 2
+    ),
+    wstats AS (  -- occurrence-based RAKE: freq = occurrences,
+                 -- deg = sum of phrase lengths over occurrences
+        SELECT m.tok, CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(p.plen) AS BIGINT) AS deg
+        FROM members m JOIN plen p USING (doc_id, phrase_id)
+        GROUP BY 1
+    ),
+    wscore AS (
+        SELECT tok, CAST(round(1000000.0 * deg / freq) AS BIGINT) AS s_mu
+        FROM wstats
+    ),
+    phrases AS (
+        SELECT m.doc_id, m.phrase_id,
+               string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+               CAST(sum(w.s_mu) AS BIGINT) AS score_mu
+        FROM members m JOIN wscore w USING (tok)
+        GROUP BY 1, 2
+    ),
+    uniq AS (
+        SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(max(score_mu) AS BIGINT) AS score_mu
+        FROM phrases GROUP BY 1
+    )
+    SELECT phrase, n_occurrences,
+           round(score_mu / 1000000.0, 4) AS rake_score,
+           CAST(row_number() OVER (ORDER BY score_mu DESC, phrase) AS BIGINT)
+               AS rank
+    FROM uniq
+    QUALIFY rank <= {_RAKE_TOPK}
+    """
+
+
+@register("rake_keyphrases", _rake_oracle(), tags=("X-rake",))
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010):
+    candidate phrases are the maximal stopword-free token runs
+    (delimited by the textstats EN stopword list), each scored by the
+    sum of its member words' degree/frequency ratios — the PHRASE-level
+    keyword miner completing the trio: PMI finds surprising bigrams,
+    TextRank finds central words, RAKE finds the multi-word phrases
+    humans would call keywords (long phrases of well-connected words
+    outrank frequent singletons by construction).
+
+    Segmentation is the sessionization pattern — a cumulative stopword
+    count per document forms the phrase id, so no regex splitting and
+    no Python; word deg/freq are exact integer sums with ONE
+    micro-quantized rational per word, phrase scores are exact integer
+    sums of those, and identical phrase texts dedupe with an exact
+    max. Distributed shape: one positional token explode, a
+    document-partitioned cumulative window (token-grain, the tokenizer
+    shape), two Heaps-bounded word aggregations, a phrase-grain rollup
+    and top-{_RAKE_TOPK}."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
+    ).select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.col("tok").isin(*_RAKE_STOPS).cast("int").alias("is_stop"),
+    )
+    seg = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        "is_stop",
+        F.sum("is_stop")
+        .over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("phrase_id"),
+    )
+    members = truncate_lineage(
+        seg.filter(F.col("is_stop") == 0).select("doc_id", "phrase_id", "pos", "tok"),
+        eager=False,
+    )  # phrase lengths, word stats, and the phrase rollup all read it
+    plen = members.groupBy("doc_id", "phrase_id").agg(
+        F.count("*").cast("long").alias("plen")
+    )
+    wstats = (
+        members.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+    )
+    wscore = wstats.select(
+        "tok",
+        F.round(1000000.0 * F.col("deg") / F.col("freq"), 0)
+        .cast("long")
+        .alias("s_mu"),
+    )
+    phrases = (
+        members.join(wscore, "tok")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("s_mu").cast("long").alias("score_mu"),
+        )
+    )
+    uniq = phrases.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.max("score_mu").cast("long").alias("score_mu"),
+    )
+    # phrase-grain checkpoint: the token-grain explode/window/rollup
+    # chain runs once; re-executions rank the deduped phrase frame
+    uniq = truncate_lineage(uniq, eager=False)
+    return (
+        uniq.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_mu"), "phrase"))
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= _RAKE_TOPK)
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.round(F.col("score_mu") / 1000000.0, 4).alias("rake_score"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANSAC consensus trend fit (Fischler & Bolles 1981)
+# ---------------------------------------------------------------------------
+
+_RANSAC_SAMPLES = 64
+_RANSAC_TOPK = 5
+
+
+def _ransac_oracle() -> str:
+    ha = portable_hash64_sql("'ransac:a:' || CAST(s AS VARCHAR)")
+    hb = portable_hash64_sql("'ransac:b:' || CAST(s AS VARCHAR)")
+    return f"""
+    WITH daily AS (
+        SELECT row_number() OVER (ORDER BY day) - 1 AS x, yc FROM (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+            FROM events GROUP BY 1
+        )
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(max(yc) - min(yc) AS BIGINT) AS yr
+           FROM daily),
+    hypos AS (
+        SELECT g.s, {ha} % nn.n AS i, {hb} % nn.n AS j
+        FROM generate_series(1, {_RANSAC_SAMPLES}) g(s) CROSS JOIN nn
+    ),
+    models AS (  -- line through the two sampled days; skip degenerate i = j
+        SELECT h.s, h.i, h.j, a.yc AS yi, b.yc AS yj,
+               CAST(h.j - h.i AS BIGINT) AS dx,
+               CAST(b.yc - a.yc AS BIGINT) AS dy
+        FROM hypos h
+        JOIN daily a ON a.x = h.i
+        JOIN daily b ON b.x = h.j
+        WHERE h.i <> h.j
+    ),
+    scored AS (  -- integer inlier test: |(y - yi) dx - dy (x - i)| <= tau |dx|
+        SELECT m.s, m.i, m.j, m.dx, m.dy, m.yi,
+               CAST(count(CASE WHEN
+                   abs((d.yc - m.yi) * m.dx - m.dy * (d.x - m.i))
+                   <= (nn.yr // 10) * abs(m.dx) THEN 1 END) AS BIGINT)
+                   AS n_inliers,
+               CAST(max(nn.n) AS BIGINT) AS n
+        FROM models m CROSS JOIN daily d CROSS JOIN nn
+        GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT s AS sample_id, i AS day_i, j AS day_j,
+           round(CAST(dy AS DOUBLE) / (dx * 100.0), 4) AS slope_per_day,
+           n_inliers,
+           round(CAST(n_inliers AS DOUBLE) / n, 4) AS inlier_frac,
+           CAST(row_number() OVER (ORDER BY n_inliers DESC, s) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {_RANSAC_TOPK}
+    """
+
+
+@register("ransac_trend_consensus", _ransac_oracle(), tags=("X-ransac",))
+def ransac_trend_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC consensus trend fit (Fischler & Bolles 1981) on daily
+    revenue: 64 hash-seeded two-day line hypotheses, each scored by how
+    many days fall within a tolerance band of range/10 around it; the
+    top consensus lines are the robust trend — the estimator that
+    IGNORES outlier days entirely rather than down-weighting them
+    (OLS absorbs a spike into the slope, Theil-Sen's median dampens
+    it, RANSAC's winning hypothesis never saw it). The third member of
+    the robust-trend family, and a template for consensus fitting of
+    any two-parameter model.
+
+    The sample indices come from the shared portable md5 (both engines
+    draw identical pairs) and the inlier test cross-multiplies into
+    PURE integer arithmetic — |(y - yi) dx - dy (x - i)| <= tau |dx| —
+    so consensus counts are exact and only the published slope divides.
+    Distributed shape: one day-grain aggregation, a 64-row hypothesis
+    frame joined twice against the day frame, one (hypotheses x days)
+    scoring aggregation — calendar x constant, corpus-free."""
+    ev = table(spark, sf_dir, "events")
+    daily = truncate_lineage(
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("yc")
+        )
+        .select(
+            (F.row_number().over(Window.orderBy("day")) - 1).cast("long").alias("x"),
+            "yc",
+        ),
+        eager=False,
+    )  # model endpoint joins + the scoring scan all read it
+    nn = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.max("yc") - F.min("yc")).cast("long").alias("yr"),
+    )
+    grid = spark.range(1, _RANSAC_SAMPLES + 1).select(
+        F.col("id").cast("int").alias("s")
+    )
+    hypos = grid.crossJoin(F.broadcast(nn)).select(
+        "s",
+        (portable_hash64(F.concat(F.lit("ransac:a:"), F.col("s").cast("string")))
+         % F.col("n")).alias("i"),
+        (portable_hash64(F.concat(F.lit("ransac:b:"), F.col("s").cast("string")))
+         % F.col("n")).alias("j"),
+        "yr",
+        "n",
+    )
+    a = daily.select(F.col("x").alias("i"), F.col("yc").alias("yi"))
+    b = daily.select(F.col("x").alias("j"), F.col("yc").alias("yj"))
+    models = (
+        hypos.filter(F.col("i") != F.col("j"))
+        .join(F.broadcast(a), "i")
+        .join(F.broadcast(b), "j")
+        .select(
+            "s",
+            "i",
+            "j",
+            "yi",
+            "yr",
+            "n",
+            (F.col("j") - F.col("i")).cast("long").alias("dx"),
+            (F.col("yj") - F.col("yi")).cast("long").alias("dy"),
+        )
+    )
+    resid = F.abs(
+        (F.col("yc") - F.col("yi")) * F.col("dx")
+        - F.col("dy") * (F.col("x") - F.col("i"))
+    )
+    tau = (F.col("yr") / 10).cast("long") * F.abs(F.col("dx"))
+    scored = (
+        models.crossJoin(F.broadcast(daily))
+        .groupBy("s", "i", "j", "dx", "dy", "n")
+        .agg(F.count(F.when(resid <= tau, 1)).cast("long").alias("n_inliers"))
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("n_inliers"), "s")).cast("long"),
+        )
+        .filter(F.col("rank") <= _RANSAC_TOPK)
+        .select(
+            F.col("s").alias("sample_id"),
+            F.col("i").alias("day_i"),
+            F.col("j").alias("day_j"),
+            F.round(F.col("dy").cast("double") / (F.col("dx") * 100.0), 4).alias(
+                "slope_per_day"
+            ),
+            "n_inliers",
+            F.round(F.col("n_inliers").cast("double") / F.col("n"), 4).alias(
+                "inlier_frac"
+            ),
+            "rank",
+        )
+    )
