@@ -199,6 +199,8 @@ VERIFY_NEXT = [
     "pca_outlier_scores",
     "rake_keyphrases",
     "ransac_trend_consensus",
+    "sinkhorn_transport_plan",
+    "beta_binomial_shrinkage",
 ]
 
 
