@@ -120,11 +120,12 @@ VERIFY_FIRST = [
 
 # Never driver-verified entries that did NOT fit this round's 50-slot
 # budget (12 from the first round-8 session + 29 from the continuation
-# session + 6 from the batch-9 session). Placed immediately after
-# VERIFY_FIRST in queries() so any budget beyond 50 reaches them, and
-# queued as the HEAD of round 9's VERIFY_FIRST rotation — every one is
-# preflight.py-exact at sf0.01 (full-catalog sweep: 0 problems across
-# 292 at sweep time; later additions preflighted individually on add).
+# session + 34 from the session-3 batches 9-16). Placed immediately
+# after VERIFY_FIRST in queries() so any budget beyond 50 reaches them,
+# and queued as the HEAD of the round-9/round-10 VERIFY_FIRST rotations
+# — every one is preflight.py-exact at sf0.01 (session-3 full-catalog
+# sweep: 0 problems across 327; the two batch-16 additions preflighted
+# individually on add).
 VERIFY_NEXT = [
     "semdedup_prune_subcells",
     "t_closeness_audit",
