@@ -202,6 +202,8 @@ VERIFY_NEXT = [
     "ransac_trend_consensus",
     "sinkhorn_transport_plan",
     "beta_binomial_shrinkage",
+    "fairness_gate_parity",
+    "ucb_source_allocation",
 ]
 
 

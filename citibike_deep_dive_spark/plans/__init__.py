@@ -30,3 +30,4 @@ from . import round8o  # noqa: F401  (distance correlation / Clarity QPP / IPW /
 from . import round8p  # noqa: F401  (Min-K% membership / rich club / PCA outliers)
 from . import round8q  # noqa: F401  (RAKE keyphrases / RANSAC trend consensus)
 from . import round8r  # noqa: F401  (Sinkhorn transport plan / beta-binomial shrinkage)
+from . import round8s  # noqa: F401  (gate fairness parity / UCB source allocation)
