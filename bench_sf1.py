@@ -73,6 +73,14 @@ QUERIES = [
     "knn_shapley_values",
     "knn_shapley_ivf_shortlist",
     "knn_label_error_candidates",
+    # session-3 token-grain / tournament shapes (cipher replicas make
+    # per-source vocab grow 10x while the length support stays fixed)
+    "naive_bayes_lang_classifier",
+    "min_k_prob_membership",
+    "rake_keyphrases",
+    "textrank_keywords",
+    "bradley_terry_strengths",
+    "kmv_sketch_set_ops",
 ]
 
 ALPHA = string.ascii_lowercase
