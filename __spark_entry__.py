@@ -204,6 +204,8 @@ VERIFY_NEXT = [
     "beta_binomial_shrinkage",
     "fairness_gate_parity",
     "ucb_source_allocation",
+    "matrix_profile_motifs",
+    "forecast_mase_eval",
 ]
 
 
