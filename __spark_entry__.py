@@ -206,6 +206,9 @@ VERIFY_NEXT = [
     "ucb_source_allocation",
     "matrix_profile_motifs",
     "forecast_mase_eval",
+    "dispersion_index_by_type",
+    "randomized_response_prevalence",
+    "embedding_anisotropy_ratio",
 ]
 
 

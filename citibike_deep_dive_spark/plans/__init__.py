@@ -32,3 +32,4 @@ from . import round8q  # noqa: F401  (RAKE keyphrases / RANSAC trend consensus)
 from . import round8r  # noqa: F401  (Sinkhorn transport plan / beta-binomial shrinkage)
 from . import round8s  # noqa: F401  (gate fairness parity / UCB source allocation)
 from . import round8t  # noqa: F401  (matrix-profile motifs / MASE forecast eval)
+from . import round8u  # noqa: F401  (dispersion index / Warner RR / anisotropy)
