@@ -209,6 +209,8 @@ VERIFY_NEXT = [
     "dispersion_index_by_type",
     "randomized_response_prevalence",
     "embedding_anisotropy_ratio",
+    "energy_distance_sources",
+    "mmd_rbf_sources",
 ]
 
 

@@ -33,3 +33,4 @@ from . import round8r  # noqa: F401  (Sinkhorn transport plan / beta-binomial sh
 from . import round8s  # noqa: F401  (gate fairness parity / UCB source allocation)
 from . import round8t  # noqa: F401  (matrix-profile motifs / MASE forecast eval)
 from . import round8u  # noqa: F401  (dispersion index / Warner RR / anisotropy)
+from . import round8v  # noqa: F401  (energy distance / RBF-MMD two-sample)
