@@ -211,6 +211,8 @@ VERIFY_NEXT = [
     "embedding_anisotropy_ratio",
     "energy_distance_sources",
     "mmd_rbf_sources",
+    "cramers_v_matrix",
+    "esd_outlier_rounds",
 ]
 
 

@@ -34,3 +34,4 @@ from . import round8s  # noqa: F401  (gate fairness parity / UCB source allocati
 from . import round8t  # noqa: F401  (matrix-profile motifs / MASE forecast eval)
 from . import round8u  # noqa: F401  (dispersion index / Warner RR / anisotropy)
 from . import round8v  # noqa: F401  (energy distance / RBF-MMD two-sample)
+from . import round8w  # noqa: F401  (Cramer's V matrix / generalized-ESD rounds)
