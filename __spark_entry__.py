@@ -213,6 +213,7 @@ VERIFY_NEXT = [
     "mmd_rbf_sources",
     "cramers_v_matrix",
     "esd_outlier_rounds",
+    "lof_embedding_outliers",
 ]
 
 

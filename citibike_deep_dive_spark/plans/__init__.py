@@ -35,3 +35,4 @@ from . import round8t  # noqa: F401  (matrix-profile motifs / MASE forecast eval
 from . import round8u  # noqa: F401  (dispersion index / Warner RR / anisotropy)
 from . import round8v  # noqa: F401  (energy distance / RBF-MMD two-sample)
 from . import round8w  # noqa: F401  (Cramer's V matrix / generalized-ESD rounds)
+from . import round8x  # noqa: F401  (LOF embedding outliers)
