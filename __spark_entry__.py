@@ -214,6 +214,8 @@ VERIFY_NEXT = [
     "cramers_v_matrix",
     "esd_outlier_rounds",
     "lof_embedding_outliers",
+    "logrank_churn_arms",
+    "ppmi_skipgram_pairs",
 ]
 
 

@@ -36,3 +36,4 @@ from . import round8u  # noqa: F401  (dispersion index / Warner RR / anisotropy)
 from . import round8v  # noqa: F401  (energy distance / RBF-MMD two-sample)
 from . import round8w  # noqa: F401  (Cramer's V matrix / generalized-ESD rounds)
 from . import round8x  # noqa: F401  (LOF embedding outliers)
+from . import round8y  # noqa: F401  (log-rank churn test / skip-gram PPMI)

@@ -1,0 +1,368 @@
+"""Round-8 continuation batch 23 (final): survival comparison and
+skip-gram association — the log-rank test (Mantel 1966; Peto & Peto
+1972) comparing churn between the two hash-split arms (Kaplan-Meier
+DRAWS each arm's survival curve; log-rank says whether the two curves
+DIFFER — the hypothesis-test half every KM plot needs), and window-3
+skip-gram PPMI pairs (Church & Hanks 1990 PMI positivized, over the
+±3 co-occurrence window word2vec actually trains on —
+pmi_bigram_collocations sees only adjacent pairs, so "new ... york"
+with an intervening token is invisible to it).
+
+Engine-exactness: log-rank risk sets and observed/expected terms are
+exact integer counts with hypergeometric variance terms micro-quantized
+before summation; skip-gram counts are exact integers with the
+5dp-rounded-score ranking discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.lineage import truncate_lineage
+from ..functions.portable import portable_hash64, portable_hash64_sql
+from .catalog import register, table
+
+# ---------------------------------------------------------------------------
+# Log-rank test between the hash-split arms (Mantel 1966)
+# ---------------------------------------------------------------------------
+
+# The synthetic users are uniformly active (~2 events/day), so only the
+# tightest gap yields uncensored churn events at test scale (gap 3, the
+# KM default, censors EVERYONE here and the statistic degenerates to an
+# empty sum); the log-rank mechanics are identical at any gap.
+_LR_CHURN_GAP_DAYS = 1
+
+
+def _logrank_oracle() -> str:
+    arm = portable_hash64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH spans AS (
+        SELECT user_id,
+               CASE WHEN {arm} % 2 = 0 THEN 0 ELSE 1 END AS grp,
+               CAST(date_diff('day', min(ts), max(ts)) AS BIGINT) AS dur,
+               CASE WHEN max(ts) < (SELECT max(ts) FROM events)
+                                   - INTERVAL {_LR_CHURN_GAP_DAYS} DAY
+                    THEN 1 ELSE 0 END AS churned
+        FROM events GROUP BY 1
+    ),
+    per_t AS (
+        SELECT dur AS t, grp,
+               CAST(count(*) AS BIGINT) AS n_ending,
+               CAST(sum(churned) AS BIGINT) AS d
+        FROM spans GROUP BY 1, 2
+    ),
+    grid AS (  -- every event time x both groups, zero-filled
+        SELECT t.t, g.grp, coalesce(p.n_ending, 0) AS n_ending,
+               coalesce(p.d, 0) AS d
+        FROM (SELECT DISTINCT t FROM per_t) t
+        CROSS JOIN (SELECT 0 AS grp UNION ALL SELECT 1) g
+        LEFT JOIN per_t p ON p.t = t.t AND p.grp = g.grp
+    ),
+    tot AS (
+        SELECT grp, CAST(sum(n_ending) AS BIGINT) AS n_users FROM grid GROUP BY 1
+    ),
+    risk AS (  -- at-risk counts just before each event time, per group
+        SELECT g.t, g.grp, g.d,
+               tt.n_users
+                 - coalesce(CAST(sum(g2.n_ending) AS BIGINT), 0) AS n_risk
+        FROM grid g
+        JOIN tot tt ON tt.grp = g.grp
+        LEFT JOIN grid g2 ON g2.grp = g.grp AND g2.t < g.t
+        GROUP BY g.t, g.grp, g.d, tt.n_users
+    ),
+    wide AS (
+        SELECT t,
+               max(CASE WHEN grp = 0 THEN n_risk END) AS n0,
+               max(CASE WHEN grp = 1 THEN n_risk END) AS n1,
+               max(CASE WHEN grp = 0 THEN d END) AS d0,
+               max(CASE WHEN grp = 1 THEN d END) AS d1
+        FROM risk GROUP BY 1
+    ),
+    terms AS (  -- hypergeometric E and V per event time, micro-exact
+        SELECT t, d0, d1, n0, n1,
+               CAST(round(1000000.0 * (d0 + d1) * n0 / (n0 + n1)) AS BIGINT)
+                   AS e0_mu,
+               CAST(CASE WHEN n0 + n1 > 1 THEN
+                   round(1000000.0 * (d0 + d1)
+                         * (CAST(n0 AS DOUBLE) / (n0 + n1))
+                         * (CAST(n1 AS DOUBLE) / (n0 + n1))
+                         * (n0 + n1 - d0 - d1) / (n0 + n1 - 1))
+               ELSE 0 END AS BIGINT) AS v_mu
+        FROM wide
+        WHERE d0 + d1 > 0 AND n0 > 0 AND n1 > 0
+    ),
+    sums AS (
+        SELECT CAST(sum(d0) AS BIGINT) AS o0,
+               CAST(sum(e0_mu) AS BIGINT) AS e0_mu,
+               CAST(sum(v_mu) AS BIGINT) AS v_mu,
+               CAST(count(*) AS BIGINT) AS n_times
+        FROM terms
+    )
+    SELECT n_times, o0 AS observed_0,
+           round(e0_mu / 1000000.0, 4) AS expected_0,
+           round((o0 - e0_mu / 1000000.0)
+                 * (o0 - e0_mu / 1000000.0) / (v_mu / 1000000.0), 4)
+               AS logrank_chi2
+    FROM sums
+    """
+
+
+@register("logrank_churn_arms", _logrank_oracle(), tags=("X-logrank",))
+def logrank_churn_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel 1966; Peto & Peto 1972) comparing churn
+    between the two md5-split arms under kaplan_meier_retention's exact
+    censoring definition: at every event time the observed arm-0 churn
+    count is compared to its hypergeometric expectation given the
+    at-risk counts, and chi2 = (O - E)^2 / V on one degree of freedom —
+    the hypothesis-test HALF of the survival pair (KM draws the curves;
+    log-rank says whether they differ), and on a truly random hash
+    split an A/A placebo like did_panel_estimate. Censored users leave
+    the risk set without contributing events — the structure a naive
+    churn-rate comparison cannot represent.
+
+    Risk sets and observed counts are exact integers (zero-filled
+    group x time grid, cumulative exits); expectation and variance
+    terms are micro-quantized per event time before the exact integer
+    sums, so both engines aggregate identical values into two rounded
+    edges. Distributed shape: one user-grain span aggregation, a
+    duration-grain grid with per-group cumulative windows, then scalar
+    rollups — duration-support-bounded forever."""
+    ev = table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("h"))
+    spans = (
+        ev.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("dur"),
+            F.when(
+                F.max("ts")
+                < F.first("h") - F.expr(f"INTERVAL {_LR_CHURN_GAP_DAYS} DAY"),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("churned"),
+        )
+        .select(
+            (portable_hash64(F.col("user_id").cast("string")) % 2)
+            .cast("int")
+            .alias("grp"),
+            "dur",
+            "churned",
+        )
+    )
+    per_t = truncate_lineage(
+        spans.groupBy(F.col("dur").alias("t"), "grp").agg(
+            F.count("*").cast("long").alias("n_ending"),
+            F.sum("churned").cast("long").alias("d"),
+        ),
+        eager=False,
+    )  # grid fill + totals read it
+    times = per_t.select("t").distinct()
+    grps = spark.range(2).select(F.col("id").cast("int").alias("grp"))
+    grid = (
+        times.crossJoin(F.broadcast(grps))
+        .join(per_t, ["t", "grp"], "left")
+        .select(
+            "t",
+            "grp",
+            F.coalesce("n_ending", F.lit(0)).cast("long").alias("n_ending"),
+            F.coalesce("d", F.lit(0)).cast("long").alias("d"),
+        )
+    )
+    grid = truncate_lineage(grid, eager=False)  # totals + cumulative read it
+    tot = grid.groupBy("grp").agg(F.sum("n_ending").cast("long").alias("n_users"))
+    w = Window.partitionBy("grp").orderBy("t")
+    risk = grid.join(F.broadcast(tot), "grp").select(
+        "t",
+        "grp",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(
+                F.sum("n_ending").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    wide = risk.groupBy("t").agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n_risk"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_risk"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 0, F.col("d"))).alias("d0"),
+        F.max(F.when(F.col("grp") == 1, F.col("d"))).alias("d1"),
+    )
+    nn = F.col("n0") + F.col("n1")
+    dd = F.col("d0") + F.col("d1")
+    terms = wide.filter((dd > 0) & (F.col("n0") > 0) & (F.col("n1") > 0)).select(
+        "d0",
+        F.round(1000000.0 * dd * F.col("n0") / nn, 0).cast("long").alias("e0_mu"),
+        F.when(
+            nn > 1,
+            F.round(
+                1000000.0
+                * dd
+                * (F.col("n0").cast("double") / nn)
+                * (F.col("n1").cast("double") / nn)
+                * (nn - dd)
+                / (nn - 1),
+                0,
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("v_mu"),
+    )
+    sums = terms.agg(
+        F.sum("d0").cast("long").alias("o0"),
+        F.sum("e0_mu").cast("long").alias("e0_mu"),
+        F.sum("v_mu").cast("long").alias("v_mu"),
+        F.count("*").cast("long").alias("n_times"),
+    )
+    e0 = F.col("e0_mu") / 1000000.0
+    return sums.select(
+        "n_times",
+        F.col("o0").alias("observed_0"),
+        F.round(e0, 4).alias("expected_0"),
+        F.round(
+            (F.col("o0") - e0) * (F.col("o0") - e0) / (F.col("v_mu") / 1000000.0), 4
+        ).alias("logrank_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-3 skip-gram PPMI pairs (Church & Hanks 1990, word2vec window)
+# ---------------------------------------------------------------------------
+
+_SG_WINDOW = 3
+_SG_MIN_COUNT = 5
+_SG_TOPK = 25
+
+
+def _ppmi_oracle() -> str:
+    offs = ", ".join(str(o) for o in range(1, _SG_WINDOW + 1))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+              FROM documents)
+    ),
+    sg AS (  -- unordered co-occurrence within +/-{_SG_WINDOW}
+        SELECT least(ws[i], ws[i + o]) AS w1,
+               greatest(ws[i], ws[i + o]) AS w2
+        FROM toks, (SELECT unnest([{offs}]) AS o) od
+        WHERE i + o <= len(ws)
+    ),
+    pc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        FROM sg GROUP BY 1, 2
+        HAVING count(*) >= {_SG_MIN_COUNT}
+    ),
+    uc AS (  -- unigram occurrence counts in skip-gram CONTEXT slots
+        SELECT w, CAST(count(*) AS BIGINT) AS u FROM (
+            SELECT w1 AS w FROM sg UNION ALL SELECT w2 FROM sg
+        ) GROUP BY 1
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) * 2 AS n FROM sg),
+    scored AS (
+        SELECT p.w1, p.w2, p.c,
+               round(greatest(0.0,
+                   ln(2.0 * p.c * CAST(x.n AS DOUBLE)
+                      / (CAST(a.u AS DOUBLE) * b.u)) / ln(2)), 5) AS ppmi
+        FROM pc p
+        JOIN uc a ON a.w = p.w1 JOIN uc b ON b.w = p.w2
+        CROSS JOIN nn x
+    )
+    SELECT w1, w2, c AS pair_count, ppmi,
+           CAST(row_number() OVER (ORDER BY ppmi DESC, w1, w2) AS BIGINT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= {_SG_TOPK}
+    """
+
+
+@register("ppmi_skipgram_pairs", _ppmi_oracle(), tags=("X-ppmi",))
+def ppmi_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-3 skip-gram PPMI pairs (Church & Hanks 1990's PMI,
+    positivized, over the symmetric ±3 window word2vec trains on —
+    Levy & Goldberg 2014 showed SGNS implicitly factorizes exactly this
+    matrix): top-25 most-associated unordered word pairs with count
+    >= 5. The window is what pmi_bigram_collocations cannot see — a
+    pair separated by one or two intervening tokens scores zero there
+    and full strength here — so this is the association table a phrase
+    miner or tokenizer-merge pass should actually read.
+
+    Pair/unigram/total counts are exact integers from one positional
+    explode (the symmetric-window trick: only forward offsets
+    materialize, each unordered pair once); PPMI = max(0, log2(2cN/
+    (u1 u2))) rounds at 5dp and the ranking uses the rounded score
+    with (w1, w2) tiebreaks. Distributed shape: a x{_SG_WINDOW}
+    constant fan-out of the token stream, two Heaps-bounded count
+    aggregations, one candidate join gated by the min-count — the PMI
+    shape with a wider window."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    pairs_expr = F.expr(
+        f"""flatten(transform(sequence(1, size(split(lower(text), ' '))),
+            i -> filter(transform(sequence(1, {_SG_WINDOW}),
+                o -> CASE WHEN i + o <= size(split(lower(text), ' '))
+                     THEN struct(
+                         least(element_at(split(lower(text), ' '), i),
+                               element_at(split(lower(text), ' '), i + o)) AS w1,
+                         greatest(element_at(split(lower(text), ' '), i),
+                                  element_at(split(lower(text), ' '), i + o)) AS w2)
+                     END),
+                x -> x IS NOT NULL)))"""
+    )
+    sg = truncate_lineage(
+        docs.select(F.explode(pairs_expr).alias("e")).select("e.w1", "e.w2"),
+        eager=False,
+    )  # pair counts, unigram slots, and the total all read it
+    pc = (
+        sg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c"))
+        .filter(F.col("c") >= _SG_MIN_COUNT)
+    )
+    uc = (
+        sg.select(F.col("w1").alias("w"))
+        .unionAll(sg.select(F.col("w2").alias("w")))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("u"))
+    )
+    nn = sg.agg((F.count("*") * 2).cast("long").alias("n"))
+    scored = (
+        pc.join(uc.select(F.col("w").alias("w1"), F.col("u").alias("u1")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("u").alias("u2")), "w2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.log2(
+                        2.0
+                        * F.col("c")
+                        * F.col("n").cast("double")
+                        / (F.col("u1").cast("double") * F.col("u2"))
+                    ),
+                ),
+                5,
+            ).alias("ppmi"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("ppmi"), "w1", "w2"))
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= _SG_TOPK)
+        .select("w1", "w2", F.col("c").alias("pair_count"), "ppmi", "rank")
+    )
