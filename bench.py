@@ -164,7 +164,23 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
+    # Verbose payload (cold timings, loadavg, errors) goes to stderr for
+    # humans/BASELINE bookkeeping; stdout carries EXACTLY one compact JSON
+    # line with the spec fields only. Rounds 7-8 the driver recorded
+    # ``parsed: null`` because the single fat line exceeded its output
+    # capture window — keep the stdout line minimal and flush it before
+    # spark.stop() so nothing interleaves after it.
+    print(json.dumps(payload), file=sys.stderr)
+    sys.stderr.flush()
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": payload["sf"],
+    }
+    print(json.dumps(compact, separators=(",", ":")))
+    sys.stdout.flush()
     spark.stop()
     if errors:
         sys.exit(1)

@@ -20,6 +20,15 @@ from ..functions.portable import portable_hash64, portable_hash64_sql
 from ..functions.timeutil import ts_micros
 from ..operators.fanout import fan_out
 from .catalog import register, table
+from .gates import (
+    GOPHER_MAX_FRAC_DUP_WORDS,
+    GOPHER_MAX_MEAN_WORD_LEN,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_MEAN_WORD_LEN,
+    GOPHER_MIN_WORDS,
+    gopher_keep_expr,
+    gopher_metrics,
+)
 from .training import _BANDS_CTE, _MINHASH_CTE, _PAIRS_CTE, _SHINGLES_CTE
 
 # ---------------------------------------------------------------------------
@@ -38,9 +47,11 @@ _W = "string_split(lower(text), ' ')"
            CAST(nw AS BIGINT) AS n_words,
            round(mwl, 4) AS mean_word_len,
            round(fdup, 4) AS frac_dup_words,
-           CAST(CASE WHEN nw BETWEEN 25 AND 90
-                      AND mwl BETWEEN 4.2 AND 5.2
-                      AND fdup < 0.6 THEN 1 ELSE 0 END AS INT) AS keep
+           CAST(CASE WHEN nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                      AND mwl BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                                  AND {GOPHER_MAX_MEAN_WORD_LEN}
+                      AND fdup < {GOPHER_MAX_FRAC_DUP_WORDS}
+                     THEN 1 ELSE 0 END AS INT) AS keep
     FROM (
         SELECT doc_id,
                len(w) AS nw,
@@ -57,21 +68,13 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     word length window, duplicate-word fraction cap -> keep flag. Array
     HOFs only — one narrow pass, no explode, no shuffle."""
     docs = fan_out(table(spark, sf_dir, "documents"))
-    w = F.split(F.lower("text"), " ")
-    nw = F.size(w)
-    mwl = F.expr(
-        "aggregate(split(lower(text), ' '), 0L, (a, x) -> a + length(x))"
-    ).cast("double") / nw
-    fdup = F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / nw
-    keep = (
-        nw.between(25, 90) & mwl.between(4.2, 5.2) & (fdup < 0.6)
-    ).cast("int")
+    m = gopher_metrics("text")
     return docs.select(
         "doc_id",
-        nw.cast("long").alias("n_words"),
-        F.round(mwl, 4).alias("mean_word_len"),
-        F.round(fdup, 4).alias("frac_dup_words"),
-        keep.alias("keep"),
+        m["nw"].cast("long").alias("n_words"),
+        F.round(m["mwl"], 4).alias("mean_word_len"),
+        F.round(m["fdup"], 4).alias("frac_dup_words"),
+        gopher_keep_expr("text").alias("keep"),
     )
 
 

@@ -454,7 +454,7 @@ def _assort_oracle() -> str:
     )
     SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
            CAST(m / 2 AS BIGINT) AS n_edges,
-           round(CAST(sj AS DOUBLE) / (SELECT count(*) FROM deg), 4) AS mean_degree,
+           round(CAST(m AS DOUBLE) / (SELECT count(*) FROM deg), 4) AS mean_degree,
            round((m * CAST(sjk AS DOUBLE) - CAST(sj AS DOUBLE) * sj)
                  / (m * CAST(sjj AS DOUBLE) - CAST(sj AS DOUBLE) * sj), 6)
                AS assortativity
@@ -511,7 +511,7 @@ def knn_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.crossJoin(F.broadcast(nn)).select(
         "n_nodes",
         (F.col("m") / 2).cast("long").alias("n_edges"),
-        F.round(F.col("sj").cast("double") / F.col("n_nodes"), 4).alias(
+        F.round(F.col("m").cast("double") / F.col("n_nodes"), 4).alias(
             "mean_degree"
         ),
         F.round(

@@ -22,15 +22,13 @@ from pyspark.sql import functions as F
 
 from ..functions.lineage import truncate_lineage
 from .catalog import register, table
+from .gates import gopher_keep_bool_sql, gopher_keep_expr
 
-_GATE_SQL = """
+# Gate thresholds live in gates.py (shared with gopher_quality_rules and
+# cramers_v_matrix) so the audits can never desync from the gate they audit.
+_GATE_SQL = f"""
         SELECT doc_id, lang, source,
-               CASE WHEN len(w) BETWEEN 25 AND 90
-                     AND CAST(list_aggregate(list_transform(w, x -> len(x)),
-                              'sum') AS DOUBLE) / len(w) BETWEEN 4.2 AND 5.2
-                     AND 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
-                         < 0.6
-                    THEN 1 ELSE 0 END AS keep
+               CASE WHEN {gopher_keep_bool_sql("w")} THEN 1 ELSE 0 END AS keep
         FROM (SELECT doc_id, lang, source,
                      string_split(lower(text), ' ') AS w
               FROM documents)
@@ -38,16 +36,11 @@ _GATE_SQL = """
 
 
 def _gate(docs: DataFrame) -> DataFrame:
-    """The gopher_quality_rules keep flag (same thresholds) with the
-    grouping columns carried along."""
-    w = F.split(F.lower("text"), " ")
-    nw = F.size(w)
-    mwl = F.expr(
-        "aggregate(split(lower(text), ' '), 0L, (a, x) -> a + length(x))"
-    ).cast("double") / nw
-    fdup = F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / nw
-    keep = (nw.between(25, 90) & mwl.between(4.2, 5.2) & (fdup < 0.6)).cast("int")
-    return docs.select("doc_id", "lang", "source", keep.alias("keep"))
+    """The gopher_quality_rules keep flag (one shared threshold set —
+    gates.py) with the grouping columns carried along."""
+    return docs.select(
+        "doc_id", "lang", "source", gopher_keep_expr("text").alias("keep")
+    )
 
 
 # ---------------------------------------------------------------------------

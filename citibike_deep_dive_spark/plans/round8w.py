@@ -23,17 +23,17 @@ from pyspark.sql import functions as F
 
 from ..functions.lineage import truncate_lineage
 from .catalog import register, table
+from .gates import gopher_keep_bool_sql, gopher_keep_expr
 
 # ---------------------------------------------------------------------------
 # Pairwise Cramér's V association matrix (Cramér 1946)
 # ---------------------------------------------------------------------------
 
 # categorical facets: lang, source, a coarse length bucket, the gopher keep
-_CV_GATE = """
-           CASE WHEN len(w) BETWEEN 25 AND 90
-                 AND CAST(list_aggregate(list_transform(w, x -> len(x)),
-                          'sum') AS DOUBLE) / len(w) BETWEEN 4.2 AND 5.2
-                 AND 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) < 0.6
+# flag — threshold set shared via gates.py so this facet can never desync
+# from gopher_quality_rules.
+_CV_GATE = f"""
+           CASE WHEN {gopher_keep_bool_sql("w")}
                 THEN 'keep' ELSE 'drop' END
 """
 
@@ -105,15 +105,7 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pair, a, b) rows per document (constant fan-out), one cell
     aggregation, margin/dimension rollups on cell-grain frames."""
     docs = table(spark, sf_dir, "documents")
-    w = F.split(F.lower("text"), " ")
-    nw = F.size(w)
-    mwl = F.expr(
-        "aggregate(split(lower(text), ' '), 0L, (a, x) -> a + length(x))"
-    ).cast("double") / nw
-    fdup = F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / nw
-    keep = F.when(
-        nw.between(25, 90) & mwl.between(4.2, 5.2) & (fdup < 0.6), "keep"
-    ).otherwise("drop")
+    keep = F.when(gopher_keep_expr("text") == 1, "keep").otherwise("drop")
     facets = docs.select(
         "lang",
         "source",

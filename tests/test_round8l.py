@@ -112,6 +112,11 @@ def test_assortativity_python_recompute(spark):
     expected = (m * sjk - sj * sj) / (m * sjj - sj * sj)
     assert abs(r["assortativity"] - expected) < 1e-5
     assert -1.0 - 1e-9 <= r["assortativity"] <= 1.0 + 1e-9
+    # mean degree is stubs/nodes (= 2E/n), NOT sum-of-source-degrees/n
+    # (that would be the degree second moment: each node contributes
+    # its degree d_i times to sum(j) over stubs).
+    assert abs(r["mean_degree"] - m / len(deg)) < 5e-5
+    assert abs(r["mean_degree"] - sum(deg.values()) / len(deg)) < 5e-5
 
 
 def test_stl_recomposition_identity(spark):

@@ -61,3 +61,26 @@ def test_ucb_bonus_rewards_thin_arms(spark):
     ranked = sorted(rows, key=lambda r: r["rank"])
     ucbs = [r["ucb"] for r in ranked]
     assert ucbs == sorted(ucbs, reverse=True)
+
+
+def test_gate_pinned_to_gopher_quality_rules(spark):
+    """The fairness/UCB audits and the Cramér's-V keep facet must apply
+    EXACTLY the gate that gopher_quality_rules ships (one shared helper,
+    gates.py) — a threshold drift here would audit a gate nobody runs."""
+    from citibike_deep_dive_spark.plans.round8s import _gate
+    from citibike_deep_dive_spark.plans.gates import gopher_keep_expr
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    canonical = {
+        r["doc_id"]: r["keep"]
+        for r in CATALOG["gopher_quality_rules"].build(spark, SF_DIR).collect()
+    }
+    audited = {r["doc_id"]: r["keep"] for r in _gate(docs).collect()}
+    assert audited == canonical
+    facet = {
+        r["doc_id"]: r["keep"]
+        for r in docs.select(
+            "doc_id", gopher_keep_expr("text").alias("keep")
+        ).collect()
+    }
+    assert facet == canonical
