@@ -26,7 +26,7 @@ from ..functions.lineage import truncate_lineage
 from ..functions.portable import portable_hash64, portable_hash64_sql
 from ..operators.fanout import fan_out
 from .catalog import register, table
-from .training import _PQ_CODES, _PQ_SUBS
+from .training import _PQ_CODES, _PQ_SUBS, _adc_scored_pairs
 
 # ---------------------------------------------------------------------------
 # DSIR — importance weights from hashed-bigram bucket distributions
@@ -501,42 +501,17 @@ def ann_ivfpq_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     true vectors — the corpus is touched only at shortlist positions;
     at 100 TB this is the random-read tail a row-group-pruned parquet
     scan serves — then a fixed-order fold computes exact L2, rounded
-    before ranking so the tiebreak (dist, cand_id) is engine-exact."""
+    before ranking so the tiebreak (dist, cand_id) is engine-exact.
+    Stage 1's per-pair work is 8 sub-table lookups, not the nested fold
+    — the shared _adc_scored_pairs stage (training.py)."""
     emb = fan_out(table(spark, sf_dir, "embeddings"))
-
-    cent_q = (
-        f"(((CAST(s AS BIGINT)*{_PQ_CODES}+c)*8 + j) * 1103515245 + 12345)"
-        " % 65536 / 32768.0D - 1.0D"
-    )
-    diff_q = f"(CAST(element_at(embedding, s*8+j) AS DOUBLE) - ({cent_q}))"
-    dist_q = f"aggregate(sequence(1, 8), 0D, (a, j) -> a + ({diff_q}) * ({diff_q}))"
-    codes_expr = (
-        f"transform(sequence(0, {_PQ_SUBS - 1}), s -> "
-        f"array_min(transform(sequence(0, {_PQ_CODES - 1}), "
-        f"c -> struct({dist_q} AS d, c AS c))).c)"
-    )
-    codes = emb.select("vec_id", F.expr(codes_expr).alias("codes"))
 
     queries = (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     )
-    cent_adc = (
-        f"(((CAST(s AS BIGINT)*{_PQ_CODES}+element_at(codes, s+1))*8 + j)"
-        " * 1103515245 + 12345) % 65536 / 32768.0D - 1.0D"
-    )
-    diff_adc = f"(CAST(element_at(q_emb, s*8+j) AS DOUBLE) - ({cent_adc}))"
-    adc = (
-        f"aggregate(sequence(0, {_PQ_SUBS - 1}), 0D, (acc, s) -> acc + "
-        f"aggregate(sequence(1, 8), 0D, (a, j) -> a + ({diff_adc}) * ({diff_adc})))"
-    )
-    pairs = codes.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("cand_id"),
-        F.expr(adc).alias("adc_dist"),
-    )
+    scored = _adc_scored_pairs(spark, sf_dir)
     w_adc = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
     shortlist = (
         scored.withColumn("adc_rank", F.row_number().over(w_adc))

@@ -3720,6 +3720,128 @@ _PQ_SUBS = 8  # 64-dim embeddings -> 8 subvectors of 8 dims
 _PQ_CODES = 16
 
 
+def _pq_subdist_sql(col: str) -> str:
+    """Spark SQL for the per-subspace squared distance to centroid
+    (s, c): a strict left fold over the 8 dims with the closed-form LCG
+    codebook regenerated inline — the exact arithmetic the DuckDB
+    oracles run, so cross-engine values are bit-identical."""
+    cent = (
+        f"(((CAST(s AS BIGINT)*{_PQ_CODES}+c)*8 + j) * 1103515245 + 12345)"
+        " % 65536 / 32768.0D - 1.0D"
+    )
+    diff = f"(CAST(element_at({col}, s*8+j) AS DOUBLE) - ({cent}))"
+    return f"aggregate(sequence(1, 8), 0D, (a, j) -> a + ({diff}) * ({diff}))"
+
+
+def _pq_centroids_np():
+    """The 8x16x8 LCG codebook as exact float64 constants. Every value
+    is a dyadic rational (integer LCG, /32768.0, -1.0 — all IEEE-exact),
+    so Python, Spark SQL and DuckDB produce bit-identical doubles."""
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                [
+                    (((s * _PQ_CODES + c) * 8 + j) * 1103515245 + 12345)
+                    % 65536
+                    / 32768.0
+                    - 1.0
+                    for j in range(1, 9)
+                ]
+                for c in range(_PQ_CODES)
+            ]
+            for s in range(_PQ_SUBS)
+        ],
+        dtype=np.float64,
+    )
+
+
+def _pq_codes_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, codes): each row's 8 nearest-centroid byte codes.
+
+    Arrow-vectorized pandas_udf, NOT the declarative HOF fold: the
+    16-centroid argmin per subspace is 128 fold iterations per row, and
+    Spark's higher-order functions are interpreted (no whole-stage
+    codegen), a measured ~2x constant vs this numpy path at sf1 (0.85 s
+    -> 0.40 s warm on 20k rows; a fully unrolled literal expression was
+    tried and REJECTED — it blows the 64 KB janino method limit and
+    falls back to an even slower interpreted tree). Bit-exactness vs
+    the DuckDB oracle is preserved by construction: float32->float64
+    widening is exact, the j-ascending `acc += d*d` accumulation adds
+    the same doubles in the oracle fold's order, np.argmin returns the
+    first minimum exactly like the oracle's list_indexof(min) tiebreak,
+    and the codebook constants are exact dyadic rationals
+    (_pq_centroids_np). Per-row work, zero shuffle — scan-parallel at
+    any scale."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    def _codes_fn(embedding):
+        cents = _pq_centroids_np()
+        e = (
+            np.vstack(embedding.to_numpy())
+            .astype(np.float64)
+            .reshape(len(embedding), _PQ_SUBS, 8)
+        )
+        acc = np.zeros((len(embedding), _PQ_SUBS, _PQ_CODES))
+        for j in range(8):
+            d = e[:, :, j, None] - cents[None, :, :, j]
+            acc += d * d
+        return pd.Series(list(acc.argmin(axis=2).astype(np.int32)))
+
+    # real (non-string) hints: `from __future__ import annotations` would
+    # stringify inline ones, which pandas_udf's signature inference rejects
+    _codes_fn.__annotations__ = {"embedding": pd.Series, "return": pd.Series}
+    _codes_udf = pandas_udf(ArrayType(IntegerType()))(_codes_fn)
+
+    return emb.select("vec_id", _codes_udf("embedding").alias("codes"))
+
+
+def _adc_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared ADC stage of ann_ivfpq_adc_topk / ann_ivfpq_rerank_exact:
+    (query_id, cand_id, adc_dist) for every query x candidate pair.
+
+    The round-8 weak row was the per-pair interpreted nested fold (64
+    diff^2 + LCG regenerations per pair, a ~3x constant vs the oracle's
+    list kernels). The asymmetric-distance identity fixes it: the inner
+    sum depends only on (query, s, code), so each query's full 8x16
+    distance sub-table ``dtab[s][c] = fold_j (q[s*8+j] - cent(s,c,j))^2``
+    is computed ONCE per query row on the 5-row broadcast side — with
+    the identical left fold the oracle runs per pair — and the per-pair
+    work collapses to ``fold_s dtab[s][codes[s]]``, 8 nested array
+    lookups. Same doubles added in the same order as the oracle's
+    nested fold, so values stay bit-identical; at 100 TB this is the
+    textbook FAISS ADC table trick (one table per query, O(1) lookups
+    per scanned code byte)."""
+    codes = _pq_codes_frame(fan_out(table(spark, sf_dir, "embeddings")))
+    dtab_expr = (
+        f"transform(sequence(0, {_PQ_SUBS - 1}), s -> "
+        f"transform(sequence(0, {_PQ_CODES - 1}), "
+        f"c -> {_pq_subdist_sql('q_emb')}))"
+    )
+    queries = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        .select("query_id", F.expr(dtab_expr).alias("dtab"))
+    )
+    adc = (
+        f"aggregate(sequence(0, {_PQ_SUBS - 1}), 0D, (acc, s) -> acc + "
+        "element_at(element_at(dtab, s+1), element_at(codes, s+1) + 1))"
+    )
+    pairs = codes.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    return pairs.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.expr(adc).alias("adc_dist"),
+    )
+
+
 @register(
     "embedding_pq_codes",
     f"""
@@ -4031,47 +4153,10 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the codes table is ~128x smaller than the embeddings and the
     ADC fold is fixed-order arithmetic, which is also what makes the
     DuckDB oracle bit-exact (strict left folds, explicit squares, D
-    literals — every float lesson from embedding_pq_codes applies)."""
-    emb = fan_out(table(spark, sf_dir, "embeddings"))
-
-    cent_q = (
-        f"(((CAST(s AS BIGINT)*{_PQ_CODES}+c)*8 + j) * 1103515245 + 12345)"
-        " % 65536 / 32768.0D - 1.0D"
-    )
-    diff_q = f"(CAST(element_at(embedding, s*8+j) AS DOUBLE) - ({cent_q}))"
-    dist_q = f"aggregate(sequence(1, 8), 0D, (a, j) -> a + ({diff_q}) * ({diff_q}))"
-    # argmin via min over (dist, c) structs: each of the 256 centroid
-    # distances is evaluated ONCE (the array_position(ds, array_min(ds))
-    # form built the whole distance array twice per subspace); struct
-    # ordering compares dist first then c, which reproduces
-    # array_position's first-minimum tiebreak exactly.
-    codes_expr = (
-        f"transform(sequence(0, {_PQ_SUBS - 1}), s -> "
-        f"array_min(transform(sequence(0, {_PQ_CODES - 1}), "
-        f"c -> struct({dist_q} AS d, c AS c))).c)"
-    )
-    codes = emb.select("vec_id", F.expr(codes_expr).alias("codes"))
-
-    queries = (
-        table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    )
-    cent_adc = (
-        f"(((CAST(s AS BIGINT)*{_PQ_CODES}+element_at(codes, s+1))*8 + j)"
-        " * 1103515245 + 12345) % 65536 / 32768.0D - 1.0D"
-    )
-    diff_adc = f"(CAST(element_at(q_emb, s*8+j) AS DOUBLE) - ({cent_adc}))"
-    adc = (
-        f"aggregate(sequence(0, {_PQ_SUBS - 1}), 0D, (acc, s) -> acc + "
-        f"aggregate(sequence(1, 8), 0D, (a, j) -> a + ({diff_adc}) * ({diff_adc})))"
-    )
-    pairs = codes.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("cand_id"),
-        F.expr(adc).alias("adc_dist"),
-    )
+    literals — every float lesson from embedding_pq_codes applies).
+    Per-pair work is 8 sub-table lookups, not the nested fold — see
+    _adc_scored_pairs."""
+    scored = _adc_scored_pairs(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
