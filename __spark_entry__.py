@@ -35,98 +35,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's verify walks queries() in order with a bounded budget, so
 # ordering decides which entries get a hard CORRECTNESS row this round.
-# Round-8 ordering (VERDICT r7 items 1-2): (a) the seven round-6 perf
-# rewrites whose last driver row predates the rewrite — the round-7 queue
-# that never ran; (b) queries whose implementation changed THIS round:
-# the three simhash carriers (lane repack 4x16 -> 3x20 after the ANSI
-# long-overflow regression test; vote-identical, preflight-exact),
-# moment_aggregates (left-join median for all-NULL-group parity — also
-# in (a)), semdedup_prune (parameterized cell count) and
-# dock_deep_merge_nested_maps (perf), plus the new
-# semdedup_prune_subcells and the fourteen round-8 additions (DSIR + its resample, CCNet
-# buckets, chunk dedup+reconstruct, two-stage ANN rerank, NDCG@k,
-# t-closeness, filter funnel, rendezvous sharding, LPA communities, positional phrase search,
-# T5 span-corruption planning, BPE merge application, suffix/prefix split detection,
-# plus the five late mining additions: winnowing fingerprints,
-# margin bitext mining, prototype hard-keep, token-budget water-fill,
-# semantic decontamination, the four resumed-session mining queries
-# (k-center coreset, token burstiness, Spearman metric agreement,
-# k-core peeling) and the eleven extension-batch statistics queries
-# (calibration ECE, Poisson bootstrap CI, Cohen's kappa, lang-source
-# MI, coverage curve, PCA power iteration, LOO source valuation,
-# isotonic calibration, Hill tail index, pairwise Wasserstein source
-# distances, packing-efficiency curve, Fleiss kappa, pairwise
-# Mann-Whitney AUC, margin mining over the sign-LSH shortlist — the
-# production form that survives sf1 where the cross join OOMs) —
-# first-time verification
-# outranks evidence refresh); (c) the least-recently-verified entries
-# (last green r1-r2), so the oldest evidence refreshes. Exactly 50
-# entries; every one preflight.py-exact before commit.
+# Round-9 ordering (VERDICT r8 item 1 + re-verify-on-change invariant):
+# (a) the eight queries whose implementation changed this round — the two
+# ADC carriers (per-query distance sub-tables + Arrow-vectorized PQ codes
+# stage, VERDICT item 2), chunk_dedup_reconstruct (keys-only owner
+# election + single text shuffle, VERDICT item 3) and the five gate/graph queries touched by the
+# ADVICE fixes (knn_graph_assortativity mean_degree = 2E/n; the shared
+# plans/gates.py Gopher thresholds behind gopher_quality_rules,
+# fairness_gate_parity, ucb_source_allocation, cramers_v_matrix);
+# (b) the head of the never-driver-verified backlog (VERDICT item 1:
+# 89 entries at r8 close -> the first 42 here; the remaining 43 stay in
+# VERIFY_NEXT as the round-10 rotation head). Exactly 50 entries; every
+# one preflight.py-exact before commit.
 VERIFY_FIRST = [
-    # (a) round-6 perf rewrites, driver-stale since r3-r5
-    "moment_aggregates",
-    "partition_zonemap_stats",
-    "approx_quantiles_sketch",
-    "approx_distinct_hll",
-    "pmi_bigram_collocations",
-    "repeated_segment_stats",
-    "decontamination_ngram_overlap",
-    # (b) implementation changed or NEW in round 8
-    "dsir_importance_weights",
-    "ccnet_perplexity_buckets",
-    "chunk_dedup_reconstruct",
+    # (a) implementation changed in round 9
+    "ann_ivfpq_adc_topk",
     "ann_ivfpq_rerank_exact",
-    "ndcg_at_k_eval",
-    "shard_assignment_rendezvous",
-    "dedup_suffix_prefix_overlap",
-    "margin_bitext_mining",
-    "coreset_kcenter_greedy",
-    "token_burstiness_topk",
-    "quality_metric_spearman",
-    "dedup_kcore_peeling",
-    "calibration_ece_bins",
-    "bootstrap_ci_mean",
-    "cohens_kappa_agreement",
-    "lang_source_mutual_info",
-    "coverage_curve_by_quality",
-    "pca_power_iteration",
-    "loo_source_value",
-    "isotonic_calibration_bins",
-    "hill_tail_index",
-    "wasserstein_source_lengths",
-    "packing_efficiency_curve",
-    "fleiss_kappa_three_raters",
-    "mannwhitney_source_lengths",
-    "margin_bitext_ann_shortlist",
-    "kaplan_meier_retention",
-    "frequent_triple_itemsets",
-    "revenue_change_forecast",
-    "theil_sen_trend",
-    "word2vec_subsampling_plan",
-    "quality_score_roc_auc",
-    "embedding_hubness_koccurrence",
-    "conformal_quantile_coverage",
-    "vocab_overlap_matrix",
-    "split_half_vocab_stability",
-    "circular_peak_hour",
-    "corpus_entropy_rate",
-    "source_minhash_similarity",
-    "dedup_simhash",
-    "simhash_hamming_pairs",
-    "simhash64_hamming_pairs",
-    "dock_deep_merge_nested_maps",
-    # (c) least-recently-verified (r1-r2 evidence), oldest first
-]
-
-# Never driver-verified entries that did NOT fit this round's 50-slot
-# budget (12 from the first round-8 session + 29 from the continuation
-# session + 34 from the session-3 batches 9-16). Placed immediately
-# after VERIFY_FIRST in queries() so any budget beyond 50 reaches them,
-# and queued as the HEAD of the round-9/round-10 VERIFY_FIRST rotations
-# — every one is preflight.py-exact at sf0.01 (session-3 full-catalog
-# sweep: 0 problems across 327; the two batch-16 additions preflighted
-# individually on add).
-VERIFY_NEXT = [
+    "gopher_quality_rules",
+    "knn_graph_assortativity",
+    "fairness_gate_parity",
+    "ucb_source_allocation",
+    "cramers_v_matrix",
+    "chunk_dedup_reconstruct",
+    # (b) never-driver-verified backlog head (r8 VERIFY_NEXT order)
     "semdedup_prune_subcells",
     "t_closeness_audit",
     "filter_funnel_attrition",
@@ -169,6 +100,15 @@ VERIFY_NEXT = [
     "hits_doc_term_bipartite",
     "importance_weight_ess",
     "bradley_terry_strengths",
+]
+
+# Never driver-verified entries that did NOT fit this round's 50-slot
+# budget: the tail of the r8 backlog, in the same audited order (every
+# one preflight.py-exact at sf0.01 — session-3 full-catalog sweep plus
+# per-add preflights). Placed immediately after VERIFY_FIRST in
+# queries() so any budget beyond 50 reaches them, and queued as the
+# round-10 VERIFY_FIRST head.
+VERIFY_NEXT = [
     "cuped_adjusted_ab",
     "js_divergence_source_unigrams",
     "adjusted_rand_labels_vs_cells",
@@ -177,7 +117,6 @@ VERIFY_NEXT = [
     "knn_shapley_values",
     "log_odds_fightin_words",
     "chao1_vocab_richness",
-    "knn_graph_assortativity",
     "stl_additive_decomposition",
     "rank_biased_overlap",
     "naive_bayes_lang_classifier",
@@ -202,8 +141,6 @@ VERIFY_NEXT = [
     "ransac_trend_consensus",
     "sinkhorn_transport_plan",
     "beta_binomial_shrinkage",
-    "fairness_gate_parity",
-    "ucb_source_allocation",
     "matrix_profile_motifs",
     "forecast_mase_eval",
     "dispersion_index_by_type",
@@ -211,7 +148,6 @@ VERIFY_NEXT = [
     "embedding_anisotropy_ratio",
     "energy_distance_sources",
     "mmd_rbf_sources",
-    "cramers_v_matrix",
     "esd_outlier_rounds",
     "lof_embedding_outliers",
     "logrank_churn_arms",

@@ -354,44 +354,51 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     first while unique prose survives. Unlike doc-grain dedup this
     removes duplication INSIDE surviving documents too.
 
-    Distributed shape: a narrow chunk fan-out (sequence + slice, zero
-    Python), ONE shuffle on md5(chunk) — uniform keys — where a window
-    min over the digest partition marks owners (same shuffle the exact
-    dedup takes; no second join pass), then one keyed aggregation
-    re-assembles owned chunks in position order via array_sort before
-    concat (deterministic, not collect-order-dependent). Ownership is a
-    FLAG, not a filter: the conditional collect (collect_list skips
-    NULLs) lets the same aggregation count all chunks AND re-assemble
-    only owned ones, so fully-duplicated documents keep their row with
-    an empty reconstruction — the accounting a dedup report needs —
-    without a join back to the doc grain. The oracle's integer owner key
+    Distributed shape (the text never shuffles twice): owner election
+    runs on a KEYS-ONLY projection of the chunk fan-out — Catalyst
+    prunes the chunk text, so the groupBy(digest).min(owner) shuffle
+    moves (digest, doc_id, pos) partial aggregates only, map-side
+    combined to one row per distinct digest per map partition. The
+    winners — already just (doc_id, pos) pairs — are folded to one
+    sorted kept-position array per doc (a second keys-only shuffle),
+    and reassembly joins that small frame back to the DOCUMENTS scan,
+    re-slicing each kept chunk out of the original text with the same
+    sequence/slice arithmetic chunk_frame uses. The corpus text crosses
+    the wire exactly once (the doc_id join), versus twice for the
+    naive window-over-digest + groupBy(doc_id) plan — at 100 TB the
+    text is ~20-40x the key columns, so this halves the dominant
+    shuffle. A left join keeps fully-duplicated docs (no owned chunks)
+    with n_kept = 0 and an empty reconstruction — the accounting a
+    dedup report needs. The oracle's integer owner key
     (doc_id*100000+pos) equals the struct min because positions are
     bounded by the chunk count; the Spark side orders on the struct
     itself."""
     docs = table(spark, sf_dir, "documents")
-    ch = chunk_frame(docs)
-    w_dig = Window.partitionBy("digest")
-    flagged = ch.withColumn(
-        "kept",
-        F.struct(F.col("doc_id"), F.col("pos"))
-        == F.min(F.struct(F.col("doc_id"), F.col("pos"))).over(w_dig),
+    keys = chunk_frame(docs).select("digest", "doc_id", "pos")
+    owners = keys.groupBy("digest").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("o")
     )
-    # conditional aggregation instead of kept-filter + left-join back to
-    # the doc grain: collect_list skips NULLs, so the when() drops
-    # non-owned chunks inside ONE keyed aggregation and fully-duplicated
-    # docs keep their row with n_kept = 0 for free (one shuffle saved)
-    return flagged.groupBy("doc_id").agg(
-        F.count("*").alias("n_chunks"),
-        F.sum(F.when(F.col("kept"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.expr(
-                "transform(array_sort(collect_list("
-                "CASE WHEN kept THEN struct(pos, chunk) END)), s -> s.chunk)"
-            ),
-        ).alias("dedup_text"),
+    kept = owners.groupBy(F.col("o.doc_id").alias("doc_id")).agg(
+        F.sort_array(F.collect_list("o.pos")).alias("kept_pos")
+    )
+    # join TEXT, not the split array: shuffling the word array through
+    # the exchange serializes per-word overhead (~2x the bytes; the
+    # rejected variant measured 1.87 s vs 0.92 s warm at sf1) — split
+    # after the join, inside the final narrow projection.
+    joined = docs.select("doc_id", "text").join(kept, "doc_id", "left")
+    w = "split(text, ' ')"
+    reassemble = (
+        f"concat_ws(' ', transform(kept_pos, p -> "
+        f"concat_ws(' ', slice({w}, CAST(p * {_CHUNK_WORDS} + 1 AS INT), "
+        f"{_CHUNK_WORDS}))))"
+    )
+    return joined.select(
+        "doc_id",
+        F.expr(
+            f"CAST(floor((size({w}) - 1) / {_CHUNK_WORDS}) + 1 AS BIGINT)"
+        ).alias("n_chunks"),
+        F.coalesce(F.size("kept_pos"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.expr(reassemble), F.lit("")).alias("dedup_text"),
     )
 
 
