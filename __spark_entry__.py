@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's verify walks queries() in order with a bounded budget, so
 # ordering decides which entries get a hard CORRECTNESS row this round.
 # Round-9 ordering (VERDICT r8 item 1 + re-verify-on-change invariant):
-# (a) the eight queries whose implementation changed this round — the two
+# (a) queries whose implementation changed or is NEW this round — the two
 # ADC carriers (per-query distance sub-tables + Arrow-vectorized PQ codes
 # stage, VERDICT item 2), chunk_dedup_reconstruct (keys-only owner
 # election + single text shuffle, VERDICT item 3) and the five gate/graph queries touched by the
@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # plans/gates.py Gopher thresholds behind gopher_quality_rules,
 # fairness_gate_parity, ucb_source_allocation, cramers_v_matrix);
 # (b) the head of the never-driver-verified backlog (VERDICT item 1:
-# 89 entries at r8 close -> the first 42 here; the remaining 43 stay in
+# 89 entries at r8 close -> the first 40 here; the remaining 45 stay in
 # VERIFY_NEXT as the round-10 rotation head). Exactly 50 entries; every
 # one preflight.py-exact before commit.
 VERIFY_FIRST = [
@@ -57,6 +57,8 @@ VERIFY_FIRST = [
     "ucb_source_allocation",
     "cramers_v_matrix",
     "chunk_dedup_reconstruct",
+    "multimodal_bmp_pixel_stats",
+    "multimodal_features",
     # (b) never-driver-verified backlog head (r8 VERIFY_NEXT order)
     "semdedup_prune_subcells",
     "t_closeness_audit",
@@ -98,8 +100,6 @@ VERIFY_FIRST = [
     "count_sketch_estimates",
     "silhouette_simplified_ivf",
     "hits_doc_term_bipartite",
-    "importance_weight_ess",
-    "bradley_terry_strengths",
 ]
 
 # Never driver-verified entries that did NOT fit this round's 50-slot
@@ -109,6 +109,8 @@ VERIFY_FIRST = [
 # queries() so any budget beyond 50 reaches them, and queued as the
 # round-10 VERIFY_FIRST head.
 VERIFY_NEXT = [
+    "importance_weight_ess",
+    "bradley_terry_strengths",
     "cuped_adjusted_ab",
     "js_divergence_source_unigrams",
     "adjusted_rand_labels_vs_cells",

@@ -204,9 +204,146 @@ def audio_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, AUDIO_META_SCHEMA)
 
 
+def encode_bmp(pixels, top_down: bool = False) -> bytes:
+    """REAL BI_RGB 24-bit BMP writer, pure byte arithmetic: (H, W, 3)
+    uint8 RGB array -> a complete BMP file (54-byte header + BGR pixel
+    rows padded to 4-byte stride; bottom-up by default, negative height
+    when ``top_down``). The synthesis half of the codec —
+    ``decode_bmp_pixels`` must invert it bit-for-bit, which the
+    roundtrip tests and the cross-engine pixel-stats oracle pin."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    rows = px if top_down else px[::-1]
+    body[:, : w * 3] = rows[:, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
+    file_size = 54 + stride * h
+    header = (
+        b"BM"
+        + file_size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel data offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER size
+        + w.to_bytes(4, "little", signed=True)
+        + ((-h if top_down else h) & 0xFFFFFFFF).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB (uncompressed)
+        + (stride * h).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI ppm
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + body.tobytes()
+
+
+def decode_bmp_pixels(payload: bytes):
+    """REAL uncompressed-BMP pixel decode, pure byte arithmetic (no
+    codec library): returns an (H, W, 3) uint8 RGB numpy array, or None
+    if the payload is not an uncompressed 24/32-bit BMP (truncated,
+    compressed, paletted, or not a BMP at all — those fall back to
+    ``decode_stub``). Handles the three format traps a naive reader
+    misses: rows are padded to a 4-byte stride, stored bottom-up unless
+    the height field is negative, and channels are BGR(A) order."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    offset = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:  # BITMAPCOREHEADER etc. — not handled
+        return None
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    height, top_down = abs(h), h < 0
+    nchan = bpp // 8
+    stride = (w * nchan + 3) & ~3
+    if offset < 54 or len(payload) < offset + stride * height:
+        return None
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=offset
+    ).reshape(height, stride)
+    px = raw[:, : w * nchan].reshape(height, w, nchan)
+    rgb = px[:, :, ::-1] if nchan == 3 else px[:, :, [2, 1, 0]]  # BGR(A) -> RGB
+    return np.ascontiguousarray(rgb if top_down else rgb[::-1])
+
+
+BMP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("min_lum", T.IntegerType()),
+        T.StructField("max_lum", T.IntegerType()),
+        T.StructField("poschk", T.LongType()),
+    ]
+)
+
+
+def bmp_channel_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL pixel statistics: per-image channel means,
+    luminance-proxy min/max and a position-weighted checksum computed
+    from ACTUAL DECODED PIXELS (``decode_bmp_pixels``), nulls for
+    payloads that are not uncompressed BMPs. ``poschk`` = sum over
+    top-down raster positions of (idx+1) * (r + 2g + 3b) — order- and
+    channel-sensitive, so a decoder that forgets the bottom-up row flip,
+    the BGR swap, or the stride padding produces a different value (the
+    means alone would forgive the first two). Integer sums stay exact in
+    int64; means are one IEEE division, so the DuckDB oracle reproduces
+    them bit-identically from the generating formula."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = (
+                    decode_bmp_pixels(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if px is None:
+                    rows.append((mid, None, None, None, None, None, None, None, None))
+                    continue
+                h, w, _ = px.shape
+                flat = px.reshape(-1, 3).astype(np.int64)
+                sums = flat.sum(axis=0)
+                lum = flat[:, 0] + 2 * flat[:, 1] + 3 * flat[:, 2]
+                idx = np.arange(1, h * w + 1, dtype=np.int64)
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        sums[0] / (h * w),
+                        sums[1] / (h * w),
+                        sums[2] / (h * w),
+                        int(lum.min()),
+                        int(lum.max()),
+                        int((idx * lum).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in BMP_STATS_SCHEMA.fields],
+            )
+
+    return media.mapInPandas(run, BMP_STATS_SCHEMA)
+
+
 def decode_stub(payload: bytes, kind: str, deterministic_fake: bool = False) -> list[float]:
-    """STUB decode/feature-extract. Real implementation would dispatch to
-    PIL/torchaudio/ffmpeg per ``kind``; those libs are absent here."""
+    """Compressed-format fallback ONLY (PNG/GIF/JPEG pixel decode,
+    audio samples, video frames — the codec libraries are absent here).
+    Uncompressed BMPs never reach this: ``extract_features`` routes them
+    through the REAL ``decode_bmp_pixels`` path first."""
     if not deterministic_fake:
         raise NotImplementedError(
             f"media decoding for kind={kind!r} requires codec libraries "
@@ -216,8 +353,41 @@ def decode_stub(payload: bytes, kind: str, deterministic_fake: bool = False) -> 
     return [round(b / 255.0, 6) for b in digest[:FEATURE_DIM]]
 
 
+def _bmp_features(px) -> list[float]:
+    """8-dim feature vector from real pixels: normalized channel means,
+    channel maxima, and the two aspect components — the same shape the
+    stub emits, so downstream similarity operators are agnostic to
+    which decode path produced a row."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3).astype(np.float64)
+    means = flat.mean(axis=0) / 255.0
+    maxes = flat.max(axis=0) / 255.0
+    diag = float(np.hypot(w, h))
+    return [
+        round(float(means[0]), 6),
+        round(float(means[1]), 6),
+        round(float(means[2]), 6),
+        round(float(maxes[0]), 6),
+        round(float(maxes[1]), 6),
+        round(float(maxes[2]), 6),
+        round(w / diag, 6),
+        round(h / diag, 6),
+    ]
+
+
 def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads."""
+    """Arrow-batched feature extraction over binary payloads. Payloads
+    that decode as uncompressed BMPs get REAL pixel features
+    (``_bmp_features``); everything else falls back to ``decode_stub``
+    (compressed formats need codec libraries this container lacks)."""
+
+    def features_of(payload: bytes, kind: str) -> list[float]:
+        px = decode_bmp_pixels(payload)
+        if px is not None:
+            return _bmp_features(px)
+        return decode_stub(payload, kind, deterministic_fake=deterministic_fake)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -228,9 +398,7 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
                     "digest": pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest()),
                     "features": pdf.apply(
-                        lambda r: decode_stub(
-                            r["payload"], r["kind"], deterministic_fake=deterministic_fake
-                        ),
+                        lambda r: features_of(bytes(r["payload"]), r["kind"]),
                         axis=1,
                     ),
                 }
