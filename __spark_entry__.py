@@ -59,6 +59,7 @@ VERIFY_FIRST = [
     "chunk_dedup_reconstruct",
     "multimodal_bmp_pixel_stats",
     "multimodal_features",
+    "ppmi_skipgram_pairs",
     # (b) never-driver-verified backlog head (r8 VERIFY_NEXT order)
     "semdedup_prune_subcells",
     "t_closeness_audit",
@@ -99,7 +100,6 @@ VERIFY_FIRST = [
     "link_prediction_adamic_adar",
     "count_sketch_estimates",
     "silhouette_simplified_ivf",
-    "hits_doc_term_bipartite",
 ]
 
 # Never driver-verified entries that did NOT fit this round's 50-slot
@@ -109,6 +109,7 @@ VERIFY_FIRST = [
 # queries() so any budget beyond 50 reaches them, and queued as the
 # round-10 VERIFY_FIRST head.
 VERIFY_NEXT = [
+    "hits_doc_term_bipartite",
     "importance_weight_ess",
     "bradley_terry_strengths",
     "cuped_adjusted_ab",
@@ -153,7 +154,6 @@ VERIFY_NEXT = [
     "esd_outlier_rounds",
     "lof_embedding_outliers",
     "logrank_churn_arms",
-    "ppmi_skipgram_pairs",
 ]
 
 

@@ -81,6 +81,19 @@ QUERIES = [
     "textrank_keywords",
     "bradley_terry_strengths",
     "kmv_sketch_set_ops",
+    # round-9 additions (VERDICT r8 item 6): the session-3 statistics
+    # families with a nontrivial growth surface — support-grid two-sample
+    # distances (grid^2 products bounded by distinct length values, but
+    # the grids themselves grow with data variety), the duration-grid
+    # log-rank, the subsequence-join matrix profile, the token-fan-out
+    # PPMI, and the k-NN-graph LOF
+    "wasserstein_source_lengths",
+    "energy_distance_sources",
+    "mmd_rbf_sources",
+    "logrank_churn_arms",
+    "matrix_profile_motifs",
+    "ppmi_skipgram_pairs",
+    "lof_embedding_outliers",
 ]
 
 ALPHA = string.ascii_lowercase
@@ -141,6 +154,22 @@ def generate(spark) -> None:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(f"{DST}/orders.parquet")
 
+    # events: user_id shifted by 1M per replica — 10x users at the same
+    # per-user event density and the same 30-day window, which is how a
+    # real event stream scales (more users, not a longer history). The
+    # shifted ids land in different hash-split arms, decorrelating the
+    # replicas for the churn/AB queries; event_id shifted to stay unique.
+    events = spark.read.parquet(f"{SRC}/events.parquet")
+    parts = [
+        events.withColumn("user_id", F.col("user_id") + r * 1_000_000)
+        .withColumn("event_id", F.col("event_id") + r * 10_000_000)
+        for r in range(REPLICAS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{DST}/events.parquet")
+
 
 def main() -> None:
     spark = get_spark(
@@ -152,12 +181,12 @@ def main() -> None:
         generate(spark)
 
     con = duckdb.connect()
-    for t in ("documents", "embeddings", "orders"):
+    for t in ("documents", "embeddings", "orders", "events"):
         con.sql(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{DST}/{t}.parquet/*.parquet'"
         )
-    # unused by the 6 queries, registered so oracles never 404
-    for t in ("region", "nation", "customer", "supplier", "part", "lineitem", "events"):
+    # unused by the benched queries, registered so oracles never 404
+    for t in ("region", "nation", "customer", "supplier", "part", "lineitem"):
         con.sql(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SRC}/{t}.parquet'"
         )
