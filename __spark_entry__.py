@@ -109,6 +109,11 @@ VERIFY_FIRST = [
 # queries() so any budget beyond 50 reaches them, and queued as the
 # round-10 VERIFY_FIRST head.
 VERIFY_NEXT = [
+    # round-9 additions (preflight-exact on add; r10 verification head)
+    "triplet_semihard_mining",
+    "neyman_stratified_allocation",
+    "boilerplate_ngram_flags",
+    # displaced round-8 backlog tail
     "hits_doc_term_bipartite",
     "importance_weight_ess",
     "bradley_terry_strengths",

@@ -30,10 +30,11 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 from pyspark.sql import functions as F
 
+from ..operators.fanout import fan_out
 from .catalog import register, table
 
 _BMP_W_MOD = 7
@@ -137,3 +138,348 @@ def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     media = synthesize_bmp_media(docs)
     return bmp_channel_stats(media)
+
+
+# ---------------------------------------------------------------------------
+# Semi-hard triplet mining (Schroff et al. 2015, FaceNet)
+# ---------------------------------------------------------------------------
+
+_TRIPLET_ANCHORS = 50
+_TRIPLET_MARGIN = 0.05
+
+_COS9 = (
+    "round(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(a.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(q.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)"
+)
+
+
+@register(
+    "triplet_semihard_mining",
+    f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS anchor_id, a.vec_id AS cand_id,
+               q.label AS ql, a.label AS cl,
+               {_COS9} AS cos_sim
+        FROM embeddings a
+        JOIN (SELECT * FROM embeddings WHERE vec_id < {_TRIPLET_ANCHORS}) q
+          ON a.vec_id <> q.vec_id
+    ),
+    pos AS (
+        SELECT anchor_id, cand_id AS pos_id, cos_sim AS cos_pos FROM (
+            SELECT anchor_id, cand_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                      ORDER BY cos_sim DESC, cand_id) AS rn
+            FROM pairs WHERE cl = ql
+        ) WHERE rn = 1
+    ),
+    neg AS (
+        SELECT anchor_id, cand_id AS neg_id, cos_sim AS cos_neg FROM (
+            SELECT p.anchor_id, p.cand_id, p.cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY p.anchor_id
+                                      ORDER BY p.cos_sim DESC, p.cand_id) AS rn
+            FROM pairs p JOIN pos USING (anchor_id)
+            WHERE p.cl <> p.ql AND p.cos_sim < pos.cos_pos
+        ) WHERE rn = 1
+    )
+    SELECT anchor_id, pos_id, cos_pos, neg_id, cos_neg,
+           CAST(cos_neg > cos_pos - {_TRIPLET_MARGIN} AS INT) AS margin_active
+    FROM pos JOIN neg USING (anchor_id)
+    """,
+    tags=("X-triplet-mining",),
+)
+def triplet_semihard_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard triplet mining for metric-learning batches (FaceNet,
+    Schroff et al. 2015): per anchor, the positive is its most-similar
+    same-label vector and the negative is the most-similar
+    OTHER-label vector that is still farther than the positive
+    (cos_neg < cos_pos) — the "semi-hard" band that trains stably where
+    hardest-negative mining collapses; margin_active marks triplets
+    inside the margin band that still produce gradient.
+
+    Distributed shape: the {_TRIPLET_ANCHORS}-anchor frame broadcasts
+    against one corpus scan (scan-parallel pair scoring, no shuffle of
+    the corpus); the positive cut is a WindowGroupLimit top-1 per
+    anchor, and the tiny positive frame broadcasts back onto the SAME
+    pair stream for the semi-hard filter — two corpus scans total,
+    nothing corpus-sized ever exchanges. 4dp-rounded cosines with
+    cand_id tiebreaks keep both rankings engine-exact."""
+    emb = fan_out(table(spark, sf_dir, "embeddings")).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    from ..operators.similarity import _dot, _norm
+
+    anchors = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _TRIPLET_ANCHORS)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("ql"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
+    )
+    pairs = emb.join(
+        F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id")
+    ).select(
+        "anchor_id",
+        F.col("vec_id").alias("cand_id"),
+        "ql",
+        F.col("label").alias("cl"),
+        F.round(cos, 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), "cand_id")
+    pos = (
+        pairs.filter(F.col("cl") == F.col("ql"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", F.col("cand_id").alias("pos_id"), F.col("cos_sim").alias("cos_pos"))
+    )
+    neg = (
+        pairs.filter(F.col("cl") != F.col("ql"))
+        .join(F.broadcast(pos), "anchor_id")
+        .filter(F.col("cos_sim") < F.col("cos_pos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", F.col("cand_id").alias("neg_id"), F.col("cos_sim").alias("cos_neg"))
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "cos_pos",
+        "neg_id",
+        "cos_neg",
+        (F.col("cos_neg") > F.col("cos_pos") - _TRIPLET_MARGIN)
+        .cast("int")
+        .alias("margin_active"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neyman (optimal) stratified-sampling allocation
+# ---------------------------------------------------------------------------
+
+_NEYMAN_N = 1000
+
+
+@register(
+    "neyman_stratified_allocation",
+    f"""
+    WITH s AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_y,
+               CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                    AS BIGINT) AS sumsq_y
+        FROM documents GROUP BY source
+    ),
+    st AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt((CAST(sumsq_y AS DOUBLE)
+                                - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)
+                                  / n_docs)
+                               / (n_docs - 1)) * 1000000 + 0.5) AS BIGINT)
+                   AS s_mu
+        FROM s
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS big_n,
+               CAST(sum(n_docs * s_mu) AS BIGINT) AS tot_ns
+        FROM st
+    )
+    SELECT source, n_docs,
+           round(s_mu / 1000000.0, 4) AS stddev_chars,
+           CAST(floor({_NEYMAN_N}.0 * n_docs / big_n + 0.5) AS BIGINT)
+               AS alloc_prop,
+           CAST(floor({_NEYMAN_N}.0 * n_docs * s_mu / tot_ns + 0.5) AS BIGINT)
+               AS alloc_neyman
+    FROM st, tot
+    """,
+    tags=("X-neyman-allocation",),
+)
+def neyman_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal (Neyman 1934) vs proportional allocation of a
+    {_NEYMAN_N}-row sample across source strata: n_h proportional to
+    N_h * S_h puts sample where the variance is, the textbook eval-set
+    and data-audit sampling design (proportional allocation oversamples
+    big homogeneous strata). One map-side-combined aggregation per
+    stratum; the 20-row strata frame then folds to scalar totals — at
+    100 TB the only corpus-scale work is the count/sum/sumsq scan.
+
+    Engine-exactness: moments are EXACT BIGINT sums; the variance is
+    one fixed expression over those integers (identical IEEE ops both
+    engines), the stddev is micro-quantized to integer micro-units
+    BEFORE the cross-strata total, so tot_ns is an exact integer sum —
+    no float-summation-order hazard — and both allocations are
+    floor(x + 0.5) over identically-derived doubles."""
+    docs = table(spark, sf_dir, "documents")
+    y = F.col("n_chars").cast("long")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(y).alias("sum_y"),
+        F.sum(y * y).alias("sumsq_y"),
+    )
+    var = (
+        F.col("sumsq_y").cast("double")
+        - F.col("sum_y").cast("double") * F.col("sum_y").cast("double")
+        / F.col("n_docs")
+    ) / (F.col("n_docs") - 1)
+    st = s.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(var) * 1000000 + F.lit(0.5)).cast("long").alias("s_mu"),
+    )
+    tot = st.agg(
+        F.sum("n_docs").alias("big_n"),
+        F.sum(F.col("n_docs") * F.col("s_mu")).alias("tot_ns"),
+    )
+    return st.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("s_mu") / 1000000.0, 4).alias("stddev_chars"),
+        F.floor(
+            F.lit(float(_NEYMAN_N)) * F.col("n_docs") / F.col("big_n") + 0.5
+        )
+        .cast("long")
+        .alias("alloc_prop"),
+        F.floor(
+            F.lit(float(_NEYMAN_N)) * F.col("n_docs") * F.col("s_mu")
+            / F.col("tot_ns")
+            + 0.5
+        )
+        .cast("long")
+        .alias("alloc_neyman"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source boilerplate n-gram flagging (CCNet / RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+_BOILER_NGRAM = 2
+_BOILER_DF_NUM = 1  # boilerplate iff df / source_docs >= 1/5
+_BOILER_DF_DEN = 5
+
+
+@register(
+    "boilerplate_ngram_flags",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, source,
+               array_to_string(w[i:i+{_BOILER_NGRAM - 1}], ' ') AS g
+        FROM (SELECT doc_id, source, w,
+                     unnest(generate_series(1, len(w) - {_BOILER_NGRAM - 1}))
+                         AS i
+              FROM toks)
+    ),
+    nd AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+    df AS (
+        SELECT source, g, count(*) AS d
+        FROM (SELECT DISTINCT doc_id, source, g FROM pos)
+        GROUP BY source, g
+    ),
+    boiler AS (
+        SELECT df.source, df.g
+        FROM df JOIN nd USING (source)
+        WHERE {_BOILER_DF_DEN} * d >= {_BOILER_DF_NUM} * n_src
+    ),
+    per_doc AS (
+        SELECT pos.doc_id,
+               count(*) AS n_pos,
+               sum(CASE WHEN boiler.g IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_boiler
+        FROM pos LEFT JOIN boiler
+          ON pos.source = boiler.source AND pos.g = boiler.g
+        GROUP BY pos.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_pos, 0) AS BIGINT) AS n_pos,
+           CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler,
+           CASE WHEN COALESCE(n_pos, 0) > 0
+                THEN round(CAST(n_boiler AS DOUBLE) / n_pos, 5)
+                ELSE 0.0 END AS boiler_frac
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """,
+    tags=("X-boilerplate",),
+)
+def boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate flagging by document frequency (the
+    CCNet / RefinedWeb "most common n-grams" filter): a
+    {_BOILER_NGRAM}-gram is boilerplate within a source when it appears
+    in >= {_BOILER_DF_NUM}/{_BOILER_DF_DEN} of that source's documents
+    (nav bars, footers, cookie banners — text that repeats across a
+    SITE, which first-owner chunk dedup cannot see because every
+    occurrence after the first survives there in its owner document).
+    Output is the per-document boilerplate position fraction, the
+    ranking signal a cleaning pass trims by.
+
+    Distributed shape: position fan-out is narrow; the doc-frequency
+    pass aggregates DISTINCT (doc, source, gram) — map-side combined —
+    into a per-(source, gram) count; the boilerplate set (grams above
+    the integer-arithmetic threshold {_BOILER_DF_DEN}*d >=
+    {_BOILER_DF_NUM}*n_src — no float ratio) is tiny relative to the
+    corpus (bounded by per-source distinct grams / threshold), so AQE
+    broadcasts the flag join at any realistic scale; the final
+    per-document rollup re-shuffles gram positions by doc_id once.
+    Every count is an exact integer; the only float is the final
+    5dp-rounded fraction."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+    pos = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(F.lit(1), F.size("w") - (_BOILER_NGRAM - 1))
+        ).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.slice("w", F.col("i"), _BOILER_NGRAM)).alias("g"),
+    )
+    nd = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    df = (
+        pos.select("doc_id", "source", "g")
+        .distinct()
+        .groupBy("source", "g")
+        .agg(F.count("*").alias("d"))
+    )
+    boiler = (
+        df.join(F.broadcast(nd), "source")
+        .filter(_BOILER_DF_DEN * F.col("d") >= _BOILER_DF_NUM * F.col("n_src"))
+        .select("source", "g", F.lit(1).alias("is_boiler"))
+    )
+    per_doc = (
+        pos.join(boiler, ["source", "g"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pos"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+            .cast("long")
+            .alias("n_boiler"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_pos"), F.lit(0)).cast("long").alias("n_pos"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            F.when(
+                F.coalesce(F.col("n_pos"), F.lit(0)) > 0,
+                F.round(F.col("n_boiler").cast("double") / F.col("n_pos"), 5),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boiler_frac"),
+        )
+    )

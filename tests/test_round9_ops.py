@@ -121,3 +121,109 @@ def test_bmp_pixel_stats_python_recompute(spark):
         assert r["mean_r"] == sum(v[0] for v in vals) / (w * h)
         assert (r["min_lum"], r["max_lum"]) == (min(lum), max(lum))
         assert r["poschk"] == sum((i + 1) * l for i, l in enumerate(lum))
+
+
+def test_triplet_semihard_python_recompute(spark):
+    import math
+
+    out = {
+        r["anchor_id"]: r
+        for r in CATALOG["triplet_semihard_mining"].build(spark, SF_DIR).collect()
+    }
+    embs = {
+        r["vec_id"]: (r["label"], [float(x) for x in r["embedding"]])
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 4)
+
+    for aid in list(out)[:5]:
+        ql, qv = embs[aid]
+        sims = [
+            (cos(v, qv), vid, lab)
+            for vid, (lab, v) in embs.items()
+            if vid != aid
+        ]
+        pos = max(
+            ((s, -vid) for s, vid, lab in sims if lab == ql),
+        )
+        cos_pos, pos_id = pos[0], -pos[1]
+        negs = [
+            (s, -vid) for s, vid, lab in sims if lab != ql and s < cos_pos
+        ]
+        cos_neg, neg_id = max(negs)[0], -max(negs)[1]
+        r = out[aid]
+        assert (r["pos_id"], r["cos_pos"]) == (pos_id, cos_pos)
+        assert (r["neg_id"], r["cos_neg"]) == (neg_id, cos_neg)
+        assert r["margin_active"] == int(cos_neg > cos_pos - 0.05)
+    # semi-hard invariant: every negative is strictly farther than the
+    # positive, and anchors without one are absent (inner join)
+    for r in out.values():
+        assert r["cos_neg"] < r["cos_pos"]
+
+
+def test_neyman_allocation_properties(spark):
+    import statistics
+
+    rows = (
+        CATALOG["neyman_stratified_allocation"].build(spark, SF_DIR).collect()
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "source", "n_chars"
+    ).collect()
+    by_src: dict = {}
+    for d in docs:
+        by_src.setdefault(d["source"], []).append(d["n_chars"])
+    assert {r["source"] for r in rows} == set(by_src)
+    n_total = sum(len(v) for v in by_src.values())
+    s_mu = {
+        s: int((statistics.stdev(v)) * 1e6 + 0.5) for s, v in by_src.items()
+    }
+    tot_ns = sum(len(by_src[s]) * s_mu[s] for s in by_src)
+    for r in rows:
+        v = by_src[r["source"]]
+        assert r["n_docs"] == len(v)
+        assert abs(r["stddev_chars"] - statistics.stdev(v)) < 1e-3
+        assert r["alloc_prop"] == int(1000.0 * len(v) / n_total + 0.5)
+        assert r["alloc_neyman"] == int(
+            1000.0 * len(v) * s_mu[r["source"]] / tot_ns + 0.5
+        )
+    # both schemes allocate ~n in total (off by rounding only)
+    assert abs(sum(r["alloc_prop"] for r in rows) - 1000) <= len(rows)
+    assert abs(sum(r["alloc_neyman"] for r in rows) - 1000) <= len(rows)
+
+
+def test_boilerplate_flags_python_recompute(spark):
+    out = {
+        r["doc_id"]: r
+        for r in CATALOG["boilerplate_ngram_flags"].build(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    ).collect()
+    assert len(out) == len(docs)
+    from collections import defaultdict
+
+    grams_of = {}
+    src_docs = defaultdict(int)
+    df = defaultdict(int)
+    for d in docs:
+        w = d["text"].split(" ")
+        gs = [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+        grams_of[d["doc_id"]] = (d["source"], gs)
+        src_docs[d["source"]] += 1
+        for g in set(gs):
+            df[(d["source"], g)] += 1
+    boiler = {k for k, v in df.items() if 5 * v >= src_docs[k[0]]}
+    for d in docs[:40]:
+        src, gs = grams_of[d["doc_id"]]
+        nb = sum(1 for g in gs if (src, g) in boiler)
+        r = out[d["doc_id"]]
+        assert r["n_pos"] == len(gs)
+        assert r["n_boiler"] == nb
+        if gs:
+            assert r["boiler_frac"] == round(nb / len(gs), 5)
