@@ -35,85 +35,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's verify walks queries() in order with a bounded budget, so
 # ordering decides which entries get a hard CORRECTNESS row this round.
-# Round-9 ordering (VERDICT r8 item 1 + re-verify-on-change invariant):
-# (a) queries whose implementation changed or is NEW this round — the two
-# ADC carriers (per-query distance sub-tables + Arrow-vectorized PQ codes
-# stage, VERDICT item 2), chunk_dedup_reconstruct (keys-only owner
-# election + single text shuffle, VERDICT item 3) and the five gate/graph queries touched by the
-# ADVICE fixes (knn_graph_assortativity mean_degree = 2E/n; the shared
-# plans/gates.py Gopher thresholds behind gopher_quality_rules,
-# fairness_gate_parity, ucb_source_allocation, cramers_v_matrix);
-# (b) the head of the never-driver-verified backlog (VERDICT item 1:
-# 89 entries at r8 close -> the first 40 here; the remaining 45 stay in
-# VERIFY_NEXT as the round-10 rotation head). Exactly 50 entries; every
-# one preflight.py-exact before commit.
+# Round-10 ordering (VERDICT r9 items 1, 2, 6, 7 + re-verify-on-change
+# invariant): (a) the two NEW codec entries (real PNG pixel decode and
+# real WAV PCM decode, verdict items 6-7 — new adds land in VERIFY_FIRST
+# of their own round per item 8); (b) heaps_law_loglog_fit, the r9 red
+# row, re-queued after the DuckDB-1.2.0-proof micro-unit rewrite
+# (verdict item 2); (c) the never-driver-verified backlog (verdict
+# item 1) — the three r9 adds first (neyman + boilerplate also carry
+# this round's ADVICE fixes), then the audited r8 tail. The verdict's
+# demands total 51 against the 50-slot budget, so exactly one backlog
+# entry (logrank_churn_arms, the audited tail) rolls to the r11 head in
+# VERIFY_NEXT. Every entry preflight.py-exact before commit.
 VERIFY_FIRST = [
-    # (a) implementation changed in round 9
-    "ann_ivfpq_adc_topk",
-    "ann_ivfpq_rerank_exact",
-    "gopher_quality_rules",
-    "knn_graph_assortativity",
-    "fairness_gate_parity",
-    "ucb_source_allocation",
-    "cramers_v_matrix",
-    "chunk_dedup_reconstruct",
-    "multimodal_bmp_pixel_stats",
-    "multimodal_features",
-    "ppmi_skipgram_pairs",
-    # (b) never-driver-verified backlog head (r8 VERIFY_NEXT order)
-    "semdedup_prune_subcells",
-    "t_closeness_audit",
-    "filter_funnel_attrition",
-    "dedup_label_propagation",
-    "dsir_importance_resample",
-    "phrase_search_positional",
-    "span_corruption_masks",
-    "bpe_apply_merges",
-    "winnowing_fingerprints",
-    "prototype_hard_keep",
-    "token_budget_waterfill",
-    "decontamination_semantic",
-    "quantile_normalize_scores",
-    "kneser_ney_bigram_probs",
-    "mmr_diversified_topk",
-    "negative_sampling_table",
+    # (a) NEW this round — the last two real codec paths
+    "multimodal_png_pixel_stats",
+    "multimodal_wav_audio_stats",
+    # (b) the r9 red row, fixed (micro-unit BIGINT quantization)
     "heaps_law_loglog_fit",
-    "good_turing_bigram_smoothing",
-    "dp_noisy_histogram",
-    "stylometry_burrows_delta",
-    "sparse_cosine_neardup_pairs",
-    "sax_daily_volume_symbols",
-    "ks_source_bh_fdr",
-    "association_rule_directed",
-    "dedup_community_modularity",
-    "query_likelihood_dirichlet",
-    "wilcoxon_signed_rank_daily",
-    "kr20_gate_reliability",
-    "ab_sequential_sprt",
-    "mcnemar_gate_disagreement",
-    "daily_volume_fourier",
-    "bloom_fpp_audit",
-    "sequential_funnel_windowed",
-    "kneser_ney_heldout_perplexity",
-    "brier_murphy_decomposition",
-    "rolling_median_daily_volume",
-    "link_prediction_adamic_adar",
-    "count_sketch_estimates",
-    "silhouette_simplified_ivf",
-]
-
-# Never driver-verified entries that did NOT fit this round's 50-slot
-# budget: the tail of the r8 backlog, in the same audited order (every
-# one preflight.py-exact at sf0.01 — session-3 full-catalog sweep plus
-# per-add preflights). Placed immediately after VERIFY_FIRST in
-# queries() so any budget beyond 50 reaches them, and queued as the
-# round-10 VERIFY_FIRST head.
-VERIFY_NEXT = [
-    # round-9 additions (preflight-exact on add; r10 verification head)
+    # (c) never-driver-verified backlog: round-9 adds first
     "triplet_semihard_mining",
     "neyman_stratified_allocation",
     "boilerplate_ngram_flags",
-    # displaced round-8 backlog tail
+    # then the audited round-8 backlog tail, original order
     "hits_doc_term_bipartite",
     "importance_weight_ess",
     "bradley_terry_strengths",
@@ -158,6 +101,17 @@ VERIFY_NEXT = [
     "mmd_rbf_sources",
     "esd_outlier_rounds",
     "lof_embedding_outliers",
+]
+
+# Never driver-verified entries that did NOT fit this round's 50-slot
+# budget (see the 51-vs-50 note above): the single audited-order tail
+# entry, preflight.py-exact at sf0.01. Placed immediately after
+# VERIFY_FIRST in queries() so any budget beyond 50 reaches it, and
+# queued as the round-11 VERIFY_FIRST head — followed there by the 23
+# r2/r3-era §2 carriers the r9 verdict's item 3 orders re-rotated
+# (linegraph_conditional_counts, heatmap_hourly_counts,
+# dock_flow_full_outer, topk_per_group_window, the join/filter entries).
+VERIFY_NEXT = [
     "logrank_churn_arms",
 ]
 

@@ -105,10 +105,13 @@ def _wait_for_idle() -> tuple[list[float] | None, bool]:
     """
     for _ in range(LOAD_RETRIES):
         load = _loadavg()
-        if load is None or load[0] <= LOAD_GATE:
+        # Gate on BOTH the 1- and 5-min averages: BENCH_r09 started at
+        # 4.0/13.3/14.3 — the 1-min dip let a still-contended machine
+        # through and every query came out uniformly ~1.45× inflated.
+        if load is None or max(load[0], load[1]) <= LOAD_GATE:
             return load, False
         print(
-            f"bench: 1-min load {load[0]} > gate {LOAD_GATE}; "
+            f"bench: load {load[0]}/{load[1]} (1m/5m) > gate {LOAD_GATE}; "
             f"waiting {LOAD_WAIT_S}s for idle",
             file=sys.stderr,
         )
@@ -178,7 +181,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": payload["sf"],
+        "loadavg_before": load_before,
+        "load_contended": contended,
     }
+    # A stdout-only parser must still see failures: without this a broken
+    # query silently shrinks the headline total (only the exit code told).
+    if errors:
+        compact["errors"] = sorted(errors)
     print(json.dumps(compact, separators=(",", ":")))
     sys.stdout.flush()
     spark.stop()

@@ -6,11 +6,16 @@ is real and tested. Image METADATA decode is also real:
 ``parse_image_dimensions`` reads PNG/GIF/JPEG/BMP headers with pure
 Python (no codec libraries needed), and ``image_dimensions`` runs it as
 an Arrow-batched operator, so ``meta_width``/``meta_height`` come from
-actual payload bytes. Full pixel/audio/video decoding stays STUBBED
-(those libs are not in this container): ``decode_stub`` raises
-NotImplementedError unless ``deterministic_fake=True``, which produces a
-seeded fake feature vector from the bytes (md5-derived), keeping every
-downstream operator testable.
+actual payload bytes. PIXEL and SAMPLE decode is real for every format
+pure byte math + stdlib zlib can cover: uncompressed 24/32-bit BMP
+(``decode_bmp_pixels``), non-interlaced 8-bit RGB(A) PNG
+(``decode_png_pixels`` — inflate + the five scanline unfilters) and
+16-bit PCM WAV (``decode_wav_samples``). Only genuinely
+codec-library-bound formats (JPEG/GIF pixels, MP3/AAC, video frames)
+remain STUBBED: ``decode_stub`` raises NotImplementedError unless
+``deterministic_fake=True``, which produces a seeded fake feature
+vector from the bytes (md5-derived), keeping every downstream operator
+testable.
 
 Scale notes: media blobs ride in parquet binary columns; mapInPandas
 processes them in Arrow batches (bounded by
@@ -288,28 +293,25 @@ BMP_STATS_SCHEMA = T.StructType(
 )
 
 
-def bmp_channel_stats(media: DataFrame) -> DataFrame:
-    """Arrow-batched REAL pixel statistics: per-image channel means,
-    luminance-proxy min/max and a position-weighted checksum computed
-    from ACTUAL DECODED PIXELS (``decode_bmp_pixels``), nulls for
-    payloads that are not uncompressed BMPs. ``poschk`` = sum over
+def _channel_stats(media: DataFrame, decoder) -> DataFrame:
+    """Arrow-batched REAL pixel statistics shared by the BMP and PNG
+    paths: per-image channel means, luminance-proxy min/max and a
+    position-weighted checksum computed from ACTUAL DECODED PIXELS,
+    nulls for payloads ``decoder`` rejects. ``poschk`` = sum over
     top-down raster positions of (idx+1) * (r + 2g + 3b) — order- and
-    channel-sensitive, so a decoder that forgets the bottom-up row flip,
-    the BGR swap, or the stride padding produces a different value (the
-    means alone would forgive the first two). Integer sums stay exact in
-    int64; means are one IEEE division, so the DuckDB oracle reproduces
-    them bit-identically from the generating formula."""
+    channel-sensitive, so a decoder that forgets a row flip, a channel
+    swap, stride padding, or a scanline unfilter produces a different
+    value (the means alone would forgive reordering bugs). Integer sums
+    stay exact in int64; means are one IEEE division, so the DuckDB
+    oracle reproduces them bit-identically from the generating
+    formula."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = (
-                    decode_bmp_pixels(bytes(payload))
-                    if payload is not None
-                    else None
-                )
+                px = decoder(bytes(payload)) if payload is not None else None
                 if px is None:
                     rows.append((mid, None, None, None, None, None, None, None, None))
                     continue
@@ -339,11 +341,315 @@ def bmp_channel_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, BMP_STATS_SCHEMA)
 
 
+def bmp_channel_stats(media: DataFrame) -> DataFrame:
+    """Pixel statistics over uncompressed-BMP payloads (see
+    ``_channel_stats`` for the stats contract)."""
+    return _channel_stats(media, decode_bmp_pixels)
+
+
+def png_channel_stats(media: DataFrame) -> DataFrame:
+    """Pixel statistics over non-interlaced 8-bit RGB(A) PNG payloads
+    (see ``_channel_stats``), driven by the REAL stdlib-zlib decode
+    path ``decode_png_pixels`` — inflate + the five scanline
+    unfilters."""
+    return _channel_stats(media, decode_png_pixels)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick whichever of left (a),
+    up (b), upper-left (c) is closest to a+b-c, ties in that order."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels) -> bytes:
+    """REAL non-interlaced 8-bit RGB PNG writer, stdlib-only (zlib for
+    the IDAT deflate and both CRC32s): (H, W, 3) uint8 array -> a
+    complete PNG file. Scanline ``y`` uses filter type ``y % 5``, so
+    every image taller than four rows exercises ALL five PNG filters
+    (None/Sub/Up/Average/Paeth) and a decoder that mishandles any one
+    of them fails the roundtrip — the synthesis half of the codec that
+    ``decode_png_pixels`` must invert bit-for-bit."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    bpp = 3
+    raw = px.reshape(h, w * bpp).astype(np.int64)
+    scanlines = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        row = raw[y]
+        ftype = y % 5
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            filt = row - left
+        elif ftype == 2:
+            filt = row - prev
+        elif ftype == 3:
+            filt = row - (left + prev) // 2
+        else:
+            upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, upleft)),
+                dtype=np.int64,
+                count=w * bpp,
+            )
+            filt = row - pred
+        scanlines.append(ftype)
+        scanlines.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + tag
+            + body
+            + zlib.crc32(tag + body).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL PNG pixel decode for the non-interlaced 8-bit RGB(A) case,
+    stdlib-only: chunk walk -> concatenated-IDAT zlib inflate -> the
+    five per-scanline unfilters (None/Sub/Up/Average/Paeth, RFC 2083
+    §6) -> (H, W, 3) uint8 RGB. Returns None for anything this path
+    does not cover (palette, grayscale, 16-bit, interlaced, truncated,
+    or not a PNG) — those fall back to ``decode_stub``. The in-row
+    unfilter loops are inherently sequential (Sub/Average/Paeth read
+    the just-reconstructed left byte) and run per payload inside an
+    Arrow batch, so at scale the cost is embarrassingly data-parallel
+    with zero shuffle, exactly like the BMP path."""
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 45 or payload[:8] != _PNG_MAGIC:
+        return None
+    i = 8
+    w = h = 0
+    color_type = None
+    idat = bytearray()
+    try:
+        while i + 8 <= len(payload):
+            ln = int.from_bytes(payload[i : i + 4], "big")
+            tag = payload[i + 4 : i + 8]
+            body = payload[i + 8 : i + 8 + ln]
+            if len(body) != ln:
+                return None
+            if tag == b"IHDR":
+                w = int.from_bytes(body[0:4], "big")
+                h = int.from_bytes(body[4:8], "big")
+                bit_depth, color_type, comp, filt_m, interlace = body[8:13]
+                if (
+                    bit_depth != 8
+                    or color_type not in (2, 6)  # RGB / RGBA only
+                    or comp != 0
+                    or filt_m != 0
+                    or interlace != 0
+                ):
+                    return None
+            elif tag == b"IDAT":
+                idat.extend(body)
+            elif tag == b"IEND":
+                break
+            i += 12 + ln
+        if not w or not h or color_type is None:
+            return None
+        data = zlib.decompress(bytes(idat))
+    except Exception:  # noqa: BLE001 — any malformed byte stream -> stub path
+        return None
+    nchan = 3 if color_type == 2 else 4
+    stride = w * nchan
+    if len(data) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = bytes(stride)
+    pos = 0
+    for y in range(h):
+        ftype = data[pos]
+        pos += 1
+        line = bytearray(data[pos : pos + stride])
+        pos += stride
+        if ftype == 1:
+            for k in range(nchan, stride):
+                line[k] = (line[k] + line[k - nchan]) & 0xFF
+        elif ftype == 2:
+            for k in range(stride):
+                line[k] = (line[k] + prev[k]) & 0xFF
+        elif ftype == 3:
+            for k in range(stride):
+                left = line[k - nchan] if k >= nchan else 0
+                line[k] = (line[k] + (left + prev[k]) // 2) & 0xFF
+        elif ftype == 4:
+            for k in range(stride):
+                left = line[k - nchan] if k >= nchan else 0
+                ul = prev[k - nchan] if k >= nchan else 0
+                line[k] = (line[k] + _paeth(left, prev[k], ul)) & 0xFF
+        elif ftype != 0:
+            return None
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = bytes(line)
+    px = out.reshape(h, w, nchan)
+    return np.ascontiguousarray(px[:, :, :3])
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """REAL 16-bit mono PCM WAV writer, pure byte arithmetic: an int16
+    sample array -> a complete RIFF/WAVE file (fmt + data chunks,
+    little-endian regardless of host byte order). The synthesis half of
+    the audio codec that ``decode_wav_samples`` must invert
+    bit-for-bit."""
+    import numpy as np
+
+    data = np.asarray(samples, dtype=np.int16).astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits per sample
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + fmt
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_wav_samples(payload: bytes):
+    """REAL WAV PCM sample decode, pure byte math: RIFF chunk walk
+    (word-aligned — odd-length chunks carry a pad byte) -> the fmt and
+    data chunks -> (int16 sample array, sample_rate, n_channels).
+    Returns None for anything that is not 16-bit integer PCM
+    (compressed codecs like MP3/AAC/float WAV fall back to
+    ``decode_stub``). Multi-channel data stays interleaved-flat; the
+    stats layer decides how to fold channels."""
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    sample_rate = n_channels = bits = audio_format = None
+    data = None
+    while i + 8 <= len(payload):
+        tag = payload[i : i + 4]
+        ln = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + ln]
+        if len(body) != ln:
+            return None
+        if tag == b"fmt ":
+            if ln < 16:
+                return None
+            audio_format = int.from_bytes(body[0:2], "little")
+            n_channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif tag == b"data":
+            data = body
+        i += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if audio_format != 1 or bits != 16 or not n_channels or data is None:
+        return None
+    samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.int16)
+    return samples, sample_rate, n_channels
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("min_amp", T.IntegerType()),
+        T.StructField("max_amp", T.IntegerType()),
+        T.StructField("zero_cross", T.LongType()),
+        T.StructField("poschk", T.LongType()),
+    ]
+)
+
+
+def wav_audio_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio statistics from ACTUAL DECODED PCM
+    samples (``decode_wav_samples``), nulls for payloads that are not
+    16-bit PCM WAV. ``poschk`` = sum of (idx+1) * sample over the
+    stream order — order- and sign-sensitive, so an endianness bug or a
+    sample-order bug fails even when the mean would forgive it;
+    ``zero_cross`` counts sign flips (the classic cheap
+    voiced/unvoiced + corruption screen). All sums are exact int64;
+    the mean is one IEEE division, so the DuckDB oracle reproduces it
+    bit-identically from the generating formula. duration_ms is exact
+    integer floor division."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = (
+                    decode_wav_samples(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if dec is None or dec[0].size == 0:
+                    rows.append((mid, None, None, None, None, None, None, None, None))
+                    continue
+                s, rate, _ = dec
+                s64 = s.astype(np.int64)
+                n = int(s64.size)
+                neg = s64 < 0
+                idx = np.arange(1, n + 1, dtype=np.int64)
+                rows.append(
+                    (
+                        mid,
+                        n,
+                        rate,
+                        n * 1000 // rate,
+                        int(s64.sum()) / n,
+                        int(s64.min()),
+                        int(s64.max()),
+                        int((neg[1:] != neg[:-1]).sum()),
+                        int((idx * s64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_STATS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, WAV_STATS_SCHEMA)
+
+
 def decode_stub(payload: bytes, kind: str, deterministic_fake: bool = False) -> list[float]:
-    """Compressed-format fallback ONLY (PNG/GIF/JPEG pixel decode,
-    audio samples, video frames — the codec libraries are absent here).
-    Uncompressed BMPs never reach this: ``extract_features`` routes them
-    through the REAL ``decode_bmp_pixels`` path first."""
+    """Compressed-codec fallback ONLY (JPEG/GIF/palette-PNG pixel
+    decode, MP3/AAC audio, video frames — the codec libraries are
+    absent here). Uncompressed BMPs, non-interlaced 8-bit RGB PNGs and
+    16-bit PCM WAVs never reach this: ``extract_features`` routes them
+    through the REAL ``decode_bmp_pixels`` / ``decode_png_pixels``
+    paths first, and the audio stats path decodes PCM via
+    ``decode_wav_samples``."""
     if not deterministic_fake:
         raise NotImplementedError(
             f"media decoding for kind={kind!r} requires codec libraries "
@@ -385,6 +691,8 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
 
     def features_of(payload: bytes, kind: str) -> list[float]:
         px = decode_bmp_pixels(payload)
+        if px is None:
+            px = decode_png_pixels(payload)
         if px is not None:
             return _bmp_features(px)
         return decode_stub(payload, kind, deterministic_fake=deterministic_fake)

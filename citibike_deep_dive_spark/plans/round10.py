@@ -1,0 +1,226 @@
+"""Round-10 batch: the last two real codec paths, cross-engine-proven.
+
+``multimodal_png_pixel_stats`` and ``multimodal_wav_audio_stats`` close
+the round-9 verdict's items 6-7 (the final ``NotImplementedError``
+surface): REAL PNG files (stdlib-zlib deflate, per-scanline filters
+y % 5 so all five of None/Sub/Up/Average/Paeth are exercised) and REAL
+16-bit PCM WAV files are synthesized per document from deterministic
+LCG formulas, the REAL stdlib decoders (``decode_png_pixels`` — chunk
+walk + inflate + the five unfilters; ``decode_wav_samples`` — RIFF
+chunk walk + little-endian int16) recover pixels/samples executor-side,
+and per-payload statistics are emitted. The DuckDB oracle computes the
+identical statistics ARITHMETICALLY from the generating formulas,
+never touching bytes: any bug anywhere in the encode -> binary column
+-> Arrow batch -> decode -> stats chain breaks the value hash
+(``multimodal_bmp_pixel_stats`` precedent, plans/round9.py). The
+``poschk`` columns are position-weighted and sign/channel-sensitive,
+so order bugs (a skipped unfilter, an endianness flip) fail even where
+means would forgive them.
+
+PNG pixel formula (BIGINT-safe both engines, fully parenthesized):
+
+    v(id, idx, c) = ((((id % 100003) * 8191 + idx * 131 + c * 31 + 19)
+                      % 65536) * 25173 + 13849) % 65536 % 256
+
+with idx = y * w + x over the top-down raster, c in (0,1,2) = (r,g,b),
+w = id % 6 + 1, h = id % 5 + 1 (heights up to 5 -> every image taller
+than 4 rows uses ALL five scanline filters).
+
+WAV sample formula (int16 range by construction):
+
+    s(id, idx) = ((id % 99991) * 6007 + idx * 193 + 11) % 65536 - 32768
+
+with n = id % 50 + 20 samples and sample_rate = 8000 * (id % 3 + 1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .catalog import register, table
+
+_PNG_W_MOD = 6
+_PNG_H_MOD = 5
+
+_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synthesize_png_media(docs: DataFrame) -> DataFrame:
+    """(media_id, payload): one REAL PNG file per document — LCG pixels
+    through the stdlib-zlib ``encode_png`` writer (filter type y % 5
+    per scanline). Arrow-batched per-row work only, no shuffle; at
+    scale this is the decode-side twin of a binary-column parquet scan
+    of a crawled image corpus."""
+    import numpy as np
+
+    from ..operators.multimodal import encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w = mid % _PNG_W_MOD + 1
+                h = mid % _PNG_H_MOD + 1
+                idx = np.arange(h * w, dtype=np.int64)
+                px = np.stack(
+                    [
+                        ((((mid % 100003) * 8191 + idx * 131 + c * 31 + 19) % 65536)
+                         * 25173 + 13849) % 65536 % 256
+                        for c in (0, 1, 2)
+                    ],
+                    axis=1,
+                ).astype(np.uint8).reshape(h, w, 3)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, _MEDIA_SCHEMA)
+
+
+@register(
+    "multimodal_png_pixel_stats",
+    f"""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(doc_id % {_PNG_W_MOD} + 1 AS BIGINT) AS w,
+               CAST(doc_id % {_PNG_H_MOD} + 1 AS BIGINT) AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT media_id, w, h,
+               unnest(generate_series(0, w * h - 1)) AS idx
+        FROM dims
+    ),
+    chan AS (
+        SELECT media_id, w, h, idx,
+               ((((media_id % 100003) * 8191 + idx * 131 + 0 * 31 + 19)
+                 % 65536) * 25173 + 13849) % 65536 % 256 AS r,
+               ((((media_id % 100003) * 8191 + idx * 131 + 1 * 31 + 19)
+                 % 65536) * 25173 + 13849) % 65536 % 256 AS g,
+               ((((media_id % 100003) * 8191 + idx * 131 + 2 * 31 + 19)
+                 % 65536) * 25173 + 13849) % 65536 % 256 AS b
+        FROM px
+    )
+    SELECT media_id,
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           CAST(sum(r) AS DOUBLE) / count(*) AS mean_r,
+           CAST(sum(g) AS DOUBLE) / count(*) AS mean_g,
+           CAST(sum(b) AS DOUBLE) / count(*) AS mean_b,
+           CAST(min(r + 2 * g + 3 * b) AS INT) AS min_lum,
+           CAST(max(r + 2 * g + 3 * b) AS INT) AS max_lum,
+           CAST(sum((idx + 1) * (r + 2 * g + 3 * b)) AS BIGINT) AS poschk
+    FROM chan GROUP BY media_id
+    """,
+    tags=("X-multimodal-pixels",),
+)
+def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode end to end (round-9 verdict item 6): the
+    stats stage only ever sees complete PNG files (deflated, scanline-
+    filtered), and the oracle never sees bytes at all — it recomputes
+    the statistics from the pixel-generating formula. Matching hashes
+    therefore prove the writer and the stdlib-zlib reader invert each
+    other exactly (chunk CRCs, inflate, all five unfilters) through the
+    full distributed path: binary column -> Arrow batch -> decode ->
+    stats. Per-row work throughout; the only exchange is the driver's
+    output collection."""
+    from ..operators.multimodal import png_channel_stats
+
+    docs = table(spark, sf_dir, "documents")
+    return png_channel_stats(synthesize_png_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM sample decode + audio statistics
+# ---------------------------------------------------------------------------
+
+_WAV_N_MOD = 50
+_WAV_N_BASE = 20
+_WAV_RATE_MOD = 3
+
+
+def synthesize_wav_media(docs: DataFrame) -> DataFrame:
+    """(media_id, payload): one REAL 16-bit mono PCM WAV per document —
+    LCG samples through the pure-byte ``encode_wav`` writer. Same
+    distributed shape as the image synthesizers: Arrow-batched, no
+    shuffle."""
+    import numpy as np
+
+    from ..operators.multimodal import encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                n = mid % _WAV_N_MOD + _WAV_N_BASE
+                rate = 8000 * (mid % _WAV_RATE_MOD + 1)
+                idx = np.arange(n, dtype=np.int64)
+                s = ((mid % 99991) * 6007 + idx * 193 + 11) % 65536 - 32768
+                payloads.append(encode_wav(s.astype(np.int16), rate))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, _MEDIA_SCHEMA)
+
+
+@register(
+    "multimodal_wav_audio_stats",
+    f"""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(doc_id % {_WAV_N_MOD} + {_WAV_N_BASE} AS BIGINT) AS n,
+               CAST(8000 * (doc_id % {_WAV_RATE_MOD} + 1) AS BIGINT) AS rate
+        FROM documents
+    ),
+    samp AS (
+        SELECT media_id, n, rate,
+               unnest(generate_series(0, n - 1)) AS idx
+        FROM dims
+    ),
+    vals AS (
+        SELECT media_id, n, rate, idx,
+               ((media_id % 99991) * 6007 + idx * 193 + 11) % 65536
+                   - 32768 AS s,
+               CASE WHEN idx > 0 THEN
+                   ((media_id % 99991) * 6007 + (idx - 1) * 193 + 11) % 65536
+                       - 32768
+               END AS sp
+        FROM samp
+    )
+    SELECT media_id,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(max(rate) AS INT) AS sample_rate,
+           CAST(max(n) * 1000 // max(rate) AS BIGINT) AS duration_ms,
+           CAST(sum(s) AS DOUBLE) / count(*) AS mean_amp,
+           CAST(min(s) AS INT) AS min_amp,
+           CAST(max(s) AS INT) AS max_amp,
+           CAST(sum(CASE WHEN sp IS NOT NULL AND ((sp < 0) <> (s < 0))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+           CAST(sum((idx + 1) * s) AS BIGINT) AS poschk
+    FROM vals GROUP BY media_id
+    """,
+    tags=("X-multimodal-audio",),
+)
+def multimodal_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM sample decode end to end (round-9 verdict item 7): the
+    stats stage only ever sees complete RIFF/WAVE files, and the oracle
+    recomputes every statistic from the sample-generating formula —
+    matching hashes prove the writer and reader invert each other
+    exactly (chunk walk, little-endian int16, sample order via the
+    sign-sensitive ``poschk``, sign handling via ``zero_cross``).
+    Integer sums are exact; the mean is one IEEE division; duration is
+    exact integer floor division on both engines."""
+    from ..operators.multimodal import wav_audio_stats
+
+    docs = table(spark, sf_dir, "documents")
+    return wav_audio_stats(synthesize_wav_media(docs))

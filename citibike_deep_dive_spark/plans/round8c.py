@@ -566,9 +566,9 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT np AS n_points,
            (SELECT max(cum_tokens) FROM curve) AS total_tokens,
            (SELECT max(cum_vocab) FROM curve) AS total_vocab,
-           round(beta, 5) AS heaps_beta,
-           round(exp((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
-                     / (CAST(np AS DOUBLE) * 1000000.0)), 4) AS heaps_k
+           CAST(round(beta * 1000000.0) AS BIGINT) AS heaps_beta_micro,
+           CAST(round((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+                      / CAST(np AS DOUBLE)) AS BIGINT) AS heaps_lnk_micro
     FROM fit
     """,
     tags=("X-heaps-fit",),
@@ -587,7 +587,14 @@ def heaps_law_loglog_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     so all five OLS moments are exact int64 arithmetic — no float
     accumulation order exists (pca_power_iteration precedent), and beta
     is a single integer-ratio division; the micro scale cancels between
-    numerator and denominator. Distributed shape: one token explode to
+    numerator and denominator. The outputs are themselves micro-unit
+    BIGINTs (beta*1e6 and ln(K)*1e6) quantized straight off that exact
+    division using only IEEE-exact float ops (one divide, one multiply,
+    one subtract — no exp / no round-to-digits), because
+    CORRECTNESS_r09 showed round(beta,5)/round(exp(..),4) output differs
+    between DuckDB 1.0.0 and the driver's 1.2.0 at the last digit while
+    every upstream value was bit-identical. K recovers as
+    exp(heaps_lnk_micro/1e6) driver-side if needed. Distributed shape: one token explode to
     (word -> first doc) — map-side combined — then everything runs at
     doc grain (the curve) and finally one 5-number moment row; the
     doc-grain cumulative window is the documented vocabulary-curve
@@ -649,13 +656,15 @@ def heaps_law_loglog_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("np").alias("n_points"),
             "total_tokens",
             "total_vocab",
-            F.round(F.col("beta"), 5).alias("heaps_beta"),
+            F.round(F.col("beta") * 1000000.0, 0)
+            .cast("long")
+            .alias("heaps_beta_micro"),
             F.round(
-                F.exp(
-                    (F.col("sy").cast("double") - F.col("beta") * F.col("sx").cast("double"))
-                    / (F.col("np").cast("double") * 1000000.0)
-                ),
-                4,
-            ).alias("heaps_k"),
+                (F.col("sy").cast("double") - F.col("beta") * F.col("sx").cast("double"))
+                / F.col("np").cast("double"),
+                0,
+            )
+            .cast("long")
+            .alias("heaps_lnk_micro"),
         )
     )

@@ -281,10 +281,12 @@ _NEYMAN_N = 1000
     ),
     st AS (
         SELECT source, n_docs,
-               CAST(floor(sqrt((CAST(sumsq_y AS DOUBLE)
-                                - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)
-                                  / n_docs)
-                               / (n_docs - 1)) * 1000000 + 0.5) AS BIGINT)
+               CAST(floor(CASE WHEN n_docs > 1
+                          THEN sqrt((CAST(sumsq_y AS DOUBLE)
+                                     - CAST(sum_y AS DOUBLE)
+                                       * CAST(sum_y AS DOUBLE) / n_docs)
+                                    / (n_docs - 1))
+                          ELSE 0.0 END * 1000000 + 0.5) AS BIGINT)
                    AS s_mu
         FROM s
     ),
@@ -330,10 +332,19 @@ def neyman_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("sum_y").cast("double") * F.col("sum_y").cast("double")
         / F.col("n_docs")
     ) / (F.col("n_docs") - 1)
+    # Single-document stratum: (n_docs - 1) = 0 would make the variance
+    # 0.0/0 = NaN (engine-divergent; the oracle's floor/CAST rejects it)
+    # — define S_h = 0 there, identically in the oracle's CASE WHEN.
     st = s.select(
         "source",
         "n_docs",
-        F.floor(F.sqrt(var) * 1000000 + F.lit(0.5)).cast("long").alias("s_mu"),
+        F.floor(
+            F.when(F.col("n_docs") > 1, F.sqrt(var)).otherwise(F.lit(0.0))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("s_mu"),
     )
     tot = st.agg(
         F.sum("n_docs").alias("big_n"),
@@ -434,11 +445,18 @@ def boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     5dp-rounded fraction."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+    # Docs shorter than the gram width must fan out to ZERO positions:
+    # sequence(1, 0) defaults to step -1 and yields [1, 0] (and slice
+    # then raises INVALID_PARAMETER_VALUE.START), where the oracle's
+    # generate_series(1, 0) is empty — guard with an empty array.
     pos = toks.select(
         "doc_id",
         "source",
         F.explode(
-            F.sequence(F.lit(1), F.size("w") - (_BOILER_NGRAM - 1))
+            F.when(
+                F.size("w") >= _BOILER_NGRAM,
+                F.sequence(F.lit(1), F.size("w") - (_BOILER_NGRAM - 1)),
+            ).otherwise(F.array().cast("array<int>"))
         ).alias("i"),
         "w",
     ).select(
