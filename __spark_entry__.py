@@ -52,6 +52,13 @@ VERIFY_FIRST = [
     "multimodal_wav_audio_stats",
     # (b) the r9 red row, fixed (micro-unit BIGINT quantization)
     "heaps_law_loglog_fit",
+    # (b2) implementation changed this round (re-verify-on-change):
+    # ADC sum unrolled out of the interpreted aggregate() lambda +
+    # codes frame lazily checkpointed (index-time artifact) — both
+    # value-preserving by construction and preflight-exact, but the
+    # invariant wants driver rows
+    "ann_ivfpq_adc_topk",
+    "ann_ivfpq_rerank_exact",
     # (c) never-driver-verified backlog: round-9 adds first
     "triplet_semihard_mining",
     "neyman_stratified_allocation",
@@ -99,19 +106,21 @@ VERIFY_FIRST = [
     "embedding_anisotropy_ratio",
     "energy_distance_sources",
     "mmd_rbf_sources",
-    "esd_outlier_rounds",
-    "lof_embedding_outliers",
 ]
 
 # Never driver-verified entries that did NOT fit this round's 50-slot
-# budget (see the 51-vs-50 note above): the single audited-order tail
-# entry, preflight.py-exact at sf0.01. Placed immediately after
-# VERIFY_FIRST in queries() so any budget beyond 50 reaches it, and
+# budget: the audited-order backlog tail, displaced by the two NEW
+# codec entries + the two changed-this-round ADC carriers (the verdict's
+# demands plus the re-verify-on-change invariant total 53 against 50).
+# All three preflight.py-exact at sf0.01. Placed immediately after
+# VERIFY_FIRST in queries() so any budget beyond 50 reaches them, and
 # queued as the round-11 VERIFY_FIRST head — followed there by the 23
 # r2/r3-era §2 carriers the r9 verdict's item 3 orders re-rotated
 # (linegraph_conditional_counts, heatmap_hourly_counts,
 # dock_flow_full_outer, topk_per_group_window, the join/filter entries).
 VERIFY_NEXT = [
+    "esd_outlier_rounds",
+    "lof_embedding_outliers",
     "logrank_churn_arms",
 ]
 

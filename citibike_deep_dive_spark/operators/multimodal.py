@@ -748,9 +748,12 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_stub(payload: bytes, dst_w: int, dst_h: int, deterministic_fake: bool = False) -> bytes:
-    """STUB pixel resample (PIL absent here). The deterministic fake
-    emits a payload whose length tracks the target pixel count so
-    downstream size accounting is exercised for real."""
+    """Compressed-codec resample fallback ONLY (JPEG/GIF — the codec
+    libraries are absent here). Decodable formats (uncompressed BMP,
+    non-interlaced 8-bit RGB PNG) never reach this: ``resize_payload``
+    resamples their REAL pixels. The deterministic fake emits a payload
+    whose length tracks the target pixel count so downstream size
+    accounting is exercised for real."""
     if not deterministic_fake:
         raise NotImplementedError(
             "image resampling requires codec libraries not present in "
@@ -761,6 +764,36 @@ def resize_stub(payload: bytes, dst_w: int, dst_h: int, deterministic_fake: bool
     return (seed * reps)[: max(16, reps * 16)]
 
 
+def resample_nearest(px, dst_w: int, dst_h: int):
+    """REAL nearest-neighbor pixel resample: source index of output
+    pixel (i, j) is (floor(i*h/dst_h), floor(j*w/dst_w)) — the standard
+    box-free decimation, exact integer arithmetic, no interpolation
+    float paths to diverge across platforms."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    ys = (np.arange(dst_h, dtype=np.int64) * h) // dst_h
+    xs = (np.arange(dst_w, dtype=np.int64) * w) // dst_w
+    return np.ascontiguousarray(px[ys][:, xs])
+
+
+def resize_payload(
+    payload: bytes, dst_w: int, dst_h: int, deterministic_fake: bool = False
+) -> bytes:
+    """REAL resize for every decodable format: BMP and PNG payloads are
+    decoded (real codecs above), nearest-neighbor resampled, and
+    re-encoded in their ORIGINAL container format, so a resized corpus
+    column stays round-trippable by the same decoders. Compressed
+    formats fall back to ``resize_stub``."""
+    px = decode_bmp_pixels(payload)
+    if px is not None:
+        return encode_bmp(resample_nearest(px, dst_w, dst_h))
+    px = decode_png_pixels(payload)
+    if px is not None:
+        return encode_png(resample_nearest(px, dst_w, dst_h))
+    return resize_stub(payload, dst_w, dst_h, deterministic_fake)
+
+
 def resize_images(
     media: DataFrame,
     target_w: int = 224,
@@ -769,9 +802,12 @@ def resize_images(
 ) -> DataFrame:
     """Aspect-preserving batch resize (fit-within-box, never upscale) over
     binary image payloads — the multimodal preprocessing step between
-    decode and feature extraction. The GEOMETRY is real and runs in
-    Python only because the pixel work would: scale = min(tw/w, th/h, 1),
-    output dims floor(scale * src) with a 1px floor. Arrow batches bound
+    decode and feature extraction. The geometry is real (scale =
+    min(tw/w, th/h, 1), output dims floor(scale * src) with a 1px
+    floor) and so is the PIXEL work for every decodable format:
+    ``resize_payload`` nearest-neighbor-resamples real BMP/PNG pixels
+    and re-encodes in the original container; only compressed formats
+    fall back to the stub. Arrow batches bound
     executor memory to a batch of payloads; output is again a binary
     column, so resize chains with extract_features / frame sampling
     without leaving the DataFrame. Only image rows with parsed header
@@ -795,7 +831,7 @@ def resize_images(
                     "dst_height": dst_h,
                     "scale": scale.round(6),
                     "payload": [
-                        resize_stub(p, int(dw), int(dh), deterministic_fake)
+                        resize_payload(bytes(p), int(dw), int(dh), deterministic_fake)
                         for p, dw, dh in zip(pdf["payload"], dst_w, dst_h)
                     ],
                 }

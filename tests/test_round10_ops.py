@@ -315,3 +315,60 @@ def test_neyman_allocation_single_doc_stratum(spark, tmp_path):
     assert out["pair"]["alloc_neyman"] > 0
     for r in out.values():
         assert r["alloc_prop"] >= 0 and not math.isnan(r["stddev_chars"])
+
+
+def test_resample_nearest_identity_and_decimation():
+    from citibike_deep_dive_spark.operators.multimodal import resample_nearest
+
+    px = _random_px(6, 8, seed=21)
+    np.testing.assert_array_equal(resample_nearest(px, 8, 6), px)  # identity
+    half = resample_nearest(px, 4, 3)
+    assert half.shape == (3, 4, 3)
+    # source index of output (i, j) is (i*6//3, j*8//4) = (2i, 2j)
+    np.testing.assert_array_equal(half, px[::2, ::2])
+
+
+def test_resize_payload_real_for_decodable_formats():
+    from citibike_deep_dive_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+        resample_nearest,
+        resize_payload,
+    )
+
+    px = _random_px(8, 10, seed=22)
+    # BMP in -> BMP out, pixels = real nearest-neighbor resample
+    out = resize_payload(encode_bmp(px), 5, 4)
+    np.testing.assert_array_equal(
+        decode_bmp_pixels(out), resample_nearest(px, 5, 4)
+    )
+    # PNG in -> PNG out (format preserved, re-decodable)
+    out = resize_payload(encode_png(px), 5, 4)
+    assert out[:8] == b"\x89PNG\r\n\x1a\n"
+    np.testing.assert_array_equal(
+        decode_png_pixels(out), resample_nearest(px, 5, 4)
+    )
+    # compressed/undecodable -> deterministic fake, and the hard gate
+    assert isinstance(resize_payload(b"jpeg junk", 5, 4, True), bytes)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        resize_payload(b"jpeg junk", 5, 4, deterministic_fake=False)
+
+
+def test_resize_images_real_pixels_end_to_end(spark):
+    from citibike_deep_dive_spark.operators.multimodal import (
+        resample_nearest,
+        resize_images,
+    )
+
+    px = _random_px(100, 300, seed=23)  # scale = min(224/300, 224/100, 1)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png(px)), 300, 100, 0)],
+        "media_id long, kind string, payload binary, meta_width int, "
+        "meta_height int, meta_duration_ms int",
+    )
+    row = resize_images(media, 224, 224).collect()[0]
+    assert (row["dst_width"], row["dst_height"]) == (224, 74)
+    out = decode_png_pixels(bytes(row["payload"]))
+    np.testing.assert_array_equal(out, resample_nearest(px, 224, 74))
