@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.lineage import truncate_lineage
 from .catalog import register, table
 
 _MAX_WLEN = 9
@@ -153,11 +154,16 @@ def unigram_lm_viterbi_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<=24 rows/word); DP is per-row whole-stage codegen, zero shuffle;
     top-50 is TakeOrderedAndProject, not a global sort."""
     docs = table(spark, sf_dir, "documents")
-    words = (
+    # The word-count frame feeds three branches (spans -> piv, piece
+    # counts, total); without a lineage cut the corpus scan + explode
+    # would run once per branch. Checkpoint at DISTINCT-WORD grain —
+    # bounded far below corpus grain — so the 100 TB scan happens once.
+    words = truncate_lineage(
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
         .filter((F.col("w") != "") & (F.length("w") <= _MAX_WLEN))
         .groupBy("w")
-        .agg(F.count("*").cast("long").alias("wcount"))
+        .agg(F.count("*").cast("long").alias("wcount")),
+        eager=False,
     )
     spans = (
         words.select(
