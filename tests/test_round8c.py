@@ -163,8 +163,10 @@ def test_negative_sampling_smooths_toward_rare_tokens(spark):
 
 def test_heaps_fit_matches_numpy_ols(spark):
     [r] = CATALOG["heaps_law_loglog_fit"].build(spark, SF_DIR).collect()
-    assert 0.0 < r["heaps_beta"] < 1.0  # sublinear vocabulary growth
-    assert r["heaps_k"] > 0.0
+    # outputs are micro-unit BIGINTs since the r9 DuckDB-1.2.0-proof
+    # rewrite: heaps_beta_micro = beta*1e6, heaps_lnk_micro = ln(K)*1e6
+    assert 0 < r["heaps_beta_micro"] < 1_000_000  # sublinear vocab growth
+    assert math.exp(r["heaps_lnk_micro"] / 1e6) > 0.0
     assert r["total_vocab"] <= r["total_tokens"]
 
     docs = sorted(
@@ -189,6 +191,6 @@ def test_heaps_fit_matches_numpy_ols(spark):
     beta = (n * np.sum(x * y) - np.sum(x) * np.sum(y)) / (
         n * np.sum(x * x) - np.sum(x) ** 2
     )
-    k = math.exp((np.sum(y) - beta * np.sum(x)) / (n * 1e6))
-    assert abs(r["heaps_beta"] - beta) < 1e-4
-    assert abs(r["heaps_k"] - k) < 1e-3 * max(1.0, k)
+    lnk_micro = (np.sum(y) - beta * np.sum(x)) / n
+    assert abs(r["heaps_beta_micro"] - beta * 1e6) < 100  # same 1e-4 bar
+    assert abs(r["heaps_lnk_micro"] - lnk_micro) < 1000  # ~1e-3 rel on K
