@@ -112,12 +112,17 @@ VERIFY_FIRST = [
 # budget: the audited-order backlog tail, displaced by the two NEW
 # codec entries + the two changed-this-round ADC carriers (the verdict's
 # demands plus the re-verify-on-change invariant total 53 against 50).
-# All three preflight.py-exact at sf0.01. Placed immediately after
+# All preflight.py-exact at sf0.01. Placed immediately after
 # VERIFY_FIRST in queries() so any budget beyond 50 reaches them, and
-# queued as the round-11 VERIFY_FIRST head — followed there by the 23
-# r2/r3-era §2 carriers the r9 verdict's item 3 orders re-rotated
-# (linegraph_conditional_counts, heatmap_hourly_counts,
-# dock_flow_full_outer, topk_per_group_window, the join/filter entries).
+# queued as the round-11 VERIFY_FIRST head. r11 rotation plan (r9
+# verdict item 3): after these, fill the remaining ~46 slots with the
+# OLDEST-evidence rows — 80 queries' last green row dates from r2/r3
+# (derive the exact list by folding CORRECTNESS_r0*.json: last green
+# round per name, keep <= 3); lead with the §2 carriers the verdict
+# names (linegraph_conditional_counts, heatmap_hourly_counts,
+# dock_flow_full_outer, topk_per_group_window, the join/filter
+# entries), then the training-extension remainder alphabetically; the
+# ~34 that miss r11's budget head r12.
 VERIFY_NEXT = [
     "esd_outlier_rounds",
     "lof_embedding_outliers",
