@@ -94,6 +94,13 @@ QUERIES = [
     "matrix_profile_motifs",
     "ppmi_skipgram_pairs",
     "lof_embedding_outliers",
+    # round-10 additions: per-doc encode+decode UDF chains (payload
+    # bytes grow linearly with docs) and the token-explode -> bounded
+    # piece-vocab unigram tokenizer (cipher replicas grow the distinct
+    # word/piece sets ~10x while the DP stays per-row scalar work)
+    "multimodal_png_pixel_stats",
+    "multimodal_wav_audio_stats",
+    "unigram_lm_viterbi_segments",
 ]
 
 ALPHA = string.ascii_lowercase
