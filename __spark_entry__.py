@@ -127,10 +127,13 @@ VERIFY_NEXT = [
     "esd_outlier_rounds",
     "lof_embedding_outliers",
     "logrank_churn_arms",
-    # round-10 add (new family: unigram-LM tokenizer, Kudo 2018 —
-    # completes the tokenizer-training pair next to BPE); lands in the
-    # r11 VERIFY_FIRST head per the new-adds-verify-next-round rule
+    # round-10 adds (new families: unigram-LM tokenizer, Kudo 2018 —
+    # completes the tokenizer-training pair next to BPE; chrF,
+    # Popovic 2015 — the generation-eval/corpus-diversity metric
+    # family, integer-exact by design); land in the r11 VERIFY_FIRST
+    # head per the new-adds-verify-next-round rule
     "unigram_lm_viterbi_segments",
+    "chrf_adjacent_doc_pairs",
 ]
 
 
