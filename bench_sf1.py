@@ -101,6 +101,7 @@ QUERIES = [
     "multimodal_png_pixel_stats",
     "multimodal_wav_audio_stats",
     "unigram_lm_viterbi_segments",
+    "chrf_adjacent_doc_pairs",
 ]
 
 ALPHA = string.ascii_lowercase

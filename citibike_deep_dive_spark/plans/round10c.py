@@ -47,10 +47,12 @@ def _oracle() -> str:
     ),
     pairs AS (
         SELECT doc_id AS hyp_id,
-               lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
-                   AS ref_id,
-               source
+               lag(doc_id) OVER w AS ref_id,
+               source,
+               length(c) AS len_h,
+               lag(length(c)) OVER w AS len_r
         FROM d
+        WINDOW w AS (PARTITION BY source ORDER BY doc_id)
     ),
     p2 AS (SELECT * FROM pairs WHERE ref_id IS NOT NULL),
     grams AS (
@@ -62,10 +64,6 @@ def _oracle() -> str:
         WHERE length(c) >= n
         GROUP BY doc_id, n, substr(c, i, n)
     ),
-    totals AS (
-        SELECT doc_id, n, CAST(sum(cnt) AS BIGINT) AS tot
-        FROM grams GROUP BY doc_id, n
-    ),
     overlap AS (
         SELECT p.hyp_id, h.n,
                CAST(sum(least(h.cnt, r.cnt)) AS BIGINT) AS o
@@ -75,22 +73,25 @@ def _oracle() -> str:
         GROUP BY p.hyp_id, h.n
     ),
     per_order AS (
-        SELECT p.source, p.hyp_id, th.n,
-               CASE WHEN (4 * tr.tot + th.tot) > 0
+        -- gram TOTALS are just length - n + 1 (every position is one
+        -- gram), so no second pass over the gram frame is needed
+        SELECT l.source, l.hyp_id, nn.n,
+               CASE WHEN (4 * greatest(l.len_r - nn.n + 1, 0)
+                          + greatest(l.len_h - nn.n + 1, 0)) > 0
                     THEN CAST(round(5.0 * COALESCE(o.o, 0) * 1000000
-                                    / (4 * tr.tot + th.tot)) AS BIGINT)
+                                    / (4 * greatest(l.len_r - nn.n + 1, 0)
+                                       + greatest(l.len_h - nn.n + 1, 0)))
+                              AS BIGINT)
                     ELSE 0 END AS f_micro
-        FROM p2 p
-        JOIN totals th ON th.doc_id = p.hyp_id
-        JOIN totals tr ON tr.doc_id = p.ref_id AND tr.n = th.n
-        LEFT JOIN overlap o ON o.hyp_id = p.hyp_id AND o.n = th.n
+        FROM p2 l
+        CROSS JOIN (VALUES {nvals}) nn(n)
+        LEFT JOIN overlap o ON o.hyp_id = l.hyp_id AND o.n = nn.n
     ),
     per_pair AS (
         SELECT source, hyp_id,
                CAST(sum(f_micro) // {_MAX_N} AS BIGINT) AS chrf_micro
         FROM per_order
         GROUP BY source, hyp_id
-        HAVING count(*) = {_MAX_N}
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_pairs,
@@ -123,13 +124,16 @@ def chrf_adjacent_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.replace(F.lower("text"), F.lit(" "), F.lit("")).alias("c"),
     )
+    w_src = Window.partitionBy("source").orderBy("doc_id")
+    # gram totals are length - n + 1, so the pair row carries both docs'
+    # char lengths and the totals never touch the gram frame
     pairs = (
         docs.select(
             F.col("doc_id").alias("hyp_id"),
-            F.lag("doc_id")
-            .over(Window.partitionBy("source").orderBy("doc_id"))
-            .alias("ref_id"),
+            F.lag("doc_id").over(w_src).alias("ref_id"),
             "source",
+            F.length("c").alias("len_h"),
+            F.lag(F.length("c")).over(w_src).alias("len_r"),
         )
         .filter(F.col("ref_id").isNotNull())
     )
@@ -139,7 +143,13 @@ def chrf_adjacent_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = F.explode(
         F.sequence(F.lit(1), F.lit(_MAX_N))
     ).alias("n")
-    grams = truncate_lineage(
+    # NOT lineage-truncated: the gram-count frame is GRAM-grain (6x
+    # distinct n-grams per doc), so checkpointing it materializes the
+    # largest intermediate in the query — at 10x that write dominated
+    # memory and starved the aggregate. Recomputing the cheap explode
+    # per consumer keeps parquet size stats flowing to AQE (so it never
+    # mistakes this side for broadcastable) and peaks far lower.
+    grams = (
         docs.select("doc_id", "c", orders)
         .select(
             "doc_id",
@@ -153,49 +163,53 @@ def chrf_adjacent_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .groupBy("doc_id", "n", "g")
-        .agg(F.count("*").cast("long").alias("cnt")),
-        eager=False,
+        .agg(F.count("*").cast("long").alias("cnt"))
     )
-    totals = grams.groupBy("doc_id", "n").agg(F.sum("cnt").alias("tot"))
+    # The gram-count frame is GRAM-grain (6x distinct n-grams per doc —
+    # the big side of every join here) and, being checkpoint-truncated,
+    # carries no size stats: without an explicit hint AQE's default
+    # estimate marks it broadcastable and the broadcast build OOMs at
+    # 10x; shuffle_hash OOMs too (its per-task hash relation cannot
+    # spill under 32 concurrent tasks). SORT-MERGE is the only
+    # spill-safe strategy for this big-big join — both keys are
+    # high-cardinality and co-partitionable, and at 100 TB this join
+    # would never fit a hash build anyway.
     h = grams.select(
         F.col("doc_id").alias("hyp_id"),
         "n",
         "g",
         F.col("cnt").alias("hc"),
-    )
+    ).hint("merge")
     r = grams.select(
         F.col("doc_id").alias("ref_id"),
         "n",
         "g",
         F.col("cnt").alias("rc"),
-    )
+    ).hint("merge")
     overlap = (
         pairs.join(h, "hyp_id")
         .join(r, ["ref_id", "n", "g"])
         .groupBy("hyp_id", "n")
         .agg(F.sum(F.least("hc", "rc")).alias("o"))
     )
-    th = totals.select(
-        F.col("doc_id").alias("hyp_id"), "n", F.col("tot").alias("th")
-    )
-    tr = totals.select(
-        F.col("doc_id").alias("ref_id"), "n", F.col("tot").alias("tr")
-    )
+    th = F.greatest(F.col("len_h") - F.col("n") + 1, F.lit(0))
+    tr = F.greatest(F.col("len_r") - F.col("n") + 1, F.lit(0))
     per_order = (
-        pairs.join(th, "hyp_id")
-        .join(tr, ["ref_id", "n"])
+        pairs.select(
+            "*", F.explode(F.sequence(F.lit(1), F.lit(_MAX_N))).alias("n")
+        )
         .join(overlap, ["hyp_id", "n"], "left")
         .select(
             "source",
             "hyp_id",
             "n",
             F.when(
-                (4 * F.col("tr") + F.col("th")) > 0,
+                (4 * tr + th) > 0,
                 F.round(
                     F.lit(5.0)
                     * F.coalesce("o", F.lit(0))
                     * 1000000
-                    / (4 * F.col("tr") + F.col("th")),
+                    / (4 * tr + th),
                     0,
                 ).cast("long"),
             )
@@ -205,11 +219,7 @@ def chrf_adjacent_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_pair = (
         per_order.groupBy("source", "hyp_id")
-        .agg(
-            F.sum("f_micro").alias("fsum"),
-            F.count("*").alias("n_orders"),
-        )
-        .filter(F.col("n_orders") == _MAX_N)
+        .agg(F.sum("f_micro").alias("fsum"))
         .select(
             "source",
             "hyp_id",

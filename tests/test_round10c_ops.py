@@ -38,17 +38,15 @@ def _reference(spark):
         chrfs = []
         for (_, ref), (_, hyp) in zip(rows, rows[1:]):
             fsum = 0
-            ok = True
             for n in range(1, _MAX_N + 1):
                 hg, rg = _grams(hyp, n), _grams(ref, n)
-                th, tr = sum(hg.values()), sum(rg.values())
-                if th == 0 or tr == 0:
-                    ok = False
-                    break
+                th = max(len(hyp) - n + 1, 0)
+                tr = max(len(ref) - n + 1, 0)
+                if 4 * tr + th == 0:
+                    continue  # f_micro = 0 for orders longer than both docs
                 o = sum(min(c, rg[g]) for g, c in hg.items())
                 fsum += _half_up(5.0 * o * 1e6 / (4 * tr + th))
-            if ok:
-                chrfs.append(fsum // _MAX_N)
+            chrfs.append(fsum // _MAX_N)
         if chrfs:
             out[src] = {
                 "n_pairs": len(chrfs),
