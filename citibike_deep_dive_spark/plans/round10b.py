@@ -153,7 +153,11 @@ def unigram_lm_viterbi_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the alphabet (broadcast); spans at distinct-word grain
     (<=24 rows/word); DP is per-row whole-stage codegen, zero shuffle;
     top-50 is TakeOrderedAndProject, not a global sort."""
-    docs = table(spark, sf_dir, "documents")
+    from ..operators.fanout import fan_out
+
+    # fan_out: the token explode must not inherit a single-file scan's
+    # one-task parallelism (no-op on well-split inputs)
+    docs = fan_out(table(spark, sf_dir, "documents"))
     # The word-count frame feeds three branches (spans -> piv, piece
     # counts, total); without a lineage cut the corpus scan + explode
     # would run once per branch. Checkpoint at DISTINCT-WORD grain —

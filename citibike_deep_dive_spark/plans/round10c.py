@@ -119,7 +119,12 @@ def chrf_adjacent_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ref_doc, n, gram) — co-partitioned, never all-pairs; the adjacent
     pairing is one lag window partitioned by source; output at bounded
     source grain."""
-    docs = table(spark, sf_dir, "documents").select(
+    from ..operators.fanout import fan_out
+
+    # fan_out: the 6x-per-char gram explode is the dominant cost and
+    # must not inherit a single-file scan's one-task parallelism
+    # (no-op on well-split inputs — the 100 TB case)
+    docs = fan_out(table(spark, sf_dir, "documents")).select(
         "doc_id",
         "source",
         F.replace(F.lower("text"), F.lit(" "), F.lit("")).alias("c"),
@@ -143,12 +148,16 @@ def chrf_adjacent_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = F.explode(
         F.sequence(F.lit(1), F.lit(_MAX_N))
     ).alias("n")
-    # NOT lineage-truncated: the gram-count frame is GRAM-grain (6x
-    # distinct n-grams per doc), so checkpointing it materializes the
-    # largest intermediate in the query — at 10x that write dominated
-    # memory and starved the aggregate. Recomputing the cheap explode
-    # per consumer keeps parquet size stats flowing to AQE (so it never
-    # mistakes this side for broadcastable) and peaks far lower.
+    # DISK_ONLY persist, not a checkpoint: the gram-count frame is
+    # GRAM-grain (6x distinct n-grams per doc — the query's largest
+    # intermediate) and BOTH overlap-join sides read it. A
+    # localCheckpoint pins non-evictable blocks in the unified pool and
+    # starved the aggregate at 10x (AGGREGATE_OUT_OF_MEMORY, seen at
+    # sf1); plain recompute paid the explode twice (once per join
+    # side). DISK_ONLY materializes once, costs no execution memory,
+    # and both join branches reuse the same relation.
+    from pyspark import StorageLevel
+
     grams = (
         docs.select("doc_id", "c", orders)
         .select(
@@ -164,6 +173,7 @@ def chrf_adjacent_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "n", "g")
         .agg(F.count("*").cast("long").alias("cnt"))
+        .persist(StorageLevel.DISK_ONLY)
     )
     # The gram-count frame is GRAM-grain (6x distinct n-grams per doc —
     # the big side of every join here) and, being checkpoint-truncated,
