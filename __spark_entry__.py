@@ -134,6 +134,10 @@ VERIFY_NEXT = [
     # head per the new-adds-verify-next-round rule
     "unigram_lm_viterbi_segments",
     "chrf_adjacent_doc_pairs",
+    # round-10 add: multimodal DSP — real decode feeding a SQL-side
+    # DFT (spectral centroid / dominant bin / band energy); extends
+    # the multimodal surface from payload stats to feature extraction
+    "multimodal_wav_spectral_features",
 ]
 
 

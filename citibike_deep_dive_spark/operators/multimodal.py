@@ -642,6 +642,49 @@ def wav_audio_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, WAV_STATS_SCHEMA)
 
 
+WAV_SAMPLE_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("idx", T.LongType()),
+        T.StructField("s", T.LongType()),
+    ]
+)
+
+
+def wav_sample_rows(media: DataFrame) -> DataFrame:
+    """Explode REAL DECODED PCM payloads to (media_id, n, idx, s) rows
+    — the decode boundary for SQL-side DSP (e.g. a DFT feature stage):
+    the Python worker only inverts the codec; every arithmetic stage
+    downstream stays in whole-stage codegen where the oracle can
+    reproduce it exactly. Arrow-batched; payloads that are not 16-bit
+    PCM WAV contribute no rows."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, ns, idxs, vals = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = (
+                    decode_wav_samples(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if dec is None or dec[0].size == 0:
+                    continue
+                s, _, _ = dec
+                n = int(s.size)
+                mids.extend([mid] * n)
+                ns.extend([n] * n)
+                idxs.extend(range(n))
+                vals.extend(s.astype(np.int64).tolist())
+            yield pd.DataFrame(
+                {"media_id": mids, "n": ns, "idx": idxs, "s": vals}
+            )
+
+    return media.mapInPandas(run, WAV_SAMPLE_ROWS_SCHEMA)
+
+
 def decode_stub(payload: bytes, kind: str, deterministic_fake: bool = False) -> list[float]:
     """Compressed-codec fallback ONLY (JPEG/GIF/palette-PNG pixel
     decode, MP3/AAC audio, video frames — the codec libraries are

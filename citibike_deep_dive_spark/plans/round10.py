@@ -39,7 +39,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .catalog import register, table
@@ -224,3 +225,168 @@ def multimodal_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return wav_audio_stats(synthesize_wav_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# WAV spectral features: real decode -> SQL-side DFT (multimodal DSP)
+# ---------------------------------------------------------------------------
+
+_TWO_PI = 6.283185307179586  # 2*pi as an exact IEEE double, both engines
+
+
+@register(
+    "multimodal_wav_spectral_features",
+    f"""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(doc_id % {_WAV_N_MOD} + {_WAV_N_BASE} AS BIGINT) AS n
+        FROM documents
+    ),
+    samp AS (
+        SELECT media_id, n, unnest(generate_series(0, n - 1)) AS idx
+        FROM dims
+    ),
+    vals AS (
+        SELECT media_id, n, idx,
+               ((media_id % 99991) * 6007 + idx * 193 + 11) % 65536
+                   - 32768 AS s
+        FROM samp
+    ),
+    terms AS (
+        SELECT media_id, n, k,
+               s * CAST(round(cos({_TWO_PI} * k * idx / n) * 1000000)
+                        AS BIGINT) AS tc,
+               s * CAST(round(sin({_TWO_PI} * k * idx / n) * 1000000)
+                        AS BIGINT) AS ts
+        FROM vals, unnest(generate_series(1, n // 2)) kk(k)
+    ),
+    bins AS (
+        SELECT media_id, n, k, sum(tc) AS re, sum(ts) AS im
+        FROM terms GROUP BY media_id, n, k
+    ),
+    binsp AS (
+        SELECT media_id, n, k,
+               CAST(re AS HUGEINT) * re + CAST(im AS HUGEINT) * im AS p
+        FROM bins
+    ),
+    wmax AS (
+        SELECT *, max(p) OVER (PARTITION BY media_id) AS pmax FROM binsp
+    )
+    SELECT media_id,
+           CAST(count(*) AS INT) AS n_bins,
+           CASE WHEN sum(p) > 0
+                THEN CAST(round(CAST(sum(k * p) AS DOUBLE)
+                                / CAST(sum(p) AS DOUBLE) * 1000000.0)
+                          AS BIGINT)
+                ELSE 0 END AS spectral_centroid_micro,
+           CAST(min(CASE WHEN p = pmax THEN k END) AS INT) AS dominant_bin,
+           CASE WHEN max(p) > 0
+                THEN CAST(round(ln(CAST(max(p) AS DOUBLE)) * 1000000.0)
+                          AS BIGINT)
+                ELSE 0 END AS dominant_power_ln_micro,
+           CASE WHEN sum(p) > 0
+                THEN CAST(round(CAST(sum(CASE WHEN k <= n // 8 THEN p
+                                           ELSE 0 END) AS DOUBLE)
+                                / CAST(sum(p) AS DOUBLE) * 1000000.0)
+                          AS BIGINT)
+                ELSE 0 END AS low_band_ratio_micro
+    FROM wmax GROUP BY media_id
+    """,
+    tags=("X-multimodal-dsp",),
+)
+def multimodal_wav_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio FEATURE EXTRACTION, not just payload stats: decoded
+    PCM samples (the real RIFF/int16 reader) feed a naive DFT computed
+    IN SQL — spectral centroid, dominant bin, log dominant power, and
+    low-band energy ratio, the four classic cheap audio descriptors.
+    The Python worker only inverts the codec; every arithmetic stage is
+    whole-stage codegen the oracle reproduces from the sample formula.
+
+    Determinism: each cos/sin TERM is micro-quantized to int64 before
+    any sum (the one place engine libm could differ by an ulp), so the
+    DFT accumulates as exact integers in a fixed-free order; squares
+    ride decimal(38,0)/HUGEINT; each output is quantized straight off
+    one cast-divide (heaps_law pattern). Argmax ties resolve to the
+    smallest bin via min-over-equals against a partitioned window max.
+
+    Scale shape: decode is Arrow-batched per row; the term fan-out is
+    n/2 bins x n samples per clip (bounded by clip length, linear in
+    clips); bin sums are map-side-combined; the window partitions by
+    media_id. O(n log n) FFT would beat the O(n^2) DFT per clip at real
+    clip lengths — the demo keeps the SQL-reproducible form; the
+    decode->explode->agg plumbing is identical either way."""
+    from ..operators.multimodal import wav_sample_rows
+
+    docs = table(spark, sf_dir, "documents")
+    samp = wav_sample_rows(synthesize_wav_media(docs))
+    ang = (
+        F.lit(_TWO_PI) * F.col("k") * F.col("idx") / F.col("n")
+    )
+    terms = samp.select(
+        "media_id",
+        "n",
+        "s",
+        "idx",
+        F.explode(F.expr("sequence(1, CAST(n div 2 AS INT))")).alias("k"),
+    ).select(
+        "media_id",
+        "n",
+        "k",
+        (F.col("s") * F.round(F.cos(ang) * 1000000.0, 0).cast("long")).alias("tc"),
+        (F.col("s") * F.round(F.sin(ang) * 1000000.0, 0).cast("long")).alias("ts"),
+    )
+    bins = terms.groupBy("media_id", "n", "k").agg(
+        F.sum("tc").alias("re"), F.sum("ts").alias("im")
+    )
+    dre = F.col("re").cast("decimal(38,0)")
+    dim = F.col("im").cast("decimal(38,0)")
+    binsp = bins.select(
+        "media_id",
+        "n",
+        "k",
+        (dre * F.col("re") + dim * F.col("im")).alias("p"),
+    )
+    wmax = binsp.withColumn(
+        "pmax", F.max("p").over(Window.partitionBy("media_id"))
+    )
+    tot = F.sum("p")
+    return wmax.groupBy("media_id").agg(
+        F.count("*").cast("int").alias("n_bins"),
+        F.when(
+            tot > 0,
+            F.round(
+                F.sum(F.col("k") * F.col("p")).cast("double")
+                / tot.cast("double")
+                * 1000000.0,
+                0,
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("spectral_centroid_micro"),
+        F.min(F.when(F.col("p") == F.col("pmax"), F.col("k")))
+        .cast("int")
+        .alias("dominant_bin"),
+        F.when(
+            F.max("p") > 0,
+            F.round(F.log(F.max("p").cast("double")) * 1000000.0, 0).cast(
+                "long"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("dominant_power_ln_micro"),
+        F.when(
+            tot > 0,
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("k") <= F.expr("n div 8"), F.col("p")
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / tot.cast("double")
+                * 1000000.0,
+                0,
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("low_band_ratio_micro"),
+    )
