@@ -102,6 +102,7 @@ QUERIES = [
     "multimodal_wav_audio_stats",
     "unigram_lm_viterbi_segments",
     "chrf_adjacent_doc_pairs",
+    "multimodal_wav_spectral_features",
 ]
 
 ALPHA = string.ascii_lowercase
