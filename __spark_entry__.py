@@ -138,6 +138,10 @@ VERIFY_NEXT = [
     # DFT (spectral centroid / dominant bin / band energy); extends
     # the multimodal surface from payload stats to feature extraction
     "multimodal_wav_spectral_features",
+    # round-10 add: perceptual image hashing (pHash) — DCT-sign
+    # near-dup buckets over real decoded pixels, the image analog of
+    # the text LSH dedup family
+    "multimodal_image_phash_buckets",
 ]
 
 

@@ -685,6 +685,64 @@ def wav_sample_rows(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, WAV_SAMPLE_ROWS_SCHEMA)
 
 
+PIXEL_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("w", T.LongType()),
+        T.StructField("h", T.LongType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+        T.StructField("lum", T.LongType()),
+    ]
+)
+
+
+def png_pixel_rows(media: DataFrame) -> DataFrame:
+    """Explode REAL DECODED PNG payloads to per-pixel
+    (media_id, w, h, x, y, lum) rows with lum = r + 2g + 3b — the
+    decode boundary for SQL-side image DSP (e.g. a 2D DCT perceptual
+    hash): the Python worker only inverts the codec; every arithmetic
+    stage downstream stays in whole-stage codegen where the oracle can
+    reproduce it exactly. Arrow-batched; undecodable payloads
+    contribute no rows."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, ws, hs, xs, ys, lums = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = (
+                    decode_png_pixels(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if px is None:
+                    continue
+                h, w, _ = px.shape
+                flat = px.reshape(-1, 3).astype(np.int64)
+                lum = flat[:, 0] + 2 * flat[:, 1] + 3 * flat[:, 2]
+                n = h * w
+                idx = np.arange(n, dtype=np.int64)
+                mids.extend([mid] * n)
+                ws.extend([w] * n)
+                hs.extend([h] * n)
+                xs.extend((idx % w).tolist())
+                ys.extend((idx // w).tolist())
+                lums.extend(lum.tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "w": ws,
+                    "h": hs,
+                    "x": xs,
+                    "y": ys,
+                    "lum": lums,
+                }
+            )
+
+    return media.mapInPandas(run, PIXEL_ROWS_SCHEMA)
+
+
 def decode_stub(payload: bytes, kind: str, deterministic_fake: bool = False) -> list[float]:
     """Compressed-codec fallback ONLY (JPEG/GIF/palette-PNG pixel
     decode, MP3/AAC audio, video frames — the codec libraries are

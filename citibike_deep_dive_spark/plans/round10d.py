@@ -1,0 +1,182 @@
+"""Round-10 batch 5: perceptual image hashing (pHash family).
+
+``multimodal_image_phash_buckets`` is the image near-dup operator the
+text-side dedup family (minhash / simhash / embedding-LSH) has no
+analog for: a DCT-sign perceptual hash over REAL DECODED PIXELS — the
+pHash construction used by every image-dedup pipeline (DCT the
+luminance plane, keep the low-frequency coefficients' SIGNS as bits,
+bucket by the packed hash; near-duplicate images land in the same
+bucket even under brightness scaling, because signs survive gain).
+
+The demo images are the round-10 PNG corpus (w x h up to 6 x 5), so
+the DCT runs over the whole plane and the hash has w*h - 1 bits (DC
+dropped — it only encodes brightness). At real image sizes the
+standard pipeline resizes to 32x32 first (the resize operator exists
+in operators/multimodal.py) and keeps the 8x8 low block; the decode ->
+explode -> DCT -> sign-pack plumbing is IDENTICAL.
+
+Cross-engine determinism (the spectral-features pattern): each DCT
+cosine factor is micro-quantized to int64 BEFORE multiplication, so
+every coefficient accumulates as exact order-free integers; the sign
+test and the bit-pack (1L << (v*w + u)) are pure integer ops. Nothing
+floats between quantization and output.
+
+Scale shape: decode is Arrow-batched per row; the term fan-out is
+(w*h)^2 per image — bounded by the (resized) image size, linear in
+images; coefficient sums are map-side-combined; the bucket count is a
+window partitioned by the hash (bounded groups). No all-pairs
+comparison anywhere: near-dup candidates emerge from equal buckets,
+exactly like the text LSH family."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import register, table
+from .round10 import _PNG_H_MOD, _PNG_W_MOD, synthesize_png_media
+
+_PI = repr(math.pi)
+
+
+def _oracle() -> str:
+    return f"""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(doc_id % {_PNG_W_MOD} + 1 AS BIGINT) AS w,
+               CAST(doc_id % {_PNG_H_MOD} + 1 AS BIGINT) AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT media_id, w, h,
+               unnest(generate_series(0, w * h - 1)) AS idx
+        FROM dims
+    ),
+    vals AS (
+        SELECT media_id, w, h, idx % w AS x, idx // w AS y,
+               (((((media_id % 100003) * 8191 + idx * 131 + 0 * 31 + 19)
+                  % 65536) * 25173 + 13849) % 65536 % 256)
+               + 2 * (((((media_id % 100003) * 8191 + idx * 131 + 1 * 31
+                         + 19) % 65536) * 25173 + 13849) % 65536 % 256)
+               + 3 * (((((media_id % 100003) * 8191 + idx * 131 + 2 * 31
+                         + 19) % 65536) * 25173 + 13849) % 65536 % 256)
+                   AS lum
+        FROM px
+    ),
+    terms AS (
+        SELECT media_id, w, h, u, v,
+               lum
+               * CAST(round(cos({_PI} * (2 * x + 1) * u / (2 * w))
+                            * 1000000) AS BIGINT)
+               * CAST(round(cos({_PI} * (2 * y + 1) * v / (2 * h))
+                            * 1000000) AS BIGINT) AS t
+        FROM vals,
+             unnest(generate_series(0, w - 1)) uu(u),
+             unnest(generate_series(0, h - 1)) vv(v)
+    ),
+    coeff AS (
+        SELECT media_id, w, h, u, v, sum(t) AS c
+        FROM terms GROUP BY media_id, w, h, u, v
+    ),
+    ph AS (
+        SELECT media_id, CAST(max(w) AS INT) AS width,
+               CAST(max(h) AS INT) AS height,
+               CAST(sum(CASE WHEN c > 0
+                    THEN CAST(1 AS BIGINT) << CAST(v * w + u AS INTEGER)
+                    ELSE 0 END) AS BIGINT) AS phash
+        FROM coeff
+        WHERE NOT (u = 0 AND v = 0)
+        GROUP BY media_id
+    )
+    SELECT media_id, width, height, phash,
+           CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_bucket
+    FROM ph
+    """
+
+
+@register("multimodal_image_phash_buckets", _oracle(), tags=("X-phash",))
+def multimodal_image_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT-sign perceptual hash (pHash) over real decoded PNG pixels,
+    bucketed for image near-dup detection — see the module docstring
+    for the construction, determinism design, and the 32x32/8x8
+    production variant. The oracle recomputes everything from the pixel
+    formula, so a matching hash proves decode + DCT + sign-pack
+    end to end."""
+    from ..operators.multimodal import png_pixel_rows
+
+    docs = table(spark, sf_dir, "documents")
+    px = png_pixel_rows(synthesize_png_media(docs))
+    uv = px.select(
+        "media_id",
+        "w",
+        "h",
+        "x",
+        "y",
+        "lum",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, w - 1), "
+                "u -> transform(sequence(0, h - 1), v -> struct(u, v))))"
+            )
+        ).alias("uvs"),
+    ).select(
+        "media_id",
+        "w",
+        "h",
+        F.col("uvs.u").alias("u"),
+        F.col("uvs.v").alias("v"),
+        (
+            F.col("lum")
+            * F.round(
+                F.cos(
+                    F.lit(math.pi)
+                    * (2 * F.col("x") + 1)
+                    * F.col("u")
+                    / (2 * F.col("w"))
+                )
+                * 1000000,
+                0,
+            ).cast("long")
+            * F.round(
+                F.cos(
+                    F.lit(math.pi)
+                    * (2 * F.col("y") + 1)
+                    * F.col("v")
+                    / (2 * F.col("h"))
+                )
+                * 1000000,
+                0,
+            ).cast("long")
+        ).alias("t"),
+    )
+    coeff = uv.groupBy("media_id", "w", "h", "u", "v").agg(
+        F.sum("t").alias("c")
+    )
+    ph = (
+        coeff.filter(~((F.col("u") == 0) & (F.col("v") == 0)))
+        .groupBy("media_id")
+        .agg(
+            F.max("w").cast("int").alias("width"),
+            F.max("h").cast("int").alias("height"),
+            F.sum(
+                F.when(
+                    F.col("c") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(v * w + u AS INT))"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("phash"),
+        )
+    )
+    return ph.select(
+        "media_id",
+        "width",
+        "height",
+        "phash",
+        F.count("*")
+        .over(Window.partitionBy("phash"))
+        .cast("long")
+        .alias("n_bucket"),
+    )
