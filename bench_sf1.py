@@ -103,6 +103,7 @@ QUERIES = [
     "unigram_lm_viterbi_segments",
     "chrf_adjacent_doc_pairs",
     "multimodal_wav_spectral_features",
+    "multimodal_image_phash_buckets",
 ]
 
 ALPHA = string.ascii_lowercase
