@@ -144,14 +144,107 @@ VERIFY_NEXT = [
     "multimodal_image_phash_buckets",
 ]
 
+# The 80 queries whose LAST green driver row dates from rounds 2-3
+# (derived by folding CORRECTNESS_r0*.json: last green round per name,
+# keep <= 3; ALL 80 re-validated builder-side this round by the r10
+# preflight --all sweep, 0 problems). The r11 rotation (r9 verdict
+# item 3): VERIFY_FIRST = VERIFY_NEXT (7 never-driver-verified) + the
+# first 43 names below; the remaining 37 head r12. Ordered with the
+# verdict-named §2 carriers first, then alphabetical.
+STALE_EVIDENCE_R2R3 = [
+    "linegraph_conditional_counts",
+    "heatmap_hourly_counts",
+    "dock_flow_full_outer",
+    "topk_per_group_window",
+    "anti_join_missing",
+    "correlated_scalar_subquery",
+    "exists_semi_join",
+    "not_in_subquery",
+    "multi_predicate_filter",
+    "conditional_pair_swap",
+    "left_join_enrich_default",
+    "additive_upsert_merge",
+    "anyvalue_deterministic",
+    "monthly_to_yearly_rollup",
+    "json_object_aggregate",
+    "json_array_collect",
+    "map_fold_merge",
+    "normalize_trips_pipeline",
+    "union_by_name",
+    "state_gate_new_periods",
+    "asof_join_latest_profile",
+    "boilerplate_prefix_scrub",
+    "case_value_normalization",
+    "conversion_funnel",
+    "corpus_shuffle_shards",
+    "corpus_top_ngrams",
+    "cross_split_contamination",
+    "cube_type_day",
+    "dedup_cluster_keepers",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_ngram_containment",
+    "deterministic_sample",
+    "distinct_aggregates",
+    "distinct_years_ordered",
+    "doc_chunking",
+    "doc_repetition_stats",
+    "embedding_l2_normalize",
+    "embedding_near_dup_sign_lsh",
+    "equi_depth_histogram",
+    "event_transition_matrix",
+    "fuzzy_dedup_levenshtein",
+    "group_count_min_time",
+    "grouping_sets_doc_counts",
+    "incremental_dedup_exact",
+    "incremental_dedup_neardup",
+    "ivf_fixed_centroid_assignment",
+    "json_extract_props",
+    "lag_lead_gaps",
+    "local_supplier_volume",
+    "multimodal_frame_sampling",
+    "multimodal_image_dimensions",
+    "order_priority_semi",
+    "per_group_quota_sample",
+    "pii_redaction",
+    "pricing_summary_report",
+    "promo_revenue_share",
+    "quality_percentile_gate",
+    "range_join_interval",
+    "retention_cohorts",
+    "returned_items_topk",
+    "rolling_7day_range_frame",
+    "rollup_year_month",
+    "running_total_frame",
+    "salted_skew_join",
+    "shipping_priority_topk",
+    "skew_salted_aggregate",
+    "text_fingerprints",
+    "text_language_id",
+    "text_quality_scores",
+    "text_token_counts",
+    "tfidf_top_terms",
+    "time_spine_gap_fill",
+    "token_packing",
+    "train_val_test_split",
+    "tumbling_window_hourly",
+    "unpivot_lineitem_measures",
+    "value_percentiles_exact",
+    "weighted_source_mix",
+    "zorder_clustering_buckets",
+]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions),
     ordered so the driver's bounded verify covers new ground each round."""
-    head = set(VERIFY_FIRST) | set(VERIFY_NEXT)
+    head = set(VERIFY_FIRST) | set(VERIFY_NEXT) | set(STALE_EVIDENCE_R2R3)
     ordered = [n for n in VERIFY_FIRST if n in CATALOG]
     ordered += [n for n in VERIFY_NEXT if n in CATALOG]
+    # oldest driver evidence next, so any verify budget beyond the two
+    # queues starts re-rotating r2/r3-era rows (r9 verdict item 3)
+    ordered += [n for n in STALE_EVIDENCE_R2R3 if n in CATALOG]
     ordered += [n for n in CATALOG if n not in head]
     return {name: CATALOG[name].build for name in ordered}
 
