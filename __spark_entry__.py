@@ -35,122 +35,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's verify walks queries() in order with a bounded budget, so
 # ordering decides which entries get a hard CORRECTNESS row this round.
-# Round-10 ordering (VERDICT r9 items 1, 2, 6, 7 + re-verify-on-change
-# invariant): (a) the two NEW codec entries (real PNG pixel decode and
-# real WAV PCM decode, verdict items 6-7 — new adds land in VERIFY_FIRST
-# of their own round per item 8); (b) heaps_law_loglog_fit, the r9 red
-# row, re-queued after the DuckDB-1.2.0-proof micro-unit rewrite
-# (verdict item 2); (c) the never-driver-verified backlog (verdict
-# item 1) — the three r9 adds first (neyman + boilerplate also carry
-# this round's ADVICE fixes), then the audited r8 tail. The verdict's
-# demands total 51 against the 50-slot budget, so exactly one backlog
-# entry (logrank_churn_arms, the audited tail) rolls to the r11 head in
-# VERIFY_NEXT. Every entry preflight.py-exact before commit.
-VERIFY_FIRST = [
-    # (a) NEW this round — the last two real codec paths
-    "multimodal_png_pixel_stats",
-    "multimodal_wav_audio_stats",
-    # (b) the r9 red row, fixed (micro-unit BIGINT quantization)
+# Round-11 ordering (VERDICT r10 items 1, 2, 3): (a) heaps_law_loglog_fit
+# — red in r9 AND r10 — now rewritten so both outputs are PURE INTEGER
+# long division off the exact moments (zero floats after the per-point
+# ln; plans/round8c.py), immediately followed by heaps_moments_probe
+# (NEW, plans/round11.py) which emits the raw integer moments: the
+# probe's green/red verdict bisects any remaining divergence to the
+# ln quantization upstream vs the (now impossible) division tail.
+# (b) the 7 never-driver-verified entries — the three r10 backlog
+# stragglers, then the four r10 adds; the heaps/probe head runs first
+# because three of these (viterbi / spectral / phash) share the
+# micro-quantized-transcendental pattern under bisection (verdict
+# "What's wrong #3"). multimodal_image_phash_buckets changed this round
+# (ADVICE: DC-only images now emit phash=0 rows — media-grain restored).
+# (c) the first 41 names of the frozen 80-name r2/r3 stale-evidence
+# rotation (verdict item 3 — ordered in r8, slipped twice, EXECUTING
+# now), §2 carriers first. 2 + 7 + 41 = 50 slots; the 39-name stale
+# tail heads r12 via VERIFY_NEXT. Every entry preflight.py-exact before
+# commit.
+_R11_HEAD = [
+    # (a) the two-round-old red row, all-integer rewrite + bisect probe
     "heaps_law_loglog_fit",
-    # (b2) implementation changed this round (re-verify-on-change):
-    # ADC sum unrolled out of the interpreted aggregate() lambda +
-    # codes frame lazily checkpointed (index-time artifact) — both
-    # value-preserving by construction and preflight-exact, but the
-    # invariant wants driver rows
-    "ann_ivfpq_adc_topk",
-    "ann_ivfpq_rerank_exact",
-    # (c) never-driver-verified backlog: round-9 adds first
-    "triplet_semihard_mining",
-    "neyman_stratified_allocation",
-    "boilerplate_ngram_flags",
-    # then the audited round-8 backlog tail, original order
-    "hits_doc_term_bipartite",
-    "importance_weight_ess",
-    "bradley_terry_strengths",
-    "cuped_adjusted_ab",
-    "js_divergence_source_unigrams",
-    "adjusted_rand_labels_vs_cells",
-    "doremi_domain_reweight_step",
-    "kmv_sketch_set_ops",
-    "knn_shapley_values",
-    "log_odds_fightin_words",
-    "chao1_vocab_richness",
-    "stl_additive_decomposition",
-    "rank_biased_overlap",
-    "naive_bayes_lang_classifier",
-    "gmm_em_step_lengths",
-    "knn_label_error_candidates",
-    "randomization_test_mean_diff",
-    "textrank_keywords",
-    "knn_shapley_ivf_shortlist",
-    "rocchio_query_expansion",
-    "cross_correlation_lagged",
-    "mann_kendall_trend",
-    "haar_wavelet_energy",
-    "distance_correlation_daily",
-    "clarity_score_qpp",
-    "ipw_ate_estimate",
-    "did_panel_estimate",
-    "raking_ipf_weights",
-    "min_k_prob_membership",
-    "rich_club_coefficient",
-    "pca_outlier_scores",
-    "rake_keyphrases",
-    "ransac_trend_consensus",
-    "sinkhorn_transport_plan",
-    "beta_binomial_shrinkage",
-    "matrix_profile_motifs",
-    "forecast_mase_eval",
-    "dispersion_index_by_type",
-    "randomized_response_prevalence",
-    "embedding_anisotropy_ratio",
-    "energy_distance_sources",
-    "mmd_rbf_sources",
-]
-
-# Never driver-verified entries that did NOT fit this round's 50-slot
-# budget: the audited-order backlog tail, displaced by the two NEW
-# codec entries + the two changed-this-round ADC carriers (the verdict's
-# demands plus the re-verify-on-change invariant total 53 against 50).
-# All preflight.py-exact at sf0.01. Placed immediately after
-# VERIFY_FIRST in queries() so any budget beyond 50 reaches them, and
-# queued as the round-11 VERIFY_FIRST head. r11 rotation plan (r9
-# verdict item 3): after these, fill the remaining ~46 slots with the
-# OLDEST-evidence rows — 80 queries' last green row dates from r2/r3
-# (derive the exact list by folding CORRECTNESS_r0*.json: last green
-# round per name, keep <= 3); lead with the §2 carriers the verdict
-# names (linegraph_conditional_counts, heatmap_hourly_counts,
-# dock_flow_full_outer, topk_per_group_window, the join/filter
-# entries), then the training-extension remainder alphabetically; the
-# ~34 that miss r11's budget head r12.
-VERIFY_NEXT = [
+    "heaps_moments_probe",
+    # (b) never-driver-verified: r10 backlog stragglers first
     "esd_outlier_rounds",
     "lof_embedding_outliers",
     "logrank_churn_arms",
-    # round-10 adds (new families: unigram-LM tokenizer, Kudo 2018 —
-    # completes the tokenizer-training pair next to BPE; chrF,
-    # Popovic 2015 — the generation-eval/corpus-diversity metric
-    # family, integer-exact by design); land in the r11 VERIFY_FIRST
-    # head per the new-adds-verify-next-round rule
+    # then the four round-10 adds (new-adds-verify-next-round rule);
+    # the three micro-quantized-transcendental ones run with the heaps
+    # bisect already decided earlier in this same driver pass
     "unigram_lm_viterbi_segments",
     "chrf_adjacent_doc_pairs",
-    # round-10 add: multimodal DSP — real decode feeding a SQL-side
-    # DFT (spectral centroid / dominant bin / band energy); extends
-    # the multimodal surface from payload stats to feature extraction
     "multimodal_wav_spectral_features",
-    # round-10 add: perceptual image hashing (pHash) — DCT-sign
-    # near-dup buckets over real decoded pixels, the image analog of
-    # the text LSH dedup family
     "multimodal_image_phash_buckets",
 ]
 
+
 # The 80 queries whose LAST green driver row dates from rounds 2-3
 # (derived by folding CORRECTNESS_r0*.json: last green round per name,
-# keep <= 3; ALL 80 re-validated builder-side this round by the r10
-# preflight --all sweep, 0 problems). The r11 rotation (r9 verdict
-# item 3): VERIFY_FIRST = VERIFY_NEXT (7 never-driver-verified) + the
-# first 43 names below; the remaining 37 head r12. Ordered with the
-# verdict-named §2 carriers first, then alphabetical.
+# keep <= 3; the r10 VERDICT independently recomputed this list and
+# confirmed it set-identical; all 80 re-validated builder-side by
+# preflight --all sweeps in r10 and again in r11, 0 problems). The r11
+# rotation executes NOW: the first 41 names fill VERIFY_FIRST after the
+# 9-entry head (2 + 7 + 41 = 50 slots); the 39-name tail is VERIFY_NEXT
+# and heads r12. Ordered with the verdict-named §2 carriers first, then
+# alphabetical.
 STALE_EVIDENCE_R2R3 = [
     "linegraph_conditional_counts",
     "heatmap_hourly_counts",
@@ -234,18 +163,20 @@ STALE_EVIDENCE_R2R3 = [
     "zorder_clustering_buckets",
 ]
 
+# r11 verify queues (50-slot budget): head + first 41 stale rotations;
+# the 39-name stale tail is next round's head (r12).
+VERIFY_FIRST = _R11_HEAD + STALE_EVIDENCE_R2R3[:41]
+VERIFY_NEXT = STALE_EVIDENCE_R2R3[41:]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions),
     ordered so the driver's bounded verify covers new ground each round."""
-    head = set(VERIFY_FIRST) | set(VERIFY_NEXT) | set(STALE_EVIDENCE_R2R3)
-    ordered = [n for n in VERIFY_FIRST if n in CATALOG]
-    ordered += [n for n in VERIFY_NEXT if n in CATALOG]
-    # oldest driver evidence next, so any verify budget beyond the two
-    # queues starts re-rotating r2/r3-era rows (r9 verdict item 3)
-    ordered += [n for n in STALE_EVIDENCE_R2R3 if n in CATALOG]
-    ordered += [n for n in CATALOG if n not in head]
+    ordered: list[str] = []
+    for n in VERIFY_FIRST + VERIFY_NEXT:
+        if n in CATALOG and n not in ordered:
+            ordered.append(n)
+    ordered += [n for n in CATALOG if n not in set(ordered)]
     return {name: CATALOG[name].build for name in ordered}
 
 

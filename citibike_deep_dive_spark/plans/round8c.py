@@ -522,9 +522,64 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "heaps_law_loglog_fit",
-    """
+def heaps_moments_frames(spark: SparkSession, sf_dir: str):
+    """Shared upstream for heaps_law_loglog_fit and the driver-side
+    bisect probe heaps_moments_probe (plans/round11.py): the cumulative
+    (tokens, vocab) curve in doc_id order, its micro-quantized log-log
+    points, and the five exact OLS moments. Returns (moments, totals).
+
+    Moments accumulate as decimal(38,0) — exact 128-bit-class integer
+    arithmetic matching DuckDB's HUGEINT sums, so np*sxx and sx*sx never
+    hit int64's ceiling even at corpus scale (ANSI mode would abort)."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    toks = truncate_lineage(docs.select("doc_id", ws.alias("ws")), eager=False)
+    doc_tok = toks.select("doc_id", F.size("ws").cast("long").alias("nt"))
+    firsts = (
+        toks.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    nw = firsts.groupBy("first_doc").agg(F.count("*").cast("long").alias("new_words"))
+    w_cum = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = truncate_lineage(
+        doc_tok.join(nw, doc_tok.doc_id == nw.first_doc, "left").select(
+            doc_tok.doc_id,
+            F.sum("nt").over(w_cum).alias("cum_tokens"),
+            F.sum(F.coalesce("new_words", F.lit(0))).over(w_cum).alias("cum_vocab"),
+        ),
+        eager=False,
+    )
+    pts = curve.select(
+        F.round(F.log(F.col("cum_tokens").cast("double")) * 1000000, 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("cum_vocab").cast("double")) * 1000000, 0)
+        .cast("long")
+        .alias("y"),
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    moments = pts.agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum(dx).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+        F.sum(dx * F.col("y")).alias("sxy"),
+    )
+    totals = curve.agg(
+        F.max("cum_tokens").alias("total_tokens"),
+        F.max("cum_vocab").alias("total_vocab"),
+    )
+    return moments, totals
+
+
+# Shared oracle CTE prefix: raw docs → cumulative curve → micro-quantized
+# log-log points → exact HUGEINT OLS moments. f-string-spliced into both
+# heaps_law_loglog_fit (below) and heaps_moments_probe (round11.py) so the
+# driver-side bisect exercises the IDENTICAL upstream SQL.
+HEAPS_CURVE_CTES = """
     WITH toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
     ),
@@ -555,20 +610,30 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(CAST(x AS HUGEINT) * x) AS sxx,
                sum(CAST(x AS HUGEINT) * y) AS sxy
         FROM pts
-    ),
+    )
+"""
+
+
+@register(
+    "heaps_law_loglog_fit",
+    HEAPS_CURVE_CTES
+    + """,
     fit AS (
-        SELECT np,
-               CAST(np * sxy - sx * sy AS DOUBLE)
-               / CAST(np * sxx - sx * sx AS DOUBLE) AS beta,
-               sx, sy
+        SELECT np, sx, sy,
+               np * sxy - sx * sy AS num,
+               np * sxx - sx * sx AS den
         FROM moments
     )
     SELECT np AS n_points,
            (SELECT max(cum_tokens) FROM curve) AS total_tokens,
            (SELECT max(cum_vocab) FROM curve) AS total_vocab,
-           CAST(round(beta * 1000000.0) AS BIGINT) AS heaps_beta_micro,
-           CAST(round((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
-                      / CAST(np AS DOUBLE)) AS BIGINT) AS heaps_lnk_micro
+           CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                * ((2000000 * abs(num) + den) // (2 * den))
+                AS BIGINT) AS heaps_beta_micro,
+           CAST((CASE WHEN sy * den - num * sx < 0 THEN -1 ELSE 1 END)
+                * ((2 * abs(sy * den - num * sx) + np * den)
+                   // (2 * np * den))
+                AS BIGINT) AS heaps_lnk_micro
     FROM fit
     """,
     tags=("X-heaps-fit",),
@@ -585,86 +650,55 @@ def heaps_law_loglog_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The log points are micro-unit FIXED-POINT integers before any sum,
     so all five OLS moments are exact int64 arithmetic — no float
-    accumulation order exists (pca_power_iteration precedent), and beta
-    is a single integer-ratio division; the micro scale cancels between
-    numerator and denominator. The outputs are themselves micro-unit
-    BIGINTs (beta*1e6 and ln(K)*1e6) quantized straight off that exact
-    division using only IEEE-exact float ops (one divide, one multiply,
-    one subtract — no exp / no round-to-digits), because
-    CORRECTNESS_r09 showed round(beta,5)/round(exp(..),4) output differs
-    between DuckDB 1.0.0 and the driver's 1.2.0 at the last digit while
-    every upstream value was bit-identical. K recovers as
-    exp(heaps_lnk_micro/1e6) driver-side if needed. Distributed shape: one token explode to
+    accumulation order exists (pca_power_iteration precedent). The
+    outputs (beta*1e6 and ln(K)*1e6 as BIGINTs) are now computed by PURE
+    INTEGER LONG DIVISION off the exact moments — round-half-away-from-
+    zero is spelled out as ``sign * ((2*|a| + b) intdiv (2*b))`` with
+    b > 0 by Cauchy-Schwarz — so not a single floating-point operation
+    exists after the per-point ``ln``: r9's round(beta,5) output and
+    r10's float-divide beta both hashed differently under the driver's
+    DuckDB 1.2.0 while local 1.0.0 was exact, convicting the
+    HUGEINT→DOUBLE cast/division surface this rewrite removes. If the
+    row is STILL red, the per-point ``round(ln(·)·1e6)`` quantization is
+    the only remaining engine-dependent surface — the paired
+    heaps_moments_probe (plans/round11.py) emits the raw integer moments
+    so the driver's own run bisects exactly that. Worst intermediate
+    (|sy·den| ~ 3e30 for a 1e3-point curve) sits comfortably inside
+    decimal(38,0)/HUGEINT; the 100-TB path downsamples the curve to
+    log-spaced anchors first (bounded points), which also bounds these
+    products. K recovers as exp(heaps_lnk_micro/1e6) driver-side if
+    needed. Distributed shape: one token explode to
     (word -> first doc) — map-side combined — then everything runs at
     doc grain (the curve) and finally one 5-number moment row; the
     doc-grain cumulative window is the documented vocabulary-curve
     single-partition (bounded by doc count after aggregation, and the
     checkpoint grain at 100 TB is shard-level curve points, not raw
     docs)."""
-    docs = table(spark, sf_dir, "documents")
-    ws = F.split(F.lower("text"), " ")
-    toks = truncate_lineage(docs.select("doc_id", ws.alias("ws")), eager=False)
-    doc_tok = toks.select("doc_id", F.size("ws").cast("long").alias("nt"))
-    firsts = (
-        toks.select("doc_id", F.explode("ws").alias("w"))
-        .groupBy("w")
-        .agg(F.min("doc_id").alias("first_doc"))
+    moments, totals = heaps_moments_frames(spark, sf_dir)
+    # Pure integer long division off the exact decimal(38,0) moments —
+    # `div` is Spark's integral divide (truncating, long result); with
+    # the abs/sign decomposition the formula is round-half-away-from-
+    # zero, identical by construction to the oracle's HUGEINT `//` path.
+    fit = moments.withColumn(
+        "num",
+        F.col("np").cast("decimal(38,0)") * F.col("sxy")
+        - F.col("sx") * F.col("sy"),
+    ).withColumn(
+        "den",
+        F.col("np").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx") * F.col("sx"),
     )
-    nw = firsts.groupBy("first_doc").agg(F.count("*").cast("long").alias("new_words"))
-    w_cum = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    curve = truncate_lineage(
-        doc_tok.join(nw, doc_tok.doc_id == nw.first_doc, "left").select(
-            doc_tok.doc_id,
-            F.sum("nt").over(w_cum).alias("cum_tokens"),
-            F.sum(F.coalesce("new_words", F.lit(0))).over(w_cum).alias("cum_vocab"),
-        ),
-        eager=False,
-    )
-    pts = curve.select(
-        F.round(F.log(F.col("cum_tokens").cast("double")) * 1000000, 0)
-        .cast("long")
-        .alias("x"),
-        F.round(F.log(F.col("cum_vocab").cast("double")) * 1000000, 0)
-        .cast("long")
-        .alias("y"),
-    )
-    # Moments accumulate as decimal(38,0) — exact 128-bit-class integer
-    # arithmetic matching DuckDB's HUGEINT sums, so np*sxx and sx*sx never
-    # hit int64's ceiling even at corpus scale (ANSI mode would abort).
-    dx = F.col("x").cast("decimal(38,0)")
-    moments = pts.agg(
-        F.count("*").cast("long").alias("np"),
-        F.sum(dx).alias("sx"),
-        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
-        F.sum(dx * F.col("x")).alias("sxx"),
-        F.sum(dx * F.col("y")).alias("sxy"),
-    )
-    totals = curve.agg(
-        F.max("cum_tokens").alias("total_tokens"),
-        F.max("cum_vocab").alias("total_vocab"),
-    )
-    beta = (
-        (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        / (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    )
-    return (
-        moments.withColumn("beta", beta)
-        .crossJoin(F.broadcast(totals))
-        .select(
-            F.col("np").alias("n_points"),
-            "total_tokens",
-            "total_vocab",
-            F.round(F.col("beta") * 1000000.0, 0)
-            .cast("long")
-            .alias("heaps_beta_micro"),
-            F.round(
-                (F.col("sy").cast("double") - F.col("beta") * F.col("sx").cast("double"))
-                / F.col("np").cast("double"),
-                0,
-            )
-            .cast("long")
-            .alias("heaps_lnk_micro"),
-        )
+    return fit.crossJoin(F.broadcast(totals)).select(
+        F.col("np").alias("n_points"),
+        "total_tokens",
+        "total_vocab",
+        F.expr(
+            "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+            " * ((2000000 * abs(num) + den) div (2 * den)) AS BIGINT)"
+        ).alias("heaps_beta_micro"),
+        F.expr(
+            "CAST((CASE WHEN sy * den - num * sx < 0 THEN -1 ELSE 1 END)"
+            " * ((2 * abs(sy * den - num * sx) + CAST(np AS decimal(38,0)) * den)"
+            "    div (2 * CAST(np AS decimal(38,0)) * den)) AS BIGINT)"
+        ).alias("heaps_lnk_micro"),
     )

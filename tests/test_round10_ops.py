@@ -260,12 +260,24 @@ def test_heaps_micro_outputs_python_recompute(spark):
     sy = sum(y for _, y in pts)
     sxx = sum(x * x for x, _ in pts)
     sxy = sum(x * y for x, y in pts)
-    beta = (np_ * sxy - sx * sy) / (np_ * sxx - sx * sx)
+    num = np_ * sxy - sx * sy
+    den = np_ * sxx - sx * sx
+
+    def intdiv_round(a: int, b: int) -> int:
+        # round-half-away-from-zero via pure integer ops, mirroring the
+        # r11 all-integer rewrite (b > 0 by Cauchy-Schwarz)
+        s = -1 if a < 0 else 1
+        return s * ((2 * abs(a) + b) // (2 * b))
+
     assert row["n_points"] == np_
     assert row["total_tokens"] == cum_t
     assert row["total_vocab"] == len(seen)
-    assert row["heaps_beta_micro"] == round(beta * 1e6)
-    assert row["heaps_lnk_micro"] == round((sy - beta * sx) / np_)
+    assert row["heaps_beta_micro"] == intdiv_round(1_000_000 * num, den)
+    assert row["heaps_lnk_micro"] == intdiv_round(sy * den - num * sx, np_ * den)
+    # the integer path agrees with the float OLS to the micro digit
+    beta = num / den
+    assert abs(row["heaps_beta_micro"] - beta * 1e6) <= 1
+    assert abs(row["heaps_lnk_micro"] - (sy - beta * sx) / np_) <= 1
     # sanity: recovered K and beta are in the plausible Heaps band
     assert 0 < row["heaps_beta_micro"] < 1_000_000
     assert math.exp(row["heaps_lnk_micro"] / 1e6) > 1.0
