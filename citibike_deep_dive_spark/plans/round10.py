@@ -303,11 +303,17 @@ def multimodal_wav_spectral_features(spark: SparkSession, sf_dir: str) -> DataFr
     whole-stage codegen the oracle reproduces from the sample formula.
 
     Determinism: each cos/sin TERM is micro-quantized to int64 before
-    any sum (the one place engine libm could differ by an ulp), so the
-    DFT accumulates as exact integers in a fixed-free order; squares
-    ride decimal(38,0)/HUGEINT; each output is quantized straight off
-    one cast-divide (heaps_law pattern). Argmax ties resolve to the
-    smallest bin via min-over-equals against a partitioned window max.
+    any sum, so the DFT accumulates as exact integers in a fixed-free
+    order; squares ride decimal(38,0)/HUGEINT; each output is quantized
+    straight off one cast-divide. Argmax ties resolve to the smallest
+    bin via min-over-equals against a partitioned window max. RESIDUAL
+    RISK: per-term quantized trig is NOT fully version-proof — a 1-ulp
+    cos/sin divergence between JVM Math and a DuckDB build's libm at a
+    .5e-6 quantization boundary flips one term and the value hash, and
+    the final ln(max_p) micro-round shares the surface under bisection
+    by heaps_moments_probe (plans/round11.py). Parity is exact on local
+    DuckDB 1.0.0; keep this family out of long-unverified rotation
+    tails so any future hash break is immediately diagnosable.
 
     Scale shape: decode is Arrow-batched per row; the term fan-out is
     n/2 bins x n samples per clip (bounded by clip length, linear in

@@ -13,8 +13,15 @@ Cross-engine determinism is the whole design:
 
 - Piece scores are micro-unit BIGINTs, ``round(ln(total/cnt) * 1e6)``,
   quantized straight off one float divide + one ``ln`` (the
-  ``heaps_law_loglog_fit`` pattern, proven bit-identical across DuckDB
-  versions at the micro-round).
+  ``heaps_law_loglog_fit`` pattern). RESIDUAL RISK, not proof: that
+  pattern is CONJECTURED version-stable and still pending a driver
+  verdict — heaps hashed red under the driver's DuckDB 1.2.0 in
+  r9/r10 with the divergence not yet bisected between the downstream
+  float division (removed in r11) and the ``round(ln(·)·1e6)``
+  quantization itself; a 1-ulp libm difference at a .5e-6 boundary
+  would flip a micro digit here too. heaps_moments_probe
+  (plans/round11.py) decides which surface is guilty; if ``ln`` is
+  convicted, this family coarsens its quantum the same way.
 - The Viterbi DP runs over a CARRY-FREE PACKED integer,
   ``cost_micro * 100 + n_pieces``: minimizing the packed value
   minimizes cost first and piece count on exact-cost ties, and because

@@ -36,6 +36,10 @@ from .catalog import register, table
 
 _MAX_N = 6  # chrF standard: character n-grams of order 1..6
 
+# previously persisted gram frame, released on the next rebuild (see
+# the one-slot rebuild cache note in chrf_adjacent_doc_pairs)
+_LAST_GRAMS: DataFrame | None = None
+
 
 def _oracle() -> str:
     nvals = ", ".join(f"({n})" for n in range(1, _MAX_N + 1))
@@ -158,6 +162,21 @@ def chrf_adjacent_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and both join branches reuse the same relation.
     from pyspark import StorageLevel
 
+    # One-slot rebuild cache: the CacheManager holds persisted plans
+    # until an explicit unpersist, so repeated builds in a long-lived
+    # driver (sweeps, benches) would otherwise accumulate DISK_ONLY
+    # blocks. Each rebuild releases the previous round's frame (by
+    # then fully consumed — sweeps materialize each build before the
+    # next); a session restart makes the stale handle raise, which is
+    # safely ignored.
+    global _LAST_GRAMS
+    if _LAST_GRAMS is not None:
+        try:
+            _LAST_GRAMS.unpersist()
+        except Exception:
+            pass  # stale handle from a stopped session
+        _LAST_GRAMS = None
+
     grams = (
         docs.select("doc_id", "c", orders)
         .select(
@@ -175,6 +194,7 @@ def chrf_adjacent_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("cnt"))
         .persist(StorageLevel.DISK_ONLY)
     )
+    _LAST_GRAMS = grams
     # The gram-count frame is GRAM-grain (6x distinct n-grams per doc —
     # the big side of every join here) and, being checkpoint-truncated,
     # carries no size stats: without an explicit hint AQE's default

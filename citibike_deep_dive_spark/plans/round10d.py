@@ -1,4 +1,5 @@
-"""Round-10 batch 5: perceptual image hashing (pHash family).
+"""Round-10 module 4: perceptual image hashing (pHash family).
+Unit tests: tests/test_image_phash.py.
 
 ``multimodal_image_phash_buckets`` is the image near-dup operator the
 text-side dedup family (minhash / simhash / embedding-LSH) has no
@@ -19,7 +20,12 @@ Cross-engine determinism (the spectral-features pattern): each DCT
 cosine factor is micro-quantized to int64 BEFORE multiplication, so
 every coefficient accumulates as exact order-free integers; the sign
 test and the bit-pack (1L << (v*w + u)) are pure integer ops. Nothing
-floats between quantization and output.
+floats between quantization and output. RESIDUAL RISK: the per-factor
+``round(cos(·)·1e6)`` is NOT fully version-proof — a 1-ulp cos
+divergence between JVM Math and a DuckDB build's libm at a .5e-6
+boundary flips a factor (and likely a sign bit); heaps_moments_probe
+(plans/round11.py) bisects whether that libm surface is real on the
+verifier's engine. Exact on local DuckDB 1.0.0.
 
 Scale shape: decode is Arrow-batched per row; the term fan-out is
 (w*h)^2 per image — bounded by the (resized) image size, linear in
@@ -81,18 +87,23 @@ def _oracle() -> str:
         FROM terms GROUP BY media_id, w, h, u, v
     ),
     ph AS (
-        SELECT media_id, CAST(max(w) AS INT) AS width,
-               CAST(max(h) AS INT) AS height,
+        SELECT media_id,
                CAST(sum(CASE WHEN c > 0
                     THEN CAST(1 AS BIGINT) << CAST(v * w + u AS INTEGER)
                     ELSE 0 END) AS BIGINT) AS phash
         FROM coeff
         WHERE NOT (u = 0 AND v = 0)
         GROUP BY media_id
+    ),
+    at_media AS (
+        SELECT d.media_id, CAST(d.w AS INT) AS width,
+               CAST(d.h AS INT) AS height,
+               COALESCE(p.phash, CAST(0 AS BIGINT)) AS phash
+        FROM dims d LEFT JOIN ph p ON d.media_id = p.media_id
     )
     SELECT media_id, width, height, phash,
            CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_bucket
-    FROM ph
+    FROM at_media
     """
 
 
@@ -158,8 +169,6 @@ def multimodal_image_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFram
         coeff.filter(~((F.col("u") == 0) & (F.col("v") == 0)))
         .groupBy("media_id")
         .agg(
-            F.max("w").cast("int").alias("width"),
-            F.max("h").cast("int").alias("height"),
             F.sum(
                 F.when(
                     F.col("c") > 0,
@@ -170,7 +179,20 @@ def multimodal_image_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("phash"),
         )
     )
-    return ph.select(
+    # Output stays at MEDIA grain: 1x1 images have only the DC
+    # coefficient (dropped by design — it encodes brightness alone), so
+    # left-join back to the decoded dims and emit phash=0 for them
+    # rather than silently dropping the rows (they form the degenerate
+    # "no structure" bucket, exactly how production pHash treats
+    # constant images).
+    dims = px.groupBy("media_id").agg(
+        F.max("w").cast("int").alias("width"),
+        F.max("h").cast("int").alias("height"),
+    )
+    full = dims.join(ph, "media_id", "left").withColumn(
+        "phash", F.coalesce("phash", F.lit(0).cast("long"))
+    )
+    return full.select(
         "media_id",
         "width",
         "height",

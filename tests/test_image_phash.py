@@ -1,4 +1,5 @@
-"""Round-10 batch 5: perceptual image hash — full Python recompute of
+"""Perceptual image hash (plans/round10d.py, multimodal_image_phash_buckets)
+— full Python recompute of
 the decode -> quantized 2D DCT -> sign-pack chain against the Spark
 plan; oracle parity is covered by preflight.py."""
 
@@ -29,7 +30,7 @@ def _phash(mid: int):
     w = mid % _PNG_W_MOD + 1
     h = mid % _PNG_H_MOD + 1
     if w * h == 1:
-        return None  # no non-DC coefficient: no output row
+        return w, h, 0  # no non-DC coefficient: degenerate phash=0 row
     ph = 0
     for u in range(w):
         for v in range(h):
@@ -54,11 +55,14 @@ def test_phash_python_recompute(spark):
         .collect()
     }
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    expected_absent = [m for m in range(n_docs) if _phash(m) is None]
-    assert all(m not in rows for m in expected_absent)
-    assert len(rows) == n_docs - len(expected_absent)
+    # media grain: EVERY image emits a row; DC-only (1x1) images land
+    # in the degenerate phash=0 bucket instead of being dropped
+    assert len(rows) == n_docs
+    one_by_one = [m for m in range(n_docs)
+                  if m % _PNG_W_MOD == 0 and m % _PNG_H_MOD == 0]
+    assert one_by_one and all(rows[m]["phash"] == 0 for m in one_by_one)
     buckets = Counter(r["phash"] for r in rows.values())
-    for mid in sorted(rows)[:10]:
+    for mid in sorted(rows)[:10] + one_by_one[:3]:
         w, h, ph = _phash(mid)
         r = rows[mid]
         assert (r["width"], r["height"], r["phash"]) == (w, h, ph)

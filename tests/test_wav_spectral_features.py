@@ -1,4 +1,5 @@
-"""Round-10 batch 4: WAV spectral features — full Python recompute of
+"""WAV spectral features (plans/round10.py, multimodal_wav_spectral_features)
+— full Python recompute of
 the decode -> micro-quantized DFT -> feature chain against the Spark
 plan; oracle parity is covered by preflight.py."""
 
