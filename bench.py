@@ -7,7 +7,15 @@ engine work, not py4j transfer). Every query runs three times and the fastest
 run is reported: the first run pays one-time whole-stage-codegen javac/JIT
 compilation (~1-3 s per distinct plan shape), a fixed cost that is
 irrelevant at the 100 TB design point, so steady-state is the honest
-number for engine-throughput comparison."""
+number for engine-throughput comparison.
+
+``--duckdb`` additionally runs the SAME headline queries' oracle SQL in
+DuckDB (min-of-3 per query, result fully materialized via fetchall)
+inside the same process/session and emits the paired per-query numbers
+(``queries_duckdb``, ``duckdb_total``, ``spark_vs_duckdb`` ratio) in the
+same JSON payload — the machine-readable replacement for the ad-hoc
+prose DuckDB totals earlier BASELINE.md rounds carried (r10 verdict
+"What's wrong #2")."""
 
 from __future__ import annotations
 
@@ -119,7 +127,43 @@ def _wait_for_idle() -> tuple[list[float] | None, bool]:
     return _loadavg(), True
 
 
+def _duckdb_timings() -> tuple[dict[str, float], dict[str, str]]:
+    """Min-of-3 DuckDB wall time per headline oracle on the same parquet
+    views, fully materialized (fetchall). Runs in-process so the pair is
+    same-machine same-session by construction."""
+    import duckdb
+
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in HEADLINE:
+        spec = CATALOG[name]
+        if spec.oracle is None:
+            continue
+        try:
+            runs = []
+            for _ in range(3):
+                start = time.perf_counter()
+                con.sql(spec.oracle).fetchall()
+                runs.append(time.perf_counter() - start)
+            timings[name] = round(min(runs), 3)
+        except Exception as exc:  # noqa: BLE001 — report and move on
+            errors[name] = str(exc).splitlines()[0][:200]
+    con.close()
+    return timings, errors
+
+
 def main() -> None:
+    with_duckdb = "--duckdb" in sys.argv[1:]
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     load_before, contended = _wait_for_idle()
     spark = get_spark(app_name="citibike-bench")
@@ -154,6 +198,12 @@ def main() -> None:
             errors[name] = str(exc).splitlines()[0][:200]
 
     total = round(sum(timings.values()), 3)
+    duck: dict[str, float] = {}
+    duck_errors: dict[str, str] = {}
+    if with_duckdb:
+        # DuckDB pass runs AFTER the Spark pass, same process, same
+        # idle-gated session; per-query min-of-3 like the Spark side.
+        duck, duck_errors = _duckdb_timings()
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -165,6 +215,15 @@ def main() -> None:
         "loadavg_after": _loadavg(),
         "load_contended": contended,
     }
+    if with_duckdb:
+        duck_total = round(sum(duck.values()), 3)
+        payload["queries_duckdb"] = duck
+        payload["duckdb_total"] = duck_total
+        payload["duckdb_version"] = __import__("duckdb").__version__
+        if duck_total:
+            payload["spark_vs_duckdb"] = round(total / duck_total, 3)
+        if duck_errors:
+            payload["duckdb_errors"] = duck_errors
     if errors:
         payload["errors"] = errors
     # Verbose payload (cold timings, loadavg, errors) goes to stderr for
@@ -184,6 +243,11 @@ def main() -> None:
         "loadavg_before": load_before,
         "load_contended": contended,
     }
+    if with_duckdb:
+        compact["duckdb_total"] = payload["duckdb_total"]
+        compact["duckdb_version"] = payload["duckdb_version"]
+        if "spark_vs_duckdb" in payload:
+            compact["spark_vs_duckdb"] = payload["spark_vs_duckdb"]
     # A stdout-only parser must still see failures: without this a broken
     # query silently shrinks the headline total (only the exit code told).
     if errors:
