@@ -164,9 +164,13 @@ STALE_EVIDENCE_R2R3 = [
 ]
 
 # r11 verify queues (50-slot budget): head + first 41 stale rotations;
-# the 39-name stale tail is next round's head (r12).
+# next round (r12) leads with the one r11 catalog add
+# (cdc_gear_chunk_dedup — content-defined chunking dedup, the
+# new-adds-verify-next-round rule; preflight-exact, integer-only) then
+# the 39-name stale tail: 40 of 50 r12 slots, leaving headroom so the
+# rotation stays ahead of additions (r10 verdict item 6).
 VERIFY_FIRST = _R11_HEAD + STALE_EVIDENCE_R2R3[:41]
-VERIFY_NEXT = STALE_EVIDENCE_R2R3[41:]
+VERIFY_NEXT = ["cdc_gear_chunk_dedup"] + STALE_EVIDENCE_R2R3[41:]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
