@@ -104,6 +104,11 @@ QUERIES = [
     "chrf_adjacent_doc_pairs",
     "multimodal_wav_spectral_features",
     "multimodal_image_phash_buckets",
+    # round-11 addition: char-grain explode + 31-lag rolling-hash window
+    # (rows scale linearly with corpus bytes; cipher replicas keep
+    # within-replica chunk-duplicate structure and decorrelate the
+    # cross-replica signature space)
+    "cdc_gear_chunk_dedup",
 ]
 
 ALPHA = string.ascii_lowercase
