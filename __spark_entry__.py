@@ -164,13 +164,23 @@ STALE_EVIDENCE_R2R3 = [
 ]
 
 # r11 verify queues (50-slot budget): head + first 41 stale rotations;
-# next round (r12) leads with the one r11 catalog add
-# (cdc_gear_chunk_dedup — content-defined chunking dedup, the
-# new-adds-verify-next-round rule; preflight-exact, integer-only) then
-# the 39-name stale tail: 40 of 50 r12 slots, leaving headroom so the
-# rotation stays ahead of additions (r10 verdict item 6).
+# next round (r12) leads with the four r11 catalog adds (the
+# new-adds-verify-next-round rule; all preflight-exact and ALL
+# deliberately integer-only — no new transcendental surfaces until the
+# heaps probe verdict): cdc_gear_chunk_dedup (content-defined chunking
+# dedup), graph_triangle_count (triangles + clustering on the
+# mutual-kNN graph), repeated_substring_spans (Lee 2021 exact-substring
+# dedup), hll_source_cardinality (HyperLogLog registers, integer-exact
+# estimate vs exact audit). Then the 39-name stale tail: 43 of 50 r12
+# slots — rotation still outpaces additions (r10 verdict item 6), and
+# r12 clears the pre-r4 evidence backlog entirely.
 VERIFY_FIRST = _R11_HEAD + STALE_EVIDENCE_R2R3[:41]
-VERIFY_NEXT = ["cdc_gear_chunk_dedup"] + STALE_EVIDENCE_R2R3[41:]
+VERIFY_NEXT = [
+    "cdc_gear_chunk_dedup",
+    "graph_triangle_count",
+    "repeated_substring_spans",
+    "hll_source_cardinality",
+] + STALE_EVIDENCE_R2R3[41:]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

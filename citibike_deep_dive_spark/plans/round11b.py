@@ -1,0 +1,427 @@
+"""Round-11 batch 2: three integer-exact families — triangle counting,
+exact repeated-substring spans, and HyperLogLog registers.
+
+All three are deliberately transcendental-free (the round-11 rule:
+no new libm-quantized surfaces until the heaps_moments_probe verdict
+lands — SCALE.md §Round-11):
+
+- ``graph_triangle_count`` completes the graph-analytics surface (CC,
+  label-prop, PageRank, modularity, k-core, rich-club, assortativity,
+  Adamic-Adar) with the classic distributed-graph benchmark op:
+  per-node triangle participation and local clustering coefficient on
+  the mutual-kNN embedding graph.
+- ``repeated_substring_spans`` is the EXACT-substring dedup family
+  (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+  Better"): per-document spans covered by 16-char grams that occur
+  more than once in the corpus, merged into maximal islands — the
+  character-exact complement to shingle/minhash (token-approximate)
+  and CDC (chunk-grain) dedup.
+- ``hll_source_cardinality`` is the canonical mergeable cardinality
+  sketch (Flajolet et al. 2007): m=64 leading-zero registers per
+  source over the portable 60-bit hash, raw estimate computed by pure
+  integer long division against the exact distinct count side by side
+  — the scale path for COUNT(DISTINCT) where exact is unaffordable,
+  next to the KMV sketch (kmv_sketch_set_ops) it complements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.lineage import truncate_lineage
+from ..functions.portable import portable_hash64, portable_hash64_sql
+from .catalog import register, table
+
+# ---------------------------------------------------------------------------
+# Triangle counting + local clustering on the mutual-kNN graph
+# ---------------------------------------------------------------------------
+
+
+def _tri_oracle() -> str:
+    from .training import _cos_sql
+
+    cos = _cos_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH scored AS (
+        SELECT a.label, a.vec_id AS src, b.vec_id AS dst, {cos} AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    knn AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY src
+                                         ORDER BY cos_sim DESC, dst) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    ),
+    pairs AS (
+        SELECT f.src AS a, f.dst AS b
+        FROM knn f JOIN knn r ON f.src = r.dst AND f.dst = r.src
+        WHERE f.src < f.dst
+    ),
+    sym AS (SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b, a FROM pairs),
+    deg AS (SELECT s AS id, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY 1),
+    tri AS (
+        SELECT p1.a AS x, p1.b AS y, p2.b AS z
+        FROM pairs p1
+        JOIN pairs p2 ON p1.b = p2.a
+        JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b
+    ),
+    tn AS (
+        SELECT x AS id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ),
+    pernode AS (SELECT id, CAST(count(*) AS BIGINT) AS t FROM tn GROUP BY 1),
+    outp AS (
+        SELECT d.id AS node_id, d.dg AS degree,
+               COALESCE(p.t, 0) AS n_triangles,
+               CASE WHEN d.dg >= 2 THEN
+                    (2 * (2000000 * COALESCE(p.t, 0)) + d.dg * (d.dg - 1))
+                    // (2 * d.dg * (d.dg - 1))
+                    ELSE 0 END AS clustering_micro
+        FROM deg d LEFT JOIN pernode p ON d.id = p.id
+    )
+    SELECT node_id, degree, n_triangles,
+           CAST(clustering_micro AS BIGINT) AS clustering_micro
+    FROM outp
+    ORDER BY n_triangles DESC, node_id
+    LIMIT 20
+    """
+
+
+@register("graph_triangle_count", _tri_oracle(), tags=("X-triangles",))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient
+    C(v) = 2T(v) / (d(v)(d(v)-1)) on the mutual-kNN embedding graph —
+    the classic distributed-graph benchmark operator and the dedup
+    reading of transitivity: triangles are near-dup clusters already
+    closed under mutual similarity (a high-clustering node sits inside
+    a clique-like duplicate group; a high-degree low-clustering node is
+    a hub LSH banding would over-bucket).
+
+    Enumeration is the canonical ordered form: canonical a<b edges
+    joined as a<b<c paths (p1.b = p2.a) closed by the (p1.a, p2.b)
+    edge — each triangle counted exactly once, no orientation pass.
+    The clustering ratio is pure integer long division (the r11 rule),
+    zero floats anywhere downstream of the kNN build. Scale shape: the
+    cell-restricted mutual-kNN edge build (shared, driver-proven since
+    r8); the path join shuffles on vertex id — at production scale the
+    standard hedge is degree-ordering the orientation so hub fan-out is
+    bounded by sqrt(edges) (documented, not needed at the 2k-bounded
+    mutual-kNN degrees where max fan-out is 10); triangle rows then
+    explode 3x into a map-side-combined per-node count. cf. reference
+    has no graph surface; extension family (SURVEY §2 extensions)."""
+    from .round6 import mutual_knn_pairs
+
+    pairs = truncate_lineage(
+        mutual_knn_pairs(spark, sf_dir).select(
+            F.col("id_a").alias("a"), F.col("id_b").alias("b")
+        ),
+        eager=False,
+    )  # read by sym-degrees and three self-join aliases
+    sym = pairs.select(F.col("a").alias("id")).unionAll(
+        pairs.select(F.col("b").alias("id"))
+    )
+    deg = sym.groupBy("id").agg(F.count("*").cast("long").alias("dg"))
+    p1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    p2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    p3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = p1.join(p2, "y").join(p3, ["x", "z"])
+    tn = (
+        tri.select(F.col("x").alias("id"))
+        .unionAll(tri.select(F.col("y").alias("id")))
+        .unionAll(tri.select(F.col("z").alias("id")))
+    )
+    pernode = tn.groupBy("id").agg(F.count("*").cast("long").alias("t"))
+    out = (
+        deg.join(pernode, "id", "left")
+        .withColumn("t", F.coalesce("t", F.lit(0)))
+        .select(
+            F.col("id").alias("node_id"),
+            F.col("dg").alias("degree"),
+            F.col("t").alias("n_triangles"),
+            F.expr(
+                "CAST(CASE WHEN dg >= 2 THEN"
+                " (2 * (2000000 * t) + dg * (dg - 1))"
+                " div (2 * dg * (dg - 1))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("clustering_micro"),
+        )
+    )
+    return out.orderBy(F.desc("n_triangles"), "node_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring spans (Lee et al. 2021 substring dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_L = 16  # gram width in chars; spans are unions of repeated grams
+
+
+def _spans_oracle() -> str:
+    return f"""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(generate_series(1, length(text) - {_SPAN_L - 1})) AS pos,
+               text
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, pos,
+               substring(text, CAST(pos AS INT), {_SPAN_L}) AS g
+        FROM grams
+    ),
+    counts AS (SELECT g, count(*) AS c FROM keyed GROUP BY g),
+    rep AS (
+        SELECT k.doc_id, k.pos
+        FROM keyed k JOIN counts c ON k.g = c.g
+        WHERE c.c > 1
+    ),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos > lag(pos) OVER w + {_SPAN_L}
+                    THEN 1 ELSE 0 END AS new_island
+        FROM rep
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    islanded AS (
+        SELECT doc_id, pos,
+               sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, island,
+               max(pos) + {_SPAN_L - 1} - min(pos) + 1 AS span_len
+        FROM islanded GROUP BY doc_id, island
+    ),
+    perdoc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(span_len) AS BIGINT) AS covered_chars
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+           p.n_spans, p.covered_chars,
+           CAST((2 * 1000000 * p.covered_chars + length(d.text))
+                // (2 * length(d.text)) AS BIGINT) AS coverage_micro
+    FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id
+    ORDER BY coverage_micro DESC, d.doc_id
+    LIMIT 20
+    """
+
+
+@register("repeated_substring_spans", _spans_oracle(), tags=("X-substring-dedup",))
+def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring coverage (Lee et al. 2021's ExactSubstr
+    dedup, anchor form): every 16-char gram occurring more than once in
+    the corpus marks its positions; per document, marked positions
+    within gram-width of each other merge into maximal contiguous
+    ISLANDS (their 16-char windows union into one span), and documents
+    rank by the fraction of their characters covered by repeated spans
+    — the character-exact dedup signal that catches verbatim
+    boilerplate shingle/minhash dilutes and CDC only sees at chunk
+    grain. The production suffix-array method finds the same spans;
+    the gram-anchor form is its distributed approximation with
+    one-sided error only at span EDGES (< gram width), never missing a
+    repeat >= 16 chars.
+
+    Integer-exact throughout: positions, island ids (a lag/cumsum
+    window pair), span unions (contiguity is guaranteed because
+    consecutive marked positions <= 16 apart have overlapping or
+    touching windows), and a long-division coverage ratio. Scale
+    shape: one linear gram explode (rows = chars, like CDC); the gram
+    count groupBy is map-side combined (md5-uniform keys); the
+    repeated-position join shuffles on the gram key; island windows
+    partition by doc_id; the final ranking is TakeOrderedAndProject.
+    At 100 TB the gram count frame prunes to count>1 before the join —
+    the overwhelmingly common unique grams never shuffle twice."""
+    docs = table(spark, sf_dir, "documents")
+    keyed = truncate_lineage(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.length("text") >= _SPAN_L,
+                    F.expr(
+                        f"transform(sequence(1, length(text) - {_SPAN_L - 1}),"
+                        f" i -> struct(i AS pos,"
+                        f" substring(text, i, {_SPAN_L}) AS g))"
+                    ),
+                ).otherwise(F.array())
+            ).alias("pg"),
+        ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g")),
+        eager=False,
+    )
+    counts = keyed.groupBy("g").agg(F.count("*").alias("c"))
+    rep = keyed.join(counts.filter(F.col("c") > 1).select("g"), "g").select(
+        "doc_id", "pos"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = rep.withColumn(
+        "new_island",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + _SPAN_L),
+            1,
+        ).otherwise(0),
+    )
+    islanded = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = islanded.groupBy("doc_id", "island").agg(
+        (F.max("pos") + _SPAN_L - 1 - F.min("pos") + 1).alias("span_len")
+    )
+    perdoc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("span_len").cast("long").alias("covered_chars"),
+    )
+    out = perdoc.join(
+        docs.select("doc_id", F.length("text").cast("long").alias("n_chars")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "n_chars",
+        "n_spans",
+        "covered_chars",
+        F.expr(
+            "CAST((2 * 1000000 * covered_chars + n_chars)"
+            " div (2 * n_chars) AS BIGINT)"
+        ).alias("coverage_micro"),
+    )
+    return out.orderBy(F.desc("coverage_micro"), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers per source (raw estimate vs exact, side by side)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # registers (p = 6); raw std error 1.04/sqrt(64) ~ 13%
+_HLL_RMAX = 55  # rank when the 54 remaining hash bits are all zero
+_POW2_RMAX = 1 << _HLL_RMAX
+# alpha_64 * m^2 * 2^55, alpha in micro units (0.709390 for m=64):
+# 709390 * 64 * 64 * 2^55 — exact integer, embedded as a decimal literal
+_HLL_NUM = 709390 * _HLL_M * _HLL_M * _POW2_RMAX
+
+
+def _hll_oracle() -> str:
+    h = portable_hash64_sql("tok")
+    return f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT source, tok, {h} AS h FROM toks
+    ),
+    ranked AS (
+        SELECT source, h % {_HLL_M} AS bucket,
+               CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_RMAX}
+                    ELSE {_HLL_RMAX} - length(bin(h // {_HLL_M})) END AS rho
+        FROM hashed
+    ),
+    regs AS (
+        SELECT source, bucket, max(rho) AS m_j
+        FROM ranked GROUP BY source, bucket
+    ),
+    sums AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_present,
+               CAST(sum(1::BIGINT << ({_HLL_RMAX} - m_j)) AS BIGINT) AS s_present
+        FROM regs GROUP BY source
+    ),
+    exact AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_exact
+        FROM toks GROUP BY source
+    )
+    SELECT e.source, e.n_tokens, e.n_distinct_exact,
+           CAST({_HLL_M} - s.n_present AS BIGINT) AS n_zero_registers,
+           CAST((2 * {_HLL_NUM}::HUGEINT
+                 + 1000000::HUGEINT * (s.s_present
+                     + ({_HLL_M} - s.n_present) * {_POW2_RMAX}::HUGEINT))
+                // (2 * 1000000::HUGEINT * (s.s_present
+                     + ({_HLL_M} - s.n_present) * {_POW2_RMAX}::HUGEINT))
+                AS BIGINT) AS hll_estimate
+    FROM exact e JOIN sums s ON e.source = s.source
+    ORDER BY e.source
+    """
+
+
+@register("hll_source_cardinality", _hll_oracle(), tags=("X-hll",))
+def hll_source_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality registers per source (Flajolet et al.
+    2007), reported NEXT TO the exact distinct count so the estimate is
+    auditable: bucket = low 6 bits of the portable 60-bit hash, rank =
+    leading-zero position of the remaining 54 bits (computed as
+    55 - bitlength via bin(), an exact string op both engines share),
+    registers = per-bucket max rank — the mergeable sketch that replaces
+    COUNT(DISTINCT) at 100 TB (registers combine with element-wise max
+    across shards/streams; the shuffle carries at most m=64 rows per
+    source, not the token stream). The raw estimate
+    alpha_m * m^2 / sum(2^-M_j) is computed by PURE INTEGER long
+    division: sum(2^-M_j) = S / 2^55 with S an exact BIGINT (empty
+    buckets contribute 2^55 each), and the alpha*m^2*2^55 numerator is
+    a precomputed integer constant in micro units — no transcendental,
+    no float (the r11 rule). The documented estimator bias below
+    2.5*m is visible in the emitted n_zero_registers; the linear-
+    counting correction needs ln() and is deliberately left to the
+    consumer. Complements the KMV sketch (kmv_sketch_set_ops): KMV
+    gives set-operation cardinalities, HLL gives the cheapest mergeable
+    single-set counter. Scale shape: token explode -> (source, bucket)
+    groupBy, map-side combined (64 buckets x sources); everything after
+    is metadata-scale. The exact side exists for audit at test SF and
+    would be dropped at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    toks = truncate_lineage(
+        docs.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        ),
+        eager=False,
+    )  # read by both the sketch and the exact audit side
+    hashed = toks.withColumn("h", portable_hash64(F.col("tok")))
+    rem = F.expr(f"h div {_HLL_M}")
+    ranked = hashed.select(
+        "source",
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.when(rem == 0, F.lit(_HLL_RMAX))
+        .otherwise(F.lit(_HLL_RMAX) - F.length(F.bin(rem)))
+        .alias("rho"),
+    )
+    regs = ranked.groupBy("source", "bucket").agg(F.max("rho").alias("m_j"))
+    sums = regs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_present"),
+        F.sum(F.expr(f"CAST(1 AS BIGINT) << ({_HLL_RMAX} - m_j)"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    exact = toks.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("tok").cast("long").alias("n_distinct_exact"),
+    )
+    s_full = (
+        F.col("s_present").cast("decimal(38,0)")
+        + (F.lit(_HLL_M) - F.col("n_present")) * F.lit(_POW2_RMAX).cast("decimal(38,0)")
+    )
+    return (
+        exact.join(sums, "source")
+        .withColumn("s_full", s_full)
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct_exact",
+            (F.lit(_HLL_M) - F.col("n_present")).cast("long").alias(
+                "n_zero_registers"
+            ),
+            F.expr(
+                f"CAST((2 * CAST('{_HLL_NUM}' AS DECIMAL(38,0))"
+                f" + 1000000 * s_full) div (2 * 1000000 * s_full) AS BIGINT)"
+            ).alias("hll_estimate"),
+        )
+        .orderBy("source")
+    )
