@@ -109,6 +109,15 @@ QUERIES = [
     # within-replica chunk-duplicate structure and decorrelate the
     # cross-replica signature space)
     "cdc_gear_chunk_dedup",
+    # round-11 batch 2: the char-grain gram explode + island windows
+    # and the token-grain register sketch. graph_triangle_count is
+    # EXCLUDED like the rest of the mutual-kNN family (rich_club,
+    # assortativity): the replica derivation keeps the label-cell count
+    # fixed, so the within-cell pair scan grows 100x at sf1 — an
+    # artifact of the derivation, not the operator (cells ∝ corpus at
+    # true scale; the knn_shapley entries carry the same note).
+    "repeated_substring_spans",
+    "hll_source_cardinality",
 ]
 
 ALPHA = string.ascii_lowercase

@@ -161,6 +161,7 @@ _SPAN_L = 16  # gram width in chars; spans are unions of repeated grams
 
 
 def _spans_oracle() -> str:
+    gh = portable_hash64_sql(f"substring(text, CAST(pos AS INT), {_SPAN_L})")
     return f"""
     WITH grams AS (
         SELECT doc_id,
@@ -169,15 +170,14 @@ def _spans_oracle() -> str:
         FROM documents
     ),
     keyed AS (
-        SELECT doc_id, pos,
-               substring(text, CAST(pos AS INT), {_SPAN_L}) AS g
+        SELECT doc_id, pos, {gh} AS gh
         FROM grams
     ),
-    counts AS (SELECT g, count(*) AS c FROM keyed GROUP BY g),
     rep AS (
-        SELECT k.doc_id, k.pos
-        FROM keyed k JOIN counts c ON k.g = c.g
-        WHERE c.c > 1
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS c
+            FROM keyed
+        ) WHERE c > 1
     ),
     flagged AS (
         SELECT doc_id, pos,
@@ -232,12 +232,16 @@ def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     window pair), span unions (contiguity is guaranteed because
     consecutive marked positions <= 16 apart have overlapping or
     touching windows), and a long-division coverage ratio. Scale
-    shape: one linear gram explode (rows = chars, like CDC); the gram
-    count groupBy is map-side combined (md5-uniform keys); the
-    repeated-position join shuffles on the gram key; island windows
-    partition by doc_id; the final ranking is TakeOrderedAndProject.
-    At 100 TB the gram count frame prunes to count>1 before the join —
-    the overwhelmingly common unique grams never shuffle twice."""
+    shape: one linear gram explode (rows = chars, like CDC), with
+    grams HASHED TO 60-BIT LONGS map-side before anything shuffles —
+    the count groupBy and the repeated-position join move 8-byte keys,
+    not 16-char strings (the A/B at sf1 cut warm time ~3x; a false
+    repeat needs a 60-bit collision, ~n^2/2^61, and a second hash
+    window doubles the bits if a 100 TB corpus needs it); island
+    windows partition by doc_id; the final ranking is
+    TakeOrderedAndProject. At 100 TB the gram count frame prunes to
+    count>1 before the join — the overwhelmingly common unique grams
+    never shuffle twice."""
     docs = table(spark, sf_dir, "documents")
     keyed = truncate_lineage(
         docs.select(
@@ -252,12 +256,22 @@ def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 ).otherwise(F.array())
             ).alias("pg"),
-        ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g")),
+        ).select(
+            "doc_id",
+            F.col("pg.pos").alias("pos"),
+            portable_hash64(F.col("pg.g")).alias("gh"),
+        ),
         eager=False,
     )
-    counts = keyed.groupBy("g").agg(F.count("*").alias("c"))
-    rep = keyed.join(counts.filter(F.col("c") > 1).select("g"), "g").select(
-        "doc_id", "pos"
+    # repeated positions via ONE count-over-window on the hash key —
+    # the groupBy+join-back form shuffled the gram frame twice (once to
+    # count, once to join); the window moves it once (sf1 A/B below)
+    rep = (
+        keyed.withColumn(
+            "c", F.count("*").over(Window.partitionBy("gh"))
+        )
+        .filter(F.col("c") > 1)
+        .select("doc_id", "pos")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     flagged = rep.withColumn(
@@ -316,8 +330,9 @@ def _hll_oracle() -> str:
         SELECT source, unnest(string_split(lower(text), ' ')) AS tok
         FROM documents
     ),
+    dist AS (SELECT DISTINCT source, tok FROM toks),
     hashed AS (
-        SELECT source, tok, {h} AS h FROM toks
+        SELECT source, {h} AS h FROM dist
     ),
     ranked AS (
         SELECT source, h % {_HLL_M} AS bucket,
@@ -336,11 +351,14 @@ def _hll_oracle() -> str:
         FROM regs GROUP BY source
     ),
     exact AS (
-        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
-               CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_exact
+        SELECT source, CAST(count(*) AS BIGINT) AS n_distinct_exact
+        FROM dist GROUP BY source
+    ),
+    sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
         FROM toks GROUP BY source
     )
-    SELECT e.source, e.n_tokens, e.n_distinct_exact,
+    SELECT e.source, z.n_tokens, e.n_distinct_exact,
            CAST({_HLL_M} - s.n_present AS BIGINT) AS n_zero_registers,
            CAST((2 * {_HLL_NUM}::HUGEINT
                  + 1000000::HUGEINT * (s.s_present
@@ -349,6 +367,7 @@ def _hll_oracle() -> str:
                      + ({_HLL_M} - s.n_present) * {_POW2_RMAX}::HUGEINT))
                 AS BIGINT) AS hll_estimate
     FROM exact e JOIN sums s ON e.source = s.source
+    JOIN sizes z ON e.source = z.source
     ORDER BY e.source
     """
 
@@ -383,8 +402,16 @@ def hll_source_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
         ),
         eager=False,
-    )  # read by both the sketch and the exact audit side
-    hashed = toks.withColumn("h", portable_hash64(F.col("tok")))
+    )  # read by the distinct set and the multiset size
+    # ONE string shuffle: registers and the exact count both derive
+    # from the distinct (source, tok) set — max-of-rank over a multiset
+    # equals max over its support, so hashing only distinct tokens is
+    # value-identical and the sf1 A/B showed the duplicate-token md5 +
+    # second string shuffle dominating the original two-pass form.
+    dist = truncate_lineage(
+        toks.distinct(), eager=False
+    )  # read by regs and the exact audit count
+    hashed = dist.select("source", portable_hash64(F.col("tok")).alias("h"))
     rem = F.expr(f"h div {_HLL_M}")
     ranked = hashed.select(
         "source",
@@ -400,9 +427,11 @@ def hll_source_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s_present"),
     )
-    exact = toks.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_tokens"),
-        F.countDistinct("tok").cast("long").alias("n_distinct_exact"),
+    exact = dist.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_distinct_exact")
+    ).join(
+        toks.groupBy("source").agg(F.count("*").cast("long").alias("n_tokens")),
+        "source",
     )
     s_full = (
         F.col("s_present").cast("decimal(38,0)")
