@@ -252,13 +252,25 @@ _TWO_PI = 6.283185307179586  # 2*pi as an exact IEEE double, both engines
                    - 32768 AS s
         FROM samp
     ),
+    trig AS (
+        SELECT n, j,
+               CAST(round(cos({_TWO_PI} * j / n) * 1000000) AS BIGINT) AS qc,
+               CAST(round(sin({_TWO_PI} * j / n) * 1000000) AS BIGINT) AS qs
+        FROM (
+            SELECT n, unnest(generate_series(0, n - 1)) AS j
+            FROM (SELECT DISTINCT n FROM dims)
+        )
+    ),
+    fan AS (
+        SELECT media_id, n, idx, s,
+               unnest(generate_series(1, n // 2)) AS k
+        FROM vals
+    ),
     terms AS (
-        SELECT media_id, n, k,
-               s * CAST(round(cos({_TWO_PI} * k * idx / n) * 1000000)
-                        AS BIGINT) AS tc,
-               s * CAST(round(sin({_TWO_PI} * k * idx / n) * 1000000)
-                        AS BIGINT) AS ts
-        FROM vals, unnest(generate_series(1, n // 2)) kk(k)
+        SELECT f.media_id, f.n, f.k,
+               f.s * t.qc AS tc, f.s * t.qs AS ts
+        FROM fan f JOIN trig t
+          ON t.n = f.n AND t.j = (f.k * f.idx) % f.n
     ),
     bins AS (
         SELECT media_id, n, k, sum(tc) AS re, sum(ts) AS im
@@ -325,21 +337,45 @@ def multimodal_wav_spectral_features(spark: SparkSession, sf_dir: str) -> DataFr
 
     docs = table(spark, sf_dir, "documents")
     samp = wav_sample_rows(synthesize_wav_media(docs))
-    ang = (
-        F.lit(_TWO_PI) * F.col("k") * F.col("idx") / F.col("n")
+    # Angle reduction: cos(2*pi*k*idx/n) = cos(2*pi*j/n) with
+    # j = (k*idx) mod n, so the trig surface is a TINY dimension
+    # (distinct n values x n angles each, ~3.5k rows) evaluated once
+    # and broadcast — the hot n^2-term fan-out does one integer mod +
+    # hash lookup + integer multiply per term instead of two libm
+    # calls + rounds (sf0.1 A/B below). Identical reduction on the
+    # oracle side, so parity holds by construction — and the libm-risk
+    # surface SHRINKS to the few thousand distinct angles.
+    ang = F.lit(_TWO_PI) * F.col("j") / F.col("n")
+    trig = (
+        samp.select("n")
+        .distinct()
+        .select(
+            "n", F.explode(F.expr("sequence(0, CAST(n - 1 AS INT))")).alias("j")
+        )
+        .select(
+            "n",
+            F.col("j").cast("long").alias("j"),
+            F.round(F.cos(ang) * 1000000.0, 0).cast("long").alias("qc"),
+            F.round(F.sin(ang) * 1000000.0, 0).cast("long").alias("qs"),
+        )
     )
-    terms = samp.select(
-        "media_id",
-        "n",
-        "s",
-        "idx",
-        F.explode(F.expr("sequence(1, CAST(n div 2 AS INT))")).alias("k"),
-    ).select(
-        "media_id",
-        "n",
-        "k",
-        (F.col("s") * F.round(F.cos(ang) * 1000000.0, 0).cast("long")).alias("tc"),
-        (F.col("s") * F.round(F.sin(ang) * 1000000.0, 0).cast("long")).alias("ts"),
+    terms = (
+        samp.select(
+            "media_id",
+            "n",
+            "s",
+            "idx",
+            F.explode(F.expr("sequence(1, CAST(n div 2 AS INT))")).alias("k"),
+        )
+        .withColumn("j", (F.col("k") * F.col("idx")) % F.col("n"))
+        .join(F.broadcast(trig), ["n", "j"])
+        .select(
+            "media_id",
+            "n",
+            "k",
+            (F.col("s") * F.col("qc")).alias("tc"),
+            (F.col("s") * F.col("qs")).alias("ts"),
+        )
     )
     bins = terms.groupBy("media_id", "n", "k").agg(
         F.sum("tc").alias("re"), F.sum("ts").alias("im")

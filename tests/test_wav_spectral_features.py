@@ -30,11 +30,11 @@ def _features(mid: int):
     ps = {}
     for k in range(1, n // 2 + 1):
         re = sum(
-            s[t] * _half_away(math.cos(_TWO_PI * k * t / n) * 1e6)
+            s[t] * _half_away(math.cos(_TWO_PI * ((k * t) % n) / n) * 1e6)
             for t in range(n)
         )
         im = sum(
-            s[t] * _half_away(math.sin(_TWO_PI * k * t / n) * 1e6)
+            s[t] * _half_away(math.sin(_TWO_PI * ((k * t) % n) / n) * 1e6)
             for t in range(n)
         )
         ps[k] = re * re + im * im
