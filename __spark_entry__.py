@@ -164,22 +164,25 @@ STALE_EVIDENCE_R2R3 = [
 ]
 
 # r11 verify queues (50-slot budget): head + first 41 stale rotations;
-# next round (r12) leads with the four r11 catalog adds (the
+# next round (r12) leads with the five r11 catalog adds (the
 # new-adds-verify-next-round rule; all preflight-exact and ALL
 # deliberately integer-only — no new transcendental surfaces until the
 # heaps probe verdict): cdc_gear_chunk_dedup (content-defined chunking
 # dedup), graph_triangle_count (triangles + clustering on the
 # mutual-kNN graph), repeated_substring_spans (Lee 2021 exact-substring
 # dedup), hll_source_cardinality (HyperLogLog registers, integer-exact
-# estimate vs exact audit). Then the 39-name stale tail: 43 of 50 r12
-# slots — rotation still outpaces additions (r10 verdict item 6), and
-# r12 clears the pre-r4 evidence backlog entirely.
+# estimate vs exact audit), soundex_token_blocks (phonetic blocking —
+# the record-linkage partition key that bounds fuzzy dedup). Then the
+# 39-name stale tail: 44 of 50 r12 slots — rotation still outpaces
+# additions (r10 verdict item 6), and r12 clears the pre-r4 evidence
+# backlog entirely.
 VERIFY_FIRST = _R11_HEAD + STALE_EVIDENCE_R2R3[:41]
 VERIFY_NEXT = [
     "cdc_gear_chunk_dedup",
     "graph_triangle_count",
     "repeated_substring_spans",
     "hll_source_cardinality",
+    "soundex_token_blocks",
 ] + STALE_EVIDENCE_R2R3[41:]
 
 

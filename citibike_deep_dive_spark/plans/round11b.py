@@ -1,7 +1,8 @@
-"""Round-11 batch 2: three integer-exact families — triangle counting,
-exact repeated-substring spans, and HyperLogLog registers.
+"""Round-11 batch 2: four integer/string-exact families — triangle
+counting, exact repeated-substring spans, HyperLogLog registers, and
+phonetic (Soundex) blocking.
 
-All three are deliberately transcendental-free (the round-11 rule:
+All four are deliberately transcendental-free (the round-11 rule:
 no new libm-quantized surfaces until the heaps_moments_probe verdict
 lands — SCALE.md §Round-11):
 
@@ -22,6 +23,10 @@ lands — SCALE.md §Round-11):
   integer long division against the exact distinct count side by side
   — the scale path for COUNT(DISTINCT) where exact is unaffordable,
   next to the KMV sketch (kmv_sketch_set_ops) it complements.
+- ``soundex_token_blocks`` is record-linkage BLOCKING: phonetic codes
+  as the partition key that turns all-pairs edit-distance dedup
+  (fuzzy_dedup_levenshtein) into bounded within-block work — the text
+  analog of LSH banding, in pure deterministic string algebra.
 """
 
 from __future__ import annotations
@@ -454,3 +459,95 @@ def hll_source_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Phonetic blocking (Soundex) — the blocking-key primitive for fuzzy dedup
+# ---------------------------------------------------------------------------
+
+_SOUNDEX_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_SOUNDEX_TO = "01230120022455012623010202"  # simplified: H,W coded 0 like vowels
+
+
+def _soundex_sql(expr: str) -> str:
+    s = f"translate(upper({expr}), '{_SOUNDEX_FROM}', '{_SOUNDEX_TO}')"
+    # collapse runs per digit — RE2 (DuckDB) has no backreferences, so
+    # the (.)\1+ form is unavailable; seven fixed patterns are portable
+    for d in "0123456":
+        s = f"regexp_replace({s}, '{d}+', '{d}', 'g')"
+    return (
+        f"upper(substring({expr}, 1, 1)) || "
+        f"substring(replace(substring({s}, 2), '0', '') || '000', 1, 3)"
+    )
+
+
+def _soundex_spark(col):
+    s = F.translate(F.upper(col), _SOUNDEX_FROM, _SOUNDEX_TO)
+    for d in "0123456":
+        s = F.regexp_replace(s, f"{d}+", d)
+    return F.concat(
+        F.upper(F.substring(col, 1, 1)),
+        F.substring(
+            F.concat(F.regexp_replace(F.substring(s, 2, 1000), "0", ""), F.lit("000")),
+            1,
+            3,
+        ),
+    )
+
+
+@register(
+    "soundex_token_blocks",
+    f"""
+    WITH toks AS (
+        SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    alpha AS (SELECT tok FROM toks WHERE regexp_matches(tok, '^[a-z]+$')),
+    coded AS (SELECT tok, {_soundex_sql('tok')} AS code FROM alpha),
+    blocks AS (
+        SELECT code,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               min(tok) AS sample_token,
+               CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS pairs_bound
+        FROM coded GROUP BY code
+    )
+    SELECT code, n_tokens, sample_token, pairs_bound
+    FROM blocks
+    ORDER BY n_tokens DESC, code
+    LIMIT 20
+    """,
+    tags=("X-phonetic-blocking",),
+)
+def soundex_token_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking for fuzzy entity/vocabulary dedup: Soundex
+    codes (simplified American variant — H/W coded as vowels, the
+    documented difference from the archival rule) over the distinct
+    alphabetic vocabulary, reporting the 20 largest blocks with their
+    within-block pair bound n(n-1)/2. Blocking is the primitive that
+    makes edit-distance dedup scale: fuzzy_dedup_levenshtein compares
+    all candidate pairs, and a phonetic block key turns that O(n^2)
+    into sum-over-blocks(b^2) — same-sounding typo variants land in
+    one block, so the expensive comparison only runs where a match is
+    plausible (classic record-linkage blocking; the text analog of LSH
+    banding for edit distance).
+
+    Deterministic string algebra on both engines: translate() to digit
+    codes, run-collapse via seven fixed per-digit regexp_replace passes
+    (RE2 has no backreferences, so the (.)\\1+ form is deliberately
+    avoided), vowel-drop, pad to 4. Zero floats, zero transcendentals.
+    Scale shape: one token explode -> distinct (the Heaps-bounded
+    vocabulary), per-row string codegen for the code, one
+    map-side-combined groupBy on the code, TakeOrderedAndProject."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    coded = toks.select("tok", _soundex_spark(F.col("tok")).alias("code"))
+    blocks = coded.groupBy("code").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.min("tok").alias("sample_token"),
+        (F.count("*") * (F.count("*") - 1) / 2).cast("long").alias("pairs_bound"),
+    )
+    return blocks.orderBy(F.desc("n_tokens"), "code").limit(20)

@@ -159,3 +159,48 @@ def test_hll_python_recompute_and_accuracy(spark):
             assert abs(lc - exact) <= max(0.35 * exact, 6)
         else:
             assert abs(est - exact) <= 0.55 * exact
+
+
+def _py_soundex(tok: str) -> str:
+    m = dict(zip("abcdefghijklmnopqrstuvwxyz", "01230120022455012623010202"))
+    mapped = "".join(m[c] for c in tok)
+    collapsed = []
+    for c in mapped:
+        if not collapsed or collapsed[-1] != c:
+            collapsed.append(c)
+    rest = "".join(collapsed)[1:].replace("0", "")
+    return tok[0].upper() + (rest + "000")[:3]
+
+
+def test_soundex_blocks_python_recompute(spark):
+    import re
+    from collections import defaultdict
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("text")
+        .collect()
+    )
+    vocab = set()
+    for d in docs:
+        vocab.update(
+            t for t in d["text"].lower().split(" ") if re.fullmatch("[a-z]+", t)
+        )
+    blocks = defaultdict(list)
+    for t in vocab:
+        blocks[_py_soundex(t)].append(t)
+    expected = sorted(
+        (
+            (len(ts), code, min(ts), len(ts) * (len(ts) - 1) // 2)
+            for code, ts in blocks.items()
+        ),
+        key=lambda r: (-r[0], r[1]),
+    )[:20]
+    rows = CATALOG["soundex_token_blocks"].build(spark, SF_DIR).collect()
+    got = [
+        (r["n_tokens"], r["code"], r["sample_token"], r["pairs_bound"])
+        for r in rows
+    ]
+    assert got == expected
+    # classic sanity vector (simplified H/W-as-vowel variant): Robert
+    assert _py_soundex("robert") == "R163"
