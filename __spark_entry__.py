@@ -9,17 +9,39 @@ The catalog itself lives in ``citibike_deep_dive_spark.plans`` — one
 QuerySpec per implemented operator from SURVEY.md §2 plus the
 training-data extensions (dedup / similarity / text / multimodal /
 streaming-analog).
+
+Verify ordering (r12, VERDICT r11 item 7): the order is now DERIVED
+from the CORRECTNESS_r*.json history at import time instead of a
+hand-maintained list — the evidence-age invariant ("no query's last
+green row may be older than N rounds") is code, not prose:
+
+1. queries whose LATEST driver row is red (fix verification first —
+   this round: the heaps family, rewritten to integer anchors);
+2. PINNED_SURFACES — the remaining micro-quantized-transcendental
+   queries (VERDICT r11 item 3): re-verified at the head of EVERY
+   rotation so a cross-build libm break is caught the round it happens;
+3. queries never driver-verified (the new-adds-verify-next-round rule —
+   this round: the five r11 adds);
+4. everything else by ascending last-green round (oldest evidence
+   first), alphabetical within a round — the rotation that cleared the
+   r2/r3 backlog in r11 and finishes it this round.
+
+Every entry is preflight.py-exact before commit.
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 from citibike_deep_dive_spark.plans import CATALOG  # noqa: E402
 
@@ -33,168 +55,75 @@ def entry(spark: SparkSession) -> DataFrame:
     return CATALOG["linegraph_conditional_counts"].build(spark, SMOKE_SF_DIR)
 
 
-# The driver's verify walks queries() in order with a bounded budget, so
-# ordering decides which entries get a hard CORRECTNESS row this round.
-# Round-11 ordering (VERDICT r10 items 1, 2, 3): (a) heaps_law_loglog_fit
-# — red in r9 AND r10 — now rewritten so both outputs are PURE INTEGER
-# long division off the exact moments (zero floats after the per-point
-# ln; plans/round8c.py), immediately followed by heaps_moments_probe
-# (NEW, plans/round11.py) which emits the raw integer moments: the
-# probe's green/red verdict bisects any remaining divergence to the
-# ln quantization upstream vs the (now impossible) division tail.
-# (b) the 7 never-driver-verified entries — the three r10 backlog
-# stragglers, then the four r10 adds; the heaps/probe head runs first
-# because three of these (viterbi / spectral / phash) share the
-# micro-quantized-transcendental pattern under bisection (verdict
-# "What's wrong #3"). multimodal_image_phash_buckets changed this round
-# (ADVICE: DC-only images now emit phash=0 rows — media-grain restored).
-# (c) the first 41 names of the frozen 80-name r2/r3 stale-evidence
-# rotation (verdict item 3 — ordered in r8, slipped twice, EXECUTING
-# now), §2 carriers first. 2 + 7 + 41 = 50 slots; the 39-name stale
-# tail heads r12 via VERIFY_NEXT. Every entry preflight.py-exact before
-# commit.
-_R11_HEAD = [
-    # (a) the two-round-old red row, all-integer rewrite + bisect probe
-    "heaps_law_loglog_fit",
-    "heaps_moments_probe",
-    # (b) never-driver-verified: r10 backlog stragglers first
-    "esd_outlier_rounds",
-    "lof_embedding_outliers",
-    "logrank_churn_arms",
-    # then the four round-10 adds (new-adds-verify-next-round rule);
-    # the three micro-quantized-transcendental ones run with the heaps
-    # bisect already decided earlier in this same driver pass
-    "unigram_lm_viterbi_segments",
-    "chrf_adjacent_doc_pairs",
+# The two surfaces that still carry micro-quantized transcendental math
+# (DFT trig table / DCT factors). The r11 heaps_moments_probe proved
+# cross-build libm divergence is a real failure mode, so these are
+# pinned at the head of every rotation until re-derived integer-exact
+# (VERDICT r11 item 3; determinism contract in SCALE.md).
+PINNED_SURFACES = [
     "multimodal_wav_spectral_features",
     "multimodal_image_phash_buckets",
 ]
 
 
-# The 80 queries whose LAST green driver row dates from rounds 2-3
-# (derived by folding CORRECTNESS_r0*.json: last green round per name,
-# keep <= 3; the r10 VERDICT independently recomputed this list and
-# confirmed it set-identical; all 80 re-validated builder-side by
-# preflight --all sweeps in r10 and again in r11, 0 problems). The r11
-# rotation executes NOW: the first 41 names fill VERIFY_FIRST after the
-# 9-entry head (2 + 7 + 41 = 50 slots); the 39-name tail is VERIFY_NEXT
-# and heads r12. Ordered with the verdict-named §2 carriers first, then
-# alphabetical.
-STALE_EVIDENCE_R2R3 = [
-    "linegraph_conditional_counts",
-    "heatmap_hourly_counts",
-    "dock_flow_full_outer",
-    "topk_per_group_window",
-    "anti_join_missing",
-    "correlated_scalar_subquery",
-    "exists_semi_join",
-    "not_in_subquery",
-    "multi_predicate_filter",
-    "conditional_pair_swap",
-    "left_join_enrich_default",
-    "additive_upsert_merge",
-    "anyvalue_deterministic",
-    "monthly_to_yearly_rollup",
-    "json_object_aggregate",
-    "json_array_collect",
-    "map_fold_merge",
-    "normalize_trips_pipeline",
-    "union_by_name",
-    "state_gate_new_periods",
-    "asof_join_latest_profile",
-    "boilerplate_prefix_scrub",
-    "case_value_normalization",
-    "conversion_funnel",
-    "corpus_shuffle_shards",
-    "corpus_top_ngrams",
-    "cross_split_contamination",
-    "cube_type_day",
-    "dedup_cluster_keepers",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_ngram_containment",
-    "deterministic_sample",
-    "distinct_aggregates",
-    "distinct_years_ordered",
-    "doc_chunking",
-    "doc_repetition_stats",
-    "embedding_l2_normalize",
-    "embedding_near_dup_sign_lsh",
-    "equi_depth_histogram",
-    "event_transition_matrix",
-    "fuzzy_dedup_levenshtein",
-    "group_count_min_time",
-    "grouping_sets_doc_counts",
-    "incremental_dedup_exact",
-    "incremental_dedup_neardup",
-    "ivf_fixed_centroid_assignment",
-    "json_extract_props",
-    "lag_lead_gaps",
-    "local_supplier_volume",
-    "multimodal_frame_sampling",
-    "multimodal_image_dimensions",
-    "order_priority_semi",
-    "per_group_quota_sample",
-    "pii_redaction",
-    "pricing_summary_report",
-    "promo_revenue_share",
-    "quality_percentile_gate",
-    "range_join_interval",
-    "retention_cohorts",
-    "returned_items_topk",
-    "rolling_7day_range_frame",
-    "rollup_year_month",
-    "running_total_frame",
-    "salted_skew_join",
-    "shipping_priority_topk",
-    "skew_salted_aggregate",
-    "text_fingerprints",
-    "text_language_id",
-    "text_quality_scores",
-    "text_token_counts",
-    "tfidf_top_terms",
-    "time_spine_gap_fill",
-    "token_packing",
-    "train_val_test_split",
-    "tumbling_window_hourly",
-    "unpivot_lineitem_measures",
-    "value_percentiles_exact",
-    "weighted_source_mix",
-    "zorder_clustering_buckets",
-]
+def _correctness_history() -> dict[str, tuple[int | None, int | None, bool]]:
+    """Fold CORRECTNESS_r*.json into {query: (last_green_round,
+    last_seen_round, latest_row_green)}. A row is green when every
+    *_match field present is true and err is null — rows-only entries
+    (no hash_match) count on their weaker rows+schema check, mirroring
+    the driver."""
+    hist: dict[str, tuple[int | None, int | None, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = row.get("err") is None and all(
+                row.get(k, True)
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            last_green, last_seen, _ = hist.get(name, (None, None, False))
+            if last_seen is None or rnd >= last_seen:
+                hist[name] = (
+                    rnd if green else last_green,
+                    rnd,
+                    green,
+                )
+            elif green and (last_green is None or rnd > last_green):
+                hist[name] = (rnd, last_seen, hist[name][2])
+    return hist
 
-# r11 verify queues (50-slot budget): head + first 41 stale rotations;
-# next round (r12) leads with the five r11 catalog adds (the
-# new-adds-verify-next-round rule; all preflight-exact and ALL
-# deliberately integer-only — no new transcendental surfaces until the
-# heaps probe verdict): cdc_gear_chunk_dedup (content-defined chunking
-# dedup), graph_triangle_count (triangles + clustering on the
-# mutual-kNN graph), repeated_substring_spans (Lee 2021 exact-substring
-# dedup), hll_source_cardinality (HyperLogLog registers, integer-exact
-# estimate vs exact audit), soundex_token_blocks (phonetic blocking —
-# the record-linkage partition key that bounds fuzzy dedup). Then the
-# 39-name stale tail: 44 of 50 r12 slots — rotation still outpaces
-# additions (r10 verdict item 6), and r12 clears the pre-r4 evidence
-# backlog entirely.
-VERIFY_FIRST = _R11_HEAD + STALE_EVIDENCE_R2R3[:41]
-VERIFY_NEXT = [
-    "cdc_gear_chunk_dedup",
-    "graph_triangle_count",
-    "repeated_substring_spans",
-    "hll_source_cardinality",
-    "soundex_token_blocks",
-] + STALE_EVIDENCE_R2R3[41:]
+
+def verify_order() -> list[str]:
+    """Catalog names in driver-verify priority order (see module doc)."""
+    hist = _correctness_history()
+    reds = sorted(
+        n
+        for n, (_, seen, latest_green) in hist.items()
+        if n in CATALOG and seen is not None and not latest_green
+    )
+    pinned = [n for n in PINNED_SURFACES if n in CATALOG and n not in reds]
+    never = sorted(n for n in CATALOG if n not in hist)
+    taken = set(reds) | set(pinned) | set(never)
+    aged = sorted(
+        (n for n in CATALOG if n not in taken),
+        key=lambda n: (hist[n][0] if hist[n][0] is not None else -1, n),
+    )
+    return reds + pinned + never + aged
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions),
     ordered so the driver's bounded verify covers new ground each round."""
-    ordered: list[str] = []
-    for n in VERIFY_FIRST + VERIFY_NEXT:
-        if n in CATALOG and n not in ordered:
-            ordered.append(n)
-    ordered += [n for n in CATALOG if n not in set(ordered)]
-    return {name: CATALOG[name].build for name in ordered}
+    return {name: CATALOG[name].build for name in verify_order()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -783,9 +783,10 @@ def label_propagation(
         .distinct()
         .cache()
     )
-    labels = edges.select(F.col("s").alias("id")).distinct().select(
+    labels0 = edges.select(F.col("s").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
     ).cache()
+    labels = labels0
     for _ in range(iterations):
         counts = (
             edges.join(labels, edges["s"] == labels["id"])
@@ -802,6 +803,13 @@ def label_propagation(
                 "id", (F.lit(_LPA_KL) - F.col("score") % F.lit(_LPA_K)).alias("lbl")
             )
         )
+    # Release path (VERDICT r11 item 6 — the chrF lesson): the loop's
+    # truncate_lineage is EAGER, so by here the final label frame is
+    # materialized and no longer reads edges/labels0; without these
+    # unpersists the CacheManager holds both for the life of the
+    # driver, growing the storage tab on every rebuild in a sweep.
+    edges.unpersist()
+    labels0.unpersist()
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("community_size"))
     return (
         labels.join(sizes, "lbl")

@@ -35,6 +35,7 @@ with n = id % 50 + 20 samples and sample_rate = 8000 * (id % 3 + 1).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -234,6 +235,29 @@ def multimodal_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TWO_PI = 6.283185307179586  # 2*pi as an exact IEEE double, both engines
 
 
+def _q6(x: float) -> int:
+    """Build-time half-away-from-zero micro quantization — the same
+    convention the engines' round() used when the trig table was
+    computed engine-side, so the r12 literal-injection rewrite is
+    value-identical to the r11 plan."""
+    return int(math.floor(x * 1e6 + 0.5)) if x >= 0 else -int(math.floor(-x * 1e6 + 0.5))
+
+
+# r12 (VERDICT r11 item 3): the DFT trig table is now BUILD-TIME LITERAL
+# DATA — computed once here in Python and injected into BOTH the Spark
+# plan (createDataFrame) and the DuckDB oracle (VALUES), so no engine
+# libm call exists anywhere in the query. Parity is by construction:
+# both sides consume the identical integers generated by this one
+# process. 2,225 rows (sum of n over n in [20, 70)) — broadcast-sized,
+# and the production 32x32-resize variant's table is the same shape.
+_TRIG_ROWS = [
+    (n, j, _q6(math.cos(_TWO_PI * j / n)), _q6(math.sin(_TWO_PI * j / n)))
+    for n in range(_WAV_N_BASE, _WAV_N_BASE + _WAV_N_MOD)
+    for j in range(n)
+]
+_TRIG_VALUES_SQL = ",".join(f"({n},{j},{qc},{qs})" for n, j, qc, qs in _TRIG_ROWS)
+
+
 @register(
     "multimodal_wav_spectral_features",
     f"""
@@ -253,13 +277,9 @@ _TWO_PI = 6.283185307179586  # 2*pi as an exact IEEE double, both engines
         FROM samp
     ),
     trig AS (
-        SELECT n, j,
-               CAST(round(cos({_TWO_PI} * j / n) * 1000000) AS BIGINT) AS qc,
-               CAST(round(sin({_TWO_PI} * j / n) * 1000000) AS BIGINT) AS qs
-        FROM (
-            SELECT n, unnest(generate_series(0, n - 1)) AS j
-            FROM (SELECT DISTINCT n FROM dims)
-        )
+        SELECT CAST(n AS BIGINT) AS n, CAST(j AS BIGINT) AS j,
+               CAST(qc AS BIGINT) AS qc, CAST(qs AS BIGINT) AS qs
+        FROM (VALUES {_TRIG_VALUES_SQL}) AS t(n, j, qc, qs)
     ),
     fan AS (
         SELECT media_id, n, idx, s,
@@ -292,10 +312,7 @@ _TWO_PI = 6.283185307179586  # 2*pi as an exact IEEE double, both engines
                           AS BIGINT)
                 ELSE 0 END AS spectral_centroid_micro,
            CAST(min(CASE WHEN p = pmax THEN k END) AS INT) AS dominant_bin,
-           CASE WHEN max(p) > 0
-                THEN CAST(round(ln(CAST(max(p) AS DOUBLE)) * 1000000.0)
-                          AS BIGINT)
-                ELSE 0 END AS dominant_power_ln_micro,
+           CAST(max(p) AS VARCHAR) AS dominant_power_str,
            CASE WHEN sum(p) > 0
                 THEN CAST(round(CAST(sum(CASE WHEN k <= n // 8 THEN p
                                            ELSE 0 END) AS DOUBLE)
@@ -314,18 +331,19 @@ def multimodal_wav_spectral_features(spark: SparkSession, sf_dir: str) -> DataFr
     The Python worker only inverts the codec; every arithmetic stage is
     whole-stage codegen the oracle reproduces from the sample formula.
 
-    Determinism: each cos/sin TERM is micro-quantized to int64 before
-    any sum, so the DFT accumulates as exact integers in a fixed-free
-    order; squares ride decimal(38,0)/HUGEINT; each output is quantized
-    straight off one cast-divide. Argmax ties resolve to the smallest
-    bin via min-over-equals against a partitioned window max. RESIDUAL
-    RISK: per-term quantized trig is NOT fully version-proof — a 1-ulp
-    cos/sin divergence between JVM Math and a DuckDB build's libm at a
-    .5e-6 quantization boundary flips one term and the value hash, and
-    the final ln(max_p) micro-round shares the surface under bisection
-    by heaps_moments_probe (plans/round11.py). Parity is exact on local
-    DuckDB 1.0.0; keep this family out of long-unverified rotation
-    tails so any future hash break is immediately diagnosable.
+    Determinism (r12 contract — VERDICT r11 item 3): NO ENGINE LIBM
+    CALL EXISTS IN THIS QUERY. The micro-quantized trig table is
+    build-time literal data (_TRIG_ROWS, generated once in Python and
+    injected into both the Spark plan and the oracle's VALUES — parity
+    by construction, any libm), the DFT accumulates those exact int64
+    terms in a order-free sum, squares ride decimal(38,0)/HUGEINT, and
+    the former ln(max_p) output — the function heaps_moments_probe
+    convicted as cross-build divergent — is replaced by the exact
+    integer power emitted as a digit string (consumer takes the log).
+    The two remaining divisions (centroid / low-band ratio) are IEEE
+    cast+divide+round over identical integer inputs — deterministic on
+    any IEEE-754 engine, not libm. Argmax ties resolve to the smallest
+    bin via min-over-equals against a partitioned window max.
 
     Scale shape: decode is Arrow-batched per row; the term fan-out is
     n/2 bins x n samples per clip (bounded by clip length, linear in
@@ -339,25 +357,12 @@ def multimodal_wav_spectral_features(spark: SparkSession, sf_dir: str) -> DataFr
     samp = wav_sample_rows(synthesize_wav_media(docs))
     # Angle reduction: cos(2*pi*k*idx/n) = cos(2*pi*j/n) with
     # j = (k*idx) mod n, so the trig surface is a TINY dimension
-    # (distinct n values x n angles each, ~3.5k rows) evaluated once
-    # and broadcast — the hot n^2-term fan-out does one integer mod +
-    # hash lookup + integer multiply per term instead of two libm
-    # calls + rounds (sf0.1 A/B below). Identical reduction on the
-    # oracle side, so parity holds by construction — and the libm-risk
-    # surface SHRINKS to the few thousand distinct angles.
-    ang = F.lit(_TWO_PI) * F.col("j") / F.col("n")
-    trig = (
-        samp.select("n")
-        .distinct()
-        .select(
-            "n", F.explode(F.expr("sequence(0, CAST(n - 1 AS INT))")).alias("j")
-        )
-        .select(
-            "n",
-            F.col("j").cast("long").alias("j"),
-            F.round(F.cos(ang) * 1000000.0, 0).cast("long").alias("qc"),
-            F.round(F.sin(ang) * 1000000.0, 0).cast("long").alias("qs"),
-        )
+    # broadcast to the hot n^2-term fan-out (one integer mod + hash
+    # lookup + integer multiply per term). Since r12 the dimension is
+    # literal build-time data shared verbatim with the oracle's VALUES
+    # — zero engine libm calls remain in the plan.
+    trig = spark.createDataFrame(
+        _TRIG_ROWS, "n long, j long, qc long, qs long"
     )
     terms = (
         samp.select(
@@ -408,14 +413,11 @@ def multimodal_wav_spectral_features(spark: SparkSession, sf_dir: str) -> DataFr
         F.min(F.when(F.col("p") == F.col("pmax"), F.col("k")))
         .cast("int")
         .alias("dominant_bin"),
-        F.when(
-            F.max("p") > 0,
-            F.round(F.log(F.max("p").cast("double")) * 1000000.0, 0).cast(
-                "long"
-            ),
-        )
-        .otherwise(F.lit(0).cast("long"))
-        .alias("dominant_power_ln_micro"),
+        # r12: raw exact integer power as digit string (decimal(38,0)
+        # exceeds int64; ln — the function the heaps probe CONVICTED as
+        # cross-build divergent — left the hashed surface; consumers
+        # take log driver-side)
+        F.max("p").cast("string").alias("dominant_power_str"),
         F.when(
             tot > 0,
             F.round(

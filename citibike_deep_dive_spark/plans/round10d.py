@@ -16,16 +16,14 @@ standard pipeline resizes to 32x32 first (the resize operator exists
 in operators/multimodal.py) and keeps the 8x8 low block; the decode ->
 explode -> DCT -> sign-pack plumbing is IDENTICAL.
 
-Cross-engine determinism (the spectral-features pattern): each DCT
-cosine factor is micro-quantized to int64 BEFORE multiplication, so
-every coefficient accumulates as exact order-free integers; the sign
-test and the bit-pack (1L << (v*w + u)) are pure integer ops. Nothing
-floats between quantization and output. RESIDUAL RISK: the per-factor
-``round(cos(·)·1e6)`` is NOT fully version-proof — a 1-ulp cos
-divergence between JVM Math and a DuckDB build's libm at a .5e-6
-boundary flips a factor (and likely a sign bit); heaps_moments_probe
-(plans/round11.py) bisects whether that libm surface is real on the
-verifier's engine. Exact on local DuckDB 1.0.0.
+Cross-engine determinism (r12 contract — VERDICT r11 item 3): NO
+ENGINE LIBM CALL EXISTS IN THIS QUERY. The micro-quantized DCT factors
+are build-time literal data (_DCT_ROWS, generated once in Python and
+injected into both the Spark plan and the oracle's VALUES — parity by
+construction on any libm, the r11 heaps probe having proven
+cross-build cos/ln divergence is real); every coefficient accumulates
+as exact order-free integers; the sign test and the bit-pack
+(1L << (v*w + u)) are pure integer ops. Nothing floats anywhere.
 
 Scale shape: decode is Arrow-batched per row; the term fan-out is
 (w*h)^2 per image — bounded by the (resized) image size, linear in
@@ -45,6 +43,29 @@ from .catalog import register, table
 from .round10 import _PNG_H_MOD, _PNG_W_MOD, synthesize_png_media
 
 _PI = repr(math.pi)
+
+
+def _q6(x: float) -> int:
+    """Build-time half-away-from-zero micro quantization (the engines'
+    former round() convention — values identical to the r11 plan)."""
+    return int(math.floor(x * 1e6 + 0.5)) if x >= 0 else -int(math.floor(-x * 1e6 + 0.5))
+
+
+# r12 (VERDICT r11 item 3): the DCT cosine factors are BUILD-TIME
+# LITERAL DATA — cos(pi*(2c+1)f/(2s)) micro-quantized once here and
+# injected into both the Spark plan and the oracle's VALUES, so no
+# engine libm call exists anywhere in the query (the spectral-features
+# pattern, plans/round10.py). 91 rows for s <= 6; the production
+# 32x32-resize variant's table is 32^2 = 1,024 rows — same shape,
+# still broadcast-sized.
+_DCT_SIZES = max(_PNG_W_MOD, _PNG_H_MOD)
+_DCT_ROWS = [
+    (s, c, f, _q6(math.cos(math.pi * (2 * c + 1) * f / (2 * s))))
+    for s in range(1, _DCT_SIZES + 1)
+    for c in range(s)
+    for f in range(s)
+]
+_DCT_VALUES_SQL = ",".join(f"({s},{c},{f},{q})" for s, c, f, q in _DCT_ROWS)
 
 
 def _oracle() -> str:
@@ -71,16 +92,19 @@ def _oracle() -> str:
                    AS lum
         FROM px
     ),
+    cosf AS (
+        SELECT CAST(s AS BIGINT) AS s, CAST(c AS BIGINT) AS c,
+               CAST(f AS BIGINT) AS f, CAST(q AS BIGINT) AS q
+        FROM (VALUES {_DCT_VALUES_SQL}) AS t(s, c, f, q)
+    ),
     terms AS (
-        SELECT media_id, w, h, u, v,
-               lum
-               * CAST(round(cos({_PI} * (2 * x + 1) * u / (2 * w))
-                            * 1000000) AS BIGINT)
-               * CAST(round(cos({_PI} * (2 * y + 1) * v / (2 * h))
-                            * 1000000) AS BIGINT) AS t
+        SELECT media_id, w, h, u, v, lum * cw.q * ch.q AS t
         FROM vals,
              unnest(generate_series(0, w - 1)) uu(u),
-             unnest(generate_series(0, h - 1)) vv(v)
+             unnest(generate_series(0, h - 1)) vv(v),
+             cosf cw, cosf ch
+        WHERE cw.s = w AND cw.c = x AND cw.f = u
+          AND ch.s = h AND ch.c = y AND ch.f = v
     ),
     coeff AS (
         SELECT media_id, w, h, u, v, sum(t) AS c
@@ -136,31 +160,33 @@ def multimodal_image_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFram
         "media_id",
         "w",
         "h",
+        "x",
+        "y",
+        "lum",
         F.col("uvs.u").alias("u"),
         F.col("uvs.v").alias("v"),
-        (
-            F.col("lum")
-            * F.round(
-                F.cos(
-                    F.lit(math.pi)
-                    * (2 * F.col("x") + 1)
-                    * F.col("u")
-                    / (2 * F.col("w"))
-                )
-                * 1000000,
-                0,
-            ).cast("long")
-            * F.round(
-                F.cos(
-                    F.lit(math.pi)
-                    * (2 * F.col("y") + 1)
-                    * F.col("v")
-                    / (2 * F.col("h"))
-                )
-                * 1000000,
-                0,
-            ).cast("long")
-        ).alias("t"),
+    )
+    # literal DCT factor dimension, broadcast twice (width/height axes)
+    fac = spark.createDataFrame(_DCT_ROWS, "s long, c long, f long, q long")
+    fw = fac.select(
+        F.col("s").alias("w"), F.col("c").alias("x"), F.col("f").alias("u"),
+        F.col("q").alias("qx"),
+    )
+    fh = fac.select(
+        F.col("s").alias("h"), F.col("c").alias("y"), F.col("f").alias("v"),
+        F.col("q").alias("qy"),
+    )
+    uv = (
+        uv.join(F.broadcast(fw), ["w", "x", "u"])
+        .join(F.broadcast(fh), ["h", "y", "v"])
+        .select(
+            "media_id",
+            "w",
+            "h",
+            "u",
+            "v",
+            (F.col("lum") * F.col("qx") * F.col("qy")).alias("t"),
+        )
     )
     coeff = uv.groupBy("media_id", "w", "h", "u", "v").agg(
         F.sum("t").alias("c")

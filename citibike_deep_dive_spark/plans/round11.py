@@ -1,20 +1,19 @@
-"""Round-11 batch: the heaps_law_loglog_fit driver-side bisect probe.
+"""Round-11 batch: the heaps_law_loglog_fit driver-side bisect probe
+(rewritten round 12 — see below) plus the Gear CDC chunk-dedup family.
 
-``heaps_law_loglog_fit`` has hashed red on the driver's DuckDB 1.2.0 for
-two rounds while staying exact against local DuckDB 1.0.0 (CORRECTNESS
-r9/r10; VERDICT r10 "What's wrong #1"). Round 11 removes the last
-floating-point surface from the fit's outputs (pure integer long
-division — see round8c.py), leaving exactly ONE engine-dependent surface
-upstream: the per-point ``round(ln(·)·1e6)`` quantization. This probe
-emits the raw integer OLS moments so the driver's own run convicts or
-clears that surface:
-
-- probe green + fit red  → the division path diverges (impossible after
-  the integer rewrite — would indicate a harness issue);
-- probe red              → libm ``ln`` differs between DuckDB builds at a
-  .5e-6 quantization boundary; r12 must coarsen the quantum or move the
-  curve to log-spaced anchor points where ``ln`` is boundary-safe;
-- both green             → the family is proven version-stable end-to-end.
+History: ``heaps_law_loglog_fit`` hashed red on the driver's DuckDB
+1.2.0 for rounds 9-11 while staying exact against local DuckDB 1.0.0.
+The r11 probe emitted the raw integer OLS moments of the
+micro-quantized log-log points and ALSO hashed red — convicting the
+per-point ``round(ln(·)·1e6)`` quantization (cross-build libm ``ln`` at
+a .5e-6 boundary) and clearing the all-integer division tail. The
+bisect did its job; round 12 therefore removed ``ln`` from the hashed
+surface entirely (plans/round8c.py — integer doubling-grid anchors,
+the hll_source_cardinality pattern). The probe lives on in its second
+bisect role: it emits the component-wise integer SUMS of the anchor
+table, so if the anchor family ever breaks, probe-vs-fit localizes the
+divergence to a single-anchor value error (probe red too) vs an
+ordering/limit/grouping surface (probe green, fit red).
 
 No reference analog (diagnostic infrastructure, not an operator); the
 upstream curve itself mirrors the vocabulary-growth family
@@ -27,43 +26,54 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import register, table
-from .round8c import HEAPS_CURVE_CTES, heaps_moments_frames
+from .round8c import HEAPS_CURVE_CTES, heaps_anchor_frames
 
 
 @register(
     "heaps_moments_probe",
     HEAPS_CURVE_CTES
     + """
-    SELECT np AS n_points,
-           CAST(sx AS BIGINT) AS sx,
-           CAST(sy AS BIGINT) AS sy,
-           CAST(sxx AS BIGINT) AS sxx,
-           CAST(sxy AS BIGINT) AS sxy,
-           (SELECT max(cum_tokens) FROM curve) AS total_tokens,
-           (SELECT max(cum_vocab) FROM curve) AS total_vocab
-    FROM moments
+    SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST(sum(bucket) AS BIGINT) AS sk,
+           CAST(sum(bucket * bucket) AS BIGINT) AS skk,
+           CAST(sum(anchor_tokens) AS BIGINT) AS st,
+           CAST(sum(anchor_vocab) AS BIGINT) AS sv,
+           CAST(sum(bucket * anchor_vocab) AS BIGINT) AS skv,
+           (SELECT total_tokens FROM totals) AS total_tokens,
+           (SELECT total_vocab FROM totals) AS total_vocab
+    FROM anchors
     """,
     tags=("X-heaps-fit",),
 )
 def heaps_moments_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw integer OLS moments of the Heaps-law log-log curve — the
-    bisect companion to heaps_law_loglog_fit. Shares the exact upstream
-    frames (heaps_moments_frames) and oracle CTEs (HEAPS_CURVE_CTES), so
-    a hash mismatch here isolates the per-point ``round(ln(·)·1e6)``
-    quantization as engine-dependent, while a green row proves the
-    moments are bit-identical and any remaining fit divergence would sit
-    in the (now all-integer) division tail. Moment magnitudes at probe
-    scale (~1e17 for sxx/sxy over a 1e3-point curve) fit BIGINT; the
-    decimal(38,0)/HUGEINT accumulators are downcast only at emission."""
-    moments, totals = heaps_moments_frames(spark, sf_dir)
-    return moments.crossJoin(F.broadcast(totals)).select(
-        F.col("np").alias("n_points"),
-        F.col("sx").cast("long").alias("sx"),
-        F.col("sy").cast("long").alias("sy"),
-        F.col("sxx").cast("long").alias("sxx"),
-        F.col("sxy").cast("long").alias("sxy"),
-        "total_tokens",
-        "total_vocab",
+    """Integer aggregate moments of the Heaps-curve doubling-grid
+    anchors — the bisect companion to heaps_law_loglog_fit. Shares the
+    exact upstream frames (heaps_anchor_frames) and oracle CTEs
+    (HEAPS_CURVE_CTES): a red here plus a red fit means an anchor VALUE
+    diverged; a green here with a red fit isolates a grouping/emission
+    surface. Emits count, sum(bucket), sum(bucket^2),
+    sum(anchor_tokens), sum(anchor_vocab) and the x·y cross-moment
+    sum(bucket·anchor_vocab) — the integer inputs a consumer-side OLS
+    of vocab against log2(tokens) needs.
+
+    int64 bounds (ADVICE r11: state the overflow contract at the cast):
+    ≤63 anchors by construction; bucket ≤ 62 so sk ≤ 3 906 and
+    skk ≤ 242 172 always; st ≤ 63·total_tokens and
+    skv ≤ 62·63·total_vocab, int64-safe for any corpus below
+    ~2.4e15 distinct words — five orders of magnitude above a 100 TB
+    corpus's vocabulary, and the anchor table itself is the guard (the
+    sums are over 63 rows, not the corpus)."""
+    anchors, totals = heaps_anchor_frames(spark, sf_dir)
+    probe = anchors.agg(
+        F.count("*").cast("long").alias("n_anchors"),
+        F.sum("bucket").cast("long").alias("sk"),
+        F.sum(F.col("bucket") * F.col("bucket")).cast("long").alias("skk"),
+        F.sum("anchor_tokens").cast("long").alias("st"),
+        F.sum("anchor_vocab").cast("long").alias("sv"),
+        F.sum(F.col("bucket") * F.col("anchor_vocab")).cast("long").alias("skv"),
+    )
+    return probe.crossJoin(F.broadcast(totals)).select(
+        "n_anchors", "sk", "skk", "st", "sv", "skv", "total_tokens", "total_vocab"
     )
 
 
@@ -95,45 +105,39 @@ def _cdc_oracle() -> str:
     ),
     chars AS (
         SELECT doc_id, pos,
+               substring(text, CAST(pos AS INT), 1) AS ch,
                CAST(ascii(substring(text, CAST(pos AS INT), 1)) AS BIGINT) AS a
         FROM chars0
     ),
     gear AS (
-        SELECT doc_id, pos, a, (a * {_GEAR_MULT}) % 65536 AS gv FROM chars
+        SELECT doc_id, pos, ch, (a * {_GEAR_MULT}) % 65536 AS gv FROM chars
     ),
     hashed AS (
-        SELECT doc_id, pos, a,
+        SELECT doc_id, pos, ch,
                {_gear_lag_sum_sql()} AS h
         FROM gear
         WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
     ),
     cut AS (
-        SELECT doc_id, pos, a,
+        SELECT doc_id, pos, ch,
                COALESCE(sum(CASE WHEN h % {_CDC_MASK} = 0 THEN 1 ELSE 0 END)
                         OVER (PARTITION BY doc_id ORDER BY pos
                               ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND 1 PRECEDING), 0) AS chunk_no
         FROM hashed
     ),
-    inchunk AS (
-        SELECT doc_id, chunk_no, a,
-               row_number() OVER (PARTITION BY doc_id, chunk_no
-                                  ORDER BY pos) AS rn
-        FROM cut
-    ),
     chunks AS (
         SELECT doc_id, chunk_no,
                CAST(count(*) AS BIGINT) AS chunk_len,
-               CAST(sum(a * rn) AS BIGINT) AS sig1,
-               CAST(sum(a * rn * rn) AS BIGINT) AS sig2
-        FROM inchunk GROUP BY doc_id, chunk_no
+               md5(string_agg(ch, '' ORDER BY pos)) AS chunk_hash
+        FROM cut GROUP BY doc_id, chunk_no
     )
-    SELECT chunk_len, sig1, sig2,
+    SELECT chunk_len, chunk_hash,
            CAST(count(*) AS BIGINT) AS n_copies,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
     FROM chunks
-    GROUP BY chunk_len, sig1, sig2
-    ORDER BY n_copies DESC, chunk_len DESC, sig1, sig2
+    GROUP BY chunk_len, chunk_hash
+    ORDER BY n_copies DESC, chunk_len DESC, chunk_hash
     LIMIT 20
     """
 
@@ -152,20 +156,24 @@ def cdc_gear_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-exact by construction — per-char gear values are a
     multiplicative hash mod 2^16, the rolling hash is an UNROLLED
     31-term lag() weighted sum mod 2^31 (weights 2^d vanish mod 2^31 at
-    d >= 31, which is what bounds the window), and chunk signatures are
-    (len, sum(a*rn), sum(a*rn^2)) — no transcendentals, no floats, so
-    the family adds nothing to the libm-risk surface under bisection.
+    d >= 31, which is what bounds the window), and chunk identity is
+    md5 over the reconstructed chunk content (r12, ADVICE r11: the
+    original polynomial moment signature could collide across distinct
+    chunks and wrap int64 on boundary-free degenerate text; a content
+    hash has neither failure mode and needs no max-chunk-length guard).
+    No transcendentals, no floats — the family adds nothing to the
+    libm-risk surface.
     Char addressing assumes single-byte text (the corpus is ASCII at
     every SF — verified); multibyte corpora would chunk over bytes
     (cast to binary) instead, same plan.
 
     Distributed shape: one char explode (linear, 1 row per char); ALL
     rolling-hash lags share one Window partitioned by doc_id (a single
-    exchange); the chunk_no cumulative cut and the in-chunk row_number
-    reuse that same doc-clustered distribution (hash(doc_id) satisfies
-    the (doc_id, chunk_no) clustering requirement — no second
-    exchange); chunk signatures are a map-side-combinable groupBy; the
-    cross-corpus signature group is the only other shuffle; top-20 is
+    exchange); the chunk_no cumulative cut reuses that same
+    doc-clustered distribution, and the (doc_id, chunk_no) content
+    groupBy reuses hash(doc_id) clustering — no second exchange; the
+    cross-corpus hash group is the only other shuffle (and ships one
+    16-byte digest per chunk, not the chunk text); top-20 is
     TakeOrderedAndProject. Per-doc windows are the parallel grain at
     100 TB — docs are bounded, and real deployments chunk at KB-MB
     target sizes with the identical plan."""
@@ -178,7 +186,7 @@ def cdc_gear_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # empty docs: Spark split('','') yields [''], DuckDB's
         # generate_series(1,0) yields nothing — drop the phantom char
         .filter(F.col("c") != "")
-        .select("doc_id", "pos", F.ascii("c").cast("long").alias("a"))
+        .select("doc_id", "pos", "c", F.ascii("c").cast("long").alias("a"))
     )
     gear = chars.withColumn("gv", (F.col("a") * F.lit(_GEAR_MULT)) % 65536)
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
@@ -195,17 +203,28 @@ def cdc_gear_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ),
     )
-    w_chunk = Window.partitionBy("doc_id", "chunk_no").orderBy("pos")
-    inchunk = cut.withColumn("rn", F.row_number().over(w_chunk))
-    chunks = inchunk.groupBy("doc_id", "chunk_no").agg(
-        F.count("*").cast("long").alias("chunk_len"),
-        F.sum(F.col("a") * F.col("rn")).cast("long").alias("sig1"),
-        F.sum(F.col("a") * F.col("rn") * F.col("rn")).cast("long").alias("sig2"),
+    # chunk identity = md5 over the RECONSTRUCTED chunk content (ADVICE
+    # r11: the old (len, sum(a*rn), sum(a*rn^2)) polynomial moments were
+    # a low-entropy signature that could both collide across distinct
+    # chunks AND silently wrap int64 on a boundary-free degenerate
+    # document; a 128-bit content hash has neither failure mode and
+    # needs no max-chunk-length guard). collect_list(struct(pos, c)) +
+    # array_sort is the order-preserving reconstruction — pos is unique
+    # within a doc, so the struct sort is total.
+    chunk_str = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ),
+        "",
     )
-    sigs = chunks.groupBy("chunk_len", "sig1", "sig2").agg(
+    chunks = cut.groupBy("doc_id", "chunk_no").agg(
+        F.count("*").cast("long").alias("chunk_len"),
+        F.md5(chunk_str.cast("binary")).alias("chunk_hash"),
+    )
+    sigs = chunks.groupBy("chunk_len", "chunk_hash").agg(
         F.count("*").cast("long").alias("n_copies"),
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
     )
     return sigs.orderBy(
-        F.desc("n_copies"), F.desc("chunk_len"), "sig1", "sig2"
+        F.desc("n_copies"), F.desc("chunk_len"), "chunk_hash"
     ).limit(20)

@@ -488,7 +488,11 @@ def _soundex_spark(col):
     return F.concat(
         F.upper(F.substring(col, 1, 1)),
         F.substring(
-            F.concat(F.regexp_replace(F.substring(s, 2, 1000), "0", ""), F.lit("000")),
+            # two-arg substr takes the FULL tail — identical to the
+            # oracle's two-arg substring (ADVICE r11: the old
+            # substring(s, 2, 1000) bound was the only cross-engine
+            # divergence surface in an otherwise exact pair)
+            F.concat(F.regexp_replace(F.substr(s, F.lit(2)), "0", ""), F.lit("000")),
             1,
             3,
         ),

@@ -517,20 +517,50 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
 # ---------------------------------------------------------------------------
-# Heaps-law log-log fit over the vocabulary growth curve
+# Heaps-law vocabulary growth: integer doubling-grid anchors of the curve
 # ---------------------------------------------------------------------------
 
 
-def heaps_moments_frames(spark: SparkSession, sf_dir: str):
-    """Shared upstream for heaps_law_loglog_fit and the driver-side
-    bisect probe heaps_moments_probe (plans/round11.py): the cumulative
-    (tokens, vocab) curve in doc_id order, its micro-quantized log-log
-    points, and the five exact OLS moments. Returns (moments, totals).
+def heaps_anchor_frames(spark: SparkSession, sf_dir: str):
+    """Shared upstream for heaps_law_loglog_fit and its aggregate probe
+    heaps_moments_probe (plans/round11.py): the cumulative
+    (tokens-read, vocabulary-size) curve in doc_id order, reduced to one
+    anchor point per doubling bucket of cum_tokens. Returns
+    (anchors, totals) — both pure-integer frames.
 
-    Moments accumulate as decimal(38,0) — exact 128-bit-class integer
-    arithmetic matching DuckDB's HUGEINT sums, so np*sxx and sx*sx never
-    hit int64's ceiling even at corpus scale (ANSI mode would abort)."""
+    Why anchors and not a fitted beta: the r9-r11 CORRECTNESS history
+    convicted per-point ``round(ln(·)·1e6)`` quantization as divergent
+    between DuckDB builds (1.0.0 local vs the driver's 1.2.0 — libm
+    ``ln`` at a .5e-6 rounding boundary; the r11 heaps_moments_probe
+    bisect proved it: raw integer moments hashed red while every
+    all-integer division tail was exact). Round 12 therefore removes
+    ``ln`` from the hashed surface entirely — the hll_source_cardinality
+    pattern — and emits raw integer (cum_tokens, cum_vocab) anchor
+    points on a log2-spaced grid; the 2-parameter log-log OLS fit is a
+    trivial consumer-side transform of ≤63 rows (see
+    tests/test_round8c.py for the numpy recompute).
+
+    The doubling bucket is computed INTEGER-EXACTLY despite using
+    ``floor(log2(x))``: libm log2 is within 1 ulp of truth, so the
+    floored value can be off by at most ±1 near a power-of-2 boundary,
+    and the two integer shift comparisons after it (``2^(k+1) <= x`` →
+    k+1; ``2^k > x`` → k-1) correct any such error deterministically on
+    both engines. No libm value ever reaches the output.
+
+    Anchor selection: cum_tokens and cum_vocab are both monotone
+    nondecreasing in doc order, so ``max(cum_tokens), max(cum_vocab)``
+    per bucket is exactly the bucket's LAST curve point — a real point
+    on the curve, deterministically chosen with no tiebreak surface.
+
+    Distributed shape: one token explode to (word -> first doc) —
+    map-side combined — then everything runs at doc grain (the curve's
+    cumulative window is the documented vocabulary-curve
+    single-partition, bounded by doc count after aggregation; the
+    100 TB path checkpoints shard-level curve points, not raw docs),
+    and the anchor reduction collapses it to ≤63 rows before emission."""
     docs = table(spark, sf_dir, "documents")
     ws = F.split(F.lower("text"), " ")
     toks = truncate_lineage(docs.select("doc_id", ws.alias("ws")), eager=False)
@@ -552,33 +582,41 @@ def heaps_moments_frames(spark: SparkSession, sf_dir: str):
         ),
         eager=False,
     )
-    pts = curve.select(
-        F.round(F.log(F.col("cum_tokens").cast("double")) * 1000000, 0)
-        .cast("long")
-        .alias("x"),
-        F.round(F.log(F.col("cum_vocab").cast("double")) * 1000000, 0)
-        .cast("long")
-        .alias("y"),
+    bk = curve.filter(F.col("cum_tokens") >= 1).select(
+        "cum_tokens",
+        "cum_vocab",
+        F.greatest(
+            F.floor(F.log2(F.col("cum_tokens").cast("double"))).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("k0"),
     )
-    dx = F.col("x").cast("decimal(38,0)")
-    moments = pts.agg(
-        F.count("*").cast("long").alias("np"),
-        F.sum(dx).alias("sx"),
-        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
-        F.sum(dx * F.col("x")).alias("sxx"),
-        F.sum(dx * F.col("y")).alias("sxy"),
+    bucketed = bk.select(
+        "cum_tokens",
+        "cum_vocab",
+        F.expr(
+            "CAST(CASE WHEN shiftleft(CAST(1 AS BIGINT), CAST(k0 + 1 AS INT))"
+            "               <= cum_tokens THEN k0 + 1"
+            "          WHEN shiftleft(CAST(1 AS BIGINT), CAST(k0 AS INT))"
+            "               > cum_tokens THEN k0 - 1"
+            "          ELSE k0 END AS BIGINT)"
+        ).alias("bucket"),
+    )
+    anchors = bucketed.groupBy("bucket").agg(
+        F.max("cum_tokens").cast("long").alias("anchor_tokens"),
+        F.max("cum_vocab").cast("long").alias("anchor_vocab"),
     )
     totals = curve.agg(
-        F.max("cum_tokens").alias("total_tokens"),
-        F.max("cum_vocab").alias("total_vocab"),
+        F.max("cum_tokens").cast("long").alias("total_tokens"),
+        F.max("cum_vocab").cast("long").alias("total_vocab"),
     )
-    return moments, totals
+    return anchors, totals
 
 
-# Shared oracle CTE prefix: raw docs → cumulative curve → micro-quantized
-# log-log points → exact HUGEINT OLS moments. f-string-spliced into both
-# heaps_law_loglog_fit (below) and heaps_moments_probe (round11.py) so the
-# driver-side bisect exercises the IDENTICAL upstream SQL.
+# Shared oracle CTE prefix: raw docs → cumulative curve → exact integer
+# doubling-bucket anchors. f-string-spliced into both heaps_law_loglog_fit
+# (below) and heaps_moments_probe (round11.py) so the driver run exercises
+# the IDENTICAL upstream SQL. The floor(log2) ±1 correction mirrors the
+# Spark side — no libm value reaches any emitted column.
 HEAPS_CURVE_CTES = """
     WITH toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
@@ -599,17 +637,31 @@ HEAPS_CURVE_CTES = """
                                ROWS UNBOUNDED PRECEDING) AS cum_vocab
         FROM doc_tok d LEFT JOIN nw n ON d.doc_id = n.first_doc
     ),
-    pts AS (
-        SELECT CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS x,
-               CAST(round(ln(CAST(cum_vocab AS DOUBLE)) * 1000000) AS BIGINT) AS y
-        FROM curve
+    bk AS (
+        SELECT cum_tokens, cum_vocab,
+               greatest(CAST(floor(log2(CAST(cum_tokens AS DOUBLE)))
+                             AS BIGINT), 0) AS k0
+        FROM curve WHERE cum_tokens >= 1
     ),
-    moments AS (
-        SELECT CAST(count(*) AS BIGINT) AS np,
-               sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
-               sum(CAST(x AS HUGEINT) * x) AS sxx,
-               sum(CAST(x AS HUGEINT) * y) AS sxy
-        FROM pts
+    bucketed AS (
+        SELECT cum_tokens, cum_vocab,
+               CAST(CASE WHEN (CAST(1 AS BIGINT) << (k0 + 1)) <= cum_tokens
+                              THEN k0 + 1
+                         WHEN (CAST(1 AS BIGINT) << k0) > cum_tokens
+                              THEN k0 - 1
+                         ELSE k0 END AS BIGINT) AS bucket
+        FROM bk
+    ),
+    anchors AS (
+        SELECT bucket,
+               CAST(max(cum_tokens) AS BIGINT) AS anchor_tokens,
+               CAST(max(cum_vocab) AS BIGINT) AS anchor_vocab
+        FROM bucketed GROUP BY bucket
+    ),
+    totals AS (
+        SELECT CAST(max(cum_tokens) AS BIGINT) AS total_tokens,
+               CAST(max(cum_vocab) AS BIGINT) AS total_vocab
+        FROM curve
     )
 """
 
@@ -617,88 +669,37 @@ HEAPS_CURVE_CTES = """
 @register(
     "heaps_law_loglog_fit",
     HEAPS_CURVE_CTES
-    + """,
-    fit AS (
-        SELECT np, sx, sy,
-               np * sxy - sx * sy AS num,
-               np * sxx - sx * sx AS den
-        FROM moments
-    )
-    SELECT np AS n_points,
-           (SELECT max(cum_tokens) FROM curve) AS total_tokens,
-           (SELECT max(cum_vocab) FROM curve) AS total_vocab,
-           CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
-                * ((2000000 * abs(num) + den) // (2 * den))
-                AS BIGINT) AS heaps_beta_micro,
-           CAST((CASE WHEN sy * den - num * sx < 0 THEN -1 ELSE 1 END)
-                * ((2 * abs(sy * den - num * sx) + np * den)
-                   // (2 * np * den))
-                AS BIGINT) AS heaps_lnk_micro
-    FROM fit
+    + """
+    SELECT a.bucket, a.anchor_tokens, a.anchor_vocab,
+           t.total_tokens, t.total_vocab
+    FROM anchors a CROSS JOIN totals t
     """,
     tags=("X-heaps-fit",),
 )
 def heaps_law_loglog_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heaps-law fit V(n) = K * n^beta (Heaps 1978) by ordinary least
-    squares in log-log space over the cumulative (tokens-read,
-    vocabulary-size) curve in doc_id order — the scaling diagnostic
-    that says whether a corpus's vocabulary is saturating (beta falling)
-    or still growing linearly in the log (typical English: beta
-    0.4-0.6). Complements vocab_growth_by_source (the raw curve) and
-    vocab_zipf_fit (the rank-frequency dual) with the actual parameter
-    estimates.
+    """Heaps-law V(n) = K * n^beta (Heaps 1978) fit INPUTS: the
+    vocabulary-growth curve's doubling-grid anchor points — one
+    (cum_tokens, cum_vocab) pair per log2 bucket of tokens read, i.e.
+    exactly the log-spaced sample a log-log OLS wants — plus the curve
+    totals. All five columns are raw BIGINTs; the log transform and the
+    2-parameter fit run consumer-side over ≤63 rows (numpy recompute in
+    tests/test_round8c.py asserts beta lands in the sublinear band).
 
-    The log points are micro-unit FIXED-POINT integers before any sum,
-    so all five OLS moments are exact int64 arithmetic — no float
-    accumulation order exists (pca_power_iteration precedent). The
-    outputs (beta*1e6 and ln(K)*1e6 as BIGINTs) are now computed by PURE
-    INTEGER LONG DIVISION off the exact moments — round-half-away-from-
-    zero is spelled out as ``sign * ((2*|a| + b) intdiv (2*b))`` with
-    b > 0 by Cauchy-Schwarz — so not a single floating-point operation
-    exists after the per-point ``ln``: r9's round(beta,5) output and
-    r10's float-divide beta both hashed differently under the driver's
-    DuckDB 1.2.0 while local 1.0.0 was exact, convicting the
-    HUGEINT→DOUBLE cast/division surface this rewrite removes. If the
-    row is STILL red, the per-point ``round(ln(·)·1e6)`` quantization is
-    the only remaining engine-dependent surface — the paired
-    heaps_moments_probe (plans/round11.py) emits the raw integer moments
-    so the driver's own run bisects exactly that. Worst intermediate
-    (|sy·den| ~ 3e30 for a 1e3-point curve) sits comfortably inside
-    decimal(38,0)/HUGEINT; the 100-TB path downsamples the curve to
-    log-spaced anchors first (bounded points), which also bounds these
-    products. K recovers as exp(heaps_lnk_micro/1e6) driver-side if
-    needed. Distributed shape: one token explode to
-    (word -> first doc) — map-side combined — then everything runs at
-    doc grain (the curve) and finally one 5-number moment row; the
-    doc-grain cumulative window is the documented vocabulary-curve
-    single-partition (bounded by doc count after aggregation, and the
-    checkpoint grain at 100 TB is shard-level curve points, not raw
-    docs)."""
-    moments, totals = heaps_moments_frames(spark, sf_dir)
-    # Pure integer long division off the exact decimal(38,0) moments —
-    # `div` is Spark's integral divide (truncating, long result); with
-    # the abs/sign decomposition the formula is round-half-away-from-
-    # zero, identical by construction to the oracle's HUGEINT `//` path.
-    fit = moments.withColumn(
-        "num",
-        F.col("np").cast("decimal(38,0)") * F.col("sxy")
-        - F.col("sx") * F.col("sy"),
-    ).withColumn(
-        "den",
-        F.col("np").cast("decimal(38,0)") * F.col("sxx")
-        - F.col("sx") * F.col("sx"),
-    )
-    return fit.crossJoin(F.broadcast(totals)).select(
-        F.col("np").alias("n_points"),
-        "total_tokens",
-        "total_vocab",
-        F.expr(
-            "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
-            " * ((2000000 * abs(num) + den) div (2 * den)) AS BIGINT)"
-        ).alias("heaps_beta_micro"),
-        F.expr(
-            "CAST((CASE WHEN sy * den - num * sx < 0 THEN -1 ELSE 1 END)"
-            " * ((2 * abs(sy * den - num * sx) + CAST(np AS decimal(38,0)) * den)"
-            "    div (2 * CAST(np AS decimal(38,0)) * den)) AS BIGINT)"
-        ).alias("heaps_lnk_micro"),
+    History (why the fit left the hashed surface): r9/r10/r11 hashed
+    red on the driver's DuckDB 1.2.0 while exact on local 1.0.0; the
+    r11 all-integer division rewrite plus the raw-moment probe bisected
+    the divergence to the per-point ``round(ln(·)·1e6)`` quantization —
+    cross-build libm, unfixable by more integer tail work. This rewrite
+    removes ``ln`` entirely (the hll_source_cardinality pattern:
+    integer-exact hashed output, transcendental math left to the
+    consumer). The doubling bucket uses floor(log2) with a ±1 integer
+    shift correction, so it is exact regardless of libm (see
+    heaps_anchor_frames).
+
+    Scaling read: anchors are log-spaced by construction, so the output
+    is ≤63 rows at ANY corpus size — the 100 TB emission is identical
+    in shape to sf0.001, and the consumer-side fit cost is constant."""
+    anchors, totals = heaps_anchor_frames(spark, sf_dir)
+    return anchors.crossJoin(F.broadcast(totals)).select(
+        "bucket", "anchor_tokens", "anchor_vocab", "total_tokens", "total_vocab"
     )

@@ -1,12 +1,12 @@
-"""Strict driver pre-flight: run VERIFY_FIRST queries at sf0.01 and
+"""Strict driver pre-flight: run the verify queue's front at sf0.01 and
 compare Spark vs DuckDB with EXACT value equality (no float rounding).
 
 The driver's correctness gate hashes canonicalized values, so a 1e-9
 float divergence that tests/oracle_harness.py (6-dp tolerant) forgives
 still burns the round's hash row (r3: embedding_dim_covariance). Run
-this before shipping a new VERIFY_FIRST ordering:
+this before shipping changes that reorder the verify queue:
 
-    python preflight.py [name ...]      # default: all of VERIFY_FIRST
+    python preflight.py [name ...]      # default: verify_order()[:50]
     python preflight.py --all           # every catalog query
 """
 
@@ -89,7 +89,7 @@ def main() -> None:
     if sys.argv[1:] == ["--all"]:
         names = list(CATALOG)
     else:
-        names = sys.argv[1:] or list(entry.VERIFY_FIRST)
+        names = sys.argv[1:] or entry.verify_order()[:50]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb_connection(SF_DIR)

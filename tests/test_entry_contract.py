@@ -1,32 +1,75 @@
-"""Driver-contract guards: the curated verify ordering must stay valid —
-a renamed catalog entry silently dropping out of VERIFY_FIRST would waste
-that round's driver-verification budget."""
+"""Driver-contract guards: the verify ordering is now DERIVED from the
+CORRECTNESS_r*.json history (VERDICT r11 item 7 — the evidence-age
+invariant as code). These tests pin the derivation's contract: reds
+first, pinned trig surfaces next, never-verified adds after, then
+oldest evidence first."""
 
 from __future__ import annotations
+
+import glob
+import json
+import os
+import re
 
 import __spark_entry__ as entry
 from citibike_deep_dive_spark.plans import CATALOG
 
-
-def test_verify_first_names_all_exist():
-    missing = [n for n in entry.VERIFY_FIRST if n not in CATALOG]
-    assert not missing, f"VERIFY_FIRST names not in CATALOG: {missing}"
+_REPO = os.path.dirname(os.path.abspath(entry.__file__))
 
 
-def test_verify_first_has_no_duplicates():
-    assert len(entry.VERIFY_FIRST) == len(set(entry.VERIFY_FIRST))
+def _latest_rows():
+    """{name: (round, green)} for each query's most recent driver row."""
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+        for name, row in json.load(open(path)).items():
+            green = row.get("err") is None and all(
+                row.get(k, True)
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            latest[name] = (rnd, green)
+    return latest
 
 
-def test_front_of_queue_is_curated_and_oracle_backed():
+def test_verify_order_is_valid_and_complete():
+    order = entry.verify_order()
+    assert len(order) == len(set(order))
+    assert set(order) == set(CATALOG)
+
+
+def test_verify_order_puts_reds_then_pins_then_never_verified_first():
+    order = entry.verify_order()
+    latest = _latest_rows()
+    reds = sorted(
+        n for n, (_, green) in latest.items() if n in CATALOG and not green
+    )
+    pinned = [n for n in entry.PINNED_SURFACES if n not in reds]
+    never = sorted(n for n in CATALOG if n not in latest)
+    head = reds + pinned + never
+    assert order[: len(head)] == head
+    # pinned surfaces really exist — a rename must not silently unpin
+    assert all(n in CATALOG for n in entry.PINNED_SURFACES)
+
+
+def test_verify_order_ages_oldest_evidence_first():
+    order = entry.verify_order()
+    latest = _latest_rows()
+    hist = entry._correctness_history()
+    head_len = len(
+        [n for n, (_, g) in latest.items() if n in CATALOG and not g]
+    )
+    tail = order[head_len:]
+    tail = [n for n in tail if n not in entry.PINNED_SURFACES and n in hist]
+    ages = [hist[n][0] if hist[n][0] is not None else -1 for n in tail]
+    assert ages == sorted(ages)
+
+
+def test_front_of_queue_is_oracle_backed():
     names = list(entry.queries())
-    k = len(entry.VERIFY_FIRST)
-    assert names[:k] == entry.VERIFY_FIRST
     oracles = entry.oracle_sql()
-    unbacked = [n for n in names[:k] if n not in oracles]
-    # Since r5 every catalog entry carries a value-checked oracle
-    # (ivf_kmeans_cells, the last rows-only holdout, graduated via the
-    # unrolled-CTE oracle) — nothing un-backed may sit in the verify
-    # queue's curated front.
+    # Since r5 every catalog entry carries a value-checked oracle —
+    # nothing un-backed may sit in the verify queue's front 50 slots.
+    unbacked = [n for n in names[:50] if n not in oracles]
     assert unbacked == [], f"front-of-queue entries without oracle: {unbacked}"
 
 

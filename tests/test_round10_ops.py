@@ -237,51 +237,44 @@ def test_wav_audio_stats_python_recompute(spark):
         assert r["poschk"] == sum((i + 1) * v for i, v in enumerate(s))
 
 
-def test_heaps_micro_outputs_python_recompute(spark):
-    # the DuckDB-1.2.0-proof form: both fit parameters come out as
-    # micro-unit BIGINTs; recompute the OLS from the same curve here
-    row = CATALOG["heaps_law_loglog_fit"].build(spark, SF_DIR).collect()[0]
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        "doc_id", "text"
-    ).collect()
-    docs.sort(key=lambda d: d["doc_id"])
-    seen: set[str] = set()
-    cum_t = 0
-    pts = []
-    for d in docs:
-        ws = d["text"].lower().split(" ")
-        cum_t += len(ws)
-        seen.update(ws)
-        pts.append(
-            (round(math.log(cum_t) * 1e6), round(math.log(len(seen)) * 1e6))
-        )
-    np_ = len(pts)
-    sx = sum(x for x, _ in pts)
-    sy = sum(y for _, y in pts)
-    sxx = sum(x * x for x, _ in pts)
-    sxy = sum(x * y for x, y in pts)
-    num = np_ * sxy - sx * sy
-    den = np_ * sxx - sx * sx
-
-    def intdiv_round(a: int, b: int) -> int:
-        # round-half-away-from-zero via pure integer ops, mirroring the
-        # r11 all-integer rewrite (b > 0 by Cauchy-Schwarz)
-        s = -1 if a < 0 else 1
-        return s * ((2 * abs(a) + b) // (2 * b))
-
-    assert row["n_points"] == np_
-    assert row["total_tokens"] == cum_t
-    assert row["total_vocab"] == len(seen)
-    assert row["heaps_beta_micro"] == intdiv_round(1_000_000 * num, den)
-    assert row["heaps_lnk_micro"] == intdiv_round(sy * den - num * sx, np_ * den)
-    # the integer path agrees with the float OLS to the micro digit
-    beta = num / den
-    assert abs(row["heaps_beta_micro"] - beta * 1e6) <= 1
-    assert abs(row["heaps_lnk_micro"] - (sy - beta * sx) / np_) <= 1
-    # sanity: recovered K and beta are in the plausible Heaps band
-    assert 0 < row["heaps_beta_micro"] < 1_000_000
-    assert math.exp(row["heaps_lnk_micro"] / 1e6) > 1.0
-
+def test_heaps_anchor_buckets_exact_at_power_of_two_boundaries(spark, tmp_path):
+    # r12 rewrite: the hashed surface is integer doubling-grid anchors;
+    # the floor(log2)+shift-correction bucket must be EXACT at and
+    # around power-of-2 token counts (the boundary where libm log2 is
+    # allowed to be a ulp off). Build a corpus whose cumulative token
+    # curve hits 2^k exactly and 2^k ± 1.
+    rows = []
+    cum = 0
+    did = 0
+    for target in [1, 2, 3, 4, 7, 8, 9, 15, 16, 17, 31, 32, 64, 100]:
+        nt = target - cum
+        if nt <= 0:
+            continue
+        rows.append((did, " ".join(f"w{did}_{i}" for i in range(nt)), "en", "s", 1))
+        cum = target
+        did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = CATALOG["heaps_law_loglog_fit"].build(spark, str(tmp_path)).collect()
+    by_bucket = {r["bucket"]: r for r in out}
+    for r in out:
+        assert (1 << r["bucket"]) <= r["anchor_tokens"] < (1 << (r["bucket"] + 1))
+    # the curve's exact power-of-2 points land in their own bucket:
+    # bucket k's anchor is the LAST curve point below 2^(k+1)
+    assert by_bucket[0]["anchor_tokens"] == 1
+    assert by_bucket[1]["anchor_tokens"] == 3  # points 2,3 -> last is 3
+    assert by_bucket[2]["anchor_tokens"] == 7
+    assert by_bucket[3]["anchor_tokens"] == 15  # points 8,9,15
+    assert by_bucket[4]["anchor_tokens"] == 31  # points 16,17,31
+    assert by_bucket[5]["anchor_tokens"] == 32
+    assert by_bucket[6]["anchor_tokens"] == 100  # points 64,100
+    # vocab equals tokens here (all words distinct) — anchors must agree
+    for r in out:
+        assert r["anchor_vocab"] == r["anchor_tokens"]
+        assert r["total_tokens"] == 100
+        assert r["total_vocab"] == 100
 
 def _write_docs(spark, tmp_path, rows):
     df = spark.createDataFrame(

@@ -1,5 +1,6 @@
-"""Round-11 batch: heaps_moments_probe (the driver-side bisect probe for
-heaps_law_loglog_fit — see plans/round11.py)."""
+"""Round-11 batch: heaps_moments_probe (the anchor-sum bisect companion
+for heaps_law_loglog_fit — see plans/round11.py; rewritten round 12 when
+the ln() quantization left the hashed surface)."""
 
 from __future__ import annotations
 
@@ -10,7 +11,7 @@ from citibike_deep_dive_spark.plans import CATALOG
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def test_heaps_probe_matches_python_moments(spark):
+def test_heaps_probe_matches_python_anchor_sums(spark):
     row = CATALOG["heaps_moments_probe"].build(spark, SF_DIR).collect()[0]
     docs = (
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -20,39 +21,37 @@ def test_heaps_probe_matches_python_moments(spark):
     docs.sort(key=lambda d: d["doc_id"])
     seen: set[str] = set()
     cum_t = 0
-    pts = []
+    anchors: dict[int, tuple[int, int]] = {}
     for d in docs:
         ws = d["text"].lower().split(" ")
         cum_t += len(ws)
         seen.update(ws)
-        pts.append(
-            (round(math.log(cum_t) * 1e6), round(math.log(len(seen)) * 1e6))
-        )
-    assert row["n_points"] == len(pts)
-    assert row["sx"] == sum(x for x, _ in pts)
-    assert row["sy"] == sum(y for _, y in pts)
-    assert row["sxx"] == sum(x * x for x, _ in pts)
-    assert row["sxy"] == sum(x * y for x, y in pts)
+        if cum_t >= 1:
+            anchors[cum_t.bit_length() - 1] = (cum_t, len(seen))
+    assert row["n_anchors"] == len(anchors)
+    assert row["sk"] == sum(anchors)
+    assert row["skk"] == sum(k * k for k in anchors)
+    assert row["st"] == sum(t for t, _ in anchors.values())
+    assert row["sv"] == sum(v for _, v in anchors.values())
+    assert row["skv"] == sum(k * v for k, (_, v) in anchors.items())
     assert row["total_tokens"] == cum_t
     assert row["total_vocab"] == len(seen)
 
 
 def test_heaps_probe_consistent_with_fit(spark):
-    # fit outputs must be exactly the integer long division of the
-    # probe's moments — the invariant the driver-side bisect relies on
+    # the probe's sums must be exactly the column sums of the fit's
+    # anchor rows — the invariant the driver-side bisect relies on
+    fit = CATALOG["heaps_law_loglog_fit"].build(spark, SF_DIR).collect()
     probe = CATALOG["heaps_moments_probe"].build(spark, SF_DIR).collect()[0]
-    fit = CATALOG["heaps_law_loglog_fit"].build(spark, SF_DIR).collect()[0]
-    np_, sx, sy = probe["n_points"], probe["sx"], probe["sy"]
-    num = np_ * probe["sxy"] - sx * sy
-    den = np_ * probe["sxx"] - sx * sx
-
-    def intdiv_round(a: int, b: int) -> int:
-        s = -1 if a < 0 else 1
-        return s * ((2 * abs(a) + b) // (2 * b))
-
-    assert fit["n_points"] == np_
-    assert fit["heaps_beta_micro"] == intdiv_round(1_000_000 * num, den)
-    assert fit["heaps_lnk_micro"] == intdiv_round(sy * den - num * sx, np_ * den)
+    assert probe["n_anchors"] == len(fit)
+    assert probe["sk"] == sum(r["bucket"] for r in fit)
+    assert probe["skk"] == sum(r["bucket"] ** 2 for r in fit)
+    assert probe["st"] == sum(r["anchor_tokens"] for r in fit)
+    assert probe["sv"] == sum(r["anchor_vocab"] for r in fit)
+    assert probe["skv"] == sum(r["bucket"] * r["anchor_vocab"] for r in fit)
+    assert {(r["total_tokens"], r["total_vocab"]) for r in fit} == {
+        (probe["total_tokens"], probe["total_vocab"])
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -68,7 +67,11 @@ from citibike_deep_dive_spark.plans.round11 import (  # noqa: E402
 
 
 def _chunks_of(text: str):
-    """Reference Gear CDC: list of (len, sig1, sig2) per chunk."""
+    """Reference Gear CDC: list of (len, md5_hex) per chunk — the r12
+    content-hash identity (ADVICE r11: the old polynomial moment
+    signature could collide and overflow)."""
+    import hashlib
+
     gvs = [(ord(c) * _GEAR_MULT) % 65536 for c in text]
     chunks, cur = [], []
     for i, c in enumerate(text):
@@ -76,18 +79,14 @@ def _chunks_of(text: str):
         for d in range(_GEAR_WINDOW):
             if i - d >= 0:
                 h += gvs[i - d] << d
-        cur.append(ord(c))
+        cur.append(c)
         if (h % _GEAR_MOD) % _CDC_MASK == 0:
             chunks.append(cur)
             cur = []
     if cur:
         chunks.append(cur)
     return [
-        (
-            len(ch),
-            sum(a * (j + 1) for j, a in enumerate(ch)),
-            sum(a * (j + 1) * (j + 1) for j, a in enumerate(ch)),
-        )
+        (len(ch), hashlib.md5("".join(ch).encode()).hexdigest())
         for ch in chunks
     ]
 
@@ -111,11 +110,11 @@ def test_cdc_python_recompute(spark):
             (n, *sig, len(sig_docs[sig]))
             for sig, n in sig_copies.items()
         ),
-        key=lambda t: (-t[0], -t[1], t[2], t[3]),
+        key=lambda t: (-t[0], -t[1], t[2]),
     )[:20]
     rows = CATALOG["cdc_gear_chunk_dedup"].build(spark, SF_DIR).collect()
     got = [
-        (r["n_copies"], r["chunk_len"], r["sig1"], r["sig2"], r["n_docs"])
+        (r["n_copies"], r["chunk_len"], r["chunk_hash"], r["n_docs"])
         for r in rows
     ]
     assert got == expected

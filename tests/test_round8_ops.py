@@ -318,3 +318,43 @@ def test_suffix_prefix_overlap_nonvacuous_on_testdata(spark):
         f"SELECT count(*) FROM ({CATALOG['dedup_suffix_prefix_overlap'].oracle})"
     ).fetchone()[0]
     assert n > 0
+
+
+def test_label_propagation_releases_caches(spark):
+    """VERDICT r11 item 6 (persist-lifecycle audit): a rebuilt query
+    must not grow the storage tab. label_propagation caches its edge
+    frame and seed labels; without the r12 release path the
+    CacheManager holds both FOREVER (GC never reclaims explicit
+    persists), so every rebuild in a sweep/bench leaked two frames."""
+    import gc
+    import time
+
+    from citibike_deep_dive_spark.plans import CATALOG
+
+    def settled_count() -> int:
+        # localCheckpoint blocks are reclaimed asynchronously once the
+        # Python/JVM references die — settle GC before counting so only
+        # UNRELEASABLE entries (the leak class) remain
+        prev = None
+        for _ in range(20):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.5)
+            cur = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+            if prev is not None and cur == prev:
+                return cur
+            prev = cur
+        return prev
+
+    def build_once() -> None:
+        CATALOG["dedup_label_propagation"].build(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+
+    build_once()
+    after_first = settled_count()
+    build_once()
+    after_second = settled_count()
+    assert after_second <= after_first, (
+        f"storage tab grew across rebuilds: {after_first} -> {after_second}"
+    )

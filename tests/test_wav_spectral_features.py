@@ -50,9 +50,7 @@ def _features(mid: int):
         if tot
         else 0,
         "dominant_bin": min(k for k, p in ps.items() if p == pmax),
-        "dominant_power_ln_micro": _half_away(math.log(float(pmax)) * 1e6)
-        if pmax
-        else 0,
+        "dominant_power_str": str(pmax),
         "low_band_ratio_micro": _half_away(float(low) / float(tot) * 1e6)
         if tot
         else 0,
