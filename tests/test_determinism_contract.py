@@ -1,0 +1,95 @@
+"""Round-12 determinism contract (SCALE.md): no hashed output column
+may depend on an ENGINE-evaluated transcendental. The r11 bisect
+(heaps_moments_probe) proved libm ln diverges between DuckDB builds at
+a micro-quantization boundary; the three families that carried that
+risk were rewritten — these tests pin the contract so a regression
+reintroducing engine trig/log into those oracles fails fast."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from citibike_deep_dive_spark.plans import CATALOG
+from citibike_deep_dive_spark.plans.round10 import (
+    _TRIG_ROWS,
+    _TWO_PI,
+    _WAV_N_BASE,
+    _WAV_N_MOD,
+)
+from citibike_deep_dive_spark.plans.round10d import _DCT_ROWS, _DCT_SIZES
+
+_CONTRACT_QUERIES = [
+    "heaps_law_loglog_fit",
+    "heaps_moments_probe",
+    "multimodal_wav_spectral_features",
+    "multimodal_image_phash_buckets",
+]
+
+# an engine transcendental call: ln(, log(, log2(, cos(, sin(, exp(,
+# pow( as a function token (log2 appears only in the heaps bucket,
+# which is allowed because the ±1 shift correction makes the emitted
+# bucket libm-independent — see heaps_anchor_frames)
+_FORBIDDEN = re.compile(r"\b(ln|log|log10|cos|sin|tan|exp|pow)\s*\(", re.I)
+_ALLOWED_HEAPS = re.compile(r"\blog2\s*\(", re.I)
+
+
+def test_contract_oracles_contain_no_engine_transcendental():
+    for name in _CONTRACT_QUERIES:
+        sql = CATALOG[name].oracle
+        assert sql is not None
+        stripped = _ALLOWED_HEAPS.sub("F2(", sql) if name.startswith("heaps") else sql
+        hits = _FORBIDDEN.findall(stripped)
+        assert not hits, f"{name}: engine transcendental(s) {hits} on hashed surface"
+
+
+def test_heaps_bucket_correction_bounds_any_libm_error():
+    # the ±1 shift correction recovers the exact floor(log2) from ANY
+    # libm estimate within ±1 of truth — exhaustively check the
+    # correction formula over a wide integer range with adversarially
+    # wrong k0 estimates
+    for x in list(range(1, 4100)) + [2**40 - 1, 2**40, 2**40 + 1]:
+        true_k = x.bit_length() - 1
+        for k0 in (max(true_k - 1, 0), true_k, true_k + 1):
+            if (1 << (k0 + 1)) <= x:
+                k = k0 + 1
+            elif (1 << k0) > x:
+                k = k0 - 1
+            else:
+                k = k0
+            assert k == true_k, (x, k0, k, true_k)
+
+
+def _half_away_micro(x: float) -> int:
+    return int(math.floor(x * 1e6 + 0.5)) if x >= 0 else -int(math.floor(-x * 1e6 + 0.5))
+
+
+def test_spectral_trig_table_matches_independent_recompute():
+    assert len(_TRIG_ROWS) == sum(
+        range(_WAV_N_BASE, _WAV_N_BASE + _WAV_N_MOD)
+    )
+    for n, j, qc, qs in _TRIG_ROWS[:200] + _TRIG_ROWS[-200:]:
+        assert 0 <= j < n
+        assert qc == _half_away_micro(math.cos(_TWO_PI * j / n))
+        assert qs == _half_away_micro(math.sin(_TWO_PI * j / n))
+        assert -1_000_000 <= qc <= 1_000_000
+        assert -1_000_000 <= qs <= 1_000_000
+
+
+def test_dct_factor_table_matches_independent_recompute():
+    assert len(_DCT_ROWS) == sum(s * s for s in range(1, _DCT_SIZES + 1))
+    for s, c, f, q in _DCT_ROWS:
+        assert 0 <= c < s and 0 <= f < s
+        assert q == _half_away_micro(math.cos(math.pi * (2 * c + 1) * f / (2 * s)))
+        # f = 0 is the DC row: cos(0) exactly
+        if f == 0:
+            assert q == 1_000_000
+
+
+def test_literal_tables_are_embedded_in_oracle_sql():
+    # the VALUES injection really reaches the oracle — spot-check one
+    # interior tuple from each table
+    n, j, qc, qs = _TRIG_ROWS[137]
+    assert f"({n},{j},{qc},{qs})" in CATALOG["multimodal_wav_spectral_features"].oracle
+    s, c, f, q = _DCT_ROWS[40]
+    assert f"({s},{c},{f},{q})" in CATALOG["multimodal_image_phash_buckets"].oracle
