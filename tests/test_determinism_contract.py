@@ -93,3 +93,51 @@ def test_literal_tables_are_embedded_in_oracle_sql():
     assert f"({n},{j},{qc},{qs})" in CATALOG["multimodal_wav_spectral_features"].oracle
     s, c, f, q = _DCT_ROWS[40]
     assert f"({s},{c},{f},{q})" in CATALOG["multimodal_image_phash_buckets"].oracle
+
+
+# ---------------------------------------------------------------------------
+# Ratchet: the quantize-then-integer-aggregate sub-class may not grow
+# ---------------------------------------------------------------------------
+
+# The heaps failure PROFILE is specifically: an engine libm value
+# micro-quantized per term (round(f(x)*1e6) as integer) and then
+# aggregated — one ulp flip in ONE term changes the integer sum
+# exactly, where a value-grain 4-6 dp round absorbs it. These are the
+# current members (r12 scan; SCALE.md "accepted-risk inventory"). The
+# rotation re-verifies each within ~8 rounds; NEW members are banned —
+# use the literal-table / raw-integer-emission patterns instead.
+_QUANTIZED_LIBM_MEMBERS = {
+    "good_turing_bigram_smoothing",
+    "daily_volume_fourier",
+    "kneser_ney_heldout_perplexity",
+    "link_prediction_adamic_adar",
+    "importance_weight_ess",
+    "doremi_domain_reweight_step",
+    "naive_bayes_lang_classifier",
+    "rocchio_query_expansion",
+    "min_k_prob_membership",
+    "mmd_rbf_sources",
+    "unigram_lm_viterbi_segments",
+}
+
+_QUANT_LIBM = re.compile(
+    r"round\s*\([^()]*\b(?:ln|log2|log10|log|exp|pow|cos|sin|tan)\s*\(",
+    re.I,
+)
+
+
+def test_no_new_quantized_libm_surfaces():
+    found = set()
+    for name, spec in CATALOG.items():
+        if not spec.oracle:
+            continue
+        for m in _QUANT_LIBM.finditer(spec.oracle):
+            frag = spec.oracle[m.start() : m.start() + 140]
+            if "1000000" in frag or "100000" in frag:
+                found.add(name)
+                break
+    new = found - _QUANTIZED_LIBM_MEMBERS
+    assert not new, (
+        f"new quantize-then-integer-aggregate libm surface(s) {sorted(new)}: "
+        "use literal-table injection or raw-integer emission (SCALE.md r12)"
+    )
