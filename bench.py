@@ -95,6 +95,38 @@ def _loadavg() -> list[float] | None:
         return None
 
 
+def _effective_cores() -> float | None:
+    """Measured multiprocessing scaling of a fixed CPU burn — the host
+    context a bare loadavg misses. Round-12 lesson: identical code
+    measured 13.2 s one round and 23.0 s the next because the host's 32
+    vCPUs delivered ~17 effective cores (oversubscribed allocation);
+    untouched queries moved 3-4x while DuckDB moved 15%. Recording this
+    next to the timings makes host drift self-identifying in the BENCH
+    record, exactly like load_contended."""
+    import multiprocessing as mp
+
+    n = 2_000_000
+    procs = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        t0 = time.perf_counter()
+        _burn(n)
+        single = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as p:
+            p.map(_burn, [n] * procs)
+        wall = time.perf_counter() - t0
+        return round(procs * single / wall, 1) if wall > 0 else None
+    except Exception:
+        return None
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 # A 1-min load above this at bench start means another heavy process owns
 # the cores and the numbers will be contention artifacts (BENCH_r04/r05
 # were both load-contaminated). 2×cores/10 per the round-5 verdict.
@@ -166,6 +198,7 @@ def main() -> None:
     with_duckdb = "--duckdb" in sys.argv[1:]
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     load_before, contended = _wait_for_idle()
+    effective_cores = _effective_cores()
     spark = get_spark(app_name="citibike-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -214,6 +247,7 @@ def main() -> None:
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
         "load_contended": contended,
+        "effective_cores": effective_cores,
     }
     if with_duckdb:
         duck_total = round(sum(duck.values()), 3)
@@ -242,6 +276,7 @@ def main() -> None:
         "sf": payload["sf"],
         "loadavg_before": load_before,
         "load_contended": contended,
+        "effective_cores": effective_cores,
     }
     if with_duckdb:
         compact["duckdb_total"] = payload["duckdb_total"]
