@@ -118,6 +118,9 @@ QUERIES = [
     # true scale; the knn_shapley entries carry the same note).
     "repeated_substring_spans",
     "hll_source_cardinality",
+    # round-12 addition: per-doc fixed-point FFT (constant work per doc,
+    # linear in docs — the O(n log n) scale form of the DFT demo)
+    "multimodal_fft_spectral_power",
 ]
 
 ALPHA = string.ascii_lowercase
