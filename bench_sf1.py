@@ -121,6 +121,7 @@ QUERIES = [
     # round-12 addition: per-doc fixed-point FFT (constant work per doc,
     # linear in docs — the O(n log n) scale form of the DFT demo)
     "multimodal_fft_spectral_power",
+    "multimodal_stft_spectrogram",
 ]
 
 ALPHA = string.ascii_lowercase

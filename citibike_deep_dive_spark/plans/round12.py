@@ -107,12 +107,12 @@ _SAMPLES_SCHEMA = T.StructType(
 )
 
 
-def _wav64_sample_arrays(docs: DataFrame) -> DataFrame:
-    """(media_id, s[64]): synthesize a REAL 64-sample WAV per document
+def _wav_sample_arrays(docs: DataFrame, n: int) -> DataFrame:
+    """(media_id, s[n]): synthesize a REAL n-sample WAV per document
     (same LCG family as the variable-length corpus) and decode it back
     through the byte-level reader — one Arrow-batched round trip, no
-    shuffle, samples emitted as one array row per clip (the FFT's unit
-    of work)."""
+    shuffle, samples emitted as one array row per clip (the FFT/STFT
+    unit of work)."""
     import numpy as np
 
     from ..operators.multimodal import decode_wav_samples, encode_wav
@@ -122,7 +122,7 @@ def _wav64_sample_arrays(docs: DataFrame) -> DataFrame:
             out = []
             for mid in pdf["doc_id"]:
                 mid = int(mid)
-                idx = np.arange(_FFT_N, dtype=np.int64)
+                idx = np.arange(n, dtype=np.int64)
                 s = ((mid % 99991) * 6007 + idx * 193 + 11) % 65536 - 32768
                 payload = encode_wav(s.astype(np.int16), _FFT_RATE)
                 decoded, _rate, _nch = decode_wav_samples(payload)
@@ -130,6 +130,10 @@ def _wav64_sample_arrays(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["doc_id"], "s": out})
 
     return docs.select("doc_id").mapInPandas(run, _SAMPLES_SCHEMA)
+
+
+def _wav64_sample_arrays(docs: DataFrame) -> DataFrame:
+    return _wav_sample_arrays(docs, _FFT_N)
 
 
 def _long_array_sql(vals: list[int]) -> str:
@@ -165,14 +169,14 @@ def _duck_list_sql(vals: list[int]) -> str:
     return "[" + ",".join(f"CAST({v} AS BIGINT)" for v in vals) + "]"
 
 
-def _duck_stage_cte(t: int, prev: str, cur: str) -> str:
+def _duck_stage_cte(t: int, prev: str, cur: str, keys: str = "media_id") -> str:
     span, half = 1 << t, 1 << (t - 1)
     twc, tws = _FFT_TWIDDLES[t - 1]
     c, s = _duck_list_sql(twc), _duck_list_sql(tws)
     sh = _FFT_SCALE_BITS
     return f"""
     {cur} AS (
-        SELECT media_id, list_transform(generate_series(0, {_FFT_N - 1}), i ->
+        SELECT {keys}, list_transform(generate_series(0, {_FFT_N - 1}), i ->
             CASE WHEN (i % {span}) < {half} THEN struct_pack(
                 re := x[i+1].re + ((x[i+{half}+1].re * ({c})[(i % {span})+1]
                       - x[i+{half}+1].im * ({s})[(i % {span})+1]) >> {sh}),
@@ -272,6 +276,151 @@ def multimodal_fft_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame
             f"aggregate(pows, CAST(0 AS BIGINT),"
             f" (a, e) -> a + CASE WHEN e.k <= {_FFT_N // 8} THEN e.p ELSE CAST(0 AS BIGINT) END)"
         ).alias("low_band_power"),
+        F.expr("aggregate(pows, CAST(0 AS BIGINT), (a, e) -> a + e.p)").alias(
+            "total_power"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# STFT spectrogram: Hann-windowed overlapping frames -> per-frame FFT
+# ---------------------------------------------------------------------------
+
+_STFT_FRAMES = 7
+_STFT_HOP = 32  # 50% overlap at the 64-sample frame
+_STFT_CLIP = (_STFT_FRAMES - 1) * _STFT_HOP + _FFT_N  # 256 samples
+
+# Hann window, same build-time literal discipline as the twiddles
+_STFT_HANN = [
+    _qfix(0.5 * (1.0 - math.cos(2.0 * math.pi * i / (_FFT_N - 1))))
+    for i in range(_FFT_N)
+]
+
+
+def stft_fixed_point(samples: list[int]) -> list[list[tuple[int, int]]]:
+    """Python reference of the exact integer STFT: Hann-window each
+    hop-32 frame (floor-shift rescale), then the shared fft_fixed_point.
+    Returns per-frame complex spectra."""
+    out = []
+    for f in range(_STFT_FRAMES):
+        fs = samples[f * _STFT_HOP : f * _STFT_HOP + _FFT_N]
+        ws = [(v * _STFT_HANN[i]) >> _FFT_SCALE_BITS for i, v in enumerate(fs)]
+        out.append(fft_fixed_point(ws))
+    return out
+
+
+def _stft_oracle() -> str:
+    br = _duck_list_sql(_FFT_BITREV)
+    hann = _duck_list_sql(_STFT_HANN)
+    keys = "media_id, frame"
+    stages = "".join(
+        "," + _duck_stage_cte(t, f"x{t - 1}", f"x{t}", keys=keys)
+        for t in range(1, _FFT_BITS + 1)
+    )
+    return f"""
+    WITH samp AS (
+        SELECT doc_id AS media_id,
+               list_transform(generate_series(0, {_STFT_CLIP - 1}), idx ->
+                   CAST(((doc_id % 99991) * 6007 + idx * 193 + 11) % 65536
+                        - 32768 AS BIGINT)) AS s
+        FROM documents
+    ),
+    frames AS (
+        SELECT media_id, CAST(f AS BIGINT) AS frame,
+               s[f * {_STFT_HOP} + 1 : f * {_STFT_HOP} + {_FFT_N}] AS fs
+        FROM samp, unnest(generate_series(0, {_STFT_FRAMES - 1})) tf(f)
+    ),
+    x0 AS (
+        SELECT media_id, frame,
+               list_transform(generate_series(0, {_FFT_N - 1}), i ->
+                   struct_pack(
+                       re := (fs[({br})[i+1] + 1]
+                              * ({hann})[({br})[i+1] + 1]) >> {_FFT_SCALE_BITS},
+                       im := CAST(0 AS BIGINT))) AS x
+        FROM frames
+    ){stages},
+    bins AS (
+        SELECT media_id, frame, k,
+               x[CAST(k + 1 AS INT)].re * x[CAST(k + 1 AS INT)].re
+               + x[CAST(k + 1 AS INT)].im * x[CAST(k + 1 AS INT)].im AS p
+        FROM x{_FFT_BITS}, unnest(generate_series(1, {_FFT_N // 2})) tk(k)
+    ),
+    wm AS (SELECT *, max(p) OVER (PARTITION BY media_id, frame) AS maxp
+           FROM bins)
+    SELECT media_id, frame,
+           CAST(min(CASE WHEN p = maxp THEN k END) AS INT) AS dominant_bin,
+           CAST(max(p) AS BIGINT) AS dominant_power,
+           CAST(sum(p) AS BIGINT) AS total_power
+    FROM wm GROUP BY media_id, frame
+    """
+
+
+@register(
+    "multimodal_stft_spectrogram",
+    _stft_oracle(),
+    tags=("X-multimodal-dsp", "X-fft"),
+)
+def multimodal_stft_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STFT spectrogram — the actual audio-pipeline primitive (frame ->
+    Hann window -> FFT -> per-frame spectrum) that every audio
+    feature-extraction / dataset-curation stack runs upstream of VAD,
+    language-ID, or codec-quality filters. 256 decoded PCM samples per
+    clip, seven 64-sample frames at 50% overlap, the Hann window and
+    twiddles both build-time literal fixed point (the r12 determinism
+    contract) — every value bit-exact across engines, preflight-exact.
+
+    Emits (media_id, frame, dominant_bin, dominant_power, total_power):
+    the frame-grain dominant-frequency track, i.e. the spectrogram
+    ridge. Plan: Arrow decode -> narrow frame posexplode (7x, no
+    shuffle) -> windowed bit-reversal projection -> six butterfly
+    projections -> 32-element reduction per frame; the only exchange in
+    the plan is the final noop-write — frames of one clip stay in the
+    source partition, so the operator is a pure map at 100 TB exactly
+    like the single-frame FFT."""
+    docs = table(spark, sf_dir, "documents")
+    samp = _wav_sample_arrays(docs, _STFT_CLIP)
+    br = _long_array_sql(_FFT_BITREV)
+    hann = _long_array_sql(_STFT_HANN)
+    frames = samp.select(
+        "media_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_STFT_FRAMES - 1}),"
+                f" f -> slice(s, f * {_STFT_HOP} + 1, {_FFT_N}))"
+            )
+        ).alias("frame", "fs"),
+    ).select("media_id", F.col("frame").cast("long").alias("frame"), "fs")
+    x = frames.select(
+        "media_id",
+        "frame",
+        F.expr(
+            f"transform(sequence(0, {_FFT_N - 1}), i -> named_struct("
+            f"'re', shiftright("
+            f"element_at(fs, CAST(element_at({br}, i+1) + 1 AS INT))"
+            f" * element_at({hann}, CAST(element_at({br}, i+1) + 1 AS INT)),"
+            f" {_FFT_SCALE_BITS}),"
+            f"'im', CAST(0 AS BIGINT)))"
+        ).alias("x"),
+    )
+    for t in range(1, _FFT_BITS + 1):
+        x = x.select("media_id", "frame", F.expr(_spark_stage_expr(t)).alias("x"))
+    pows = x.select(
+        "media_id",
+        "frame",
+        F.expr(
+            f"transform(sequence(1, {_FFT_N // 2}), k -> named_struct("
+            f"'k', k,"
+            f"'p', element_at(x, k+1).re * element_at(x, k+1).re"
+            f" + element_at(x, k+1).im * element_at(x, k+1).im))"
+        ).alias("pows"),
+    ).withColumn("maxp", F.expr("array_max(transform(pows, e -> e.p))"))
+    return pows.select(
+        "media_id",
+        "frame",
+        F.expr("array_min(transform(filter(pows, e -> e.p = maxp), e -> e.k))")
+        .cast("int")
+        .alias("dominant_bin"),
+        F.col("maxp").cast("long").alias("dominant_power"),
         F.expr("aggregate(pows, CAST(0 AS BIGINT), (a, e) -> a + e.p)").alias(
             "total_power"
         ),

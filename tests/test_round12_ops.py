@@ -99,3 +99,62 @@ def test_fft_plan_is_exchange_free(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# multimodal_stft_spectrogram
+# ---------------------------------------------------------------------------
+
+
+def test_stft_spark_matches_exact_python_reference(spark):
+    from citibike_deep_dive_spark.plans.round12 import (
+        _STFT_CLIP,
+        _STFT_FRAMES,
+        stft_fixed_point,
+    )
+
+    rows = {}
+    for r in (
+        CATALOG["multimodal_stft_spectrogram"].build(spark, SF_DIR).collect()
+    ):
+        rows[(r["media_id"], r["frame"])] = r
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs * _STFT_FRAMES
+    for mid in (0, 1, 7, 42):
+        samples = [
+            ((mid % 99991) * 6007 + idx * 193 + 11) % 65536 - 32768
+            for idx in range(_STFT_CLIP)
+        ]
+        spectra = stft_fixed_point(samples)
+        for f, x in enumerate(spectra):
+            pows = {
+                k: x[k][0] ** 2 + x[k][1] ** 2 for k in range(1, _FFT_N // 2 + 1)
+            }
+            maxp = max(pows.values())
+            got = rows[(mid, f)]
+            assert got["dominant_bin"] == min(
+                k for k, p in pows.items() if p == maxp
+            )
+            assert got["dominant_power"] == maxp
+            assert got["total_power"] == sum(pows.values())
+
+
+def test_stft_hann_window_is_symmetric_normalized_fixed_point():
+    from citibike_deep_dive_spark.plans.round12 import _STFT_HANN
+
+    one = 1 << _FFT_SCALE_BITS
+    assert _STFT_HANN[0] == 0  # Hann endpoints are exactly zero
+    assert max(_STFT_HANN) <= one
+    for i in range(_FFT_N):
+        assert _STFT_HANN[i] == _STFT_HANN[_FFT_N - 1 - i]  # symmetry
+
+
+def test_stft_plan_has_no_aggregation_exchange(spark):
+    plan = (
+        CATALOG["multimodal_stft_spectrogram"]
+        .build(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:2000]
