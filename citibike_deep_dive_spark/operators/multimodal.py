@@ -10,9 +10,13 @@ actual payload bytes. PIXEL and SAMPLE decode is real for every format
 pure byte math + stdlib zlib can cover: uncompressed 24/32-bit BMP
 (``decode_bmp_pixels``), non-interlaced 8-bit RGB(A) PNG
 (``decode_png_pixels`` — inflate + the five scanline unfilters) and
-16-bit PCM WAV (``decode_wav_samples``). Only genuinely
-codec-library-bound formats (JPEG/GIF pixels, MP3/AAC, video frames)
-remain STUBBED: ``decode_stub`` raises NotImplementedError unless
+16-bit PCM WAV (``decode_wav_samples``). GIF (full LZW, interlace,
+local color tables) and baseline JPEG (ITU-T T.81 sequential DCT,
+generic DHT/DQT, 4:4:4/4:2:2/4:2:0, restart markers) pixel decode is
+REAL too — pure stdlib+numpy implementations in ``operators/codecs.py``.
+Only genuinely codec-library-bound formats (MP3/AAC audio, video
+frames, progressive/arithmetic JPEG, palette/16-bit PNG) remain
+STUBBED: ``decode_stub`` raises NotImplementedError unless
 ``deterministic_fake=True``, which produces a seeded fake feature
 vector from the bytes (md5-derived), keeping every downstream operator
 testable.
@@ -353,6 +357,27 @@ def png_channel_stats(media: DataFrame) -> DataFrame:
     path ``decode_png_pixels`` — inflate + the five scanline
     unfilters."""
     return _channel_stats(media, decode_png_pixels)
+
+
+def gif_channel_stats(media: DataFrame) -> DataFrame:
+    """Pixel statistics over GIF payloads (see ``_channel_stats``),
+    driven by the REAL pure-Python LZW decode path
+    ``codecs.decode_gif_pixels``. GIF is lossless, so the stats are
+    exact functions of the encoded pixels, same as BMP/PNG."""
+    from .codecs import decode_gif_pixels
+
+    return _channel_stats(media, decode_gif_pixels)
+
+
+def jpeg_channel_stats(media: DataFrame) -> DataFrame:
+    """Pixel statistics over baseline-JPEG payloads (see
+    ``_channel_stats``), driven by the REAL stdlib+numpy T.81 decode
+    path ``codecs.decode_jpeg_pixels``. JPEG is lossy, so stats are
+    exact functions of the DECODED pixels (deterministic for a given
+    payload), not of the pre-encode source."""
+    from .codecs import decode_jpeg_pixels
+
+    return _channel_stats(media, decode_jpeg_pixels)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -744,13 +769,13 @@ def png_pixel_rows(media: DataFrame) -> DataFrame:
 
 
 def decode_stub(payload: bytes, kind: str, deterministic_fake: bool = False) -> list[float]:
-    """Compressed-codec fallback ONLY (JPEG/GIF/palette-PNG pixel
-    decode, MP3/AAC audio, video frames — the codec libraries are
-    absent here). Uncompressed BMPs, non-interlaced 8-bit RGB PNGs and
-    16-bit PCM WAVs never reach this: ``extract_features`` routes them
-    through the REAL ``decode_bmp_pixels`` / ``decode_png_pixels``
-    paths first, and the audio stats path decodes PCM via
-    ``decode_wav_samples``."""
+    """Codec-library-bound fallback ONLY (MP3/AAC audio, video frames,
+    progressive/arithmetic JPEG, palette/16-bit PNG). Everything else
+    never reaches this: ``extract_features`` routes BMP / PNG / GIF /
+    baseline-JPEG payloads through the REAL decode paths
+    (``decode_bmp_pixels`` / ``decode_png_pixels`` /
+    ``codecs.decode_gif_pixels`` / ``codecs.decode_jpeg_pixels``), and
+    the audio stats path decodes PCM via ``decode_wav_samples``."""
     if not deterministic_fake:
         raise NotImplementedError(
             f"media decoding for kind={kind!r} requires codec libraries "
@@ -786,16 +811,22 @@ def _bmp_features(px) -> list[float]:
 
 def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads. Payloads
-    that decode as uncompressed BMPs get REAL pixel features
-    (``_bmp_features``); everything else falls back to ``decode_stub``
-    (compressed formats need codec libraries this container lacks)."""
+    that decode as uncompressed BMP, 8-bit RGB(A) PNG, GIF, or baseline
+    JPEG get REAL pixel features (``_bmp_features``); only the
+    genuinely codec-library-bound leftovers fall back to
+    ``decode_stub``."""
+    from .codecs import decode_gif_pixels, decode_jpeg_pixels
 
     def features_of(payload: bytes, kind: str) -> list[float]:
-        px = decode_bmp_pixels(payload)
-        if px is None:
-            px = decode_png_pixels(payload)
-        if px is not None:
-            return _bmp_features(px)
+        for dec in (
+            decode_bmp_pixels,
+            decode_png_pixels,
+            decode_gif_pixels,
+            decode_jpeg_pixels,
+        ):
+            px = dec(payload)
+            if px is not None:
+                return _bmp_features(px)
         return decode_stub(payload, kind, deterministic_fake=deterministic_fake)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -849,12 +880,12 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_stub(payload: bytes, dst_w: int, dst_h: int, deterministic_fake: bool = False) -> bytes:
-    """Compressed-codec resample fallback ONLY (JPEG/GIF — the codec
-    libraries are absent here). Decodable formats (uncompressed BMP,
-    non-interlaced 8-bit RGB PNG) never reach this: ``resize_payload``
-    resamples their REAL pixels. The deterministic fake emits a payload
-    whose length tracks the target pixel count so downstream size
-    accounting is exercised for real."""
+    """Codec-library-bound resample fallback ONLY (progressive JPEG,
+    palette PNG, video posters). Decodable formats (uncompressed BMP,
+    non-interlaced 8-bit RGB PNG, GIF, baseline JPEG) never reach
+    this: ``resize_payload`` resamples their REAL pixels. The
+    deterministic fake emits a payload whose length tracks the target
+    pixel count so downstream size accounting is exercised for real."""
     if not deterministic_fake:
         raise NotImplementedError(
             "image resampling requires codec libraries not present in "
@@ -881,17 +912,33 @@ def resample_nearest(px, dst_w: int, dst_h: int):
 def resize_payload(
     payload: bytes, dst_w: int, dst_h: int, deterministic_fake: bool = False
 ) -> bytes:
-    """REAL resize for every decodable format: BMP and PNG payloads are
-    decoded (real codecs above), nearest-neighbor resampled, and
+    """REAL resize for every decodable format: BMP, PNG, GIF and
+    baseline-JPEG payloads are decoded (real codecs above +
+    ``operators/codecs.py``), nearest-neighbor resampled, and
     re-encoded in their ORIGINAL container format, so a resized corpus
-    column stays round-trippable by the same decoders. Compressed
-    formats fall back to ``resize_stub``."""
+    column stays round-trippable by the same decoders (GIF resample
+    can only drop colors, so the <=256-palette invariant is preserved;
+    JPEG re-encodes at quality 90). Codec-library-bound formats fall
+    back to ``resize_stub``."""
+    from .codecs import (
+        decode_gif_pixels,
+        decode_jpeg_pixels,
+        encode_gif,
+        encode_jpeg,
+    )
+
     px = decode_bmp_pixels(payload)
     if px is not None:
         return encode_bmp(resample_nearest(px, dst_w, dst_h))
     px = decode_png_pixels(payload)
     if px is not None:
         return encode_png(resample_nearest(px, dst_w, dst_h))
+    px = decode_gif_pixels(payload)
+    if px is not None:
+        return encode_gif(resample_nearest(px, dst_w, dst_h))
+    px = decode_jpeg_pixels(payload)
+    if px is not None:
+        return encode_jpeg(resample_nearest(px, dst_w, dst_h), quality=90)
     return resize_stub(payload, dst_w, dst_h, deterministic_fake)
 
 

@@ -1,0 +1,272 @@
+"""GIF (LZW) and baseline JPEG (ITU-T T.81) codecs — pure
+stdlib+numpy, operators/codecs.py. GIF roundtrips must be bit-exact
+(lossless format); JPEG roundtrips are error-bounded (lossy by
+construction) with the structural paths (4:2:0, restart markers, 0xFF
+stuffing, generic DHT) individually pinned."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from citibike_deep_dive_spark.operators.codecs import (
+    _AC_BITS,
+    _AC_VALS,
+    _DC_BITS,
+    _DC_VALS,
+    _canonical_codes,
+    _lzw_compress,
+    _lzw_decompress,
+    _zigzag_positions,
+    decode_gif_pixels,
+    decode_jpeg_pixels,
+    encode_gif,
+    encode_jpeg,
+)
+from citibike_deep_dive_spark.operators.multimodal import (
+    _bmp_features,
+    extract_features,
+    gif_channel_stats,
+    jpeg_channel_stats,
+    parse_image_dimensions,
+    resize_payload,
+)
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+def _palette_image(h: int, w: int, ncolors: int, seed: int):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(ncolors, 3)).astype(np.uint8)
+    return pal[rng.integers(0, ncolors, size=(h, w))]
+
+
+def test_gif_roundtrip_exact_small_palette():
+    px = _palette_image(13, 17, 5, seed=1)
+    out = decode_gif_pixels(encode_gif(px))
+    assert out is not None and np.array_equal(out, px)
+
+
+def test_gif_roundtrip_exact_256_colors_with_dict_reset():
+    # 100x100 high-entropy indices grow the LZW dictionary past 4096
+    # entries, forcing the mid-stream CLEAR + reset path on both sides.
+    px = _palette_image(100, 100, 256, seed=7)
+    payload = encode_gif(px)
+    out = decode_gif_pixels(payload)
+    assert out is not None and np.array_equal(out, px)
+    assert parse_image_dimensions(payload) == ("gif", 100, 100)
+
+
+def test_gif_roundtrip_exact_interlaced():
+    px = _palette_image(37, 23, 50, seed=3)
+    out = decode_gif_pixels(encode_gif(px, interlace=True))
+    assert out is not None and np.array_equal(out, px)
+
+
+def test_gif_rejects_malformed():
+    px = _palette_image(10, 10, 4, seed=2)
+    g = encode_gif(px)
+    assert decode_gif_pixels(g[:8]) is None
+    assert decode_gif_pixels(g[:40]) is None
+    assert decode_gif_pixels(b"not a gif at all") is None
+    assert decode_gif_pixels(b"GIF89a" + b"\x00" * 4) is None
+
+
+def test_gif_skips_extension_blocks():
+    px = _palette_image(6, 9, 8, seed=4)
+    g = bytearray(encode_gif(px))
+    # splice a Graphic Control Extension before the image descriptor,
+    # whose offset is 13 + the global color table (0x2C bytes can occur
+    # inside the palette, so compute rather than scan)
+    idx = 13 + 3 * (1 << ((g[10] & 7) + 1))
+    assert g[idx] == 0x2C
+    gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    patched = bytes(g[:idx]) + gce + bytes(g[idx:])
+    out = decode_gif_pixels(patched)
+    assert out is not None and np.array_equal(out, px)
+
+
+def test_gif_lzw_stream_roundtrip_various_code_sizes():
+    rng = np.random.default_rng(11)
+    for ncodes, mcs in ((4, 2), (16, 4), (250, 8)):
+        seq = rng.integers(0, ncodes, size=5000).tolist()
+        out = _lzw_decompress(_lzw_compress(seq, mcs), mcs, len(seq))
+        assert out == seq
+
+
+def test_gif_encode_rejects_too_many_colors():
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(40, 40, 3)).astype(np.uint8)
+    assert len(np.unique(px.reshape(-1, 3), axis=0)) > 256
+    with pytest.raises(ValueError):
+        encode_gif(px)
+
+
+# ---------------------------------------------------------------------------
+# JPEG
+# ---------------------------------------------------------------------------
+
+
+def _gradient(h: int, w: int):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            np.clip(xx * 4 + 30, 0, 255),
+            np.clip(yy * 5 + 20, 0, 255),
+            np.clip(120 + xx + yy, 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_jpeg_zigzag_matches_spec_prefix():
+    zz = _zigzag_positions()
+    assert zz[:8] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    ]
+    assert zz[-1] == (7, 7) and len(set(zz)) == 64
+
+
+def test_jpeg_huffman_tables_are_valid_prefix_codes():
+    for bits, vals in ((_DC_BITS, _DC_VALS), (_AC_BITS, _AC_VALS)):
+        assert sum(bits) == len(vals)
+        codes = _canonical_codes(bits, vals)
+        # Kraft inequality with slack (the all-ones max-length code
+        # must stay unused per the usual JPEG padding convention)
+        assert sum(2.0 ** -ln for _, ln in codes.values()) < 1.0
+
+
+def test_jpeg_roundtrip_444_error_bounded():
+    img = _gradient(24, 40)
+    payload = encode_jpeg(img, quality=95)
+    assert parse_image_dimensions(payload) == ("jpeg", 40, 24)
+    out = decode_jpeg_pixels(payload)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 4  # smooth image at q95: quantization is tiny
+
+
+def test_jpeg_roundtrip_420_odd_dims():
+    img = _gradient(37, 53)  # not multiples of the 16px MCU
+    out = decode_jpeg_pixels(encode_jpeg(img, quality=92, subsample=True))
+    assert out.shape == (37, 53, 3)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 16  # chroma box-mean + nearest upsample
+
+def test_jpeg_flat_image_decodes_exact():
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(flat, quality=90))
+    assert int(np.abs(out.astype(int) - 77).max()) == 0
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    img = _gradient(37, 53)
+    plain = decode_jpeg_pixels(encode_jpeg(img, quality=92, subsample=True))
+    restarted = decode_jpeg_pixels(
+        encode_jpeg(img, quality=92, subsample=True, restart_interval=2)
+    )
+    assert np.array_equal(plain, restarted)
+
+
+def test_jpeg_ff_stuffing_path():
+    # q=100 noise produces an entropy stream containing a stuffed
+    # 0xFF00 (verified property of this seed) — decode must unstuff.
+    noise = np.random.default_rng(0).integers(0, 256, size=(32, 32, 3)).astype(
+        np.uint8
+    )
+    payload = encode_jpeg(noise, quality=100)
+    assert b"\xff\x00" in payload
+    out = decode_jpeg_pixels(payload)
+    assert out is not None and out.shape == (32, 32, 3)
+    assert int(np.abs(out.astype(int) - noise.astype(int)).max()) <= 4
+
+
+def test_jpeg_rejects_malformed_and_progressive():
+    img = _gradient(16, 16)
+    payload = bytearray(encode_jpeg(img, quality=90))
+    assert decode_jpeg_pixels(bytes(payload[:40])) is None
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+    assert decode_jpeg_pixels(b"plainly not a jpeg") is None
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # relabel SOF0 -> SOF2 (progressive)
+    assert decode_jpeg_pixels(bytes(payload)) is None
+
+
+def test_jpeg_quality_monotone_in_size():
+    img = _gradient(32, 32)
+    sizes = [len(encode_jpeg(img, quality=q)) for q in (25, 75, 98)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+# ---------------------------------------------------------------------------
+# Spark integration: the stub surface is now BMP/PNG/GIF/JPEG-free
+# ---------------------------------------------------------------------------
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, meta_width int, "
+        "meta_height int, meta_duration_ms int",
+    )
+
+
+def test_extract_features_real_path_for_gif_and_jpeg(spark):
+    gif_px = _palette_image(8, 8, 12, seed=21)
+    jpg_src = _gradient(8, 8)
+    jpg_payload = encode_jpeg(jpg_src, quality=95)
+    jpg_px = decode_jpeg_pixels(jpg_payload)  # features of DECODED pixels
+    media = _media_df(
+        spark,
+        [
+            (1, "image", bytearray(encode_gif(gif_px)), 8, 8, 0),
+            (2, "image", bytearray(jpg_payload), 8, 8, 0),
+            (3, "video", bytearray(b"opaque-video-bytes"), 0, 0, 2000),
+        ],
+    )
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert rows[1]["features"] == _bmp_features(gif_px)
+    assert rows[2]["features"] == _bmp_features(jpg_px)
+    assert len(rows[3]["features"]) == 8  # stub fallback for video
+
+
+def test_gif_channel_stats_exact(spark):
+    px = _palette_image(9, 7, 30, seed=22)
+    media = _media_df(spark, [(1, "image", bytearray(encode_gif(px)), 7, 9, 0)])
+    row = gif_channel_stats(media).collect()[0]
+    flat = px.reshape(-1, 3).astype(np.int64)
+    lum = flat[:, 0] + 2 * flat[:, 1] + 3 * flat[:, 2]
+    idx = np.arange(1, len(lum) + 1, dtype=np.int64)
+    assert (row["width"], row["height"]) == (7, 9)
+    assert row["mean_r"] == flat[:, 0].sum() / len(flat)
+    assert row["poschk"] == int((idx * lum).sum())
+
+
+def test_jpeg_channel_stats_match_decoded_pixels(spark):
+    src = _gradient(17, 11)
+    payload = encode_jpeg(src, quality=92)
+    px = decode_jpeg_pixels(payload)
+    media = _media_df(spark, [(1, "image", bytearray(payload), 11, 17, 0)])
+    row = jpeg_channel_stats(media).collect()[0]
+    flat = px.reshape(-1, 3).astype(np.int64)
+    lum = flat[:, 0] + 2 * flat[:, 1] + 3 * flat[:, 2]
+    idx = np.arange(1, len(lum) + 1, dtype=np.int64)
+    assert (row["width"], row["height"]) == (11, 17)
+    assert row["poschk"] == int((idx * lum).sum())
+
+
+def test_resize_payload_preserves_container_for_gif_and_jpeg():
+    gif_px = _palette_image(20, 30, 40, seed=23)
+    resized = resize_payload(encode_gif(gif_px), 15, 10)
+    assert parse_image_dimensions(resized) == ("gif", 15, 10)
+    out = decode_gif_pixels(resized)
+    # nearest-neighbor decimation of a lossless container: exact subset
+    ys = (np.arange(10, dtype=np.int64) * 20) // 10
+    xs = (np.arange(15, dtype=np.int64) * 30) // 15
+    assert np.array_equal(out, gif_px[ys][:, xs])
+
+    jpg = encode_jpeg(_gradient(20, 30), quality=92)
+    resized_j = resize_payload(jpg, 15, 10)
+    assert parse_image_dimensions(resized_j) == ("jpeg", 15, 10)
+    assert decode_jpeg_pixels(resized_j) is not None
