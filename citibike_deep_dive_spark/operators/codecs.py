@@ -1,14 +1,18 @@
-"""REAL compressed-image codecs in pure stdlib + numpy: GIF (LZW) and
-baseline JPEG (ITU-T T.81) encode/decode, no codec libraries.
+"""REAL compressed-media codecs in pure stdlib + numpy: GIF (LZW),
+baseline JPEG (ITU-T T.81), and AVI/MJPEG video encode/decode — no
+codec libraries.
 
-These close the two image entries of the documented stub surface in
-``operators/multimodal.py`` ("JPEG/GIF pixels ... remain STUBBED"): both
-formats are fully specified public documents (GIF89a specification;
-ITU-T T.81 / ISO 10918-1 Annex F baseline sequential DCT) and need no
+These close the image and MJPEG-video entries of the documented stub
+surface in ``operators/multimodal.py`` ("JPEG/GIF pixels ... video
+frames ... remain STUBBED"): all three formats are fully specified
+public documents (GIF89a specification; ITU-T T.81 / ISO 10918-1
+Annex F baseline sequential DCT; Microsoft RIFF AVI) and need no
 native library — GIF is LZW over palette indices (exact, lossless
 roundtrip), JPEG is DCT + quantization + canonical Huffman (lossy;
 decode is exact w.r.t. the bit stream, the loss is quantization by
-construction). Audio (MP3/AAC) and video frame decode remain genuinely
+construction), and MJPEG video is 'every frame is a JPEG' inside a
+RIFF container. Audio (MP3/AAC), inter-frame video codecs
+(H.264/VP9), and progressive/arithmetic JPEG remain genuinely
 codec-library-bound and stay stubbed.
 
 Scale/shape notes: both decoders are per-payload pure functions used
@@ -821,3 +825,132 @@ def decode_jpeg_pixels(payload: bytes):
         )
     except (IndexError, EOFError, ValueError, KeyError, StopIteration, struct.error):
         return None
+
+
+# ---------------------------------------------------------------------------
+# AVI — MJPEG video container (Microsoft RIFF AVI, public format; the
+# frames themselves are the baseline JPEGs implemented above, so video
+# frame decode needs no codec library for this class either)
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return tag + len(body).to_bytes(4, "little") + body + pad
+
+
+def _riff_list(kind: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + body)
+
+
+def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
+    """REAL AVI/MJPEG writer, stdlib+numpy: a list of (H, W, 3) uint8
+    RGB frames -> a complete RIFF AVI (avih + strl headers, movi LIST
+    of per-frame '00dc' baseline-JPEG chunks, idx1 index). Every frame
+    is independently encoded by ``encode_jpeg`` — MJPEG is exactly
+    'each frame is a JPEG', which is why this class of video needs no
+    codec library."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    first = np.asarray(frames[0])
+    h, w, _ = first.shape
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+    movi_body = bytearray(b"movi")
+    index = bytearray()
+    for p in payloads:
+        offset = len(movi_body)  # offset of the ckid, relative to 'movi'
+        movi_body.extend(_riff_chunk(b"00dc", p))
+        index.extend(b"00dc")
+        index.extend((0x10).to_bytes(4, "little"))  # AVIIF_KEYFRAME
+        index.extend(offset.to_bytes(4, "little"))
+        index.extend(len(p).to_bytes(4, "little"))
+    max_bytes = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # microseconds per frame
+        max_bytes * fps,  # max bytes per second
+        0,  # padding granularity
+        0x10,  # AVIF_HASINDEX
+        len(payloads),
+        0,  # initial frames
+        1,  # streams
+        max_bytes,  # suggested buffer
+        w,
+        h,
+        0, 0, 0, 0,  # reserved
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        # dwFlags, wPriority, wLanguage, dwInitialFrames, dwScale,
+        # dwRate, dwStart, dwLength, dwSuggestedBufferSize, dwQuality,
+        # dwSampleSize, rcFrame
+        + struct.pack(
+            "<I2H8I", 0, 0, 0, 0, 1, fps, 0, len(payloads),
+            max_bytes, 0xFFFFFFFF, 0,
+        )
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<I2i2H2I2i2I", 40, w, h, 1, 24, 0x47504A4D, w * h * 3, 0, 0, 0, 0
+    )  # BITMAPINFOHEADER, biCompression 'MJPG'
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    body = (
+        b"AVI "
+        + hdrl
+        + _riff_chunk(b"LIST", bytes(movi_body))
+        + _riff_chunk(b"idx1", bytes(index))
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_avi_frames(payload: bytes, max_frames: int | None = None):
+    """REAL AVI/MJPEG frame decode, stdlib+numpy: RIFF walk -> avih
+    (frame period) -> movi LIST -> each '00dc'/'00db' chunk through
+    ``decode_jpeg_pixels``. Returns (frames, fps) where frames is a
+    list of (H, W, 3) uint8 arrays, or None if the payload is not an
+    AVI or no frame decodes (non-MJPEG codecs land here: the chunk
+    bytes are not JPEG and the frame decoder rejects them — those fall
+    back to the stub path). ``max_frames`` bounds decode work for
+    sampling callers that only need the first frames."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    us_per_frame = 0
+    frames = []
+    try:
+        def walk(start: int, end: int) -> None:
+            nonlocal us_per_frame
+            pos = start
+            while pos + 8 <= end:
+                tag = payload[pos : pos + 4]
+                ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+                body_start = pos + 8
+                if tag == b"LIST":
+                    kind = payload[body_start : body_start + 4]
+                    if kind in (b"hdrl", b"movi", b"strl"):
+                        walk(body_start + 4, body_start + ln)
+                elif tag == b"avih" and ln >= 4:
+                    us_per_frame = int.from_bytes(
+                        payload[body_start : body_start + 4], "little"
+                    )
+                elif tag in (b"00dc", b"00db") and (
+                    max_frames is None or len(frames) < max_frames
+                ):
+                    px = decode_jpeg_pixels(payload[body_start : body_start + ln])
+                    if px is not None:
+                        frames.append(px)
+                pos = body_start + ln + (ln & 1)
+
+        walk(12, min(len(payload), 8 + int.from_bytes(payload[4:8], "little")))
+    except (IndexError, ValueError, struct.error):
+        return None
+    if not frames:
+        return None
+    fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
+    return frames, fps

@@ -848,11 +848,84 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
     return media.mapInPandas(run, FEATURES_SCHEMA)
 
 
+VIDEO_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("poschk", T.LongType()),
+    ]
+)
+
+
+def video_frame_stats(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame decode + per-frame statistics for the
+    AVI/MJPEG class: Arrow-batched ``codecs.decode_avi_frames`` (RIFF
+    walk -> per-frame baseline-JPEG decode, both pure stdlib+numpy),
+    sampling one frame per ``every_ms`` from the container's own frame
+    rate. Emits the same order-sensitive ``poschk`` contract as the
+    image stats operators, per sampled frame. Payloads that are not
+    MJPEG AVIs contribute no rows (H.264/VP9 etc. remain
+    codec-library-bound and fall back to the stub path). At scale the
+    cost profile matches every other decode operator here: Arrow
+    batches bound memory to a batch of payloads, zero shuffle."""
+    import numpy as np
+
+    from .codecs import decode_avi_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = (
+                    decode_avi_frames(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if dec is None:
+                    continue
+                frames, fps = dec
+                step = max(1, (fps * every_ms) // 1000) if fps else 1
+                for fi in range(0, len(frames), step):
+                    px = frames[fi]
+                    h, w, _ = px.shape
+                    flat = px.reshape(-1, 3).astype(np.int64)
+                    sums = flat.sum(axis=0)
+                    lum = flat[:, 0] + 2 * flat[:, 1] + 3 * flat[:, 2]
+                    idx = np.arange(1, h * w + 1, dtype=np.int64)
+                    rows.append(
+                        (
+                            mid,
+                            fi,
+                            fi * 1000 // fps if fps else 0,
+                            fps,
+                            w,
+                            h,
+                            sums[0] / (h * w),
+                            sums[1] / (h * w),
+                            sums[2] / (h * w),
+                            int((idx * lum).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME_STATS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, VIDEO_FRAME_STATS_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per sampled frame timestamp.
 
     The timestamp fan-out is native (sequence + explode); actual frame
-    decode would plug into extract_features. Demonstrates the
+    decode for the MJPEG/AVI class plugs in via ``video_frame_stats``
+    (real RIFF + per-frame JPEG decode). Demonstrates the
     explode-then-process shape used for video corpora.
     """
     return (

@@ -270,3 +270,80 @@ def test_resize_payload_preserves_container_for_gif_and_jpeg():
     resized_j = resize_payload(jpg, 15, 10)
     assert parse_image_dimensions(resized_j) == ("jpeg", 15, 10)
     assert decode_jpeg_pixels(resized_j) is not None
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG video
+# ---------------------------------------------------------------------------
+
+
+def _video_frames(n: int, h: int = 24, w: int = 32):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return [
+        np.clip(
+            np.stack([xx * 4 + t * 10, yy * 5, xx + yy + t * 5], axis=2), 0, 255
+        ).astype(np.uint8)
+        for t in range(n)
+    ]
+
+
+def test_avi_mjpeg_roundtrip():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    frames = _video_frames(5)
+    avi = encode_avi_mjpeg(frames, fps=4, quality=92)
+    out, fps = decode_avi_frames(avi)
+    assert fps == 4 and len(out) == 5
+    # each extracted frame is EXACTLY the standalone JPEG decode
+    ref = decode_jpeg_pixels(encode_jpeg(frames[2], quality=92))
+    assert np.array_equal(out[2], ref)
+    worst = max(
+        int(np.abs(o.astype(int) - f.astype(int)).max())
+        for o, f in zip(out, frames)
+    )
+    assert worst <= 6
+    assert len(decode_avi_frames(avi, max_frames=2)[0]) == 2
+
+
+def test_avi_rejects_non_avi():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    avi = encode_avi_mjpeg(_video_frames(2), fps=2)
+    assert decode_avi_frames(avi[:100]) is None
+    assert decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert decode_avi_frames(b"junk") is None
+
+
+def test_video_frame_stats_real_decode(spark):
+    from citibike_deep_dive_spark.operators.codecs import encode_avi_mjpeg
+    from citibike_deep_dive_spark.operators.multimodal import video_frame_stats
+
+    frames = _video_frames(6)
+    avi = encode_avi_mjpeg(frames, fps=2, quality=92)  # 2 fps, 3 s of video
+    media = _media_df(
+        spark,
+        [
+            (1, "video", bytearray(avi), 32, 24, 3000),
+            (2, "video", bytearray(b"h264-opaque-bytes"), 0, 0, 1000),
+        ],
+    )
+    rows = video_frame_stats(media, every_ms=1000).collect()
+    # every_ms=1000 at 2 fps -> every 2nd frame: indices 0, 2, 4
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    assert all(r["media_id"] == 1 for r in rows)  # non-AVI contributes none
+    assert [r["frame_ts_ms"] for r in rows] == [0, 1000, 2000]
+    from citibike_deep_dive_spark.operators.codecs import decode_avi_frames
+
+    decoded, _ = decode_avi_frames(avi)
+    px = decoded[2]
+    flat = px.reshape(-1, 3).astype(np.int64)
+    lum = flat[:, 0] + 2 * flat[:, 1] + 3 * flat[:, 2]
+    idx = np.arange(1, len(lum) + 1, dtype=np.int64)
+    assert rows[1]["poschk"] == int((idx * lum).sum())
+    assert rows[1]["mean_g"] == flat[:, 1].sum() / len(flat)
