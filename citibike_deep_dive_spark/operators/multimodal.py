@@ -566,19 +566,23 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
 
 
 def decode_wav_samples(payload: bytes):
-    """REAL WAV PCM sample decode, pure byte math: RIFF chunk walk
-    (word-aligned — odd-length chunks carry a pad byte) -> the fmt and
-    data chunks -> (int16 sample array, sample_rate, n_channels).
-    Returns None for anything that is not 16-bit integer PCM
-    (compressed codecs like MP3/AAC/float WAV fall back to
-    ``decode_stub``). Multi-channel data stays interleaved-flat; the
-    stats layer decides how to fold channels."""
+    """REAL WAV sample decode, pure byte math: RIFF chunk walk
+    (word-aligned — odd-length chunks carry a pad byte) -> the fmt,
+    fact and data chunks -> (int16 sample array, sample_rate,
+    n_channels). Covers 16-bit integer PCM plus the spec-public
+    compressed formats in ``codecs``: G.711 mu-law (tag 7) / A-law (6)
+    and mono IMA ADPCM (0x11). Returns None for anything else
+    (MP3/AAC-in-WAV, float WAV fall back to ``decode_stub``).
+    Multi-channel data stays interleaved-flat; the stats layer decides
+    how to fold channels."""
     import numpy as np
 
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     i = 12
     sample_rate = n_channels = bits = audio_format = None
+    block_align = samples_per_block = 0
+    n_samples = None
     data = None
     while i + 8 <= len(payload):
         tag = payload[i : i + 4]
@@ -592,14 +596,33 @@ def decode_wav_samples(payload: bytes):
             audio_format = int.from_bytes(body[0:2], "little")
             n_channels = int.from_bytes(body[2:4], "little")
             sample_rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
+            if ln >= 20:  # cbSize + wSamplesPerBlock (ADPCM extension)
+                samples_per_block = int.from_bytes(body[18:20], "little")
+        elif tag == b"fact" and ln >= 4:
+            n_samples = int.from_bytes(body[0:4], "little")
         elif tag == b"data":
             data = body
         i += 8 + ln + (ln & 1)  # chunks are word-aligned
-    if audio_format != 1 or bits != 16 or not n_channels or data is None:
+    if not n_channels or data is None:
         return None
-    samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.int16)
-    return samples, sample_rate, n_channels
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(
+            np.int16
+        )
+        return samples, sample_rate, n_channels
+    if audio_format in (6, 7, 0x11):
+        from .codecs import decode_wav_compressed
+
+        samples = decode_wav_compressed(
+            audio_format, data, n_channels, block_align, samples_per_block,
+            n_samples,
+        )
+        if samples is None:
+            return None
+        return samples, sample_rate, n_channels
+    return None
 
 
 WAV_STATS_SCHEMA = T.StructType(

@@ -347,3 +347,122 @@ def test_video_frame_stats_real_decode(spark):
     idx = np.arange(1, len(lum) + 1, dtype=np.int64)
     assert rows[1]["poschk"] == int((idx * lum).sum())
     assert rows[1]["mean_g"] == flat[:, 1].sum() / len(flat)
+
+
+# ---------------------------------------------------------------------------
+# Audio: G.711 mu-law / A-law and IMA ADPCM (WAV tags 7 / 6 / 0x11)
+# ---------------------------------------------------------------------------
+
+
+def _sine(n: int = 3000):
+    t = np.arange(n)
+    return (9000 * np.sin(t / 15) + 2000 * np.sin(t / 3.1)).astype(np.int16)
+
+
+def test_g711_decode_then_encode_is_identity_on_all_codes():
+    from citibike_deep_dive_spark.operators.codecs import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(alaw_encode(alaw_decode(codes.tobytes())), codes)
+    u_rt = ulaw_encode(ulaw_decode(codes.tobytes()))
+    # mu-law has TWO zero codes (0x7F negative zero, 0xFF positive
+    # zero); both decode to 0, which re-encodes to 0xFF — exactly one
+    # code is therefore not a fixed point, by the G.711 table itself.
+    diff = np.nonzero(u_rt != codes)[0]
+    assert list(diff) == [0x7F] and u_rt[0x7F] == 0xFF
+
+
+def test_g711_roundtrip_error_is_companding_bounded():
+    from citibike_deep_dive_spark.operators.codecs import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    s = _sine()
+    for enc, dec in ((ulaw_encode, ulaw_decode), (alaw_encode, alaw_decode)):
+        out = dec(enc(s).tobytes())
+        rel = np.abs(out.astype(int) - s.astype(int)).max() / 32768
+        assert rel < 0.04  # 8-bit log companding: ~2-4% worst case
+
+
+def test_wav_ulaw_alaw_through_decode_wav_samples():
+    from citibike_deep_dive_spark.operators.codecs import (
+        encode_wav_compressed,
+        ulaw_decode,
+        ulaw_encode,
+    )
+    from citibike_deep_dive_spark.operators.multimodal import decode_wav_samples
+
+    s = _sine(500)
+    for codec in ("ulaw", "alaw"):
+        wav = encode_wav_compressed(s, 8000, codec=codec)
+        dec = decode_wav_samples(wav)
+        assert dec is not None
+        samples, rate, nch = dec
+        assert (rate, nch, len(samples)) == (8000, 1, 500)
+    # value check for mu-law: table-exact vs direct codec application
+    wav = encode_wav_compressed(s, 8000, codec="ulaw")
+    samples, _, _ = decode_wav_samples(wav)
+    assert np.array_equal(samples, ulaw_decode(ulaw_encode(s).tobytes()))
+
+
+def test_wav_ima_adpcm_through_decode_wav_samples():
+    from citibike_deep_dive_spark.operators.codecs import encode_wav_compressed
+    from citibike_deep_dive_spark.operators.multimodal import decode_wav_samples
+
+    s = _sine()  # 3000 samples spans 6 ADPCM blocks (505/block)
+    wav = encode_wav_compressed(s, 8000, codec="ima")
+    dec = decode_wav_samples(wav)
+    assert dec is not None
+    samples, rate, nch = dec
+    assert (rate, nch) == (8000, 1)
+    assert len(samples) == len(s)  # fact chunk trims block padding
+    err = samples.astype(float) - s.astype(float)
+    snr = 10 * np.log10((s.astype(float) ** 2).sum() / (err**2).sum())
+    assert snr > 25  # typical IMA ADPCM quality on a mixed sine
+
+
+def test_wav_pcm_path_unchanged_and_other_tags_still_rejected():
+    from citibike_deep_dive_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    s = _sine(64)
+    blob = bytearray(encode_wav(s, 8000))
+    assert np.array_equal(decode_wav_samples(bytes(blob))[0], s)
+    blob[20:22] = (3).to_bytes(2, "little")  # IEEE float: still stubbed
+    assert decode_wav_samples(bytes(blob)) is None
+    blob[20:22] = (0x55).to_bytes(2, "little")  # MP3-in-WAV: stubbed
+    assert decode_wav_samples(bytes(blob)) is None
+
+
+def test_wav_audio_stats_decodes_compressed_payloads(spark):
+    from citibike_deep_dive_spark.operators.codecs import (
+        encode_wav_compressed,
+        ulaw_decode,
+        ulaw_encode,
+    )
+    from citibike_deep_dive_spark.operators.multimodal import wav_audio_stats
+
+    s = _sine(400)
+    media = _media_df(
+        spark,
+        [
+            (1, "audio", bytearray(encode_wav_compressed(s, 8000, "ulaw")), 0, 0, 50),
+            (2, "audio", bytearray(b"mp3-opaque"), 0, 0, 50),
+        ],
+    )
+    rows = {r["media_id"]: r for r in wav_audio_stats(media).collect()}
+    expect = ulaw_decode(ulaw_encode(s).tobytes()).astype(np.int64)
+    idx = np.arange(1, len(expect) + 1, dtype=np.int64)
+    assert rows[1]["n_samples"] == 400
+    assert rows[1]["poschk"] == int((idx * expect).sum())
+    assert rows[2]["n_samples"] is None  # non-WAV stays null
