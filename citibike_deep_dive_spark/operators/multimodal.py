@@ -8,14 +8,18 @@ Python (no codec libraries needed), and ``image_dimensions`` runs it as
 an Arrow-batched operator, so ``meta_width``/``meta_height`` come from
 actual payload bytes. PIXEL and SAMPLE decode is real for every format
 pure byte math + stdlib zlib can cover: uncompressed 24/32-bit BMP
-(``decode_bmp_pixels``), non-interlaced 8-bit RGB(A) PNG
-(``decode_png_pixels`` — inflate + the five scanline unfilters) and
-16-bit PCM WAV (``decode_wav_samples``). GIF (full LZW, interlace,
-local color tables) and baseline JPEG (ITU-T T.81 sequential DCT,
-generic DHT/DQT, 4:4:4/4:2:2/4:2:0, restart markers) pixel decode is
-REAL too — pure stdlib+numpy implementations in ``operators/codecs.py``.
-Only genuinely codec-library-bound formats (MP3/AAC audio, video
-frames, progressive/arithmetic JPEG, palette/16-bit PNG) remain
+(``decode_bmp_pixels``), every non-interlaced PNG color type —
+RGB(A), palette, grayscale(+alpha), sub-byte and 16-bit depths
+(``decode_png_pixels`` — inflate + the five scanline unfilters + bit
+unpack/palette/replication) — and WAV in 16-bit PCM, G.711
+mu-law/A-law, or mono IMA ADPCM (``decode_wav_samples`` +
+``codecs``). GIF (full LZW, interlace,
+local color tables), baseline JPEG (ITU-T T.81 sequential DCT,
+generic DHT/DQT, 4:4:4/4:2:2/4:2:0, restart markers) and AVI/MJPEG
+video-frame decode are REAL too — pure stdlib+numpy implementations
+in ``operators/codecs.py``. Only genuinely codec-library-bound
+formats (MP3/AAC audio, inter-frame video codecs like H.264/VP9,
+progressive/arithmetic JPEG) remain
 STUBBED: ``decode_stub`` raises NotImplementedError unless
 ``deterministic_fake=True``, which produces a seeded fake feature
 vector from the bytes (md5-derived), keeping every downstream operator
@@ -451,17 +455,30 @@ def encode_png(pixels) -> bytes:
     )
 
 
+# legal (color type, bit depth) pairs per the PNG spec (RFC 2083 §4.1.1)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),  # grayscale
+    2: (8, 16),  # RGB
+    3: (1, 2, 4, 8),  # palette
+    4: (8, 16),  # gray + alpha
+    6: (8, 16),  # RGBA
+}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def decode_png_pixels(payload: bytes):
-    """REAL PNG pixel decode for the non-interlaced 8-bit RGB(A) case,
+    """REAL PNG pixel decode for EVERY non-interlaced color type,
     stdlib-only: chunk walk -> concatenated-IDAT zlib inflate -> the
     five per-scanline unfilters (None/Sub/Up/Average/Paeth, RFC 2083
-    §6) -> (H, W, 3) uint8 RGB. Returns None for anything this path
-    does not cover (palette, grayscale, 16-bit, interlaced, truncated,
-    or not a PNG) — those fall back to ``decode_stub``. The in-row
-    unfilter loops are inherently sequential (Sub/Average/Paeth read
-    the just-reconstructed left byte) and run per payload inside an
-    Arrow batch, so at scale the cost is embarrassingly data-parallel
-    with zero shuffle, exactly like the BMP path."""
+    §6, byte-based with the per-format filter stride) -> bit unpack
+    for sub-byte depths -> palette lookup / grayscale replication /
+    16-bit high-byte downconversion -> (H, W, 3) uint8 RGB. Returns
+    None only for interlaced, truncated, or non-PNG payloads — those
+    fall back to ``decode_stub``. The in-row unfilter loops are
+    inherently sequential (Sub/Average/Paeth read the
+    just-reconstructed left byte) and run per payload inside an Arrow
+    batch, so at scale the cost is embarrassingly data-parallel with
+    zero shuffle, exactly like the BMP path."""
     import zlib
 
     import numpy as np
@@ -470,7 +487,9 @@ def decode_png_pixels(payload: bytes):
         return None
     i = 8
     w = h = 0
+    bit_depth = 8
     color_type = None
+    plte = None
     idat = bytearray()
     try:
         while i + 8 <= len(payload):
@@ -484,13 +503,17 @@ def decode_png_pixels(payload: bytes):
                 h = int.from_bytes(body[4:8], "big")
                 bit_depth, color_type, comp, filt_m, interlace = body[8:13]
                 if (
-                    bit_depth != 8
-                    or color_type not in (2, 6)  # RGB / RGBA only
+                    color_type not in _PNG_DEPTHS
+                    or bit_depth not in _PNG_DEPTHS[color_type]
                     or comp != 0
                     or filt_m != 0
                     or interlace != 0
                 ):
                     return None
+            elif tag == b"PLTE":
+                if ln % 3:
+                    return None
+                plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
             elif tag == b"IDAT":
                 idat.extend(body)
             elif tag == b"IEND":
@@ -501,8 +524,10 @@ def decode_png_pixels(payload: bytes):
         data = zlib.decompress(bytes(idat))
     except Exception:  # noqa: BLE001 — any malformed byte stream -> stub path
         return None
-    nchan = 3 if color_type == 2 else 4
-    stride = w * nchan
+    nchan = _PNG_CHANNELS[color_type]
+    bits_pp = bit_depth * nchan
+    stride = (w * bits_pp + 7) // 8
+    fbpp = max(1, bits_pp // 8)  # filter stride in whole bytes (§6.2)
     if len(data) != h * (stride + 1):
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -514,26 +539,52 @@ def decode_png_pixels(payload: bytes):
         line = bytearray(data[pos : pos + stride])
         pos += stride
         if ftype == 1:
-            for k in range(nchan, stride):
-                line[k] = (line[k] + line[k - nchan]) & 0xFF
+            for k in range(fbpp, stride):
+                line[k] = (line[k] + line[k - fbpp]) & 0xFF
         elif ftype == 2:
             for k in range(stride):
                 line[k] = (line[k] + prev[k]) & 0xFF
         elif ftype == 3:
             for k in range(stride):
-                left = line[k - nchan] if k >= nchan else 0
+                left = line[k - fbpp] if k >= fbpp else 0
                 line[k] = (line[k] + (left + prev[k]) // 2) & 0xFF
         elif ftype == 4:
             for k in range(stride):
-                left = line[k - nchan] if k >= nchan else 0
-                ul = prev[k - nchan] if k >= nchan else 0
+                left = line[k - fbpp] if k >= fbpp else 0
+                ul = prev[k - fbpp] if k >= fbpp else 0
                 line[k] = (line[k] + _paeth(left, prev[k], ul)) & 0xFF
         elif ftype != 0:
             return None
         out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
         prev = bytes(line)
-    px = out.reshape(h, w, nchan)
-    return np.ascontiguousarray(px[:, :, :3])
+
+    if bit_depth == 16:
+        # big-endian sample pairs; standard 16 -> 8 downconversion
+        # keeps the high byte
+        vals = out.reshape(h, stride)[:, 0::2][:, : w * nchan]
+        vals = vals.reshape(h, w, nchan)
+    elif bit_depth == 8:
+        vals = out[:, : w * nchan].reshape(h, w, nchan)
+    else:
+        # sub-byte depths: unpack bits MSB-first per scanline, regroup
+        bits = np.unpackbits(out, axis=1)[:, : w * bits_pp]
+        groups = bits.reshape(h, w * nchan, bit_depth)
+        weights = 1 << np.arange(bit_depth - 1, -1, -1, dtype=np.uint8)
+        vals = (groups * weights).sum(axis=2).astype(np.uint8)
+        vals = vals.reshape(h, w, nchan)
+
+    if color_type == 3:
+        if plte is None or int(vals.max(initial=0)) >= len(plte):
+            return None
+        return np.ascontiguousarray(plte[vals[:, :, 0].astype(np.int64)])
+    if color_type in (0, 4):
+        g = vals[:, :, 0]
+        if bit_depth < 8:  # exact expansion: 255 / (2^d - 1) is integral
+            g = (g.astype(np.int64) * (255 // ((1 << bit_depth) - 1))).astype(
+                np.uint8
+            )
+        return np.ascontiguousarray(np.stack([g, g, g], axis=2))
+    return np.ascontiguousarray(vals[:, :, :3])
 
 
 def encode_wav(samples, sample_rate: int = 16000) -> bytes:
@@ -792,8 +843,8 @@ def png_pixel_rows(media: DataFrame) -> DataFrame:
 
 
 def decode_stub(payload: bytes, kind: str, deterministic_fake: bool = False) -> list[float]:
-    """Codec-library-bound fallback ONLY (MP3/AAC audio, video frames,
-    progressive/arithmetic JPEG, palette/16-bit PNG). Everything else
+    """Codec-library-bound fallback ONLY (MP3/AAC audio, inter-frame
+    video codecs, progressive/arithmetic JPEG). Everything else
     never reaches this: ``extract_features`` routes BMP / PNG / GIF /
     baseline-JPEG payloads through the REAL decode paths
     (``decode_bmp_pixels`` / ``decode_png_pixels`` /
@@ -977,8 +1028,8 @@ RESIZED_SCHEMA = T.StructType(
 
 def resize_stub(payload: bytes, dst_w: int, dst_h: int, deterministic_fake: bool = False) -> bytes:
     """Codec-library-bound resample fallback ONLY (progressive JPEG,
-    palette PNG, video posters). Decodable formats (uncompressed BMP,
-    non-interlaced 8-bit RGB PNG, GIF, baseline JPEG) never reach
+    video posters). Decodable formats (uncompressed BMP, any
+    non-interlaced PNG, GIF, baseline JPEG) never reach
     this: ``resize_payload`` resamples their REAL pixels. The
     deterministic fake emits a payload whose length tracks the target
     pixel count so downstream size accounting is exercised for real."""

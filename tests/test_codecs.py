@@ -466,3 +466,113 @@ def test_wav_audio_stats_decodes_compressed_payloads(spark):
     assert rows[1]["n_samples"] == 400
     assert rows[1]["poschk"] == int((idx * expect).sum())
     assert rows[2]["n_samples"] is None  # non-WAV stays null
+
+
+# ---------------------------------------------------------------------------
+# PNG: palette / grayscale / 16-bit color types (full non-interlaced
+# coverage of RFC 2083 — closes the "palette/16-bit PNG" stub entry)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + zlib.crc32(tag + body).to_bytes(4, "big")
+    )
+
+
+def _build_png(w, h, depth, ctype, raw_rows, plte=None):
+    import zlib
+
+    from citibike_deep_dive_spark.operators.multimodal import _PNG_MAGIC
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(
+        [depth, ctype, 0, 0, 0]
+    )
+    scan = bytearray()
+    for r in raw_rows:
+        scan.append(0)  # filter None (filtered paths covered by encode_png)
+        scan.extend(r)
+    out = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(scan))) + _png_chunk(
+        b"IEND", b""
+    )
+
+
+def test_png_rgb8_roundtrip_unchanged():
+    from citibike_deep_dive_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    px = np.random.default_rng(5).integers(0, 256, size=(9, 7, 3)).astype(
+        np.uint8
+    )
+    assert np.array_equal(decode_png_pixels(encode_png(px)), px)
+
+
+def test_png_palette_depths():
+    from citibike_deep_dive_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.default_rng(6)
+    pal = rng.integers(0, 256, size=(5, 3)).astype(np.uint8)
+    idx8 = rng.integers(0, 5, size=(6, 11)).astype(np.uint8)
+    p8 = _build_png(
+        11, 6, 8, 3, [idx8[y].tobytes() for y in range(6)], pal.tobytes()
+    )
+    assert np.array_equal(decode_png_pixels(p8), pal[idx8])
+
+    idx4 = rng.integers(0, 5, size=(4, 5)).astype(np.uint8)
+    rows = []
+    for y in range(4):
+        b = bytearray()
+        for i in range(0, 5, 2):
+            hi = idx4[y][i] << 4
+            lo = idx4[y][i + 1] if i + 1 < 5 else 0
+            b.append(hi | lo)
+        rows.append(bytes(b))
+    p4 = _build_png(5, 4, 4, 3, rows, pal.tobytes())
+    assert np.array_equal(decode_png_pixels(p4), pal[idx4])
+
+    # out-of-range palette index: reject, don't wrap
+    bad = _build_png(2, 1, 8, 3, [bytes([7, 0])], pal.tobytes())
+    assert decode_png_pixels(bad) is None
+
+
+def test_png_grayscale_depths():
+    from citibike_deep_dive_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.default_rng(7)
+    g1 = rng.integers(0, 2, size=(3, 10)).astype(np.uint8)
+    p1 = _build_png(10, 3, 1, 0, [np.packbits(g1[y]).tobytes() for y in range(3)])
+    assert np.array_equal(
+        decode_png_pixels(p1), np.stack([g1 * 255] * 3, axis=2)
+    )
+
+    g16 = rng.integers(0, 65536, size=(3, 4)).astype(">u2")
+    p16 = _build_png(4, 3, 16, 0, [g16[y].tobytes() for y in range(3)])
+    hb = (g16.astype(np.int64) >> 8).astype(np.uint8)
+    assert np.array_equal(decode_png_pixels(p16), np.stack([hb] * 3, axis=2))
+
+    ga = rng.integers(0, 256, size=(2, 3, 2)).astype(np.uint8)
+    pga = _build_png(3, 2, 8, 4, [ga[y].tobytes() for y in range(2)])
+    g = ga[:, :, 0]
+    assert np.array_equal(decode_png_pixels(pga), np.stack([g] * 3, axis=2))
+
+
+def test_png_rgb16_high_byte_downconversion():
+    from citibike_deep_dive_spark.operators.multimodal import decode_png_pixels
+
+    rgb16 = np.random.default_rng(8).integers(0, 65536, size=(2, 3, 3)).astype(
+        ">u2"
+    )
+    p = _build_png(3, 2, 16, 2, [rgb16[y].tobytes() for y in range(2)])
+    assert np.array_equal(
+        decode_png_pixels(p), (rgb16.astype(np.int64) >> 8).astype(np.uint8)
+    )
