@@ -576,3 +576,105 @@ def test_png_rgb16_high_byte_downconversion():
     assert np.array_equal(
         decode_png_pixels(p), (rgb16.astype(np.int64) >> 8).astype(np.uint8)
     )
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): codec invariants over arbitrary inputs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PROP = settings(max_examples=20, deadline=None)
+
+
+@_PROP
+@given(
+    seq=st.lists(st.integers(0, 15), min_size=1, max_size=400),
+)
+def test_prop_lzw_roundtrip_arbitrary_sequences(seq):
+    out = _lzw_decompress(_lzw_compress(seq, 4), 4, len(seq))
+    assert out == seq
+
+
+@_PROP
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ncolors=st.integers(1, 8),
+    seed=st.integers(0, 2**31),
+    interlace=st.booleans(),
+)
+def test_prop_gif_roundtrip_exact(h, w, ncolors, seed, interlace):
+    px = _palette_image(h, w, ncolors, seed=seed)
+    out = decode_gif_pixels(encode_gif(px, interlace=interlace))
+    assert out is not None and np.array_equal(out, px)
+
+
+@_PROP
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31),
+    quality=st.integers(1, 100),
+    subsample=st.booleans(),
+)
+def test_prop_jpeg_decode_never_crashes_and_keeps_shape(
+    h, w, seed, quality, subsample
+):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(img, quality=quality, subsample=subsample))
+    assert out is not None and out.shape == (h, w, 3)
+
+
+@_PROP
+@given(data=st.binary(min_size=0, max_size=300))
+def test_prop_decoders_never_raise_on_garbage(data):
+    from citibike_deep_dive_spark.operators.codecs import decode_avi_frames
+    from citibike_deep_dive_spark.operators.multimodal import (
+        decode_png_pixels,
+        decode_wav_samples,
+    )
+
+    for dec in (
+        decode_gif_pixels,
+        decode_jpeg_pixels,
+        decode_avi_frames,
+        decode_png_pixels,
+        decode_wav_samples,
+    ):
+        dec(data)  # must return None or a value, never raise
+    for prefix in (b"GIF89a", b"\xff\xd8", b"RIFF", _PNG_HDR):
+        for dec in (
+            decode_gif_pixels,
+            decode_jpeg_pixels,
+            decode_avi_frames,
+            decode_png_pixels,
+            decode_wav_samples,
+        ):
+            dec(prefix + data)
+
+
+_PNG_HDR = b"\x89PNG\r\n\x1a\n"
+
+
+@_PROP
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=600),
+    codec=st.sampled_from(["ulaw", "alaw", "ima"]),
+)
+def test_prop_compressed_wav_roundtrip_bounded(samples, codec):
+    from citibike_deep_dive_spark.operators.codecs import encode_wav_compressed
+    from citibike_deep_dive_spark.operators.multimodal import decode_wav_samples
+
+    s = np.asarray(samples, dtype=np.int16)
+    dec = decode_wav_samples(encode_wav_compressed(s, 8000, codec=codec))
+    assert dec is not None
+    out, rate, nch = dec
+    assert (rate, nch, len(out)) == (8000, 1, len(s))
+    if codec in ("ulaw", "alaw"):
+        # companding error is relative: bounded by segment width
+        err = np.abs(out.astype(np.int64) - s.astype(np.int64))
+        bound = np.maximum(np.abs(s.astype(np.int64)) >> 4, 64) + 16
+        assert bool((err <= bound).all())
