@@ -1200,3 +1200,231 @@ def decode_wav_compressed(
     if n_samples is not None and 0 < n_samples <= len(out):
         out = out[:n_samples]
     return out
+
+
+# ---------------------------------------------------------------------------
+# TIFF — baseline 8-bit strips (TIFF 6.0 specification, Adobe 1992;
+# public). Uncompressed and PackBits compression; gray (both
+# photometric polarities), RGB(A), and 16-bit-colormap palette images;
+# both byte orders. LZW/JPEG-in-TIFF stay out of scope here (JPEG
+# payloads are handled standalone; TIFF-LZW's early-change variant is
+# a different codec from GIF's and rarely used for training corpora).
+# ---------------------------------------------------------------------------
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9): literal runs up to 128, repeat
+    runs up to 128, encoded per spec."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append((257 - run) & 0xFF)  # -(run-1) as signed byte
+            out.append(data[i])
+            i += run
+            continue
+        lit_start = i
+        i += 1
+        while (
+            i < n
+            and i - lit_start < 128
+            and not (i + 1 < n and data[i + 1] == data[i])
+        ):
+            i += 1
+        out.append(i - lit_start - 1)
+        out.extend(data[lit_start:i])
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes | None:
+    """Inverse PackBits; None on malformed stream."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal: next n+1 bytes
+            if i + n + 1 > len(data):
+                return None
+            out.extend(data[i : i + n + 1])
+            i += n + 1
+        elif n > 128:  # repeat: next byte 257-n times
+            if i >= len(data):
+                return None
+            out.extend(bytes([data[i]]) * (257 - n))
+            i += 1
+        # n == 128: noop
+    return bytes(out[:expected]) if len(out) >= expected else None
+
+
+def encode_tiff(pixels, photometric: int = 2, packbits: bool = False) -> bytes:
+    """REAL little-endian TIFF 6.0 writer: (H, W, 3) uint8 RGB
+    (photometric 2) or (H, W) grayscale (photometric 1), single strip,
+    optionally PackBits-compressed. The synthesis half that
+    ``decode_tiff_pixels`` must invert."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if photometric == 2:
+        h, w, spp = px.shape
+        raw = px.tobytes()
+        bps = (8, 8, 8)
+    else:
+        h, w = px.shape
+        spp = 1
+        raw = px.tobytes()
+        bps = (8,)
+    data = packbits_encode(raw) if packbits else raw
+
+    entries = []  # (tag, type, count, value) — SHORT=3, LONG=4
+
+    def entry(tag, typ, count, value):
+        entries.append((tag, typ, count, value))
+
+    # header(8) + entry count(2) + entries(12 each) + next-IFD(4), then
+    # the out-of-line bits-per-sample array (RGB only), then strip data
+    n_entries = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    bps_off = 8 + ifd_size
+    data_off = bps_off + (6 if spp == 3 else 0)
+    entry(256, 4, 1, w)  # ImageWidth
+    entry(257, 4, 1, h)  # ImageLength
+    if spp == 3:
+        entry(258, 3, 3, bps_off)  # BitsPerSample -> offset
+    else:
+        entry(258, 3, 1, 8)
+    entry(259, 3, 1, 32773 if packbits else 1)  # Compression
+    entry(262, 3, 1, photometric)
+    entry(273, 4, 1, data_off)  # StripOffsets
+    entry(277, 3, 1, spp)  # SamplesPerPixel
+    entry(279, 4, 1, len(data))  # StripByteCounts
+    out = bytearray(b"II*\x00" + (8).to_bytes(4, "little"))
+    out.extend(len(entries).to_bytes(2, "little"))
+    for tag, typ, count, value in entries:
+        out.extend(tag.to_bytes(2, "little"))
+        out.extend(typ.to_bytes(2, "little"))
+        out.extend(count.to_bytes(4, "little"))
+        if typ == 3 and count == 1:
+            out.extend(value.to_bytes(2, "little") + b"\x00\x00")
+        else:
+            out.extend(value.to_bytes(4, "little"))
+    out.extend((0).to_bytes(4, "little"))  # no next IFD
+    if spp == 3:
+        out.extend(b"".join((8).to_bytes(2, "little") for _ in range(3)))
+    out.extend(data)
+    return bytes(out)
+
+
+def decode_tiff_pixels(payload: bytes):
+    """REAL TIFF pixel decode, stdlib+numpy: header + first IFD (both
+    byte orders, inline and out-of-line values) -> strip assembly
+    (uncompressed or PackBits) -> photometric interpretation (gray
+    either polarity, RGB(A), 16-bit-colormap palette) -> (H, W, 3)
+    uint8 RGB. Returns None for anything outside the 8-bit-strip
+    contract (LZW/JPEG compression, tiles, planar config 2) — those
+    fall back to ``decode_stub``."""
+    import numpy as np
+
+    if len(payload) < 8:
+        return None
+    if payload[:4] == b"II*\x00":
+        bo = "little"
+    elif payload[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return None
+
+    def rd(off, n):
+        b = payload[off : off + n]
+        if len(b) != n:
+            raise IndexError
+        return int.from_bytes(b, bo)
+
+    try:
+        ifd = rd(4, 4)
+        n_entries = rd(ifd, 2)
+        tags: dict[int, tuple[int, int, int]] = {}
+        for k in range(n_entries):
+            off = ifd + 2 + 12 * k
+            tags[rd(off, 2)] = (rd(off + 2, 2), rd(off + 4, 4), off + 8)
+
+        type_size = {1: 1, 3: 2, 4: 4}
+
+        def values(tag, default=None):
+            if tag not in tags:
+                return default
+            typ, count, voff = tags[tag]
+            if typ not in type_size:
+                return None
+            size = type_size[typ]
+            off = voff if count * size <= 4 else rd(voff, 4)
+            return [rd(off + i * size, size) for i in range(count)]
+
+        w = (values(256) or [0])[0]
+        h = (values(257) or [0])[0]
+        bps = values(258, [1])
+        compression = (values(259, [1]))[0]
+        photometric = (values(262, [1]))[0]
+        offsets = values(273)
+        spp = (values(277, [1]))[0]
+        counts = values(279)
+        rows_per_strip = (values(278, [h]))[0] or h
+        planar = (values(284, [1]))[0]
+        if (
+            not w
+            or not h
+            or offsets is None
+            or counts is None
+            or len(offsets) != len(counts)
+            or compression not in (1, 32773)
+            or planar != 1
+            or photometric not in (0, 1, 2, 3)
+            or any(b != 8 for b in (bps or []))
+        ):
+            return None
+        stride = w * spp
+        raw = bytearray()
+        for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+            strip = payload[off : off + cnt]
+            if len(strip) != cnt:
+                return None
+            n_rows = min(rows_per_strip, h - idx * rows_per_strip)
+            if compression == 32773:
+                dec = packbits_decode(strip, n_rows * stride)
+                if dec is None:
+                    return None
+                raw.extend(dec)
+            else:
+                raw.extend(strip)
+        if len(raw) < h * stride:
+            return None
+        px = np.frombuffer(bytes(raw[: h * stride]), dtype=np.uint8).reshape(
+            h, w, spp
+        )
+        if photometric == 2:
+            if spp < 3:
+                return None
+            return np.ascontiguousarray(px[:, :, :3])
+        if photometric == 3:
+            cmap = values(320)
+            if cmap is None or len(cmap) < 3 * 256 or spp != 1:
+                return None
+            # ColorMap is 3 planes of 2^bits 16-bit values; 8->per spec
+            n = len(cmap) // 3
+            table = (
+                np.asarray(cmap, dtype=np.int64).reshape(3, n).T >> 8
+            ).astype(np.uint8)
+            idx = px[:, :, 0].astype(np.int64)
+            if int(idx.max(initial=0)) >= n:
+                return None
+            return np.ascontiguousarray(table[idx])
+        g = px[:, :, 0]
+        if photometric == 0:  # WhiteIsZero
+            g = (255 - g.astype(np.int64)).astype(np.uint8)
+        return np.ascontiguousarray(np.stack([g, g, g], axis=2))
+    except (IndexError, ValueError, struct.error):
+        return None

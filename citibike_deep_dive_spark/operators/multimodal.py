@@ -126,6 +126,28 @@ def parse_image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
             int.from_bytes(payload[18:22], "little", signed=True),
             abs(int.from_bytes(payload[22:26], "little", signed=True)),
         )
+    if len(payload) >= 8 and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: walk the first IFD for ImageWidth/ImageLength (256/257)
+        bo = "little" if payload[:2] == b"II" else "big"
+        try:
+            ifd = int.from_bytes(payload[4:8], bo)
+            n = int.from_bytes(payload[ifd : ifd + 2], bo)
+            w = h = 0
+            for k in range(n):
+                off = ifd + 2 + 12 * k
+                tag = int.from_bytes(payload[off : off + 2], bo)
+                typ = int.from_bytes(payload[off + 2 : off + 4], bo)
+                size = 2 if typ == 3 else 4
+                val = int.from_bytes(payload[off + 8 : off + 8 + size], bo)
+                if tag == 256:
+                    w = val
+                elif tag == 257:
+                    h = val
+            if w and h:
+                return ("tiff", w, h)
+        except Exception:  # noqa: BLE001 — malformed TIFF header
+            return None
+        return None
     return None
 
 
@@ -889,7 +911,7 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
     JPEG get REAL pixel features (``_bmp_features``); only the
     genuinely codec-library-bound leftovers fall back to
     ``decode_stub``."""
-    from .codecs import decode_gif_pixels, decode_jpeg_pixels
+    from .codecs import decode_gif_pixels, decode_jpeg_pixels, decode_tiff_pixels
 
     def features_of(payload: bytes, kind: str) -> list[float]:
         for dec in (
@@ -897,6 +919,7 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
             decode_png_pixels,
             decode_gif_pixels,
             decode_jpeg_pixels,
+            decode_tiff_pixels,
         ):
             px = dec(payload)
             if px is not None:
@@ -1070,8 +1093,10 @@ def resize_payload(
     from .codecs import (
         decode_gif_pixels,
         decode_jpeg_pixels,
+        decode_tiff_pixels,
         encode_gif,
         encode_jpeg,
+        encode_tiff,
     )
 
     px = decode_bmp_pixels(payload)
@@ -1086,6 +1111,9 @@ def resize_payload(
     px = decode_jpeg_pixels(payload)
     if px is not None:
         return encode_jpeg(resample_nearest(px, dst_w, dst_h), quality=90)
+    px = decode_tiff_pixels(payload)
+    if px is not None:
+        return encode_tiff(resample_nearest(px, dst_w, dst_h))
     return resize_stub(payload, dst_w, dst_h, deterministic_fake)
 
 

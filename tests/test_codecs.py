@@ -678,3 +678,143 @@ def test_prop_compressed_wav_roundtrip_bounded(samples, codec):
         err = np.abs(out.astype(np.int64) - s.astype(np.int64))
         bound = np.maximum(np.abs(s.astype(np.int64)) >> 4, 64) + 16
         assert bool((err <= bound).all())
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline 8-bit strips, uncompressed + PackBits, both byte orders)
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_rgb_roundtrip_raw_and_packbits():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    rgb = np.random.default_rng(9).integers(0, 256, size=(13, 9, 3)).astype(
+        np.uint8
+    )
+    for pb in (False, True):
+        payload = encode_tiff(rgb, packbits=pb)
+        assert np.array_equal(decode_tiff_pixels(payload), rgb)
+    assert parse_image_dimensions(encode_tiff(rgb)) == ("tiff", 9, 13)
+
+
+def test_tiff_gray_and_inverted_polarity():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    gray = np.random.default_rng(10).integers(0, 256, size=(7, 11)).astype(
+        np.uint8
+    )
+    out = decode_tiff_pixels(encode_tiff(gray, photometric=1, packbits=True))
+    assert np.array_equal(out, np.stack([gray] * 3, axis=2))
+    # photometric 0 (WhiteIsZero): same bytes, inverted meaning
+    payload = bytearray(encode_tiff(gray, photometric=1))
+    # patch the photometric SHORT (tag 262) in the little-endian IFD
+    ifd = int.from_bytes(payload[4:8], "little")
+    n = int.from_bytes(payload[ifd : ifd + 2], "little")
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if int.from_bytes(payload[off : off + 2], "little") == 262:
+            payload[off + 8 : off + 10] = (0).to_bytes(2, "little")
+    out0 = decode_tiff_pixels(bytes(payload))
+    assert np.array_equal(out0, np.stack([255 - gray] * 3, axis=2))
+
+
+def test_tiff_big_endian_and_palette():
+    from citibike_deep_dive_spark.operators.codecs import decode_tiff_pixels
+
+    # hand-build a big-endian palette TIFF: 3x2 8-bit indices + ColorMap
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, 4, size=(2, 3)).astype(np.uint8)
+    cmap16 = rng.integers(0, 65536, size=(3, 256)).astype(np.int64)
+
+    def be(v, n):
+        return int(v).to_bytes(n, "big")
+
+    entries = []  # (tag, type, count, value)
+    # header(8) + count(2) + 7 entries * 12 + next(4) = 98
+    cmap_off = 8 + 2 + 7 * 12 + 4
+    data_off = cmap_off + 3 * 256 * 2
+    entries = [
+        (256, 3, 1, 3),
+        (257, 3, 1, 2),
+        (258, 3, 1, 8),
+        (259, 3, 1, 1),
+        (262, 3, 1, 3),  # palette
+        (273, 4, 1, data_off),
+        (279, 4, 1, 6),
+    ]
+    # need ColorMap tag too -> 8 entries; recompute offsets
+    cmap_off = 8 + 2 + 8 * 12 + 4
+    data_off = cmap_off + 3 * 256 * 2
+    entries = [
+        (256, 3, 1, 3),
+        (257, 3, 1, 2),
+        (258, 3, 1, 8),
+        (259, 3, 1, 1),
+        (262, 3, 1, 3),
+        (273, 4, 1, data_off),
+        (279, 4, 1, 6),
+        (320, 3, 3 * 256, cmap_off),
+    ]
+    buf = bytearray(b"MM\x00*" + be(8, 4) + be(len(entries), 2))
+    for tag, typ, count, value in sorted(entries):
+        buf.extend(be(tag, 2) + be(typ, 2) + be(count, 4))
+        if typ == 3 and count == 1:
+            buf.extend(be(value, 2) + b"\x00\x00")
+        else:
+            buf.extend(be(value, 4))
+    buf.extend(be(0, 4))
+    for plane in range(3):
+        for v in cmap16[plane]:
+            buf.extend(be(v, 2))
+    buf.extend(idx.tobytes())
+    out = decode_tiff_pixels(bytes(buf))
+    expect = (cmap16.T >> 8).astype(np.uint8)[idx.astype(np.int64)]
+    assert np.array_equal(out, expect)
+
+
+def test_tiff_rejects_unsupported():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    rgb = np.random.default_rng(12).integers(0, 256, size=(4, 4, 3)).astype(
+        np.uint8
+    )
+    payload = bytearray(encode_tiff(rgb))
+    assert decode_tiff_pixels(bytes(payload[:20])) is None
+    assert decode_tiff_pixels(b"II*\x00junk") is None
+    # LZW compression tag (5): out of contract -> None
+    ifd = int.from_bytes(payload[4:8], "little")
+    n = int.from_bytes(payload[ifd : ifd + 2], "little")
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if int.from_bytes(payload[off : off + 2], "little") == 259:
+            payload[off + 8 : off + 10] = (5).to_bytes(2, "little")
+    assert decode_tiff_pixels(bytes(payload)) is None
+
+
+def test_tiff_through_extract_features_and_resize(spark):
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    rgb = np.random.default_rng(13).integers(0, 256, size=(12, 10, 3)).astype(
+        np.uint8
+    )
+    payload = encode_tiff(rgb, packbits=True)
+    media = _media_df(spark, [(1, "image", bytearray(payload), 10, 12, 0)])
+    row = extract_features(media).collect()[0]
+    assert row["features"] == _bmp_features(rgb)
+    resized = resize_payload(payload, 5, 6)
+    assert parse_image_dimensions(resized) == ("tiff", 5, 6)
+    ys = (np.arange(6, dtype=np.int64) * 12) // 6
+    xs = (np.arange(5, dtype=np.int64) * 10) // 5
+    assert np.array_equal(decode_tiff_pixels(resized), rgb[ys][:, xs])
