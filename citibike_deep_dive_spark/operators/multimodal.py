@@ -698,6 +698,19 @@ def decode_wav_samples(payload: bytes):
     return None
 
 
+def decode_audio_samples(payload: bytes):
+    """Format-sniffing audio decode: WAV (PCM / G.711 / IMA ADPCM via
+    ``decode_wav_samples``) or FLAC (``codecs.decode_flac_samples`` —
+    full subframe grammar, lossless). Same (samples, rate, channels)
+    contract; None for MP3/AAC and anything malformed."""
+    dec = decode_wav_samples(payload)
+    if dec is not None:
+        return dec
+    from .codecs import decode_flac_samples
+
+    return decode_flac_samples(payload)
+
+
 WAV_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -714,9 +727,9 @@ WAV_STATS_SCHEMA = T.StructType(
 
 
 def wav_audio_stats(media: DataFrame) -> DataFrame:
-    """Arrow-batched REAL audio statistics from ACTUAL DECODED PCM
-    samples (``decode_wav_samples``), nulls for payloads that are not
-    16-bit PCM WAV. ``poschk`` = sum of (idx+1) * sample over the
+    """Arrow-batched REAL audio statistics from ACTUAL DECODED
+    samples (``decode_audio_samples``: WAV PCM / G.711 / IMA ADPCM or
+    FLAC), nulls for payloads outside those formats. ``poschk`` = sum of (idx+1) * sample over the
     stream order — order- and sign-sensitive, so an endianness bug or a
     sample-order bug fails even when the mean would forgive it;
     ``zero_cross`` counts sign flips (the classic cheap
@@ -731,7 +744,7 @@ def wav_audio_stats(media: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 dec = (
-                    decode_wav_samples(bytes(payload))
+                    decode_audio_samples(bytes(payload))
                     if payload is not None
                     else None
                 )
@@ -778,8 +791,8 @@ def wav_sample_rows(media: DataFrame) -> DataFrame:
     — the decode boundary for SQL-side DSP (e.g. a DFT feature stage):
     the Python worker only inverts the codec; every arithmetic stage
     downstream stays in whole-stage codegen where the oracle can
-    reproduce it exactly. Arrow-batched; payloads that are not 16-bit
-    PCM WAV contribute no rows."""
+    reproduce it exactly. Arrow-batched; payloads outside the decodable
+    audio formats (WAV PCM/G.711/ADPCM, FLAC) contribute no rows."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -787,7 +800,7 @@ def wav_sample_rows(media: DataFrame) -> DataFrame:
             mids, ns, idxs, vals = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 dec = (
-                    decode_wav_samples(bytes(payload))
+                    decode_audio_samples(bytes(payload))
                     if payload is not None
                     else None
                 )

@@ -818,3 +818,144 @@ def test_tiff_through_extract_features_and_resize(spark):
     ys = (np.arange(6, dtype=np.int64) * 12) // 6
     xs = (np.arange(5, dtype=np.int64) * 10) // 5
     assert np.array_equal(decode_tiff_pixels(resized), rgb[ys][:, xs])
+
+
+# ---------------------------------------------------------------------------
+# FLAC (lossless audio — bit-exact roundtrip contract, like GIF)
+# ---------------------------------------------------------------------------
+
+
+def test_flac_roundtrip_exact_multiframe():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    s = _sine(10000)  # 3 frames at the 4096 block size
+    payload = encode_flac(s, 16000)
+    assert len(payload) < 2 * len(s)  # actually compresses
+    out, rate, nch = decode_flac_samples(payload)
+    assert (rate, nch) == (16000, 1)
+    assert np.array_equal(out.astype(np.int64), s.astype(np.int64))
+
+
+def test_flac_roundtrip_exact_edge_signals():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(1)
+    for sig in (
+        np.zeros(5000, dtype=np.int16),
+        np.full(100, -321, dtype=np.int16),
+        np.array([5], dtype=np.int16),
+        rng.integers(-32768, 32768, 9000).astype(np.int16),  # incompressible
+        np.array([-32768, 32767] * 300, dtype=np.int16),  # extremes
+    ):
+        dec = decode_flac_samples(encode_flac(sig))
+        assert dec is not None
+        assert np.array_equal(dec[0].astype(np.int64), sig.astype(np.int64))
+
+
+def test_flac_rejects_malformed():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    payload = bytearray(encode_flac(_sine(5000)))
+    assert decode_flac_samples(bytes(payload[:200])) is None
+    assert decode_flac_samples(b"fLaCxx") is None
+    assert decode_flac_samples(b"not flac") is None
+    # flip a bit inside the first frame body: CRC-16 must catch it
+    payload[len(payload) // 2] ^= 0x40
+    assert decode_flac_samples(bytes(payload)) is None
+
+
+def test_flac_decodes_lpc_midside_and_escape_partitions():
+    # Hand-crafted stereo frame exercising the decoder paths the
+    # encoder subset does not emit: mid/side decorrelation, an LPC
+    # subframe (coefs [2,-1] shift 0 == fixed order 2), a VERBATIM
+    # 17-bit side subframe, and an escape-coded (raw 18-bit) residual
+    # partition.
+    from citibike_deep_dive_spark.operators.codecs import (
+        _crc8,
+        _crc16,
+        _FlacBitWriter,
+        _utf8_coded,
+        decode_flac_samples,
+    )
+
+    rate, bs = 8000, 16
+    rng = np.random.default_rng(3)
+    left = rng.integers(-2000, 2000, bs).astype(np.int64)
+    right = rng.integers(-2000, 2000, bs).astype(np.int64)
+    mid = (left + right) >> 1
+    side = left - right
+
+    out = bytearray(b"fLaC")
+    si = bytearray()
+    si += bs.to_bytes(2, "big") * 2 + (0).to_bytes(3, "big") * 2
+    si += ((rate << 44) | (1 << 41) | (15 << 36) | bs).to_bytes(8, "big")
+    si += bytes(16)
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+    hdr = bytearray(b"\xff\xf8")
+    hdr.append(0x70)
+    hdr.append((10 << 4) | (4 << 1))  # mid/side | 16-bit
+    hdr += _utf8_coded(0)
+    hdr += (bs - 1).to_bytes(2, "big")
+    hdr.append(_crc8(bytes(hdr)))
+    bw = _FlacBitWriter()
+    bw.buf.extend(hdr)
+    bw.write(0, 1)
+    bw.write(32 + 1, 6)  # LPC order 2
+    bw.write(0, 1)
+    for k in range(2):
+        bw.write(int(mid[k]) & 0xFFFF, 16)
+    bw.write(3, 4)  # precision 4 (-1)
+    bw.write(0, 5)  # shift 0
+    bw.write(2 & 0xF, 4)
+    bw.write(-1 & 0xF, 4)
+    res = [int(mid[i]) - (2 * int(mid[i - 1]) - int(mid[i - 2])) for i in range(2, bs)]
+    bw.write(0, 2)
+    bw.write(0, 4)
+    bw.write(0xF, 4)  # escape
+    bw.write(18, 5)  # raw 18-bit residuals
+    for r in res:
+        bw.write(r & 0x3FFFF, 18)
+    bw.write(0, 1)
+    bw.write(1, 6)  # VERBATIM side channel
+    bw.write(0, 1)
+    for v in side:
+        bw.write(int(v) & 0x1FFFF, 17)
+    bw.align()
+    body = bytes(bw.buf)
+    out += body + _crc16(body).to_bytes(2, "big")
+
+    inter, r, nch = decode_flac_samples(bytes(out))
+    assert (r, nch) == (8000, 2)
+    assert np.array_equal(inter[0::2].astype(np.int64), left)
+    assert np.array_equal(inter[1::2].astype(np.int64), right)
+
+
+def test_flac_through_audio_stats_operator(spark):
+    from citibike_deep_dive_spark.operators.codecs import encode_flac
+    from citibike_deep_dive_spark.operators.multimodal import wav_audio_stats
+
+    s = _sine(600)
+    media = _media_df(
+        spark,
+        [
+            (1, "audio", bytearray(encode_flac(s, 16000)), 0, 0, 37),
+            (2, "audio", bytearray(b"mp3-opaque"), 0, 0, 37),
+        ],
+    )
+    rows = {r["media_id"]: r for r in wav_audio_stats(media).collect()}
+    s64 = s.astype(np.int64)
+    idx = np.arange(1, len(s64) + 1, dtype=np.int64)
+    assert rows[1]["n_samples"] == 600
+    assert rows[1]["sample_rate"] == 16000
+    assert rows[1]["poschk"] == int((idx * s64).sum())  # lossless: exact
+    assert rows[2]["n_samples"] is None
