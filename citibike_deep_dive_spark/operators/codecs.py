@@ -667,6 +667,9 @@ def decode_jpeg_pixels(payload: bytes):
             if payload[pos] != 0xFF:
                 return None
             marker = payload[pos + 1]
+            if marker == 0xFF:  # optional fill bytes before a marker
+                pos += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
@@ -1656,8 +1659,6 @@ def _flac_residual(rd: _FlacBitReader, bs: int, order: int):
     escape = (1 << plen) - 1
     part_order = rd.read(4)
     n_parts = 1 << part_order
-    if bs % n_parts or (bs >> part_order) <= order and n_parts == 1:
-        pass
     res = []
     for p in range(n_parts):
         count = (bs >> part_order) - (order if p == 0 else 0)
