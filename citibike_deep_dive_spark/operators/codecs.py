@@ -577,68 +577,111 @@ def encode_jpeg(
     return head + _marker(0xDA, sos) + entropy + b"\xff\xd9"
 
 
-class _BitReaderMSB:
-    """Entropy-segment bit reader: MSB-first, removes 0xFF00 stuffing,
-    stops at any real marker (the MCU loop handles restarts)."""
+class _SegBits:
+    """Windowed MSB-first bit reader over one UNSTUFFED entropy segment
+    (0xFF00 -> 0xFF already applied). Reads past the end are fed up to
+    four 0xFF pad bytes (the spec pads with 1-bits); needing more is a
+    truncated stream and raises EOFError."""
 
-    def __init__(self, data: bytes, pos: int) -> None:
+    __slots__ = ("data", "n", "pos", "acc", "nbits", "padded")
+
+    def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = pos
+        self.n = len(data)
+        self.pos = 0
         self.acc = 0
         self.nbits = 0
+        self.padded = 0
 
-    def _fill(self) -> bool:
-        d, p = self.data, self.pos
-        if p >= len(d):
-            return False
-        b = d[p]
-        if b == 0xFF:
-            if p + 1 < len(d) and d[p + 1] == 0x00:
-                self.pos = p + 2
+    def _need(self, n: int) -> None:
+        while self.nbits < n:
+            if self.pos < self.n:
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
             else:
-                return False  # a real marker: caller must consume it
-        else:
-            self.pos = p + 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-        return True
+                self.padded += 1
+                if self.padded > 4:
+                    raise EOFError
+                self.acc = (self.acc << 8) | 0xFF
+            self.nbits += 8
 
-    def read_bit(self) -> int:
-        if self.nbits == 0 and not self._fill():
-            raise EOFError
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def peek16(self) -> int:
+        self._need(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        self._need(n)
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.skip(n)
         return v
 
-    def align_and_expect_restart(self) -> bool:
-        self.acc = 0
-        self.nbits = 0
-        d = self.data
-        p = self.pos
-        if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
-            self.pos = p + 2
-            return True
-        return False
+    def decode(self, tab) -> int:
+        """Canonical Huffman decode (T.81 F.2.2.3 shape): one 16-bit
+        peek, then length-indexed maxcode range tests."""
+        code16 = self.peek16()
+        maxcode, mincode, valptr, vals = tab
+        for length in range(1, 17):
+            c = code16 >> (16 - length)
+            if c <= maxcode[length]:
+                self.skip(length)
+                return vals[valptr[length] + c - mincode[length]]
+        raise ValueError("invalid Huffman code")
+
+
+def _decode_tables(bits: list[int], vals: list[int]):
+    """Build the canonical (maxcode, mincode, valptr, vals) arrays the
+    fast decoder walks. maxcode[l] = -1 marks an empty length."""
+    maxcode = [-1] * 17
+    mincode = [0] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        if bits[length - 1]:
+            valptr[length] = k
+            mincode[length] = code
+            code += bits[length - 1]
+            k += bits[length - 1]
+            maxcode[length] = code - 1
+        code <<= 1
+    return maxcode, mincode, valptr, list(vals)
+
+
+def _split_entropy_segments(payload: bytes, pos: int) -> list[bytes]:
+    """Slice the post-SOS byte stream into restart-delimited segments
+    with 0xFF00 stuffing removed — one segment per restart interval
+    (a single segment when DRI is absent)."""
+    segments: list[bytes] = []
+    start = pos
+    i = pos
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        nxt = payload[i + 1]
+        if nxt == 0x00:
+            i += 2
+            continue
+        segments.append(payload[start:i].replace(b"\xff\x00", b"\xff"))
+        if 0xD0 <= nxt <= 0xD7:
+            i += 2
+            start = i
+            continue
+        return segments  # EOI or another marker: scan data ends here
+    segments.append(payload[start:].replace(b"\xff\x00", b"\xff"))
+    return segments
 
 
 def _extend(v: int, s: int) -> int:
     """T.81 F.2.2.1 EXTEND: map s received bits back to a signed value."""
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-
-def _decode_symbol(rd: _BitReaderMSB, codes: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | rd.read_bit()
-        sym = codes.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
 
 
 def decode_jpeg_pixels(payload: bytes):
@@ -657,7 +700,7 @@ def decode_jpeg_pixels(payload: bytes):
         return None
     try:
         qtabs: dict[int, "np.ndarray"] = {}
-        htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        htabs: dict[tuple[int, int], tuple] = {}  # (tc, th) -> decode arrays
         comps: list[dict] = []
         h = w = 0
         restart_interval = 0
@@ -703,16 +746,7 @@ def decode_jpeg_pixels(payload: bytes):
                     n = sum(bits)
                     vals = list(body[i + 17 : i + 17 + n])
                     i += 17 + n
-                    table: dict[tuple[int, int], int] = {}
-                    code = 0
-                    k = 0
-                    for length in range(1, 17):
-                        for _ in range(bits[length - 1]):
-                            table[(length, code)] = vals[k]
-                            code += 1
-                            k += 1
-                        code <<= 1
-                    htabs[(tc, th)] = table
+                    htabs[(tc, th)] = _decode_tables(bits, vals)
                 pos += 2 + ln
             elif marker in (0xC0, 0xC1):  # baseline / extended sequential
                 if body[0] != 8:
@@ -758,35 +792,39 @@ def decode_jpeg_pixels(payload: bytes):
         mcu_w, mcu_h = 8 * max_h, 8 * max_v
         mcus_x = (w + mcu_w - 1) // mcu_w
         mcus_y = (h + mcu_h - 1) // mcu_h
-        for c in comps:
-            c["plane"] = np.zeros(
-                (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
-            )
+        for ci, c in enumerate(comps):
             c["pred"] = 0
+            c["blocks"] = []  # (zigzag int64 vector, block row, block col)
         dct = _dct_matrix()
-        rd = _BitReaderMSB(payload, pos)
+        # dequant tables reordered to zigzag so decoded coefficient
+        # vectors multiply without a per-block scatter
+        zz_flat = np.array([r * 8 + cc for r, cc in _ZIGZAG], dtype=np.int64)
+        segments = _split_entropy_segments(payload, pos)
+        seg_idx = 0
+        rd = _SegBits(segments[0])
         n_mcu = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
                 if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                    if not rd.align_and_expect_restart():
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
                         return None
+                    rd = _SegBits(segments[seg_idx])
                     for c in comps:
                         c["pred"] = 0
                 for c in scan_comps:
-                    dq = qtabs[c["tq"]]
                     dc_tab = htabs[(0, c["td"])]
                     ac_tab = htabs[(1, c["ta"])]
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
-                            zz = np.zeros(64, dtype=np.int64)
-                            s = _decode_symbol(rd, dc_tab)
+                            zz = [0] * 64
+                            s = rd.decode(dc_tab)
                             diff = _extend(rd.receive(s), s) if s else 0
                             c["pred"] += diff
                             zz[0] = c["pred"]
                             k = 1
                             while k < 64:
-                                sym = _decode_symbol(rd, ac_tab)
+                                sym = rd.decode(ac_tab)
                                 if sym == 0x00:
                                     break
                                 if sym == 0xF0:
@@ -798,14 +836,30 @@ def decode_jpeg_pixels(payload: bytes):
                                     return None
                                 zz[k] = _extend(rd.receive(size), size)
                                 k += 1
-                            coefs = np.zeros((8, 8), dtype=np.float64)
-                            for k, (r, cc) in enumerate(_ZIGZAG):
-                                coefs[r, cc] = zz[k] * dq[r, cc]
-                            block = dct.T @ coefs @ dct + 128.0
-                            r0 = (my * c["v"] + by) * 8
-                            c0 = (mx * c["h"] + bx) * 8
-                            c["plane"][r0 : r0 + 8, c0 : c0 + 8] = block
+                            c["blocks"].append(
+                                (zz, my * c["v"] + by, mx * c["h"] + bx)
+                            )
                 n_mcu += 1
+
+        # batched dequant + inverse zigzag + IDCT per component (one
+        # einsum over all blocks instead of two 8x8 matmuls per block)
+        for c in comps:
+            bh, bw_ = mcus_y * c["v"], mcus_x * c["h"]
+            c["plane"] = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+            if not c["blocks"]:
+                continue
+            dqz = qtabs[c["tq"]].reshape(-1)[zz_flat].astype(np.float64)
+            zzs = np.asarray([b[0] for b in c["blocks"]], dtype=np.float64)
+            flat = np.zeros((len(zzs), 64), dtype=np.float64)
+            flat[:, zz_flat] = zzs * dqz
+            blocks = (
+                np.einsum(
+                    "ux,nuv,vy->nxy", dct, flat.reshape(-1, 8, 8), dct
+                )
+                + 128.0
+            )
+            for (zz, br, bc), blk in zip(c["blocks"], blocks):
+                c["plane"][br * 8 : br * 8 + 8, bc * 8 : bc * 8 + 8] = blk
 
         planes = []
         for c in comps:
