@@ -1139,18 +1139,38 @@ def ima_adpcm_encode_block(samples, predictor: int, index: int):
 
 def ima_adpcm_decode_block(body: bytes, predictor: int, index: int, n: int):
     """Decode one mono IMA-ADPCM block body (low nibble first) into n
-    int16 samples starting AFTER the header sample."""
+    int16 samples starting AFTER the header sample. The recurrence is
+    inherently sequential (predictor/step state), so the loop is inline
+    integer arithmetic with table lookups — no per-sample call
+    overhead."""
     out = []
+    append = out.append
+    steps = _IMA_STEP_TABLE
+    idx_tab = _IMA_INDEX_TABLE
     index = max(0, min(88, index))
-    step = _IMA_STEP_TABLE[index]
+    step = steps[index]
     for i in range(n):
         byte = body[i >> 1]
         code = (byte >> 4) if i & 1 else (byte & 0xF)
-        predictor += _ima_reconstruct(code, step)
-        predictor = max(-32768, min(32767, predictor))
-        index = max(0, min(88, index + _IMA_INDEX_TABLE[code & 7]))
-        step = _IMA_STEP_TABLE[index]
-        out.append(predictor)
+        diff = step >> 3
+        if code & 4:
+            diff += step
+        if code & 2:
+            diff += step >> 1
+        if code & 1:
+            diff += step >> 2
+        predictor += -diff if code & 8 else diff
+        if predictor > 32767:
+            predictor = 32767
+        elif predictor < -32768:
+            predictor = -32768
+        index += idx_tab[code & 7]
+        if index < 0:
+            index = 0
+        elif index > 88:
+            index = 88
+        step = steps[index]
+        append(predictor)
     return out
 
 
@@ -1546,17 +1566,36 @@ class _FlacBitWriter:
 
 
 class _FlacBitReader:
+    """MSB-first bit reader with a windowed accumulator (byte-granular
+    refills, no per-bit loop and no per-read bytes slicing): the rice
+    hot path costs one read_unary + one read per residual, each a few
+    integer ops. Invariant: nbits < 8 between calls, so ``align`` just
+    drops the partial byte."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
-        self.bitpos = pos * 8
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
 
     def read(self, n: int) -> int:
-        v = 0
+        if n == 0:
+            return 0
+        acc = self.acc
+        nb = self.nbits
         d = self.data
-        for _ in range(n):
-            byte = d[self.bitpos >> 3]
-            v = (v << 1) | ((byte >> (7 - (self.bitpos & 7))) & 1)
-            self.bitpos += 1
+        p = self.pos
+        while nb < n:
+            acc = (acc << 8) | d[p]
+            p += 1
+            nb += 8
+        nb -= n
+        v = (acc >> nb) & ((1 << n) - 1)
+        self.acc = acc & ((1 << nb) - 1)
+        self.nbits = nb
+        self.pos = p
         return v
 
     def read_signed(self, n: int) -> int:
@@ -1564,21 +1603,34 @@ class _FlacBitReader:
         return v - (1 << n) if v >= (1 << (n - 1)) else v
 
     def read_unary(self) -> int:
-        q = 0
+        acc = self.acc
+        nb = self.nbits
         d = self.data
+        p = self.pos
+        q = 0
         while True:
-            byte = d[self.bitpos >> 3]
-            if (byte >> (7 - (self.bitpos & 7))) & 1:
-                self.bitpos += 1
-                return q
-            q += 1
-            self.bitpos += 1
+            if nb == 0:
+                acc = d[p]
+                p += 1
+                nb = 8
+            if acc == 0:
+                q += nb
+                nb = 0
+                continue
+            top = acc.bit_length()
+            q += nb - top
+            nb = top - 1
+            self.acc = acc & ((1 << nb) - 1)
+            self.nbits = nb
+            self.pos = p
+            return q
 
     def align(self) -> None:
-        self.bitpos = (self.bitpos + 7) & ~7
+        self.acc = 0
+        self.nbits = 0
 
     def byte_pos(self) -> int:
-        return self.bitpos >> 3
+        return (self.pos * 8 - self.nbits) >> 3
 
 
 def _utf8_coded(n: int) -> bytes:
@@ -1724,10 +1776,12 @@ def _flac_residual(rd: _FlacBitReader, bs: int, order: int):
             for _ in range(count):
                 res.append(rd.read_signed(nbits) if nbits else 0)
         else:
+            read_unary = rd.read_unary
+            read = rd.read
+            append = res.append
             for _ in range(count):
-                q = rd.read_unary()
-                u = (q << param) | rd.read(param)
-                res.append((u >> 1) ^ -(u & 1))
+                u = (read_unary() << param) | read(param)
+                append((u >> 1) ^ -(u & 1))
     return res
 
 
@@ -1745,14 +1799,37 @@ def _flac_subframe(rd: _FlacBitReader, bs: int, bps: int):
         out = [v] * bs
     elif stype == 1:  # VERBATIM
         out = [rd.read_signed(bps) for _ in range(bs)]
-    elif 8 <= stype <= 12:  # FIXED order 0-4
+    elif 8 <= stype <= 12:  # FIXED order 0-4 (recurrences specialized:
+        # the generic coef sum costs a Python generator per SAMPLE)
         order = stype - 8
         out = [rd.read_signed(bps) for _ in range(order)]
         res = _flac_residual(rd, bs, order)
-        coefs = _FIXED_COEFS[order]
-        for r in res:
-            pred = sum(c * out[-k - 1] for k, c in enumerate(coefs))
-            out.append(r + pred)
+        append = out.append
+        if order == 0:
+            out = res
+        elif order == 1:
+            p1 = out[0]
+            for r in res:
+                p1 = r + p1
+                append(p1)
+        elif order == 2:
+            p2, p1 = out[0], out[1]
+            for r in res:
+                v = r + 2 * p1 - p2
+                append(v)
+                p2, p1 = p1, v
+        elif order == 3:
+            p3, p2, p1 = out[0], out[1], out[2]
+            for r in res:
+                v = r + 3 * p1 - 3 * p2 + p3
+                append(v)
+                p3, p2, p1 = p2, p1, v
+        else:
+            p4, p3, p2, p1 = out[0], out[1], out[2], out[3]
+            for r in res:
+                v = r + 4 * p1 - 6 * p2 + 4 * p3 - p4
+                append(v)
+                p4, p3, p2, p1 = p3, p2, p1, v
     elif stype >= 32:  # LPC order 1-32
         order = stype - 31
         out = [rd.read_signed(bps) for _ in range(order)]
