@@ -11,8 +11,12 @@ native library — GIF is LZW over palette indices (exact, lossless
 roundtrip), JPEG is DCT + quantization + canonical Huffman (lossy;
 decode is exact w.r.t. the bit stream, the loss is quantization by
 construction), and MJPEG video is 'every frame is a JPEG' inside a
-RIFF container. Audio (MP3/AAC), inter-frame video codecs
-(H.264/VP9), and progressive/arithmetic JPEG remain genuinely
+RIFF container. Progressive JPEG (SOF2: spectral selection +
+successive approximation, T.81 Annex G) is fully decoded too, and the
+progressive ENCODER emits the classic scan script (2-pass DC, banded
+AC with refinement scans) so the grammar is roundtrip-tested. Audio
+(MP3/AAC), inter-frame video codecs (H.264/VP9), and
+arithmetic-coded/lossless/hierarchical JPEG remain genuinely
 codec-library-bound and stay stubbed.
 
 Scale/shape notes: both decoders are per-payload pure functions used
@@ -653,10 +657,12 @@ def _decode_tables(bits: list[int], vals: list[int]):
     return maxcode, mincode, valptr, list(vals)
 
 
-def _split_entropy_segments(payload: bytes, pos: int) -> list[bytes]:
+def _split_entropy_segments(payload: bytes, pos: int):
     """Slice the post-SOS byte stream into restart-delimited segments
     with 0xFF00 stuffing removed — one segment per restart interval
-    (a single segment when DRI is absent)."""
+    (a single segment when DRI is absent). Returns (segments, end)
+    where end is the offset of the terminating marker's 0xFF (so a
+    multi-scan progressive walk can resume there)."""
     segments: list[bytes] = []
     start = pos
     i = pos
@@ -674,9 +680,9 @@ def _split_entropy_segments(payload: bytes, pos: int) -> list[bytes]:
             i += 2
             start = i
             continue
-        return segments  # EOI or another marker: scan data ends here
+        return segments, i  # EOI or another marker: scan data ends here
     segments.append(payload[start:].replace(b"\xff\x00", b"\xff"))
-    return segments
+    return segments, n
 
 
 def _extend(v: int, s: int) -> int:
@@ -684,16 +690,149 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _prog_block(rd, comp, coef, ss, se, ah, al, dc_tab, ac_tab, state) -> None:
+    """Decode ONE block's contribution from one progressive scan into
+    its persistent zigzag coefficient list (T.81 G.2: DC first /
+    DC refinement / AC first with EOB runs / AC refinement with
+    correction bits)."""
+    kstart = ss
+    if ss == 0:
+        if ah == 0:
+            s = rd.decode(dc_tab)
+            diff = _extend(rd.receive(s), s) if s else 0
+            comp["pred"] += diff
+            coef[0] = comp["pred"] << al
+        elif rd.receive(1):
+            coef[0] |= 1 << al
+        if se == 0:
+            return  # progressive DC scan (spec: Se == 0)
+        kstart = 1  # sequential scan: continue into the AC band
+    if ah == 0:  # AC first pass over the band
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = kstart
+        while k <= se:
+            sym = rd.decode(ac_tab)
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << run) - 1
+                if run:
+                    state["eobrun"] += rd.receive(run)
+                break
+            k += run
+            if k > se:
+                raise ValueError("AC run past band end")
+            coef[k] = _extend(rd.receive(size), size) << al
+            k += 1
+        return
+    # AC refinement (G.2.2.3): correction bits for known coefficients,
+    # newly-significant coefficients appear at +-(1<<al)
+    p1 = 1 << al
+    m1 = -p1
+    k = kstart
+    if state["eobrun"] == 0:
+        while k <= se:
+            sym = rd.decode(ac_tab)
+            run, size = sym >> 4, sym & 0xF
+            newval = 0
+            if size == 0:
+                if run != 15:
+                    # refinement EOBRUN counts the CURRENT block too —
+                    # the tail-refine step below consumes one (unlike
+                    # the first-pass convention above)
+                    state["eobrun"] = 1 << run
+                    if run:
+                        state["eobrun"] += rd.receive(run)
+                    break
+            else:
+                if size != 1:
+                    raise ValueError("refinement size must be 1")
+                newval = p1 if rd.receive(1) else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if rd.receive(1) and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if k <= se and newval:
+                coef[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if coef[k] != 0 and rd.receive(1) and (coef[k] & p1) == 0:
+                coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_scan(
+    payload, pos, comps, scan_comps, htabs, restart_interval, ss, se, ah, al,
+    mcus_x, mcus_y,
+):
+    """Decode one (baseline or progressive) scan's entropy data into the
+    components' persistent coefficient grids. Returns the offset just
+    past the scan data."""
+    segments, end = _split_entropy_segments(payload, pos)
+    rd = _SegBits(segments[0])
+    seg_idx = 0
+    state = {"eobrun": 0}
+    for c in scan_comps:
+        c["pred"] = 0
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        units = [(my, mx) for my in range(mcus_y) for mx in range(mcus_x)]
+    else:
+        c = scan_comps[0]
+        units = [(br, bc) for br in range(c["bh"]) for bc in range(c["bw"])]
+    n_unit = 0
+    for uy, ux in units:
+        if restart_interval and n_unit and n_unit % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            rd = _SegBits(segments[seg_idx])
+            state["eobrun"] = 0
+            for c in scan_comps:
+                c["pred"] = 0
+        for c in scan_comps:
+            dc_tab = htabs.get((0, c.get("td", 0)))
+            ac_tab = htabs.get((1, c.get("ta", 0)))
+            grid = c["coef"]
+            if interleaved:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = grid[uy * c["v"] + by][ux * c["h"] + bx]
+                        _prog_block(
+                            rd, c, coef, ss, se, ah, al, dc_tab, ac_tab, state
+                        )
+            else:
+                _prog_block(
+                    rd, c, grid[uy][ux], ss, se, ah, al, dc_tab, ac_tab, state
+                )
+        n_unit += 1
+    return end
+
+
 def decode_jpeg_pixels(payload: bytes):
-    """REAL baseline JPEG decode, stdlib+numpy (ITU-T T.81 Annex F):
-    marker walk (DQT 8/16-bit, generic DHT canonical rebuild, SOF0/1,
-    DRI, SOS) -> Huffman + run-length entropy decode with restart
-    handling -> dequantize -> inverse zigzag -> float IDCT -> level
-    shift -> per-component planes -> chroma upsample (sampling-factor
-    generic, so 4:4:4 / 4:2:2 / 4:2:0 all work) -> YCbCr->RGB ->
-    (H, W, 3) uint8. Grayscale replicates to 3 channels. Returns None
-    for progressive (SOF2), arithmetic-coded, 12-bit, or malformed
-    payloads — those fall back to ``decode_stub``."""
+    """REAL JPEG decode, stdlib+numpy (ITU-T T.81 Annex F + Annex G):
+    marker walk (DQT 8/16-bit, generic DHT canonical rebuild,
+    SOF0/SOF1/SOF2, DRI, multi-SOS) -> Huffman + run-length entropy
+    decode with restart handling — BASELINE in one fast interleaved
+    pass, PROGRESSIVE scan-by-scan into a persistent coefficient store
+    (spectral selection + successive approximation, DC and AC
+    refinement, EOB runs) -> dequantize -> inverse zigzag -> float
+    IDCT -> level shift -> per-component planes -> chroma upsample
+    (sampling-factor generic, so 4:4:4 / 4:2:2 / 4:2:0 all work) ->
+    YCbCr->RGB -> (H, W, 3) uint8. Grayscale replicates to 3 channels.
+    Returns None for arithmetic-coded, hierarchical, lossless, 12-bit,
+    or malformed payloads — those fall back to ``decode_stub``."""
     import numpy as np
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -703,9 +842,11 @@ def decode_jpeg_pixels(payload: bytes):
         htabs: dict[tuple[int, int], tuple] = {}  # (tc, th) -> decode arrays
         comps: list[dict] = []
         h = w = 0
+        mcus_x = mcus_y = 0
         restart_interval = 0
+        progressive = False
+        any_scan = False
         pos = 2
-        scan_comps: list[dict] = []
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 return None
@@ -716,6 +857,8 @@ def decode_jpeg_pixels(payload: bytes):
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
+            if marker == 0xD9:  # EOI
+                break
             ln = int.from_bytes(payload[pos + 2 : pos + 4], "big")
             body = payload[pos + 4 : pos + 2 + ln]
             if marker == 0xDB:  # DQT: one or more tables
@@ -748,9 +891,10 @@ def decode_jpeg_pixels(payload: bytes):
                     i += 17 + n
                     htabs[(tc, th)] = _decode_tables(bits, vals)
                 pos += 2 + ln
-            elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
                 if body[0] != 8:
                     return None  # 12-bit precision unsupported
+                progressive = marker == 0xC2
                 h = int.from_bytes(body[1:3], "big")
                 w = int.from_bytes(body[3:5], "big")
                 nf = body[5]
@@ -759,16 +903,31 @@ def decode_jpeg_pixels(payload: bytes):
                 comps = []
                 for k in range(nf):
                     cid, hv, tq = body[6 + 3 * k : 9 + 3 * k]
-                    comps.append(
-                        {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
-                    )
+                    # single-component images are non-interleaved by
+                    # definition; sampling factors are irrelevant
+                    hi, vi = (1, 1) if nf == 1 else (hv >> 4, hv & 0xF)
+                    comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+                max_h = max(c["h"] for c in comps)
+                max_v = max(c["v"] for c in comps)
+                mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
+                mcus_y = (h + 8 * max_v - 1) // (8 * max_v)
+                for c in comps:
+                    # persistent zigzag coefficient grid + the
+                    # non-interleaved block-grid dims (T.81 A.2.2)
+                    c["bw"] = (-(-w * c["h"] // max_h) + 7) // 8
+                    c["bh"] = (-(-h * c["v"] // max_v) + 7) // 8
+                    c["coef"] = [
+                        [[0] * 64 for _ in range(mcus_x * c["h"])]
+                        for _ in range(mcus_y * c["v"])
+                    ]
+                    c["pred"] = 0
                 pos += 2 + ln
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / arithmetic / hierarchical
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # lossless / arithmetic / hierarchical
             elif marker == 0xDD:
                 restart_interval = int.from_bytes(body[:2], "big")
                 pos += 2 + ln
-            elif marker == 0xDA:  # SOS: entropy data follows the header
+            elif marker == 0xDA:  # SOS: decode one scan, keep walking
                 if not comps:
                     return None
                 ns = body[0]
@@ -778,68 +937,36 @@ def decode_jpeg_pixels(payload: bytes):
                     comp = next(c for c in comps if c["id"] == cid)
                     comp["td"], comp["ta"] = tdta >> 4, tdta & 0xF
                     scan_comps.append(comp)
-                pos += 2 + ln
-                break
-            elif marker == 0xD9:
-                return None
+                ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0xF
+                if not progressive:
+                    ss, se, ah, al = 0, 63, 0, 0
+                if ss > se or se > 63:
+                    return None
+                pos = _decode_scan(
+                    payload, pos + 2 + ln, comps, scan_comps, htabs,
+                    restart_interval, ss, se, ah, al, mcus_x, mcus_y,
+                )
+                any_scan = True
+                if not progressive:
+                    break  # sequential: one scan carries everything
             else:  # APPn / COM / anything else: skip
                 pos += 2 + ln
-        if not scan_comps or not h or not w:
+        if not any_scan or not h or not w:
             return None
 
         max_h = max(c["h"] for c in comps)
         max_v = max(c["v"] for c in comps)
-        mcu_w, mcu_h = 8 * max_h, 8 * max_v
-        mcus_x = (w + mcu_w - 1) // mcu_w
-        mcus_y = (h + mcu_h - 1) // mcu_h
-        for ci, c in enumerate(comps):
-            c["pred"] = 0
-            c["blocks"] = []  # (zigzag int64 vector, block row, block col)
         dct = _dct_matrix()
         # dequant tables reordered to zigzag so decoded coefficient
         # vectors multiply without a per-block scatter
         zz_flat = np.array([r * 8 + cc for r, cc in _ZIGZAG], dtype=np.int64)
-        segments = _split_entropy_segments(payload, pos)
-        seg_idx = 0
-        rd = _SegBits(segments[0])
-        n_mcu = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                    seg_idx += 1
-                    if seg_idx >= len(segments):
-                        return None
-                    rd = _SegBits(segments[seg_idx])
-                    for c in comps:
-                        c["pred"] = 0
-                for c in scan_comps:
-                    dc_tab = htabs[(0, c["td"])]
-                    ac_tab = htabs[(1, c["ta"])]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            zz = [0] * 64
-                            s = rd.decode(dc_tab)
-                            diff = _extend(rd.receive(s), s) if s else 0
-                            c["pred"] += diff
-                            zz[0] = c["pred"]
-                            k = 1
-                            while k < 64:
-                                sym = rd.decode(ac_tab)
-                                if sym == 0x00:
-                                    break
-                                if sym == 0xF0:
-                                    k += 16
-                                    continue
-                                run, size = sym >> 4, sym & 0xF
-                                k += run
-                                if k > 63:
-                                    return None
-                                zz[k] = _extend(rd.receive(size), size)
-                                k += 1
-                            c["blocks"].append(
-                                (zz, my * c["v"] + by, mx * c["h"] + bx)
-                            )
-                n_mcu += 1
+        for c in comps:
+            c["blocks"] = [
+                (c["coef"][br][bc], br, bc)
+                for br in range(mcus_y * c["v"])
+                for bc in range(mcus_x * c["h"])
+            ]
 
         # batched dequant + inverse zigzag + IDCT per component (one
         # einsum over all blocks instead of two 8x8 matmuls per block)
@@ -1971,3 +2098,195 @@ def decode_flac_samples(payload: bytes):
         return inter.astype(np.int32), rate, info["channels"]
     except (IndexError, ValueError, struct.error):
         return None
+
+
+def _component_zz_blocks(pixels, quality: int):
+    """Quantized zigzag coefficient grids for 4:4:4 (one 8x8 block grid
+    per YCbCr component) — the shared front half of the progressive
+    encoder."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    planes = rgb_to_ycbcr(px)
+    qt = _quant_tables(quality)
+    dct = _dct_matrix()
+    pad_h = (h + 7) // 8 * 8
+    pad_w = (w + 7) // 8 * 8
+    grids = []
+    for ci, plane in enumerate(planes):
+        tq = 0 if ci == 0 else 1
+        p = np.pad(plane, ((0, pad_h - h), (0, pad_w - w)), mode="edge")
+        grid = []
+        for br in range(pad_h // 8):
+            row = []
+            for bc in range(pad_w // 8):
+                block = p[br * 8 : br * 8 + 8, bc * 8 : bc * 8 + 8] - 128.0
+                coefs = np.round((dct @ block @ dct.T) / qt[tq]).astype(
+                    np.int64
+                )
+                row.append([int(coefs[r][c]) for r, c in _ZIGZAG])
+            grid.append(row)
+        grids.append(grid)
+    return grids, h, w
+
+
+def _encode_ac_band(out: _BitWriterMSB, zz, ss: int, se: int, al: int = 0) -> None:
+    """Spectral-selection AC first pass for one block: point transform
+    truncates magnitudes (T.81 G.1.2.2: v/2^Al toward zero), EOBRUN=1
+    EOBs."""
+    run = 0
+    for k in range(ss, se + 1):
+        t = abs(zz[k]) >> al
+        if t == 0:
+            run += 1
+            continue
+        v = t if zz[k] >= 0 else -t
+        while run >= 16:
+            code, ln = _AC_CODES[0xF0]
+            out.write(code, ln)
+            run -= 16
+        s, bits = _amplitude(v)
+        code, ln = _AC_CODES[(run << 4) | s]
+        out.write(code, ln)
+        out.write(bits, s)
+        run = 0
+    if run:
+        code, ln = _AC_CODES[0x00]  # EOB (EOBRUN of exactly 1)
+        out.write(code, ln)
+
+
+def _encode_ac_band_refine(
+    out: _BitWriterMSB, zz, ss: int, se: int, al: int
+) -> None:
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3 / the libjpeg encode_mcu_AC_refine shape): newly
+    significant coefficients as (run, 1) + sign bit, correction bits
+    for already-significant coefficients appended after each symbol,
+    EOB followed by the tail's correction bits."""
+    run = 0
+    pending: list[int] = []
+
+    def flush():
+        for b in pending:
+            out.write(b, 1)
+        pending.clear()
+
+    # last newly-significant position: ZRLs past it fold into the EOB
+    # (the jcphuff.c "but not if they can be folded into EOB" rule,
+    # which also keeps the flushed correction bits a correct prefix)
+    eob_k = ss - 1
+    for k in range(ss, se + 1):
+        if (abs(zz[k]) >> al) == 1:
+            eob_k = k
+    for k in range(ss, se + 1):
+        t = abs(zz[k]) >> al
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob_k:
+            code, ln = _AC_CODES[0xF0]
+            out.write(code, ln)
+            flush()
+            run -= 16
+        if t > 1:  # already significant: correction bit only
+            pending.append(t & 1)
+            continue
+        # newly significant (t == 1)
+        code, ln = _AC_CODES[(run << 4) | 1]
+        out.write(code, ln)
+        out.write(1 if zz[k] > 0 else 0, 1)
+        flush()
+        run = 0
+    if run or pending:
+        code, ln = _AC_CODES[0x00]  # EOB
+        out.write(code, ln)
+        flush()
+
+
+def encode_jpeg_progressive(pixels, quality: int = 90) -> bytes:
+    """REAL progressive JFIF writer (SOF2, 4:4:4): a 2-pass DC
+    successive approximation (first pass at Al=1, then a raw-bit
+    refinement scan at Ah=1) followed by per-component
+    spectral-selection AC scans (bands 1-5 and 6-63) — the classic
+    progressive scan script shape. Decoded by the same
+    ``decode_jpeg_pixels`` to the IDENTICAL pixels as an equivalent
+    sequential stream of the same coefficients (pinned by tests)."""
+    grids, h, w = _component_zz_blocks(pixels, quality)
+    qt = _quant_tables(quality)
+    zz_q = [
+        bytes([tq]) + bytes(int(qt[tq][r][c]) for r, c in _ZIGZAG)
+        for tq in (0, 1)
+    ]
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    head = (
+        b"\xff\xd8"
+        + _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _marker(0xDB, zz_q[0])
+        + _marker(0xDB, zz_q[1])
+        + _marker(0xC2, sof)
+        + _marker(0xC4, _dht_body(0, 0, _DC_BITS, _DC_VALS))
+        + _marker(0xC4, _dht_body(1, 0, _AC_BITS, _AC_VALS))
+        + _marker(0xC4, _dht_body(0, 1, _DC_BITS, _DC_VALS))
+        + _marker(0xC4, _dht_body(1, 1, _AC_BITS, _AC_VALS))
+    )
+    bh, bw_ = len(grids[0]), len(grids[0][0])
+    scans = []
+
+    def sos(comp_specs, ss, se, ah, al):
+        body = bytes([len(comp_specs)])
+        for cid, tdta in comp_specs:
+            body += bytes([cid, tdta])
+        return _marker(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: interleaved DC first pass, Al=1
+    out = _BitWriterMSB()
+    preds = [0, 0, 0]
+    for br in range(bh):
+        for bc in range(bw_):
+            for ci in range(3):
+                v = grids[ci][br][bc][0] >> 1
+                s, bits = _amplitude(v - preds[ci])
+                code, ln = _DC_CODES[s]
+                out.write(code, ln)
+                if s:
+                    out.write(bits, s)
+                preds[ci] = v
+    out.pad_to_byte()
+    scans.append(
+        sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 0, 1) + bytes(out.buf)
+    )
+    # scan 2: interleaved DC refinement, Ah=1 Al=0 (raw bits)
+    out = _BitWriterMSB()
+    for br in range(bh):
+        for bc in range(bw_):
+            for ci in range(3):
+                out.write(grids[ci][br][bc][0] & 1, 1)
+    out.pad_to_byte()
+    scans.append(
+        sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0) + bytes(out.buf)
+    )
+    # scans 3+: per-component spectral-selection AC bands, each as a
+    # successive-approximation pair (first pass at Al=1, refinement at
+    # Ah=1 -> Al=0) — the full progressive grammar the decoder covers
+    for ci, cid in enumerate((1, 2, 3)):
+        ta = 0 if ci == 0 else 1
+        for ss, se in ((1, 5), (6, 63)):
+            out = _BitWriterMSB()
+            for br in range(bh):
+                for bc in range(bw_):
+                    _encode_ac_band(out, grids[ci][br][bc], ss, se, al=1)
+            out.pad_to_byte()
+            scans.append(sos([(cid, ta)], ss, se, 0, 1) + bytes(out.buf))
+    for ci, cid in enumerate((1, 2, 3)):
+        ta = 0 if ci == 0 else 1
+        for ss, se in ((1, 5), (6, 63)):
+            out = _BitWriterMSB()
+            for br in range(bh):
+                for bc in range(bw_):
+                    _encode_ac_band_refine(out, grids[ci][br][bc], ss, se, al=0)
+            out.pad_to_byte()
+            scans.append(sos([(cid, ta)], ss, se, 1, 0) + bytes(out.buf))
+    return head + b"".join(scans) + b"\xff\xd9"

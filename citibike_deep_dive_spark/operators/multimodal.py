@@ -14,12 +14,13 @@ RGB(A), palette, grayscale(+alpha), sub-byte and 16-bit depths
 unpack/palette/replication) — and WAV in 16-bit PCM, G.711
 mu-law/A-law, or mono IMA ADPCM (``decode_wav_samples`` +
 ``codecs``). GIF (full LZW, interlace,
-local color tables), baseline JPEG (ITU-T T.81 sequential DCT,
-generic DHT/DQT, 4:4:4/4:2:2/4:2:0, restart markers) and AVI/MJPEG
+local color tables), JPEG — baseline AND progressive (ITU-T T.81
+sequential + Annex G spectral selection / successive approximation,
+generic DHT/DQT, 4:4:4/4:2:2/4:2:0, restart markers) — and AVI/MJPEG
 video-frame decode are REAL too — pure stdlib+numpy implementations
 in ``operators/codecs.py``. Only genuinely codec-library-bound
 formats (MP3/AAC audio, inter-frame video codecs like H.264/VP9,
-progressive/arithmetic JPEG) remain
+arithmetic-coded JPEG) remain
 STUBBED: ``decode_stub`` raises NotImplementedError unless
 ``deterministic_fake=True``, which produces a seeded fake feature
 vector from the bytes (md5-derived), keeping every downstream operator

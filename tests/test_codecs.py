@@ -182,15 +182,92 @@ def test_jpeg_ff_stuffing_path():
     assert int(np.abs(out.astype(int) - noise.astype(int)).max()) <= 4
 
 
-def test_jpeg_rejects_malformed_and_progressive():
+def test_jpeg_rejects_malformed_and_unsupported_sof():
     img = _gradient(16, 16)
     payload = bytearray(encode_jpeg(img, quality=90))
     assert decode_jpeg_pixels(bytes(payload[:40])) is None
     assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
     assert decode_jpeg_pixels(b"plainly not a jpeg") is None
     sof = payload.index(b"\xff\xc0")
-    payload[sof + 1] = 0xC2  # relabel SOF0 -> SOF2 (progressive)
+    payload[sof + 1] = 0xC3  # relabel SOF0 -> SOF3 (lossless)
     assert decode_jpeg_pixels(bytes(payload)) is None
+    payload[sof + 1] = 0xC9  # arithmetic-coded
+    assert decode_jpeg_pixels(bytes(payload)) is None
+
+
+def test_jpeg_progressive_decodes_identically_to_sequential():
+    from citibike_deep_dive_spark.operators.codecs import (
+        encode_jpeg_progressive,
+    )
+
+    # The progressive stream (SOF2: 2-pass DC successive approximation,
+    # per-component spectral-selection AC bands each as an Al=1 first
+    # pass + an Ah=1 refinement scan) carries the same quantized
+    # coefficients as the sequential stream, so decode must be
+    # pixel-IDENTICAL — this covers DC refinement, AC first with EOB
+    # runs, and the AC correction-bit path end to end.
+    rng = np.random.default_rng(17)
+    cases = [
+        (_gradient(37, 53), 92),
+        (rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8), 80),
+        (rng.integers(0, 256, size=(24, 40, 3)).astype(np.uint8), 100),
+        (np.full((16, 16, 3), 77, dtype=np.uint8), 90),
+        (rng.integers(0, 256, size=(3, 5, 3)).astype(np.uint8), 60),
+    ]
+    for img, q in cases:
+        prog = decode_jpeg_pixels(encode_jpeg_progressive(img, q))
+        seq = decode_jpeg_pixels(encode_jpeg(img, q))
+        assert prog is not None and np.array_equal(prog, seq)
+
+
+def test_jpeg_progressive_ac_refinement_block_grammar():
+    # Single-block harness over the raw scan grammar: first pass at
+    # Al=1 then refinement at Ah=1 must reproduce every coefficient
+    # exactly, including ZRL-across-correction-bits interleaving and
+    # EOB-followed-by-tail-correction-bits.
+    from citibike_deep_dive_spark.operators.codecs import (
+        _AC_BITS,
+        _AC_VALS,
+        _BitWriterMSB,
+        _DC_BITS,
+        _DC_VALS,
+        _decode_tables,
+        _encode_ac_band,
+        _encode_ac_band_refine,
+        _prog_block,
+        _SegBits,
+    )
+
+    ac_tab = _decode_tables(_AC_BITS, _AC_VALS)
+    dc_tab = _decode_tables(_DC_BITS, _DC_VALS)
+
+    def unstuff(b):
+        return bytes(b).replace(b"\xff\x00", b"\xff")
+
+    rng = np.random.default_rng(0)
+    for trial in range(300):
+        zz = [0] * 64
+        for k in rng.integers(1, 64, size=rng.integers(0, 40)):
+            zz[k] = int(
+                rng.integers(-5, 6) if trial % 2 else rng.integers(-40, 41)
+            )
+        out = _BitWriterMSB()
+        _encode_ac_band(out, zz, 1, 63, al=1)
+        out.pad_to_byte()
+        coef = [0] * 64
+        comp = {"pred": 0}
+        _prog_block(
+            _SegBits(unstuff(out.buf)), comp, coef, 1, 63, 0, 1,
+            dc_tab, ac_tab, {"eobrun": 0},
+        )
+        out = _BitWriterMSB()
+        _encode_ac_band_refine(out, zz, 1, 63, al=0)
+        out.pad_to_byte()
+        _prog_block(
+            _SegBits(unstuff(out.buf)), comp, coef, 1, 63, 1, 0,
+            dc_tab, ac_tab, {"eobrun": 0},
+        )
+        assert coef[1:] == zz[1:]
 
 
 def test_jpeg_quality_monotone_in_size():
