@@ -2290,3 +2290,187 @@ def encode_jpeg_progressive(pixels, quality: int = 90) -> bytes:
             out.pad_to_byte()
             scans.append(sos([(cid, ta)], ss, se, 1, 0) + bytes(out.buf))
     return head + b"".join(scans) + b"\xff\xd9"
+
+
+def encode_gif_animated(frames, delay_ms: int = 100) -> bytes:
+    """REAL animated GIF89a writer: frames share one global color
+    table; frame 0 is full, later frames are delta-encoded as the
+    bounding box of changed pixels with unchanged pixels marked
+    transparent (the classic inter-frame GIF optimization), each
+    preceded by a Graphic Control Extension carrying the delay and a
+    transparency index. Exercises the decoder's compositing path for
+    real."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    stack = np.stack([np.asarray(f, dtype=np.uint8) for f in frames])
+    n, h, w, _ = stack.shape
+    packed = (
+        stack[:, :, :, 0].astype(np.int64) << 16
+        | stack[:, :, :, 1].astype(np.int64) << 8
+        | stack[:, :, :, 2].astype(np.int64)
+    )
+    colors, inverse = np.unique(packed, return_inverse=True)
+    if len(colors) > 255:  # one slot reserved for transparency
+        raise ValueError(f"animated GIF here supports <=255 colors, got {len(colors)}")
+    idx = inverse.reshape(n, h, w)
+    trans = len(colors)  # transparent index, one past the palette
+    ncolors = trans + 1
+    bits = max(1, (ncolors - 1).bit_length())
+    table_len = 1 << bits
+    gct = bytearray()
+    for c in colors:
+        gct.extend((int(c) >> 16 & 0xFF, int(c) >> 8 & 0xFF, int(c) & 0xFF))
+    gct.extend(b"\x00" * (3 * (table_len - len(colors))))
+    min_code_size = max(2, bits)
+    delay_cs = max(1, delay_ms // 10)
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (7 << 4) | (bits - 1), 0, 0)
+        + bytes(gct)
+    )
+    for f in range(n):
+        # packed GCE field: disposal 1 (leave), transparency flag on
+        # delta frames
+        gce = bytes(
+            [0x21, 0xF9, 4, (1 << 2) | (1 if f else 0)]
+        ) + delay_cs.to_bytes(2, "little") + bytes([trans if f else 0, 0])
+        out += gce
+        if f == 0:
+            sub = idx[0]
+            left = top = 0
+        else:
+            diff = idx[f] != idx[f - 1]
+            if not diff.any():
+                left = top = 0
+                sub = np.full((1, 1), trans, dtype=np.int64)
+            else:
+                rows = np.nonzero(diff.any(axis=1))[0]
+                cols = np.nonzero(diff.any(axis=0))[0]
+                top, bot = int(rows[0]), int(rows[-1]) + 1
+                left, right = int(cols[0]), int(cols[-1]) + 1
+                sub = np.where(
+                    diff[top:bot, left:right],
+                    idx[f][top:bot, left:right],
+                    trans,
+                )
+        ih, iw = sub.shape
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, iw, ih, 0)
+        out += bytes([min_code_size])
+        out += _sub_blocks(_lzw_compress(sub.reshape(-1), min_code_size))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes, max_frames: int | None = None):
+    """REAL animated-GIF decode with compositing: walks every image
+    descriptor, honors each frame's Graphic Control Extension
+    (delay, transparency index, disposal: leave / restore-background /
+    restore-previous), and composites onto the logical-screen canvas.
+    Returns (frames, delays_ms) — frames as (H, W, 3) uint8 RGB
+    snapshots after each draw — or None for malformed payloads.
+    ``decode_gif_pixels`` remains the single-frame fast path."""
+    import numpy as np
+
+    if len(payload) < 14 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        w, h, packed, bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            size = 1 << ((packed & 7) + 1)
+            gct = np.frombuffer(
+                payload, dtype=np.uint8, count=3 * size, offset=pos
+            ).reshape(size, 3)
+            pos += 3 * size
+        canvas = np.zeros((h, w, 3), dtype=np.uint8)
+        if gct is not None and bg < len(gct):
+            canvas[:, :] = gct[bg]
+        background = canvas.copy()
+        frames: list = []
+        delays: list[int] = []
+        delay_ms = 0
+        transparent = -1
+        disposal = 0
+        while pos < len(payload):
+            block = payload[pos]
+            if block == 0x21:
+                label = payload[pos + 1]
+                pos += 2
+                if label == 0xF9 and payload[pos] >= 4:
+                    gpacked = payload[pos + 1]
+                    disposal = (gpacked >> 2) & 7
+                    delay_ms = (
+                        int.from_bytes(payload[pos + 2 : pos + 4], "little") * 10
+                    )
+                    transparent = payload[pos + 4] if gpacked & 1 else -1
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif block == 0x2C:
+                left, top, iw, ih, ipacked = struct.unpack(
+                    "<HHHHB", payload[pos + 1 : pos + 10]
+                )
+                pos += 10
+                ct = gct
+                if ipacked & 0x80:
+                    size = 1 << ((ipacked & 7) + 1)
+                    ct = np.frombuffer(
+                        payload, dtype=np.uint8, count=3 * size, offset=pos
+                    ).reshape(size, 3)
+                    pos += 3 * size
+                if ct is None or iw == 0 or ih == 0:
+                    return None
+                min_code_size = payload[pos]
+                pos += 1
+                data = bytearray()
+                while payload[pos] != 0:
+                    ln = payload[pos]
+                    data.extend(payload[pos + 1 : pos + 1 + ln])
+                    pos += 1 + ln
+                pos += 1
+                if min_code_size < 2 or min_code_size > 11:
+                    return None
+                raw = _lzw_decompress(bytes(data), min_code_size, iw * ih)
+                if raw is None or len(raw) < iw * ih:
+                    return None
+                grid = np.asarray(raw[: iw * ih], dtype=np.int64).reshape(ih, iw)
+                if ipacked & 0x40:
+                    order = _interlace_order(ih)
+                    de = np.empty_like(grid)
+                    de[order] = grid
+                    grid = de
+                opaque = (
+                    grid != transparent
+                    if transparent >= 0
+                    else np.ones_like(grid, dtype=bool)
+                )
+                if np.any(grid[opaque] >= len(ct)):
+                    return None
+                prev = canvas.copy() if disposal == 3 else None
+                region = canvas[top : top + ih, left : left + iw]
+                safe = grid[: region.shape[0], : region.shape[1]]
+                safe_op = opaque[: region.shape[0], : region.shape[1]]
+                region[safe_op] = ct[np.clip(safe, 0, len(ct) - 1)][safe_op]
+                frames.append(canvas.copy())
+                delays.append(delay_ms)
+                if max_frames is not None and len(frames) >= max_frames:
+                    return frames, delays
+                if disposal == 2:
+                    canvas[top : top + ih, left : left + iw] = background[
+                        top : top + ih, left : left + iw
+                    ]
+                elif disposal == 3 and prev is not None:
+                    canvas = prev
+                transparent = -1
+                disposal = 0
+                delay_ms = 0
+            elif block == 0x3B:
+                break
+            else:
+                return None
+        return (frames, delays) if frames else None
+    except (IndexError, ValueError, struct.error):
+        return None

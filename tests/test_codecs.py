@@ -1109,3 +1109,50 @@ def test_webdataset_shard_to_codec_stats_end_to_end(spark, tmp_path):
     assert rate == 16000
     assert np.array_equal(out.astype(np.int64), audio.astype(np.int64))
     assert bytes(by_key["000002"]["txt"]) == b"caption two"
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF (multi-frame decode with GCE compositing)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_animated_delta_frames_composite_exactly():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_gif_frames,
+        decode_gif_pixels,
+        encode_gif_animated,
+    )
+
+    rng = np.random.default_rng(2)
+    pal = rng.integers(0, 256, size=(9, 3)).astype(np.uint8)
+    base = pal[rng.integers(0, 9, size=(20, 30))]
+    frames = [base.copy()]
+    for t in range(1, 5):
+        f = frames[-1].copy()
+        f[5:9, 10 + t : 16 + t] = pal[t % 9]  # moving patch
+        frames.append(f)
+    payload = encode_gif_animated(frames, delay_ms=70)
+    out, delays = decode_gif_frames(payload)
+    # later frames were written as transparent-padded diff bounding
+    # boxes; compositing must reproduce every full frame exactly
+    assert len(out) == 5 and delays == [70] * 5
+    assert all(np.array_equal(o, f) for o, f in zip(out, frames))
+    # the single-frame fast path still returns frame 0
+    assert np.array_equal(decode_gif_pixels(payload), frames[0])
+    assert len(decode_gif_frames(payload, max_frames=2)[0]) == 2
+    assert decode_gif_frames(payload[:40]) is None
+    assert decode_gif_frames(b"not a gif") is None
+
+
+def test_gif_animated_identical_frames_and_single_frame():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    img = _palette_image(6, 8, 7, seed=40)
+    out, _ = decode_gif_frames(encode_gif_animated([img], delay_ms=50))
+    assert len(out) == 1 and np.array_equal(out[0], img)
+    # a static pair (no pixel changes) still yields two frames
+    out2, _ = decode_gif_frames(encode_gif_animated([img, img.copy()]))
+    assert len(out2) == 2 and np.array_equal(out2[1], img)
