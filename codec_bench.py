@@ -53,6 +53,14 @@ def build_workloads():
             [C.encode_jpeg(img, 90, subsample=True)] * 5,
             C.decode_jpeg_pixels,
         ),
+        "jpeg_progressive_q90": (
+            [C.encode_jpeg_progressive(img, 90)] * 3,
+            C.decode_jpeg_pixels,
+        ),
+        "gif_animated_5f": (
+            [C.encode_gif_animated([gif_px] * 5, delay_ms=50)] * 5,
+            C.decode_gif_frames,
+        ),
         "tiff_packbits": (
             [C.encode_tiff(img, packbits=True)] * 20,
             C.decode_tiff_pixels,
