@@ -1408,11 +1408,11 @@ def decode_wav_compressed(
 
 # ---------------------------------------------------------------------------
 # TIFF — baseline 8-bit strips (TIFF 6.0 specification, Adobe 1992;
-# public). Uncompressed and PackBits compression; gray (both
-# photometric polarities), RGB(A), and 16-bit-colormap palette images;
-# both byte orders. LZW/JPEG-in-TIFF stay out of scope here (JPEG
-# payloads are handled standalone; TIFF-LZW's early-change variant is
-# a different codec from GIF's and rarely used for training corpora).
+# public). Uncompressed, PackBits and LZW compression (the TIFF
+# early-change LZW variant, §13, with the horizontal-differencing
+# predictor tag 317); gray (both photometric polarities), RGB(A), and
+# 16-bit-colormap palette images; both byte orders. JPEG-in-TIFF stays
+# out of scope (JPEG payloads are handled standalone).
 # ---------------------------------------------------------------------------
 
 
@@ -1465,24 +1465,40 @@ def packbits_decode(data: bytes, expected: int) -> bytes | None:
     return bytes(out[:expected]) if len(out) >= expected else None
 
 
-def encode_tiff(pixels, photometric: int = 2, packbits: bool = False) -> bytes:
+def encode_tiff(
+    pixels,
+    photometric: int = 2,
+    packbits: bool = False,
+    lzw: bool = False,
+    predictor: bool = False,
+) -> bytes:
     """REAL little-endian TIFF 6.0 writer: (H, W, 3) uint8 RGB
     (photometric 2) or (H, W) grayscale (photometric 1), single strip,
-    optionally PackBits-compressed. The synthesis half that
-    ``decode_tiff_pixels`` must invert."""
+    optionally PackBits- or LZW-compressed (the latter optionally with
+    the horizontal-differencing predictor, tag 317 = 2 — the standard
+    LZW pairing). The synthesis half that ``decode_tiff_pixels`` must
+    invert."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
     if photometric == 2:
         h, w, spp = px.shape
-        raw = px.tobytes()
-        bps = (8, 8, 8)
     else:
         h, w = px.shape
         spp = 1
+    plane = px.reshape(h, w * spp).astype(np.int64)
+    if predictor:
+        diffed = plane.copy()
+        diffed[:, spp:] = plane[:, spp:] - plane[:, :-spp]
+        raw = (diffed % 256).astype(np.uint8).tobytes()
+    else:
         raw = px.tobytes()
-        bps = (8,)
-    data = packbits_encode(raw) if packbits else raw
+    if lzw:
+        data = tiff_lzw_encode(raw)
+    elif packbits:
+        data = packbits_encode(raw)
+    else:
+        data = raw
 
     entries = []  # (tag, type, count, value) — SHORT=3, LONG=4
 
@@ -1491,7 +1507,7 @@ def encode_tiff(pixels, photometric: int = 2, packbits: bool = False) -> bytes:
 
     # header(8) + entry count(2) + entries(12 each) + next-IFD(4), then
     # the out-of-line bits-per-sample array (RGB only), then strip data
-    n_entries = 8
+    n_entries = 8 + (1 if predictor else 0)
     ifd_size = 2 + 12 * n_entries + 4
     bps_off = 8 + ifd_size
     data_off = bps_off + (6 if spp == 3 else 0)
@@ -1501,11 +1517,13 @@ def encode_tiff(pixels, photometric: int = 2, packbits: bool = False) -> bytes:
         entry(258, 3, 3, bps_off)  # BitsPerSample -> offset
     else:
         entry(258, 3, 1, 8)
-    entry(259, 3, 1, 32773 if packbits else 1)  # Compression
+    entry(259, 3, 1, 5 if lzw else (32773 if packbits else 1))  # Compression
     entry(262, 3, 1, photometric)
     entry(273, 4, 1, data_off)  # StripOffsets
     entry(277, 3, 1, spp)  # SamplesPerPixel
     entry(279, 4, 1, len(data))  # StripByteCounts
+    if predictor:
+        entry(317, 3, 1, 2)  # horizontal differencing
     out = bytearray(b"II*\x00" + (8).to_bytes(4, "little"))
     out.extend(len(entries).to_bytes(2, "little"))
     for tag, typ, count, value in entries:
@@ -1529,7 +1547,7 @@ def decode_tiff_pixels(payload: bytes):
     (uncompressed or PackBits) -> photometric interpretation (gray
     either polarity, RGB(A), 16-bit-colormap palette) -> (H, W, 3)
     uint8 RGB. Returns None for anything outside the 8-bit-strip
-    contract (LZW/JPEG compression, tiles, planar config 2) — those
+    contract (JPEG-in-TIFF compression, tiles, planar config 2) — those
     fall back to ``decode_stub``."""
     import numpy as np
 
@@ -1578,14 +1596,16 @@ def decode_tiff_pixels(payload: bytes):
         counts = values(279)
         rows_per_strip = (values(278, [h]))[0] or h
         planar = (values(284, [1]))[0]
+        predictor = (values(317, [1]))[0]
         if (
             not w
             or not h
             or offsets is None
             or counts is None
             or len(offsets) != len(counts)
-            or compression not in (1, 32773)
+            or compression not in (1, 5, 32773)
             or planar != 1
+            or predictor not in (1, 2)
             or photometric not in (0, 1, 2, 3)
             or any(b != 8 for b in (bps or []))
         ):
@@ -1602,6 +1622,11 @@ def decode_tiff_pixels(payload: bytes):
                 if dec is None:
                     return None
                 raw.extend(dec)
+            elif compression == 5:
+                dec = tiff_lzw_decode(strip, n_rows * stride)
+                if dec is None:
+                    return None
+                raw.extend(dec)
             else:
                 raw.extend(strip)
         if len(raw) < h * stride:
@@ -1609,6 +1634,10 @@ def decode_tiff_pixels(payload: bytes):
         px = np.frombuffer(bytes(raw[: h * stride]), dtype=np.uint8).reshape(
             h, w, spp
         )
+        if predictor == 2:  # undo horizontal differencing (tag 317)
+            acc = px.reshape(h, w, spp).astype(np.int64)
+            px = np.cumsum(acc, axis=1, dtype=np.int64) % 256
+            px = px.astype(np.uint8)
         if photometric == 2:
             if spp < 3:
                 return None
@@ -2474,3 +2503,112 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None):
         return (frames, delays) if frames else None
     except (IndexError, ValueError, struct.error):
         return None
+
+
+# ---------------------------------------------------------------------------
+# TIFF-LZW (TIFF 6.0 §13): byte-alphabet LZW, codes packed MSB-first,
+# with the "early change" quirk — the code width grows one code
+# EARLIER than in GIF's variant (at 2^w - 1, not 2^w). ClearCode=256,
+# EOI=257.
+# ---------------------------------------------------------------------------
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW compress (early change, MSB-first)."""
+    out = _BitWriterMSB()  # MSB-first, but NO 0xFF stuffing wanted
+    out_bits: list[tuple[int, int]] = []
+
+    def emit(code: int, width: int) -> None:
+        out_bits.append((code, width))
+
+    CLEAR, EOI = 256, 257
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = fresh()
+    emit(CLEAR, width)
+    prefix = b""
+    for b in data:
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        # early change: the encoder runs one table entry ahead of the
+        # decoder, so its width bump lands at 2^w where the decoder's
+        # lands at 2^w - 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        prefix = bytes([b])
+        if next_code == 4094:  # libtiff's CODE_MAX-1 clear point
+            emit(CLEAR, width)
+            table, next_code, width = fresh()
+    if prefix:
+        emit(table[prefix], width)
+    emit(EOI, width)
+    # pack MSB-first without byte stuffing
+    buf = bytearray()
+    acc = nbits = 0
+    for code, w_ in out_bits:
+        acc = (acc << w_) | code
+        nbits += w_
+        while nbits >= 8:
+            buf.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+    if nbits:
+        buf.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(buf)
+
+
+def tiff_lzw_decode(data: bytes, expected: int) -> bytes | None:
+    """TIFF-variant LZW decompress; None on malformed stream."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = pos = 0
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out[:expected]) if len(out) >= expected else None
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= len(table) or code > 255:
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            return None
+        out.extend(entry)
+        if prev is not None and len(table) < 4094:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:  # early change
+                width += 1
+        prev = entry
+    return bytes(out[:expected]) if len(out) >= expected else None

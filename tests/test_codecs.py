@@ -1156,3 +1156,43 @@ def test_gif_animated_identical_frames_and_single_frame():
     # a static pair (no pixel changes) still yields two frames
     out2, _ = decode_gif_frames(encode_gif_animated([img, img.copy()]))
     assert len(out2) == 2 and np.array_equal(out2[1], img)
+
+
+def test_tiff_lzw_and_predictor_roundtrip():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_tiff_pixels,
+        encode_tiff,
+        tiff_lzw_decode,
+        tiff_lzw_encode,
+    )
+
+    rng = np.random.default_rng(4)
+    # raw LZW stream roundtrips, incl. a dictionary-reset-forcing size
+    for n in (0, 10, 5000, 100000):
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert tiff_lzw_decode(tiff_lzw_encode(data), n) == data
+    rep = b"abcab" * 4000
+    enc = tiff_lzw_encode(rep)
+    assert len(enc) < len(rep) // 10  # actually compresses
+    assert tiff_lzw_decode(enc, len(rep)) == rep
+    assert tiff_lzw_decode(b"\xff\xff", 100) is None
+
+    rgb = rng.integers(0, 256, size=(23, 17, 3)).astype(np.uint8)
+    grad = np.zeros((40, 60, 3), np.uint8)
+    grad[:, :, 0] = np.arange(60)[None, :] * 4
+    grad[:, :, 1] = np.arange(40)[:, None] * 6
+    for kw in ({"lzw": True}, {"lzw": True, "predictor": True}):
+        for im in (rgb, grad):
+            assert np.array_equal(
+                decode_tiff_pixels(encode_tiff(im, **kw)), im
+            )
+    # the horizontal-differencing predictor is what makes LZW bite on
+    # smooth data (TIFF 6.0 §14)
+    assert len(encode_tiff(grad, lzw=True, predictor=True)) < len(
+        encode_tiff(grad, lzw=True)
+    )
+    gray = rng.integers(0, 256, size=(9, 14)).astype(np.uint8)
+    out = decode_tiff_pixels(
+        encode_tiff(gray, photometric=1, lzw=True, predictor=True)
+    )
+    assert np.array_equal(out, np.stack([gray] * 3, axis=2))
