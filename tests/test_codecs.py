@@ -1196,3 +1196,61 @@ def test_tiff_lzw_and_predictor_roundtrip():
         encode_tiff(gray, photometric=1, lzw=True, predictor=True)
     )
     assert np.array_equal(out, np.stack([gray] * 3, axis=2))
+
+
+def test_tiff_multi_strip_assembly():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_tiff_pixels,
+        packbits_encode,
+    )
+
+    # hand-built little-endian TIFF: 7 rows of RGB in 3 strips
+    # (rows_per_strip=3 -> strips of 3/3/1 rows), PackBits-compressed
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, size=(7, 5, 3)).astype(np.uint8)
+    strips = [
+        packbits_encode(rgb[i : i + 3].tobytes()) for i in (0, 3, 6)
+    ]
+
+    def le(v, n):
+        return int(v).to_bytes(n, "little")
+
+    entries = [  # (tag, type, count, value-or-offset-placeholder)
+        (256, 4, 1, 5),
+        (257, 4, 1, 7),
+        (258, 3, 3, None),  # bits-per-sample array
+        (259, 3, 1, 32773),
+        (262, 3, 1, 2),
+        (273, 4, 3, None),  # strip offsets array
+        (277, 3, 1, 3),
+        (278, 4, 1, 3),  # rows per strip
+        (279, 4, 3, None),  # strip byte counts array
+    ]
+    ifd = 8
+    arrays_off = ifd + 2 + 12 * len(entries) + 4
+    bps_off = arrays_off
+    offsets_off = bps_off + 6
+    counts_off = offsets_off + 12
+    data_off = counts_off + 12
+    strip_offsets = []
+    off = data_off
+    for s in strips:
+        strip_offsets.append(off)
+        off += len(s)
+    buf = bytearray(b"II*\x00" + le(ifd, 4) + le(len(entries), 2))
+    resolved = {258: bps_off, 273: offsets_off, 279: counts_off}
+    for tag, typ, count, value in entries:
+        buf += le(tag, 2) + le(typ, 2) + le(count, 4)
+        v = resolved.get(tag, value)
+        if typ == 3 and count == 1:
+            buf += le(v, 2) + b"\x00\x00"
+        else:
+            buf += le(v, 4)
+    buf += le(0, 4)
+    buf += b"".join(le(8, 2) for _ in range(3))  # bits per sample
+    buf += b"".join(le(o, 4) for o in strip_offsets)
+    buf += b"".join(le(len(s), 4) for s in strips)
+    for s in strips:
+        buf += s
+    out = decode_tiff_pixels(bytes(buf))
+    assert out is not None and np.array_equal(out, rgb)
