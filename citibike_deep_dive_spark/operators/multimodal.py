@@ -206,6 +206,35 @@ def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
     return (channels, sample_rate, bits, data_size * 1000 // byte_rate)
 
 
+def parse_flac_streaminfo(payload: bytes) -> tuple[int, int, int, int] | None:
+    """REAL FLAC metadata decode, pure byte math: (channels,
+    sample_rate, bits_per_sample, duration_ms) from the mandatory
+    STREAMINFO block — the FLAC sibling of ``parse_wav_header``
+    (duration needs only the 36-bit total-samples field, no frame
+    decode)."""
+    if len(payload) < 22 or payload[:4] != b"fLaC":
+        return None
+    if payload[4] & 0x7F != 0:  # first block must be STREAMINFO
+        return None
+    packed = int.from_bytes(payload[18:26], "big") if len(payload) >= 26 else 0
+    rate = packed >> 44
+    channels = ((packed >> 41) & 7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if not rate:
+        return None
+    return (channels, rate, bits, total * 1000 // rate)
+
+
+def parse_audio_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Format-sniffing audio metadata triage: WAV RIFF header or FLAC
+    STREAMINFO, same tuple contract."""
+    parsed = parse_wav_header(payload)
+    if parsed is not None:
+        return parsed
+    return parse_flac_streaminfo(payload)
+
+
 AUDIO_META_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -218,14 +247,15 @@ AUDIO_META_SCHEMA = T.StructType(
 
 
 def audio_metadata(media: DataFrame) -> DataFrame:
-    """Arrow-batched REAL WAV header decode: meta from payload bytes,
-    null columns for unrecognized payloads (kept, not dropped — same
-    triage contract as ``image_dimensions``)."""
+    """Arrow-batched REAL audio header decode (WAV RIFF or FLAC
+    STREAMINFO): meta from payload bytes, null columns for
+    unrecognized payloads (kept, not dropped — same triage contract as
+    ``image_dimensions``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             parsed = pdf["payload"].map(
-                lambda b: parse_wav_header(bytes(b)) if b is not None else None
+                lambda b: parse_audio_header(bytes(b)) if b is not None else None
             )
             yield pd.DataFrame(
                 {

@@ -1254,3 +1254,28 @@ def test_tiff_multi_strip_assembly():
         buf += s
     out = decode_tiff_pixels(bytes(buf))
     assert out is not None and np.array_equal(out, rgb)
+
+
+def test_audio_metadata_triage_covers_flac(spark):
+    from citibike_deep_dive_spark.operators.codecs import encode_flac
+    from citibike_deep_dive_spark.operators.multimodal import (
+        audio_metadata,
+        encode_wav,
+        parse_audio_header,
+    )
+
+    s = _sine(32000)
+    flac = encode_flac(s, 16000)
+    assert parse_audio_header(flac) == (1, 16000, 16, 2000)
+    media = _media_df(
+        spark,
+        [
+            (1, "audio", bytearray(flac), 0, 0, 2000),
+            (2, "audio", bytearray(encode_wav(s, 8000)), 0, 0, 4000),
+            (3, "audio", bytearray(b"mp3-opaque"), 0, 0, 0),
+        ],
+    )
+    rows = {r["media_id"]: r for r in audio_metadata(media).collect()}
+    assert (rows[1]["sample_rate_hz"], rows[1]["duration_ms"]) == (16000, 2000)
+    assert (rows[2]["sample_rate_hz"], rows[2]["duration_ms"]) == (8000, 4000)
+    assert rows[3]["sample_rate_hz"] is None
