@@ -2612,3 +2612,72 @@ def tiff_lzw_decode(data: bytes, expected: int) -> bytes | None:
                 width += 1
         prev = entry
     return bytes(out[:expected]) if len(out) >= expected else None
+
+
+# ---------------------------------------------------------------------------
+# Sun-AU (.au/.snd, Sun Microsystems; public format, the classic Unix
+# / Java telephony container): 24-byte big-endian header + raw G.711
+# or PCM payload — all codecs already implemented above.
+# ---------------------------------------------------------------------------
+
+_AU_MAGIC = b".snd"
+
+
+def encode_au(samples, sample_rate: int = 8000, encoding: int = 1) -> bytes:
+    """REAL Sun-AU writer: int16 samples -> .au in mu-law (encoding 1),
+    16-bit big-endian PCM (3), or A-law (27), mono."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    if encoding == 1:
+        data = ulaw_encode(s).tobytes()
+    elif encoding == 3:
+        data = s.astype(">i2").tobytes()
+    elif encoding == 27:
+        data = alaw_encode(s).tobytes()
+    else:
+        raise ValueError(f"unsupported AU encoding {encoding}")
+    return (
+        _AU_MAGIC
+        + (24).to_bytes(4, "big")  # data offset
+        + len(data).to_bytes(4, "big")
+        + encoding.to_bytes(4, "big")
+        + sample_rate.to_bytes(4, "big")
+        + (1).to_bytes(4, "big")  # channels
+        + data
+    )
+
+
+def decode_au_samples(payload: bytes):
+    """REAL Sun-AU decode: (int16 samples, rate, channels) for mu-law /
+    A-law / 8-bit linear / 16-bit big-endian PCM payloads; None for
+    other encodings (ADPCM-in-AU, float) or malformed headers."""
+    import numpy as np
+
+    if len(payload) < 24 or payload[:4] != _AU_MAGIC:
+        return None
+    offset = int.from_bytes(payload[4:8], "big")
+    size = int.from_bytes(payload[8:12], "big")
+    encoding = int.from_bytes(payload[12:16], "big")
+    rate = int.from_bytes(payload[16:20], "big")
+    channels = int.from_bytes(payload[20:24], "big")
+    if offset < 24 or not rate or not channels:
+        return None
+    data = payload[offset:]
+    if size != 0xFFFFFFFF:
+        data = data[:size]
+    if encoding == 1:
+        out = ulaw_decode(data)
+    elif encoding == 27:
+        out = alaw_decode(data)
+    elif encoding == 2:  # 8-bit linear PCM (signed)
+        out = (
+            np.frombuffer(data, dtype=np.int8).astype(np.int16) << 8
+        )
+    elif encoding == 3:  # 16-bit big-endian PCM
+        out = np.frombuffer(data[: len(data) & ~1], dtype=">i2").astype(
+            np.int16
+        )
+    else:
+        return None
+    return out, rate, channels

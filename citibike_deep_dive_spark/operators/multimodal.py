@@ -227,12 +227,25 @@ def parse_flac_streaminfo(payload: bytes) -> tuple[int, int, int, int] | None:
 
 
 def parse_audio_header(payload: bytes) -> tuple[int, int, int, int] | None:
-    """Format-sniffing audio metadata triage: WAV RIFF header or FLAC
-    STREAMINFO, same tuple contract."""
+    """Format-sniffing audio metadata triage: WAV RIFF header, FLAC
+    STREAMINFO, or Sun-AU header — same tuple contract."""
     parsed = parse_wav_header(payload)
     if parsed is not None:
         return parsed
-    return parse_flac_streaminfo(payload)
+    parsed = parse_flac_streaminfo(payload)
+    if parsed is not None:
+        return parsed
+    if len(payload) >= 24 and payload[:4] == b".snd":
+        enc = int.from_bytes(payload[12:16], "big")
+        rate = int.from_bytes(payload[16:20], "big")
+        ch = int.from_bytes(payload[20:24], "big")
+        size = int.from_bytes(payload[8:12], "big")
+        bits = {1: 8, 2: 8, 3: 16, 27: 8}.get(enc)
+        if bits and rate and ch:
+            bytes_per = 2 if enc == 3 else 1
+            n = size // (bytes_per * ch) if size != 0xFFFFFFFF else 0
+            return (ch, rate, bits, n * 1000 // rate)
+    return None
 
 
 AUDIO_META_SCHEMA = T.StructType(
@@ -731,15 +744,19 @@ def decode_wav_samples(payload: bytes):
 
 def decode_audio_samples(payload: bytes):
     """Format-sniffing audio decode: WAV (PCM / G.711 / IMA ADPCM via
-    ``decode_wav_samples``) or FLAC (``codecs.decode_flac_samples`` —
-    full subframe grammar, lossless). Same (samples, rate, channels)
-    contract; None for MP3/AAC and anything malformed."""
+    ``decode_wav_samples``), FLAC (``codecs.decode_flac_samples`` —
+    full subframe grammar, lossless), or Sun-AU (G.711 / linear PCM).
+    Same (samples, rate, channels) contract; None for MP3/AAC and
+    anything malformed."""
     dec = decode_wav_samples(payload)
     if dec is not None:
         return dec
-    from .codecs import decode_flac_samples
+    from .codecs import decode_au_samples, decode_flac_samples
 
-    return decode_flac_samples(payload)
+    dec = decode_flac_samples(payload)
+    if dec is not None:
+        return dec
+    return decode_au_samples(payload)
 
 
 WAV_STATS_SCHEMA = T.StructType(

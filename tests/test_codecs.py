@@ -1279,3 +1279,31 @@ def test_audio_metadata_triage_covers_flac(spark):
     assert (rows[1]["sample_rate_hz"], rows[1]["duration_ms"]) == (16000, 2000)
     assert (rows[2]["sample_rate_hz"], rows[2]["duration_ms"]) == (8000, 4000)
     assert rows[3]["sample_rate_hz"] is None
+
+
+def test_sun_au_roundtrip_and_dispatch():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_au_samples,
+        encode_au,
+        ulaw_decode,
+        ulaw_encode,
+    )
+    from citibike_deep_dive_spark.operators.multimodal import (
+        decode_audio_samples,
+        parse_audio_header,
+    )
+
+    s = _sine(2000)
+    # 16-bit BE PCM is lossless; G.711 encodings are table-exact
+    out, rate, nch = decode_au_samples(encode_au(s, 8000, encoding=3))
+    assert (rate, nch) == (8000, 1) and np.array_equal(out, s)
+    out_u, _, _ = decode_au_samples(encode_au(s, 8000, encoding=1))
+    assert np.array_equal(out_u, ulaw_decode(ulaw_encode(s).tobytes()))
+    # dispatchers sniff the container
+    dec = decode_audio_samples(encode_au(s, 8000, encoding=27))
+    assert dec is not None and dec[1] == 8000
+    assert parse_audio_header(encode_au(s, 8000, encoding=1)) == (
+        1, 8000, 8, 250,  # 2000 mu-law bytes at 8 kHz = 250 ms
+    )
+    assert decode_au_samples(b".sndxx") is None
+    assert decode_au_samples(b"junk") is None
