@@ -2681,3 +2681,105 @@ def decode_au_samples(payload: bytes):
     else:
         return None
     return out, rate, channels
+
+
+# ---------------------------------------------------------------------------
+# ICO (Windows icon container; public format, ubiquitous in web-crawl
+# corpora as favicons): a directory of images, each either a PNG
+# payload (Vista+) or a headerless BMP DIB with doubled height
+# (XOR pixels + AND mask). Both inner formats are already implemented.
+# ---------------------------------------------------------------------------
+
+
+def encode_ico(images) -> bytes:
+    """REAL ICO writer: a list of (H, W, 3) uint8 RGB arrays -> an icon
+    container holding each as an embedded PNG entry (the modern form;
+    dimension bytes are 0 for 256)."""
+    from .multimodal import encode_png
+
+    payloads = [encode_png(px) for px in images]
+    dims = [(px.shape[1], px.shape[0]) for px in images]
+    out = bytearray(struct.pack("<HHH", 0, 1, len(payloads)))
+    off = 6 + 16 * len(payloads)
+    for (w, h), p in zip(dims, payloads):
+        out += struct.pack(
+            "<BBBBHHII",
+            w if w < 256 else 0,
+            h if h < 256 else 0,
+            0, 0, 1, 32, len(p), off,
+        )
+        off += len(p)
+    for p in payloads:
+        out += p
+    return bytes(out)
+
+
+def decode_ico_pixels(payload: bytes):
+    """REAL ICO decode: picks the largest directory entry and decodes
+    it — PNG entries via ``decode_png_pixels``, classic DIB entries by
+    reconstructing a BMP header around the XOR block (the stored
+    height is doubled for the AND mask; 24/32-bit DIBs only). Returns
+    (H, W, 3) uint8 RGB or None."""
+    import numpy as np
+
+    if len(payload) < 6 or payload[:4] != b"\x00\x00\x01\x00":
+        return None
+    try:
+        count = int.from_bytes(payload[4:6], "little")
+        if not count:
+            return None
+        best = None
+        for k in range(count):
+            e = payload[6 + 16 * k : 22 + 16 * k]
+            if len(e) != 16:
+                return None
+            w = e[0] or 256
+            h = e[1] or 256
+            size = int.from_bytes(e[8:12], "little")
+            off = int.from_bytes(e[12:16], "little")
+            if best is None or w * h > best[0] * best[1]:
+                best = (w, h, size, off)
+        w, h, size, off = best
+        body = payload[off : off + size]
+        if len(body) != size:
+            return None
+        from .multimodal import decode_png_pixels
+
+        px = decode_png_pixels(body)
+        if px is not None:
+            return px
+        # classic DIB: BITMAPINFOHEADER with doubled height; rebuild a
+        # BMP file around the XOR block and reuse the BMP decoder
+        if len(body) < 40:
+            return None
+        hdr_size = int.from_bytes(body[0:4], "little")
+        if hdr_size != 40:
+            return None
+        dib_h = int.from_bytes(body[8:12], "little", signed=True)
+        bpp = int.from_bytes(body[14:16], "little")
+        if bpp not in (24, 32):
+            return None
+        # halve the doubled height and drop the AND mask rows
+        xor_h = abs(dib_h) // 2
+        stride = (w * (bpp // 8) + 3) & ~3
+        patched = bytearray(body)
+        patched[8:12] = xor_h.to_bytes(4, "little", signed=True)
+        pixel_bytes = 40 + stride * xor_h
+        bmp = (
+            b"BM"
+            + (14 + pixel_bytes).to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"
+            + (54).to_bytes(4, "little")
+            + bytes(patched[:pixel_bytes])
+        )
+        return decode_bmp_pixels_compat(bmp)
+    except (IndexError, ValueError, struct.error):
+        return None
+
+
+def decode_bmp_pixels_compat(payload: bytes):
+    """Local import shim so the ICO path reuses multimodal's BMP
+    decoder without a circular module import at load time."""
+    from .multimodal import decode_bmp_pixels
+
+    return decode_bmp_pixels(payload)

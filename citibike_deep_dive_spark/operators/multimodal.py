@@ -127,6 +127,18 @@ def parse_image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
             int.from_bytes(payload[18:22], "little", signed=True),
             abs(int.from_bytes(payload[22:26], "little", signed=True)),
         )
+    if len(payload) >= 6 and payload[:4] == b"\x00\x00\x01\x00":
+        # ICO: dims of the largest directory entry (0 byte means 256)
+        count = int.from_bytes(payload[4:6], "little")
+        best = None
+        for k in range(count):
+            e = payload[6 + 16 * k : 22 + 16 * k]
+            if len(e) != 16:
+                return None
+            w, h = e[0] or 256, e[1] or 256
+            if best is None or w * h > best[0] * best[1]:
+                best = (w, h)
+        return ("ico", best[0], best[1]) if best else None
     if len(payload) >= 8 and payload[:4] in (b"II*\x00", b"MM\x00*"):
         # TIFF: walk the first IFD for ImageWidth/ImageLength (256/257)
         bo = "little" if payload[:2] == b"II" else "big"
@@ -972,7 +984,12 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
     JPEG get REAL pixel features (``_bmp_features``); only the
     genuinely codec-library-bound leftovers fall back to
     ``decode_stub``."""
-    from .codecs import decode_gif_pixels, decode_jpeg_pixels, decode_tiff_pixels
+    from .codecs import (
+        decode_gif_pixels,
+        decode_ico_pixels,
+        decode_jpeg_pixels,
+        decode_tiff_pixels,
+    )
 
     def features_of(payload: bytes, kind: str) -> list[float]:
         for dec in (
@@ -981,6 +998,7 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True) -> DataF
             decode_gif_pixels,
             decode_jpeg_pixels,
             decode_tiff_pixels,
+            decode_ico_pixels,
         ):
             px = dec(payload)
             if px is not None:
@@ -1175,6 +1193,11 @@ def resize_payload(
     px = decode_tiff_pixels(payload)
     if px is not None:
         return encode_tiff(resample_nearest(px, dst_w, dst_h))
+    from .codecs import decode_ico_pixels, encode_ico
+
+    px = decode_ico_pixels(payload)
+    if px is not None:
+        return encode_ico([resample_nearest(px, dst_w, dst_h)])
     return resize_stub(payload, dst_w, dst_h, deterministic_fake)
 
 

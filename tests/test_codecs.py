@@ -1307,3 +1307,32 @@ def test_sun_au_roundtrip_and_dispatch():
     )
     assert decode_au_samples(b".sndxx") is None
     assert decode_au_samples(b"junk") is None
+
+
+def test_ico_container_png_and_dib_entries():
+    import struct
+
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_ico_pixels,
+        encode_ico,
+    )
+    from citibike_deep_dive_spark.operators.multimodal import encode_bmp
+
+    rng = np.random.default_rng(6)
+    small = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    big = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    ico = encode_ico([small, big])
+    assert np.array_equal(decode_ico_pixels(ico), big)  # largest entry
+    assert parse_image_dimensions(ico) == ("ico", 32, 32)
+    # classic DIB entry: headerless BMP body with doubled height
+    dib = bytearray(encode_bmp(small)[14:])
+    dib[8:12] = (32).to_bytes(4, "little")
+    entry = struct.pack("<BBBBHHII", 16, 16, 0, 0, 1, 24, len(dib), 22)
+    ico2 = b"\x00\x00\x01\x00\x01\x00" + entry + bytes(dib)
+    assert np.array_equal(decode_ico_pixels(ico2), small)
+    assert decode_ico_pixels(b"xxxx") is None
+    assert decode_ico_pixels(b"\x00\x00\x01\x00\x00\x00") is None
+    # resize keeps the container
+    resized = resize_payload(ico, 8, 8)
+    assert parse_image_dimensions(resized) == ("ico", 8, 8)
+    assert decode_ico_pixels(resized).shape == (8, 8, 3)
