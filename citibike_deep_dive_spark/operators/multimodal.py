@@ -93,7 +93,8 @@ def parse_image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
     """REAL image metadata decode, pure Python: (format, width, height)
     from the container header bytes, or None if the payload is not a
     recognized image. Formats: PNG (IHDR), GIF (logical screen), JPEG
-    (SOF segment walk), BMP (BITMAPINFOHEADER)."""
+    (SOF segment walk), BMP (BITMAPINFOHEADER), ICO (largest directory
+    entry), TIFF (first-IFD walk, both byte orders)."""
     if len(payload) >= 24 and payload[:8] == _PNG_MAGIC and payload[12:16] == b"IHDR":
         return (
             "png",
