@@ -627,7 +627,12 @@ class _SegBits:
 
     def decode(self, tab) -> int:
         """Canonical Huffman decode (T.81 F.2.2.3 shape): one 16-bit
-        peek, then length-indexed maxcode range tests."""
+        peek, then length-indexed maxcode range tests. A scan that
+        references a table no DHT defined reaches here with tab=None —
+        that is a malformed stream, not a crash: ValueError routes it
+        to the decoder's None/stub fallback."""
+        if tab is None:
+            raise ValueError("scan references an undefined Huffman table")
         code16 = self.peek16()
         maxcode, mincode, valptr, vals = tab
         for length in range(1, 17):
@@ -846,6 +851,7 @@ def decode_jpeg_pixels(payload: bytes):
         restart_interval = 0
         progressive = False
         any_scan = False
+        scanned_ids: set[int] = set()
         pos = 2
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
@@ -948,11 +954,20 @@ def decode_jpeg_pixels(payload: bytes):
                     restart_interval, ss, se, ah, al, mcus_x, mcus_y,
                 )
                 any_scan = True
-                if not progressive:
-                    break  # sequential: one scan carries everything
+                scanned_ids.update(c["id"] for c in scan_comps)
+                # Sequential files may legally carry MULTIPLE scans
+                # (e.g. one non-interleaved scan per component, T.81
+                # Annex B note on SOS) — keep walking to EOI so every
+                # component's coefficients land; the persistent grids
+                # make later scans additive exactly as in progressive.
             else:  # APPn / COM / anything else: skip
                 pos += 2 + ln
         if not any_scan or not h or not w:
+            return None
+        if not progressive and scanned_ids != {c["id"] for c in comps}:
+            # a sequential file whose scans never covered some
+            # component would silently emit zero coefficients for it
+            # (flat chroma); route to the stub fallback instead
             return None
 
         max_h = max(c["h"] for c in comps)
@@ -1094,19 +1109,18 @@ def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
-def decode_avi_frames(payload: bytes, max_frames: int | None = None):
-    """REAL AVI/MJPEG frame decode, stdlib+numpy: RIFF walk -> avih
-    (frame period) -> movi LIST -> each '00dc'/'00db' chunk through
-    ``decode_jpeg_pixels``. Returns (frames, fps) where frames is a
-    list of (H, W, 3) uint8 arrays, or None if the payload is not an
-    AVI or no frame decodes (non-MJPEG codecs land here: the chunk
-    bytes are not JPEG and the frame decoder rejects them — those fall
-    back to the stub path). ``max_frames`` bounds decode work for
-    sampling callers that only need the first frames."""
+def index_avi(payload: bytes):
+    """RIFF walk WITHOUT frame decode: returns (fps, chunks) where
+    chunks is ``[(offset, length), ...]`` of the '00dc'/'00db' video
+    chunks in stream order, or None if the payload is not an AVI. This
+    is the cheap pass sampling callers use to decode ONLY the chunk
+    indices they need (``video_frame_stats`` at every_ms samples a
+    small fraction of a long clip — indexing first avoids fully
+    JPEG-decoding the frames the stride would discard)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         return None
     us_per_frame = 0
-    frames = []
+    chunks: list[tuple[int, int]] = []
     try:
         def walk(start: int, end: int) -> None:
             nonlocal us_per_frame
@@ -1123,20 +1137,39 @@ def decode_avi_frames(payload: bytes, max_frames: int | None = None):
                     us_per_frame = int.from_bytes(
                         payload[body_start : body_start + 4], "little"
                     )
-                elif tag in (b"00dc", b"00db") and (
-                    max_frames is None or len(frames) < max_frames
-                ):
-                    px = decode_jpeg_pixels(payload[body_start : body_start + ln])
-                    if px is not None:
-                        frames.append(px)
+                elif tag in (b"00dc", b"00db"):
+                    chunks.append((body_start, ln))
                 pos = body_start + ln + (ln & 1)
 
         walk(12, min(len(payload), 8 + int.from_bytes(payload[4:8], "little")))
-    except (IndexError, ValueError, struct.error):
-        return None
-    if not frames:
+    except (IndexError, ValueError, TypeError, struct.error):
         return None
     fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
+    return fps, chunks
+
+
+def decode_avi_frames(payload: bytes, max_frames: int | None = None):
+    """REAL AVI/MJPEG frame decode, stdlib+numpy: ``index_avi`` RIFF
+    walk -> each '00dc'/'00db' chunk through ``decode_jpeg_pixels``.
+    Returns (frames, fps) where frames is a list of (H, W, 3) uint8
+    arrays, or None if the payload is not an AVI or no frame decodes
+    (non-MJPEG codecs land here: the chunk bytes are not JPEG and the
+    frame decoder rejects them — those fall back to the stub path).
+    ``max_frames`` bounds decode work for sampling callers that only
+    need the first frames."""
+    idx = index_avi(payload)
+    if idx is None:
+        return None
+    fps, chunks = idx
+    frames = []
+    for off, ln in chunks:
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+        px = decode_jpeg_pixels(payload[off : off + ln])
+        if px is not None:
+            frames.append(px)
+    if not frames:
+        return None
     return frames, fps
 
 
@@ -1581,7 +1614,11 @@ def decode_tiff_pixels(payload: bytes):
                 return default
             typ, count, voff = tags[tag]
             if typ not in type_size:
-                return None
+                # entry typed outside {BYTE,SHORT,LONG} (e.g. a
+                # RATIONAL-typed Compression tag in a corrupt file):
+                # treat as absent so callers see their default instead
+                # of subscripting None
+                return default
             size = type_size[typ]
             off = voff if count * size <= 4 else rd(voff, 4)
             return [rd(off + i * size, size) for i in range(count)]
@@ -2318,6 +2355,80 @@ def encode_jpeg_progressive(pixels, quality: int = 90) -> bytes:
                     _encode_ac_band_refine(out, grids[ci][br][bc], ss, se, al=0)
             out.pad_to_byte()
             scans.append(sos([(cid, ta)], ss, se, 1, 0) + bytes(out.buf))
+    return head + b"".join(scans) + b"\xff\xd9"
+
+
+def _encode_zz_block(out: _BitWriterMSB, zz, pred: int) -> int:
+    """``_encode_block`` over an already-zigzagged 64-vector (the
+    ``_component_zz_blocks`` representation). Returns the new DC
+    predictor."""
+    diff = int(zz[0]) - pred
+    s, bits = _amplitude(diff)
+    code, ln = _DC_CODES[s]
+    out.write(code, ln)
+    if s:
+        out.write(bits, s)
+    run = 0
+    for v in zz[1:]:
+        v = int(v)
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = _AC_CODES[0xF0]
+            out.write(code, ln)
+            run -= 16
+        s, bits = _amplitude(v)
+        code, ln = _AC_CODES[(run << 4) | s]
+        out.write(code, ln)
+        out.write(bits, s)
+        run = 0
+    if run:
+        code, ln = _AC_CODES[0x00]
+        out.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg_multiscan(pixels, quality: int = 90) -> bytes:
+    """Baseline (SOF0, 4:4:4) JFIF writer emitting ONE NON-INTERLEAVED
+    SCAN PER COMPONENT — a legal sequential form (T.81 B.2.3 allows
+    1-4 components per scan; libjpeg reads these). Quantized
+    coefficients are identical to ``encode_jpeg(pixels, quality)``'s,
+    so decoding both to the same pixels pins the decoder's multi-scan
+    sequential path (the marker walk must continue past the first SOS
+    to EOI or chroma comes back flat)."""
+    grids, h, w = _component_zz_blocks(pixels, quality)
+    qt = _quant_tables(quality)
+    zz_q = [
+        bytes([tq]) + bytes(int(qt[tq][r][c]) for r, c in _ZIGZAG)
+        for tq in (0, 1)
+    ]
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    head = (
+        b"\xff\xd8"
+        + _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _marker(0xDB, zz_q[0])
+        + _marker(0xDB, zz_q[1])
+        + _marker(0xC0, sof)
+        + _marker(0xC4, _dht_body(0, 0, _DC_BITS, _DC_VALS))
+        + _marker(0xC4, _dht_body(1, 0, _AC_BITS, _AC_VALS))
+        + _marker(0xC4, _dht_body(0, 1, _DC_BITS, _DC_VALS))
+        + _marker(0xC4, _dht_body(1, 1, _AC_BITS, _AC_VALS))
+    )
+    bh, bw_ = len(grids[0]), len(grids[0][0])
+    scans = []
+    for ci, cid in enumerate((1, 2, 3)):
+        td_ta = 0x00 if ci == 0 else 0x11
+        out = _BitWriterMSB()
+        pred = 0
+        for br in range(bh):
+            for bc in range(bw_):
+                pred = _encode_zz_block(out, grids[ci][br][bc], pred)
+        out.pad_to_byte()
+        sos = bytes([1, cid, td_ta, 0, 63, 0])
+        scans.append(_marker(0xDA, sos) + bytes(out.buf))
     return head + b"".join(scans) + b"\xff\xd9"
 
 

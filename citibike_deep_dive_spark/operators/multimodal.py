@@ -1054,23 +1054,26 @@ def video_frame_stats(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     batches bound memory to a batch of payloads, zero shuffle."""
     import numpy as np
 
-    from .codecs import decode_avi_frames
+    from .codecs import decode_jpeg_pixels, index_avi
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                dec = (
-                    decode_avi_frames(bytes(payload))
-                    if payload is not None
-                    else None
-                )
-                if dec is None:
+                raw = bytes(payload) if payload is not None else None
+                idx_ = index_avi(raw) if raw is not None else None
+                if idx_ is None:
                     continue
-                frames, fps = dec
+                fps, chunks = idx_
+                # index first, decode only the sampled chunk indices:
+                # at every_ms over a long clip the stride discards most
+                # frames, so fully decoding the container is wasted work
                 step = max(1, (fps * every_ms) // 1000) if fps else 1
-                for fi in range(0, len(frames), step):
-                    px = frames[fi]
+                for fi in range(0, len(chunks), step):
+                    off, ln = chunks[fi]
+                    px = decode_jpeg_pixels(raw[off : off + ln])
+                    if px is None:
+                        continue
                     h, w, _ = px.shape
                     flat = px.reshape(-1, 3).astype(np.int64)
                     sums = flat.sum(axis=0)

@@ -1336,3 +1336,132 @@ def test_ico_container_png_and_dib_entries():
     resized = resize_payload(ico, 8, 8)
     assert parse_image_dimensions(resized) == ("ico", 8, 8)
     assert decode_ico_pixels(resized).shape == (8, 8, 3)
+
+
+# ---------------------------------------------------------------------------
+# Malformed-payload contract + multi-scan sequential (round-13 ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def _strip_markers(payload: bytes, drop: int) -> bytes:
+    """Remove every segment with the given marker from a JPEG."""
+    out = bytearray(payload[:2])
+    pos = 2
+    while pos + 4 <= len(payload):
+        marker = payload[pos + 1]
+        if marker == 0xDA:  # keep SOS and everything after
+            out.extend(payload[pos:])
+            return bytes(out)
+        ln = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if marker != drop:
+            out.extend(payload[pos : pos + 2 + ln])
+        pos += 2 + ln
+    return bytes(out)
+
+
+def test_jpeg_missing_huffman_table_returns_none():
+    # a scan referencing a table no DHT defined must fall back to None
+    # (stub path), never crash the Arrow operator with a TypeError
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    crippled = _strip_markers(encode_jpeg(img, quality=90), drop=0xC4)
+    assert crippled != encode_jpeg(img, quality=90)
+    assert decode_jpeg_pixels(crippled) is None
+
+
+def test_avi_with_tableless_jpeg_frames_returns_none():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    frames = _video_frames(2)
+    avi = bytearray(encode_avi_mjpeg(frames, fps=2))
+    # cripple every embedded JPEG by renaming its DHT markers to COM
+    pos = 0
+    while True:
+        pos = avi.find(b"\xff\xc4", pos)
+        if pos < 0:
+            break
+        avi[pos + 1] = 0xFE
+        pos += 2
+    assert decode_avi_frames(bytes(avi)) is None
+
+
+def test_tiff_rational_typed_tag_falls_back_to_default():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)
+    payload = bytearray(encode_tiff(img))
+    ifd = int.from_bytes(payload[4:8], "little")
+    n = int.from_bytes(payload[ifd : ifd + 2], "little")
+    patched = 0
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        tag = int.from_bytes(payload[off : off + 2], "little")
+        if tag == 259:  # Compression entry mistyped as RATIONAL
+            payload[off + 2 : off + 4] = (5).to_bytes(2, "little")
+            patched += 1
+    assert patched == 1
+    # values() now treats the mistyped entry as absent -> default
+    # (uncompressed), which happens to be what the writer emitted, so
+    # the decode recovers the pixels instead of raising TypeError
+    out = decode_tiff_pixels(bytes(payload))
+    assert out is not None and np.array_equal(out, img)
+
+
+def test_jpeg_multiscan_sequential_decodes_all_components():
+    from citibike_deep_dive_spark.operators.codecs import encode_jpeg_multiscan
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (21, 18, 3)).astype(np.uint8)
+    multi = decode_jpeg_pixels(encode_jpeg_multiscan(img, quality=88))
+    single = decode_jpeg_pixels(encode_jpeg(img, quality=88))
+    # same quantized coefficients -> bit-identical pixels; in
+    # particular chroma must NOT come back flat (the pre-fix failure)
+    assert multi is not None and np.array_equal(multi, single)
+    assert len(np.unique(multi.reshape(-1, 3), axis=0)) > 1
+
+
+def test_jpeg_multiscan_missing_component_returns_none():
+    from citibike_deep_dive_spark.operators.codecs import encode_jpeg_multiscan
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (10, 10, 3)).astype(np.uint8)
+    payload = encode_jpeg_multiscan(img, quality=90)
+    # truncate after the SECOND scan: drop from the third SOS onward
+    sos_positions = []
+    pos = 0
+    while True:
+        pos = payload.find(b"\xff\xda", pos)
+        if pos < 0:
+            break
+        sos_positions.append(pos)
+        pos += 2
+    assert len(sos_positions) == 3
+    truncated = payload[: sos_positions[2]] + b"\xff\xd9"
+    # a sequential file whose scans never covered component 3 would
+    # silently emit flat chroma -> must route to the stub fallback
+    assert decode_jpeg_pixels(truncated) is None
+
+
+def test_avi_index_matches_full_decode():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_avi_frames,
+        decode_jpeg_pixels as djp,
+        encode_avi_mjpeg,
+        index_avi,
+    )
+
+    frames = _video_frames(4)
+    avi = encode_avi_mjpeg(frames, fps=8, quality=90)
+    fps, chunks = index_avi(avi)
+    assert fps == 8 and len(chunks) == 4
+    full, _ = decode_avi_frames(avi)
+    for (off, ln), ref in zip(chunks, full):
+        assert np.array_equal(djp(avi[off : off + ln]), ref)
+    assert index_avi(b"RIFF\x04\x00\x00\x00WAVE") is None
