@@ -463,6 +463,17 @@ def jpeg_channel_stats(media: DataFrame) -> DataFrame:
     return _channel_stats(media, decode_jpeg_pixels)
 
 
+def tiff_channel_stats(media: DataFrame) -> DataFrame:
+    """Pixel statistics over TIFF payloads (see ``_channel_stats``),
+    driven by the REAL TIFF 6.0 decode path ``codecs.
+    decode_tiff_pixels`` (strip assembly, PackBits/LZW, horizontal
+    predictor). TIFF is lossless, so stats are exact functions of the
+    encoded pixels, same contract as BMP/PNG/GIF."""
+    from .codecs import decode_tiff_pixels
+
+    return _channel_stats(media, decode_tiff_pixels)
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     """PNG Paeth predictor (RFC 2083 §6.6): pick whichever of left (a),
     up (b), upper-left (c) is closest to a+b-c, ties in that order."""
