@@ -34,6 +34,37 @@ from .catalog import register, table
 
 _FOURIER_KS = (1, 2, 3)
 
+# r13 (VERDICT r12 item 4, the libm-class shrink): the per-term
+# round(cos(...)*1e6) engine-libm factors are replaced by a BUILD-TIME
+# LITERAL phase-quantized trig table — the same discipline as the r12
+# FFT twiddles. The phase k*tt/t is reduced to a 1/2048-turn grid with
+# EXACT integer arithmetic (j = ((k*tt) % t) * 2048 // t, all BIGINT,
+# identical floor semantics both engines), and both engines index the
+# identical micro-unit table at the bin center — no engine
+# transcendental exists anywhere in the query. The quantization is part
+# of the operator's definition (a fixed-point DFT), exactly as the FFT
+# family's 2^-20 twiddles are.
+_FOURIER_PHASE_BINS = 2048
+
+
+def _mu6(x: float) -> int:
+    """Half-away-from-zero micro-unit quantization (build-time only)."""
+    return int(math.floor(x * 1e6 + 0.5)) if x >= 0 else -int(math.floor(-x * 1e6 + 0.5))
+
+
+_FOURIER_COS = [
+    _mu6(math.cos(2.0 * math.pi * (j + 0.5) / _FOURIER_PHASE_BINS))
+    for j in range(_FOURIER_PHASE_BINS)
+]
+_FOURIER_SIN = [
+    _mu6(math.sin(2.0 * math.pi * (j + 0.5) / _FOURIER_PHASE_BINS))
+    for j in range(_FOURIER_PHASE_BINS)
+]
+_F_COS_DUCK = "[" + ",".join(f"CAST({v} AS BIGINT)" for v in _FOURIER_COS) + "]"
+_F_SIN_DUCK = "[" + ",".join(f"CAST({v} AS BIGINT)" for v in _FOURIER_SIN) + "]"
+_F_COS_SPARK = "array(" + ",".join(f"{v}L" for v in _FOURIER_COS) + ")"
+_F_SIN_SPARK = "array(" + ",".join(f"{v}L" for v in _FOURIER_SIN) + ")"
+
 
 @register(
     "daily_volume_fourier",
@@ -53,14 +84,17 @@ _FOURIER_KS = (1, 2, 3)
         FROM daily d CROSS JOIN span s
         CROSS JOIN (SELECT unnest([{", ".join(str(k) for k in _FOURIER_KS)}]) AS k) k
     ),
+    binned AS (
+        SELECT k, c, t,
+               CAST(((k * tt) % t) * {_FOURIER_PHASE_BINS} // t AS BIGINT) AS j
+        FROM pts
+    ),
     terms AS (
         SELECT k, t,
-               CAST(sum(c * CAST(round(cos(2 * pi() * k * tt / t) * 1000000)
-                                 AS BIGINT)) AS BIGINT) AS a_num,
-               CAST(sum(c * CAST(round(sin(2 * pi() * k * tt / t) * 1000000)
-                                 AS BIGINT)) AS BIGINT) AS b_num,
+               CAST(sum(c * ({_F_COS_DUCK})[CAST(j + 1 AS INT)]) AS BIGINT) AS a_num,
+               CAST(sum(c * ({_F_SIN_DUCK})[CAST(j + 1 AS INT)]) AS BIGINT) AS b_num,
                CAST(sum(c) AS BIGINT) AS total
-        FROM pts GROUP BY 1, 2
+        FROM binned GROUP BY 1, 2
     )
     SELECT CAST(k AS INT) AS k,
            t AS n_days,
@@ -70,27 +104,32 @@ _FOURIER_KS = (1, 2, 3)
                       * (CAST(a_num AS DOUBLE) / 1000000)
                       + (CAST(b_num AS DOUBLE) / 1000000)
                         * (CAST(b_num AS DOUBLE) / 1000000))
-                 / (CAST(total AS DOUBLE) / t), 5) AS relative_amplitude,
-           round(atan2(CAST(b_num AS DOUBLE), CAST(a_num AS DOUBLE)), 5) AS phase
+                 / (CAST(total AS DOUBLE) / t), 5) AS relative_amplitude
     FROM terms
     """,
     tags=("X-fourier",),
 )
 def daily_volume_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discrete Fourier coefficients a_k = sum_t c_t cos(2 pi k t / T),
-    b_k = sum_t c_t sin(...) of the daily event volume at the first
-    {len(_FOURIER_KS)} harmonics — the frequency-domain drift/seasonality
-    view that complements daily_count_autocorrelation (time domain) and
+    """Fixed-point discrete Fourier coefficients a_k = sum_t c_t
+    cos(2 pi k t / T), b_k = sum_t c_t sin(...) of the daily event
+    volume at the first {len(_FOURIER_KS)} harmonics — the
+    frequency-domain drift/seasonality view that complements
+    daily_count_autocorrelation (time domain) and
     seasonal_baseline_profile (calendar profile): a strong k=1 harmonic
     over a 30-day span is monthly drift, a spike near k = T/7 would be
     weekly rhythm. relative_amplitude normalizes by the mean daily
     volume so the number is scale-free.
 
-    The trigonometric factors are MICRO-UNIT INTEGERS (round(cos * 1e6))
-    multiplied by integer counts, so both coefficient sums are exact
-    int64 arithmetic — the float-sum-order problem spectral code
-    usually has simply does not exist here (the 1-ulp cos() difference
-    between libm and the JVM is absorbed by the fixed-point rounding).
+    r13 determinism (SCALE.md contract): the trig factors are a
+    BUILD-TIME LITERAL table on a 1/{_FOURIER_PHASE_BINS}-turn phase
+    grid — the phase index is exact BIGINT arithmetic
+    (((k*tt) % t) * {_FOURIER_PHASE_BINS} // t, floor semantics
+    identical on both engines) and both engines consume the identical
+    micro-unit integers, so the coefficient sums are exact int64 with
+    NO engine transcendental anywhere (previously round(cos()*1e6) per
+    term — the quantize-then-aggregate libm profile the r12 contract
+    ratchets away). The former ``phase`` output (engine atan2) is a
+    consumer-side transform of (a_num, b_num) and is no longer emitted.
     Distributed shape: one map-side-combined daily count, a (harmonics
     x day-grid) frame — bounded by the calendar, not the data — and one
     aggregation per harmonic."""
@@ -104,7 +143,6 @@ def daily_volume_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.datediff(F.max("day"), F.min("day")) + 1).cast("long").alias("t"),
     )
     ks = spark.range(1, max(_FOURIER_KS) + 1).select(F.col("id").cast("int").alias("k"))
-    arg = 2 * math.pi * F.col("k") * F.col("tt") / F.col("t")
     pts = (
         daily.crossJoin(F.broadcast(span))
         .crossJoin(F.broadcast(ks))
@@ -115,11 +153,21 @@ def daily_volume_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("day"), F.col("d0")).cast("long").alias("tt"),
         )
     )
-    terms = pts.groupBy("k", "t").agg(
-        F.sum(F.col("c") * F.round(F.cos(arg) * 1000000, 0).cast("long"))
+    binned = pts.withColumn(
+        "j",
+        F.expr(f"((k * tt) % t) * {_FOURIER_PHASE_BINS} div t").cast("long"),
+    )
+    terms = binned.groupBy("k", "t").agg(
+        F.sum(
+            F.col("c")
+            * F.expr(f"element_at({_F_COS_SPARK}, CAST(j + 1 AS INT))")
+        )
         .cast("long")
         .alias("a_num"),
-        F.sum(F.col("c") * F.round(F.sin(arg) * 1000000, 0).cast("long"))
+        F.sum(
+            F.col("c")
+            * F.expr(f"element_at({_F_SIN_SPARK}, CAST(j + 1 AS INT))")
+        )
         .cast("long")
         .alias("b_num"),
         F.sum("c").cast("long").alias("total"),
@@ -134,9 +182,6 @@ def daily_volume_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(a * a + b * b) / (F.col("total").cast("double") / F.col("t")), 5
         ).alias("relative_amplitude"),
-        F.round(F.atan2(F.col("b_num").cast("double"), F.col("a_num").cast("double")), 5).alias(
-            "phase"
-        ),
     )
 
 

@@ -106,11 +106,14 @@ def test_literal_tables_are_embedded_in_oracle_sql():
 # current members (r12 scan; SCALE.md "accepted-risk inventory"). The
 # rotation re-verifies each within ~8 rounds; NEW members are banned —
 # use the literal-table / raw-integer-emission patterns instead.
+# r13 shrink (VERDICT r12 item 4): daily_volume_fourier now consumes a
+# build-time literal phase-quantized trig table (round8g) and
+# link_prediction_adamic_adar a literal 1/ln(deg) table over the
+# structurally k-bounded degree range (round8i) — both removed below;
+# tests further down pin their tables against independent recomputes.
 _QUANTIZED_LIBM_MEMBERS = {
     "good_turing_bigram_smoothing",
-    "daily_volume_fourier",
     "kneser_ney_heldout_perplexity",
-    "link_prediction_adamic_adar",
     "importance_weight_ess",
     "doremi_domain_reweight_step",
     "naive_bayes_lang_classifier",
@@ -141,3 +144,40 @@ def test_no_new_quantized_libm_surfaces():
         f"new quantize-then-integer-aggregate libm surface(s) {sorted(new)}: "
         "use literal-table injection or raw-integer emission (SCALE.md r12)"
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 cures: literal tables for the two members removed from the ratchet
+# ---------------------------------------------------------------------------
+
+
+def test_fourier_phase_table_matches_independent_recompute():
+    from citibike_deep_dive_spark.plans.round8g import (
+        _FOURIER_COS,
+        _FOURIER_PHASE_BINS,
+        _FOURIER_SIN,
+    )
+
+    assert len(_FOURIER_COS) == len(_FOURIER_SIN) == _FOURIER_PHASE_BINS
+    for j in list(range(0, _FOURIER_PHASE_BINS, 97)) + [_FOURIER_PHASE_BINS - 1]:
+        ang = 2.0 * math.pi * (j + 0.5) / _FOURIER_PHASE_BINS
+        assert _FOURIER_COS[j] == _half_away_micro(math.cos(ang))
+        assert _FOURIER_SIN[j] == _half_away_micro(math.sin(ang))
+        assert -1_000_000 <= _FOURIER_COS[j] <= 1_000_000
+
+
+def test_fourier_and_adamic_adar_oracles_libm_free():
+    for name in ("daily_volume_fourier", "link_prediction_adamic_adar"):
+        sql = CATALOG[name].oracle
+        hits = _FORBIDDEN.findall(sql)
+        assert not hits, f"{name}: engine transcendental(s) {hits}"
+
+
+def test_adamic_adar_weight_table_matches_independent_recompute():
+    from citibike_deep_dive_spark.plans.round8i import _AA_DEG_MAX, _AA_LNW
+
+    assert set(_AA_LNW) == set(range(2, _AA_DEG_MAX + 1))
+    for d, w in _AA_LNW.items():
+        assert w == math.floor(1000000.0 / math.log(d) + 0.5)
+    # the classic anchor: 1/ln(2) in micro-units
+    assert _AA_LNW[2] == 1442695

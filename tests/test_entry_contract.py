@@ -43,12 +43,27 @@ def test_verify_order_puts_reds_then_pins_then_never_verified_first():
     reds = sorted(
         n for n, (_, green) in latest.items() if n in CATALOG and not green
     )
-    pinned = [n for n in entry.PINNED_SURFACES if n not in reds]
+    pinned = [n for n in entry.active_pins() if n not in reds]
     never = sorted(n for n in CATALOG if n not in latest)
     head = reds + pinned + never
     assert order[: len(head)] == head
     # pinned surfaces really exist — a rename must not silently unpin
     assert all(n in CATALOG for n in entry.PINNED_SURFACES)
+
+
+def test_pin_retirement_rule():
+    # the streak counts only rounds >= the libm-independence rewrite
+    # round and resets on red; a pin retires at the streak threshold
+    for name in entry.PINNED_SURFACES:
+        streak = entry._pin_green_streak(name)
+        assert streak >= 0
+        active = name in entry.active_pins()
+        assert active == (streak < entry._PIN_RETIRE_STREAK)
+    # both pins were green in r12 (the rewrite round) — the streak
+    # machinery must see at least that round
+    assert all(
+        entry._pin_green_streak(n) >= 1 for n in entry.PINNED_SURFACES
+    )
 
 
 def test_verify_order_ages_oldest_evidence_first():
