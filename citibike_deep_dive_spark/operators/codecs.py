@@ -826,18 +826,21 @@ def _decode_scan(
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """REAL JPEG decode, stdlib+numpy (ITU-T T.81 Annex F + Annex G):
+    """REAL JPEG decode, stdlib+numpy (ITU-T T.81 Annexes D/F/G):
     marker walk (DQT 8/16-bit, generic DHT canonical rebuild,
-    SOF0/SOF1/SOF2, DRI, multi-SOS) -> Huffman + run-length entropy
-    decode with restart handling — BASELINE in one fast interleaved
-    pass, PROGRESSIVE scan-by-scan into a persistent coefficient store
-    (spectral selection + successive approximation, DC and AC
-    refinement, EOB runs) -> dequantize -> inverse zigzag -> float
-    IDCT -> level shift -> per-component planes -> chroma upsample
-    (sampling-factor generic, so 4:4:4 / 4:2:2 / 4:2:0 all work) ->
-    YCbCr->RGB -> (H, W, 3) uint8. Grayscale replicates to 3 channels.
-    Returns None for arithmetic-coded, hierarchical, lossless, 12-bit,
-    or malformed payloads — those fall back to ``decode_stub``."""
+    SOF0/SOF1/SOF2 Huffman + SOF9/SOF10 ARITHMETIC, DRI, DAC,
+    multi-SOS) -> entropy decode with restart handling — Huffman
+    baseline in one fast interleaved pass, progressive scan-by-scan
+    into a persistent coefficient store (spectral selection +
+    successive approximation, DC and AC refinement, EOB runs), and the
+    QM-coder statistical models for the arithmetic classes (sequential
+    and progressive, interop-verified against libjpeg-turbo fixtures)
+    -> dequantize -> inverse zigzag -> float IDCT -> level shift ->
+    per-component planes -> chroma upsample (sampling-factor generic,
+    so 4:4:4 / 4:2:2 / 4:2:0 all work) -> YCbCr->RGB -> (H, W, 3)
+    uint8. Grayscale replicates to 3 channels. Returns None for
+    hierarchical, lossless, 12-bit, or malformed payloads — those fall
+    back to ``decode_stub``."""
     import numpy as np
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -850,6 +853,10 @@ def decode_jpeg_pixels(payload: bytes):
         mcus_x = mcus_y = 0
         restart_interval = 0
         progressive = False
+        arith = False
+        # DAC conditioning defaults (T.81 F.1.4.4.1.2 / F.1.4.4.2.1)
+        dc_cond = {i: (0, 1) for i in range(4)}  # (L, U)
+        ac_cond = {i: 5 for i in range(4)}  # Kx
         any_scan = False
         scanned_ids: set[int] = set()
         pos = 2
@@ -897,10 +904,12 @@ def decode_jpeg_pixels(payload: bytes):
                     i += 17 + n
                     htabs[(tc, th)] = _decode_tables(bits, vals)
                 pos += 2 + ln
-            elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+                # sequential / progressive, Huffman or arithmetic
                 if body[0] != 8:
                     return None  # 12-bit precision unsupported
-                progressive = marker == 0xC2
+                progressive = marker in (0xC2, 0xCA)
+                arith = marker in (0xC9, 0xCA)
                 h = int.from_bytes(body[1:3], "big")
                 w = int.from_bytes(body[3:5], "big")
                 nf = body[5]
@@ -928,8 +937,19 @@ def decode_jpeg_pixels(payload: bytes):
                     ]
                     c["pred"] = 0
                 pos += 2 + ln
-            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # lossless / arithmetic / hierarchical
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # lossless / hierarchical
+            elif marker == 0xCC:  # DAC: arithmetic conditioning
+                i = 0
+                while i + 1 < len(body):
+                    tc, tb = body[i] >> 4, body[i] & 0xF
+                    cs = body[i + 1]
+                    i += 2
+                    if tc == 0:
+                        dc_cond[tb] = (cs & 0xF, cs >> 4)
+                    else:
+                        ac_cond[tb] = cs
+                pos += 2 + ln
             elif marker == 0xDD:
                 restart_interval = int.from_bytes(body[:2], "big")
                 pos += 2 + ln
@@ -949,10 +969,17 @@ def decode_jpeg_pixels(payload: bytes):
                     ss, se, ah, al = 0, 63, 0, 0
                 if ss > se or se > 63:
                     return None
-                pos = _decode_scan(
-                    payload, pos + 2 + ln, comps, scan_comps, htabs,
-                    restart_interval, ss, se, ah, al, mcus_x, mcus_y,
-                )
+                if arith:
+                    pos = _decode_scan_arith(
+                        payload, pos + 2 + ln, scan_comps, dc_cond,
+                        ac_cond, restart_interval, ss, se, ah, al,
+                        mcus_x, mcus_y, progressive,
+                    )
+                else:
+                    pos = _decode_scan(
+                        payload, pos + 2 + ln, comps, scan_comps, htabs,
+                        restart_interval, ss, se, ah, al, mcus_x, mcus_y,
+                    )
                 any_scan = True
                 scanned_ids.update(c["id"] for c in scan_comps)
                 # Sequential files may legally carry MULTIPLE scans
@@ -1024,6 +1051,607 @@ def decode_jpeg_pixels(payload: bytes):
         )
     except (IndexError, EOFError, ValueError, KeyError, StopIteration, struct.error):
         return None
+
+
+# ---------------------------------------------------------------------------
+# JPEG arithmetic entropy coding — the QM-coder (ITU-T T.81 Annex D)
+# and the DC/AC statistical models (T.81 F.1.4.4 / F.2.4), closing the
+# former "arithmetic-coded JPEG" stub: SOF9 (extended sequential) and
+# SOF10 (progressive) decode through the SAME coefficient store and
+# IDCT back half as the Huffman paths — only the entropy decoder is
+# swapped, exactly the structure the spec describes.
+#
+# Interop-verified against libjpeg-turbo 2.1.5 (the system libjpeg):
+# tests/data/arith/ carries real libjpeg-encoded arithmetic files
+# (sequential, progressive, restart-interval, grayscale, 4:2:0) each
+# paired with its Huffman twin of the SAME quantized coefficients —
+# decode must be bit-identical between the pair. The fixture generator
+# (ctypes harness) is tests/tools/gen_arith_fixtures.py.
+# ---------------------------------------------------------------------------
+
+# T.81 Table D.3 — the QM-coder probability estimation state machine:
+# (Qe, next-index-after-MPS, next-index-after-LPS, MPS-switch flag).
+# Validated two ways: the structural test in tests/test_codecs.py and
+# bit-exact decode of libjpeg-encoded streams (a single wrong row
+# derails every later decision in the stream).
+_QM_QE = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1),
+    # index 113: non-adaptive ~0.5 state (self-loop) — the "fixed bin"
+    # used for AC signs and refinement bits (T.81 uses a fixed estimate
+    # there because those bits are uniformly distributed)
+    (0x5A1D, 113, 113, 0),
+]
+_QM_FIXED_BIN = 113
+
+
+class _QMDecoder:
+    """T.81 Annex F QM arithmetic decoder over one scan's entropy data
+    in the RAW payload (byte stuffing per D.1.6: 0xFF 0x00 delivers
+    0xFF; 0xFF + marker ends the stream and feeds zeros). The code
+    window is kept as ``c >> shift`` — renormalization widens the
+    window bit by bit and reloads 8 bits per exhausted byte, which is
+    exactly the spec's C-register discipline without its fixed-width
+    register juggling."""
+
+    __slots__ = ("data", "pos", "marker_hit", "c", "shift", "a")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.marker_hit = False
+        b0 = self._byte()
+        b1 = self._byte()
+        self.c = (b0 << 8) | b1
+        self.shift = 0
+        self.a = 0x10000
+
+    def _byte(self) -> int:
+        d = self.data
+        if self.marker_hit or self.pos >= len(d):
+            return 0
+        b = d[self.pos]
+        if b != 0xFF:
+            self.pos += 1
+            return b
+        nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+        if nxt == 0x00:
+            self.pos += 2
+            return 0xFF
+        self.marker_hit = True  # marker terminates the entropy stream
+        return 0
+
+    def decode(self, st: list, i: int) -> int:
+        """One binary decision against adaptive context st[i] =
+        (state index, MPS value); T.81 Figure F.17 with conditional
+        exchange (F.20/F.21) and lazy renormalization."""
+        idx, mps = st[i]
+        qe, nmps, nlps, sw = _QM_QE[idx]
+        a2 = self.a - qe
+        if (self.c >> self.shift) < a2:
+            # code value in the bottom (MPS-ordered) subinterval
+            if a2 < 0x8000:
+                if a2 < qe:  # conditional exchange: MPS interval smaller
+                    d = 1 - mps
+                    st[i] = (nlps, mps ^ sw)
+                else:
+                    d = mps
+                    st[i] = (nmps, mps)
+                self.a = a2
+                self._renorm()
+            else:
+                self.a = a2
+                d = mps
+        else:
+            self.c -= a2 << self.shift
+            if a2 < qe:  # conditional exchange
+                d = mps
+                st[i] = (nmps, mps)
+            else:
+                d = 1 - mps
+                st[i] = (nlps, mps ^ sw)
+            self.a = qe
+            self._renorm()
+        return d
+
+    def _renorm(self) -> None:
+        while self.a < 0x8000:
+            self.a <<= 1
+            if self.shift == 0:
+                self.c = (self.c << 8) | self._byte()
+                self.shift = 7
+            else:
+                self.shift -= 1
+
+
+class _QMEncoder:
+    """T.81 Annex D QM arithmetic encoder (CODELPS/CODEMPS with
+    conditional exchange, BYTEOUT with carry propagation over stacked
+    0xFF bytes, byte stuffing per D.1.6). Emits a stream any compliant
+    decoder accepts; the trailing-zero suppression the spec permits is
+    not applied (superfluous zero bytes are legal)."""
+
+    __slots__ = ("a", "c", "ct", "buffer", "sc", "out")
+
+    def __init__(self) -> None:
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = -1  # no byte pending yet
+        self.sc = 0  # count of stacked (carry-susceptible) 0xFF bytes
+        self.out = bytearray()
+
+    def encode(self, st: list, i: int, val: int) -> None:
+        idx, mps = st[i]
+        qe, nmps, nlps, sw = _QM_QE[idx]
+        self.a -= qe
+        if val != mps:
+            if self.a >= qe:  # no exchange: LPS takes the top interval
+                self.c += self.a
+                self.a = qe
+            st[i] = (nlps, mps ^ sw)
+        else:
+            if self.a >= 0x8000:
+                return  # no renormalization, no estimation
+            if self.a < qe:  # conditional exchange: MPS takes the top
+                self.c += self.a
+                self.a = qe
+            st[i] = (nmps, mps)
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+
+    def _byteout(self) -> None:
+        temp = self.c >> 19
+        if temp > 0xFF:
+            # carry: bump the pending byte, stacked 0xFFs become 0x00
+            if self.buffer >= 0:
+                self.out.append(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self.out.append(0x00)
+            self.out.extend(b"\x00" * self.sc)
+            self.sc = 0
+            # the spacer bits guarantee temp & 0xFF < 0xFF here
+            self.buffer = temp & 0xFF
+        elif temp == 0xFF:
+            self.sc += 1
+        else:
+            if self.buffer >= 0:
+                self.out.append(self.buffer)
+            for _ in range(self.sc):
+                self.out.extend(b"\xff\x00")
+            self.sc = 0
+            self.buffer = temp
+        self.c &= 0x7FFFF
+
+    def flush(self) -> bytes:
+        # T.81 D.1.8: pick the value in the interval with the most
+        # trailing zeros, then push the remaining C bits out
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        if temp < self.c:
+            self.c = temp + 0x8000
+        else:
+            self.c = temp
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            # final carry
+            if self.buffer >= 0:
+                self.out.append(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self.out.append(0x00)
+            self.out.extend(b"\x00" * self.sc)
+        else:
+            if self.buffer >= 0:
+                self.out.append(self.buffer)
+            for _ in range(self.sc):
+                self.out.extend(b"\xff\x00")
+        self.sc = 0
+        self.buffer = -1
+        for shift_pos in (19, 11):
+            b = (self.c >> shift_pos) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+def _arith_dc_block(dec, comp, coef, dstats, lu, ah, al) -> None:
+    """DC decision tree (T.81 F.2.4.1; the F.1.4.4.1 model): zero/sign
+    decisions conditioned on the PREVIOUS diff's category, magnitude
+    category up the X1.. ladder, then raw magnitude bits. ``ah`` > 0 is
+    the progressive DC refinement scan (one fixed-estimate bit)."""
+    if ah:  # DC successive-approximation refinement
+        if dec.decode(dstats["fixed"], 0):
+            coef[0] |= 1 << al
+        return
+    low, up = lu
+    st = comp["dc_ctx"]
+    stats = dstats["s"]
+    if dec.decode(stats, st) == 0:
+        comp["dc_ctx"] = 0
+    else:
+        sign = dec.decode(stats, st + 1)
+        m = dec.decode(stats, st + 2 + sign)
+        if m:
+            sti = 20  # X1 (T.81 Table F.4)
+            while dec.decode(stats, sti):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("arith DC magnitude overflow")
+                sti += 1
+        else:
+            sti = st + 2 + sign
+        # conditioning category of THIS diff gates the NEXT block
+        # (F.1.4.4.1.2 with the L/U conditioning bounds)
+        if m < ((1 << low) >> 1):
+            comp["dc_ctx"] = 0
+        elif m > ((1 << up) >> 1):
+            comp["dc_ctx"] = 12 + sign * 4
+        else:
+            comp["dc_ctx"] = 4 + sign * 4
+        v = m
+        sti += 14  # magnitude bit-pattern contexts (Figure F.24)
+        mm = m >> 1
+        while mm:
+            if dec.decode(stats, sti):
+                v |= mm
+            mm >>= 1
+        v += 1
+        comp["last_dc"] += -v if sign else v
+    coef[0] = comp["last_dc"] << al
+
+
+def _arith_ac_block(dec, coef, astats, kx, ss, se, al) -> None:
+    """AC decision tree (T.81 F.2.4.2): per-index EOB decision,
+    zero-run decisions, fixed-estimate sign, magnitude category with
+    the low/high X ladder split at Kx, then magnitude bits."""
+    stats = astats["s"]
+    fixed = astats["fixed"]
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if dec.decode(stats, st):
+            return  # EOB
+        while dec.decode(stats, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arith AC run past band end")
+        sign = dec.decode(fixed, 0)
+        st += 2
+        m = dec.decode(stats, st)
+        if m and dec.decode(stats, st):
+            m <<= 1
+            sti = 189 if k <= kx else 217  # X2 ladders (Table F.5)
+            while dec.decode(stats, sti):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("arith AC magnitude overflow")
+                sti += 1
+        else:
+            sti = st
+        if m > 1:
+            sti += 14
+        else:
+            sti = st + 14
+        v = m
+        mm = m >> 1
+        while mm:
+            if dec.decode(stats, sti):
+                v |= mm
+            mm >>= 1
+        v += 1
+        coef[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _arith_ac_refine(dec, coef, astats, ss, se, al) -> None:
+    """Progressive AC successive-approximation refinement (the
+    F.2.4.3.3 model as realized in the spec's decision order): EOB
+    decisions only beyond the previous stage's last nonzero index;
+    correction bits for known coefficients, sign via the fixed bin for
+    newly significant ones."""
+    stats = astats["s"]
+    fixed = astats["fixed"]
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = se
+    while kex > 0 and coef[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(stats, st):
+                return  # EOB
+        while True:
+            if coef[k]:
+                if dec.decode(stats, st + 2):
+                    coef[k] += m1 if coef[k] < 0 else p1
+                break
+            if dec.decode(stats, st + 1):
+                coef[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arith AC refine past band end")
+        k += 1
+
+
+def _fresh_arith_stats(n: int) -> dict:
+    return {"s": [(0, 0)] * n, "fixed": [(_QM_FIXED_BIN, 0)]}
+
+
+def _decode_scan_arith(
+    payload, pos, scan_comps, dc_cond, ac_cond, restart_interval,
+    ss, se, ah, al, mcus_x, mcus_y, progressive,
+):
+    """Arithmetic twin of ``_decode_scan``: one QM decoder per
+    restart interval, statistics areas shared per table id and reset at
+    scan/restart boundaries (F.2.4), decoding into the same persistent
+    zigzag coefficient grids. Returns the offset of the next marker."""
+    dec = _QMDecoder(payload, pos)
+
+    def fresh_state():
+        dstats = {c["td"]: _fresh_arith_stats(64) for c in scan_comps}
+        astats = {c["ta"]: _fresh_arith_stats(256) for c in scan_comps}
+        for c in scan_comps:
+            c["last_dc"] = 0
+            c["dc_ctx"] = 0
+        return dstats, astats
+
+    dstats, astats = fresh_state()
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        units = [(my, mx) for my in range(mcus_y) for mx in range(mcus_x)]
+    else:
+        c = scan_comps[0]
+        units = [(br, bc) for br in range(c["bh"]) for bc in range(c["bw"])]
+    is_dc_scan = progressive and ss == 0
+    n_unit = 0
+    for uy, ux in units:
+        if restart_interval and n_unit and n_unit % restart_interval == 0:
+            # resync at the RSTn marker: fresh decoder + statistics
+            p = dec.pos
+            while p + 1 < len(payload) and not (
+                payload[p] == 0xFF and 0xD0 <= payload[p + 1] <= 0xD7
+            ):
+                p += 1
+            if p + 1 >= len(payload):
+                raise ValueError("missing arith restart marker")
+            dec = _QMDecoder(payload, p + 2)
+            dstats, astats = fresh_state()
+        for c in scan_comps:
+            if interleaved:
+                blocks = [
+                    c["coef"][uy * c["v"] + by][ux * c["h"] + bx]
+                    for by in range(c["v"])
+                    for bx in range(c["h"])
+                ]
+            else:
+                blocks = [c["coef"][uy][ux]]
+            for coef in blocks:
+                if not progressive:
+                    _arith_dc_block(
+                        dec, c, coef, dstats[c["td"]], dc_cond[c["td"]], 0, 0
+                    )
+                    _arith_ac_block(dec, coef, astats[c["ta"]],
+                                    ac_cond[c["ta"]], 1, 63, 0)
+                elif is_dc_scan:
+                    _arith_dc_block(
+                        dec, c, coef, dstats[c["td"]], dc_cond[c["td"]], ah, al
+                    )
+                elif ah == 0:
+                    _arith_ac_block(dec, coef, astats[c["ta"]],
+                                    ac_cond[c["ta"]], ss, se, al)
+                else:
+                    _arith_ac_refine(dec, coef, astats[c["ta"]], ss, se, al)
+        n_unit += 1
+    # hand the marker walk the offset of the next 0xFF marker
+    p = dec.pos
+    while p + 1 < len(payload):
+        if payload[p] == 0xFF and payload[p + 1] != 0x00:
+            return p
+        p += 1
+    return len(payload)
+
+
+def encode_jpeg_arith(pixels, quality: int = 90) -> bytes:
+    """REAL arithmetic-coded JFIF writer (SOF9, 4:4:4): the same
+    quantized coefficients as ``encode_jpeg(pixels, quality)`` entropy-
+    coded with the QM-coder instead of Huffman — T.81's exact framing
+    (DAC conditioning marker with the default L=0/U=1/Kx=5, byte
+    stuffing, D.1.8 termination). Decoded by ``decode_jpeg_pixels`` to
+    pixels bit-identical to the Huffman stream's (pinned by tests, and
+    cross-checked against libjpeg-turbo's decoder via the fixture
+    harness)."""
+    grids, h, w = _component_zz_blocks(pixels, quality)
+    qt = _quant_tables(quality)
+    zz_q = [
+        bytes([tq]) + bytes(int(qt[tq][r][c]) for r, c in _ZIGZAG)
+        for tq in (0, 1)
+    ]
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    # DAC: defaults made explicit — DC tables 0/1: Cs = (U<<4)|L = 0x10;
+    # AC tables 0/1: Cs = Kx = 5
+    dac = bytes([0x00, 0x10, 0x01, 0x10, 0x10, 0x05, 0x11, 0x05])
+    head = (
+        b"\xff\xd8"
+        + _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _marker(0xDB, zz_q[0])
+        + _marker(0xDB, zz_q[1])
+        + _marker(0xC9, sof)
+        + _marker(0xCC, dac)
+    )
+    enc = _QMEncoder()
+    dstats = {t: _fresh_arith_stats(64) for t in (0, 1)}
+    astats = {t: _fresh_arith_stats(256) for t in (0, 1)}
+    state = [
+        {"last_dc": 0, "dc_ctx": 0, "td": 0 if ci == 0 else 1,
+         "ta": 0 if ci == 0 else 1}
+        for ci in range(3)
+    ]
+    bh, bw_ = len(grids[0]), len(grids[0][0])
+    for br in range(bh):
+        for bc in range(bw_):
+            for ci in range(3):
+                _arith_encode_block(
+                    enc, state[ci], grids[ci][br][bc],
+                    dstats[state[ci]["td"]], astats[state[ci]["ta"]],
+                )
+    entropy = enc.flush()
+    sos = bytes([3])
+    for cid in (1, 2, 3):
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    sos += bytes([0, 63, 0])
+    return head + _marker(0xDA, sos) + entropy + b"\xff\xd9"
+
+
+def _arith_encode_block(enc, comp, zz, dstats, astats) -> None:
+    """Sequential DC+AC statistical encode (T.81 F.1.4.4.1/F.1.4.4.2,
+    default L=0 / U=1 / Kx=5 conditioning) — the exact mirror of the
+    decode decision trees above."""
+    stats = dstats["s"]
+    st = comp["dc_ctx"]
+    v = int(zz[0]) - comp["last_dc"]
+    comp["last_dc"] = int(zz[0])
+    if v == 0:
+        enc.encode(stats, st, 0)
+        comp["dc_ctx"] = 0
+    else:
+        enc.encode(stats, st, 1)
+        sign = 1 if v < 0 else 0
+        if sign:
+            v = -v
+        enc.encode(stats, st + 1, sign)
+        st += 2 + sign
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(stats, st, 1)
+            m = 1
+            sti = 20
+            v2 = v >> 1
+            while v2:
+                enc.encode(stats, sti, 1)
+                m <<= 1
+                sti += 1
+                v2 >>= 1
+            enc.encode(stats, sti, 0)
+        else:
+            enc.encode(stats, st, 0)
+            sti = st
+        # conditioning category (L=0, U=1): m == 0 -> zero, m == 1
+        # (i.e. |diff| in (0,1]) -> small, else large
+        if m < (1 >> 1):
+            comp["dc_ctx"] = 0
+        elif m > (2 >> 1):
+            comp["dc_ctx"] = 12 + sign * 4
+        else:
+            comp["dc_ctx"] = 4 + sign * 4
+        sti += 14
+        mm = m >> 1
+        while mm:
+            enc.encode(stats, sti, 1 if (mm & v) else 0)
+            mm >>= 1
+    # ---- AC ----
+    stats = astats["s"]
+    fixed = astats["fixed"]
+    ke = 63
+    while ke > 0 and int(zz[ke]) == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(stats, st, 0)  # not EOB
+        while int(zz[k]) == 0:
+            enc.encode(stats, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(stats, st + 1, 1)
+        v = int(zz[k])
+        sign = 1 if v < 0 else 0
+        if sign:
+            v = -v
+        enc.encode(fixed, 0, sign)
+        st += 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(stats, st, 1)
+            m = 1
+            v2 = v >> 1
+            if v2:
+                enc.encode(stats, st, 1)
+                m <<= 1
+                sti = 189 if k <= 5 else 217
+                v2 >>= 1
+                while v2:
+                    enc.encode(stats, sti, 1)
+                    m <<= 1
+                    sti += 1
+                    v2 >>= 1
+                enc.encode(stats, sti, 0)
+            else:
+                enc.encode(stats, st, 0)
+                sti = st
+        else:
+            enc.encode(stats, st, 0)
+            sti = st
+        if m > 1:
+            sti += 14
+        else:
+            sti = st + 14
+        mm = m >> 1
+        while mm:
+            enc.encode(stats, sti, 1 if (mm & v) else 0)
+            mm >>= 1
+        k += 1
+    if ke < 63:
+        enc.encode(stats, 3 * (k - 1), 1)  # EOB
 
 
 # ---------------------------------------------------------------------------

@@ -14,13 +14,15 @@ RGB(A), palette, grayscale(+alpha), sub-byte and 16-bit depths
 unpack/palette/replication) — and WAV in 16-bit PCM, G.711
 mu-law/A-law, or mono IMA ADPCM (``decode_wav_samples`` +
 ``codecs``). GIF (full LZW, interlace,
-local color tables), JPEG — baseline AND progressive (ITU-T T.81
-sequential + Annex G spectral selection / successive approximation,
-generic DHT/DQT, 4:4:4/4:2:2/4:2:0, restart markers) — and AVI/MJPEG
-video-frame decode are REAL too — pure stdlib+numpy implementations
-in ``operators/codecs.py``. Only genuinely codec-library-bound
-formats (MP3/AAC audio, inter-frame video codecs like H.264/VP9,
-arithmetic-coded JPEG) remain
+local color tables), JPEG — baseline, progressive, AND
+ARITHMETIC-CODED (ITU-T T.81 sequential + Annex G spectral selection /
+successive approximation + the Annex D QM-coder for SOF9/SOF10,
+generic DHT/DQT/DAC, 4:4:4/4:2:2/4:2:0, restart markers) — and
+AVI/MJPEG video-frame decode are REAL too — pure stdlib+numpy
+implementations in ``operators/codecs.py`` (the arithmetic paths are
+interop-verified against libjpeg-turbo fixtures, tests/data/arith/).
+Only genuinely codec-library-bound formats (MP3/AAC audio, inter-frame
+video codecs like H.264/VP9) remain
 STUBBED: ``decode_stub`` raises NotImplementedError unless
 ``deterministic_fake=True``, which produces a seeded fake feature
 vector from the bytes (md5-derived), keeping every downstream operator
@@ -951,9 +953,9 @@ def png_pixel_rows(media: DataFrame) -> DataFrame:
 
 def decode_stub(payload: bytes, kind: str, deterministic_fake: bool = False) -> list[float]:
     """Codec-library-bound fallback ONLY (MP3/AAC audio, inter-frame
-    video codecs, progressive/arithmetic JPEG). Everything else
-    never reaches this: ``extract_features`` routes BMP / PNG / GIF /
-    baseline-JPEG payloads through the REAL decode paths
+    video codecs). Everything else never reaches this:
+    ``extract_features`` routes BMP / PNG / GIF / JPEG (baseline,
+    progressive, arithmetic) payloads through the REAL decode paths
     (``decode_bmp_pixels`` / ``decode_png_pixels`` /
     ``codecs.decode_gif_pixels`` / ``codecs.decode_jpeg_pixels``), and
     the audio stats path decodes PCM via ``decode_wav_samples``."""

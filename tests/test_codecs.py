@@ -191,8 +191,13 @@ def test_jpeg_rejects_malformed_and_unsupported_sof():
     sof = payload.index(b"\xff\xc0")
     payload[sof + 1] = 0xC3  # relabel SOF0 -> SOF3 (lossless)
     assert decode_jpeg_pixels(bytes(payload)) is None
-    payload[sof + 1] = 0xC9  # arithmetic-coded
+    payload[sof + 1] = 0xCB  # SOF11: lossless arithmetic, unsupported
     assert decode_jpeg_pixels(bytes(payload)) is None
+    # SOF9 (sequential arithmetic) is SUPPORTED since r13 — a Huffman
+    # stream relabeled as arithmetic is garbage to the QM decoder but
+    # must never raise (value or None, the malformed-payload contract)
+    payload[sof + 1] = 0xC9
+    decode_jpeg_pixels(bytes(payload))
 
 
 def test_jpeg_progressive_decodes_identically_to_sequential():
@@ -1465,3 +1470,93 @@ def test_avi_index_matches_full_decode():
     for (off, ln), ref in zip(chunks, full):
         assert np.array_equal(djp(avi[off : off + ln]), ref)
     assert index_avi(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic-coded JPEG (T.81 Annex D QM-coder; round-13)
+# ---------------------------------------------------------------------------
+
+_ARITH_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "data", "arith"
+)
+
+
+def test_qm_table_structure():
+    from citibike_deep_dive_spark.operators.codecs import _QM_FIXED_BIN, _QM_QE
+
+    assert len(_QM_QE) == 114  # Table D.3 (113 states) + the fixed bin
+    for i, (qe, nmps, nlps, sw) in enumerate(_QM_QE):
+        assert 0 < qe <= 0x5B12
+        assert 0 <= nmps < 114 and 0 <= nlps < 114
+        assert sw in (0, 1)
+        if sw:  # switch happens only at the bottom of an attack run
+            assert nlps == i or i in (110, 112) or nlps <= i + 1
+    # the famous initial state and the non-adaptive fixed bin
+    assert _QM_QE[0] == (0x5A1D, 1, 1, 1)
+    assert _QM_QE[_QM_FIXED_BIN] == (0x5A1D, 113, 113, 0)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["seq_rgb", "seq_gray", "seq_restart", "prog_rgb", "prog_gray",
+     "prog_restart"],
+)
+def test_arith_jpeg_decodes_libjpeg_fixtures_exactly(name):
+    # tests/data/arith: REAL arithmetic-coded JPEGs produced by
+    # libjpeg-turbo (the reference implementation; generator in
+    # tests/tools/gen_arith_fixtures.py), each paired with a Huffman
+    # twin of the SAME quantized coefficients. Decoding both through
+    # our pipeline must agree BIT-EXACTLY: any error anywhere in the
+    # QM decoder, the Table D.3 transcription, or the DC/AC
+    # statistical models derails the decision stream and fails this.
+    import os
+
+    arith = open(os.path.join(_ARITH_DIR, f"{name}_arith.jpg"), "rb").read()
+    huff = open(os.path.join(_ARITH_DIR, f"{name}_huff.jpg"), "rb").read()
+    assert b"\xff\xc9" in arith or b"\xff\xca" in arith  # SOF9/SOF10
+    assert b"\xff\xcc" in arith  # DAC
+    a = decode_jpeg_pixels(arith)
+    h = decode_jpeg_pixels(huff)
+    assert a is not None and h is not None
+    assert np.array_equal(a, h)
+
+
+def test_arith_jpeg_encoder_roundtrip_matches_huffman_twin():
+    from citibike_deep_dive_spark.operators.codecs import encode_jpeg_arith
+
+    rng = np.random.default_rng(13)
+    for (w, h, q) in [(16, 13, 90), (8, 8, 95), (33, 29, 75), (24, 24, 10)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        a = encode_jpeg_arith(img, quality=q)
+        hf = encode_jpeg(img, quality=q)
+        assert len(a) < len(hf)  # the QM coder's compression advantage
+        pa = decode_jpeg_pixels(a)
+        ph = decode_jpeg_pixels(hf)
+        assert pa is not None and np.array_equal(pa, ph)
+
+
+def test_arith_jpeg_feature_extraction_routes_through_real_decode(spark):
+    from citibike_deep_dive_spark.operators.codecs import encode_jpeg_arith
+
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (9, 11, 3)).astype(np.uint8)
+    payload = encode_jpeg_arith(img, quality=92)
+    assert parse_image_dimensions(payload) == ("jpeg", 11, 9)
+    media = _media_df(spark, [(1, "image", bytearray(payload), 11, 9, 0)])
+    rows = jpeg_channel_stats(media).collect()
+    ref = decode_jpeg_pixels(payload)
+    flat = ref.reshape(-1, 3).astype(np.int64)
+    assert rows[0]["mean_g"] == flat[:, 1].sum() / len(flat)
+
+
+def test_arith_jpeg_truncated_and_garbage_return_none():
+    import os
+
+    arith = open(os.path.join(_ARITH_DIR, "seq_rgb_arith.jpg"), "rb").read()
+    # truncations inside the entropy stream must not raise — the QM
+    # decoder pads with zero bytes and the grids stay decodable, or the
+    # walk rejects the stream; either way: value or None, no exception
+    for cut in (20, 100, len(arith) // 2, len(arith) - 3):
+        decode_jpeg_pixels(arith[:cut])
+    corrupted = arith[:150] + bytes([arith[150] ^ 0xFF]) + arith[151:]
+    decode_jpeg_pixels(corrupted)  # must not raise
