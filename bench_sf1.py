@@ -41,8 +41,15 @@ from citibike_deep_dive_spark.plans import CATALOG  # noqa: E402
 from citibike_deep_dive_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
+# --replicas N / --dst DIR extend the derivation to other scale points
+# (r13: the sf3/sf10 datapoints that settle the two local-mode
+# floor-bound weak rows — same decorrelation scheme, more replicas)
 DST = "/tmp/sparkgraft_sf1"
 REPLICAS = 10
+if "--replicas" in sys.argv:
+    REPLICAS = int(sys.argv[sys.argv.index("--replicas") + 1])
+if "--dst" in sys.argv:
+    DST = sys.argv[sys.argv.index("--dst") + 1]
 
 QUERIES = [
     "simhash_hamming_pairs",
@@ -137,8 +144,14 @@ def generate(spark) -> None:
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     parts = []
     for r in range(REPLICAS):
-        rot = ALPHA[r:] + ALPHA[:r]
-        rot_u = ALPHA_U[r:] + ALPHA_U[:r]
+        # beyond 26 replicas the cipher ring repeats (rr = r % 26):
+        # replicas 26 apart carry identical text under shifted ids —
+        # a realistic cross-source exact-duplicate cluster structure
+        # (real 100x corpora are FULL of cross-source dups), noted in
+        # the sf10 BASELINE row
+        rr = r % len(ALPHA)
+        rot = ALPHA[rr:] + ALPHA[:rr]
+        rot_u = ALPHA_U[rr:] + ALPHA_U[:rr]
         parts.append(
             docs.select(
                 (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
@@ -156,9 +169,10 @@ def generate(spark) -> None:
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
     parts = []
     for r in range(REPLICAS):
+        re_ = r % 64
         rotated = F.concat(
-            F.slice(F.col("embedding"), r + 1, 64 - r),
-            F.slice(F.col("embedding"), 1, r),
+            F.slice(F.col("embedding"), re_ + 1, 64 - re_),
+            F.slice(F.col("embedding"), 1, re_),
         )
         parts.append(
             emb.select(
@@ -254,8 +268,8 @@ def main() -> None:
 
     with open("/proc/loadavg") as fh:
         load = [round(float(x), 2) for x in fh.read().split()[:3]]
-    print(json.dumps({"sf": 1.0, "replicas": REPLICAS, "queries": results,
-                      "loadavg_after": load}))
+    print(json.dumps({"sf": REPLICAS / 10.0, "replicas": REPLICAS,
+                      "queries": results, "loadavg_after": load}))
     spark.stop()
 
 
