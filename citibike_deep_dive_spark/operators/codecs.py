@@ -14,10 +14,13 @@ construction), and MJPEG video is 'every frame is a JPEG' inside a
 RIFF container. Progressive JPEG (SOF2: spectral selection +
 successive approximation, T.81 Annex G) is fully decoded too, and the
 progressive ENCODER emits the classic scan script (2-pass DC, banded
-AC with refinement scans) so the grammar is roundtrip-tested. Audio
-(MP3/AAC), inter-frame video codecs (H.264/VP9), and
-arithmetic-coded/lossless/hierarchical JPEG remain genuinely
-codec-library-bound and stay stubbed.
+AC with refinement scans) so the grammar is roundtrip-tested.
+ARITHMETIC-coded JPEG (SOF9/SOF10, the T.81 Annex D QM-coder) decodes
+AND encodes, interop-verified against libjpeg-turbo fixtures; MS-RLE8
+(BI_RLE8) adds a real INTER-frame video codec (delta chunks +
+canvas-carrying skip codes). Only MP3/AAC audio, modern
+motion-compensated video codecs (H.264/VP9), and lossless/hierarchical
+JPEG remain genuinely codec-library-bound and stay stubbed.
 
 Scale/shape notes: both decoders are per-payload pure functions used
 inside Arrow-batched ``mapInPandas`` operators (see multimodal.py), so
@@ -1670,27 +1673,19 @@ def _riff_list(kind: bytes, body: bytes) -> bytes:
     return _riff_chunk(b"LIST", kind + body)
 
 
-def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
-    """REAL AVI/MJPEG writer, stdlib+numpy: a list of (H, W, 3) uint8
-    RGB frames -> a complete RIFF AVI (avih + strl headers, movi LIST
-    of per-frame '00dc' baseline-JPEG chunks, idx1 index). Every frame
-    is independently encoded by ``encode_jpeg`` — MJPEG is exactly
-    'each frame is a JPEG', which is why this class of video needs no
-    codec library."""
-    import numpy as np
-
-    if not frames:
-        raise ValueError("need at least one frame")
-    first = np.asarray(frames[0])
-    h, w, _ = first.shape
-    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+def _build_avi(payloads, fps, w, h, handler, strf_body, keyframes=None):
+    """Shared AVI container writer: avih + strl headers, movi LIST of
+    per-frame '00dc' chunks, idx1 index. ``keyframes`` marks which
+    chunks get AVIIF_KEYFRAME (all, when None — every MJPEG frame is
+    independently decodable; only frame 0 for delta codecs)."""
     movi_body = bytearray(b"movi")
     index = bytearray()
-    for p in payloads:
+    for fi, p in enumerate(payloads):
         offset = len(movi_body)  # offset of the ckid, relative to 'movi'
         movi_body.extend(_riff_chunk(b"00dc", p))
         index.extend(b"00dc")
-        index.extend((0x10).to_bytes(4, "little"))  # AVIIF_KEYFRAME
+        key = keyframes is None or fi in keyframes
+        index.extend((0x10 if key else 0).to_bytes(4, "little"))
         index.extend(offset.to_bytes(4, "little"))
         index.extend(len(p).to_bytes(4, "little"))
     max_bytes = max(len(p) for p in payloads)
@@ -1710,7 +1705,7 @@ def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
     )
     strh = (
         b"vids"
-        + b"MJPG"
+        + handler
         # dwFlags, wPriority, wLanguage, dwInitialFrames, dwScale,
         # dwRate, dwStart, dwLength, dwSuggestedBufferSize, dwQuality,
         # dwSampleSize, rcFrame
@@ -1720,13 +1715,13 @@ def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
         )
         + struct.pack("<4h", 0, 0, w, h)
     )
-    strf = struct.pack(
-        "<I2i2H2I2i2I", 40, w, h, 1, 24, 0x47504A4D, w * h * 3, 0, 0, 0, 0
-    )  # BITMAPINFOHEADER, biCompression 'MJPG'
     hdrl = _riff_list(
         b"hdrl",
         _riff_chunk(b"avih", avih)
-        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+        + _riff_list(
+            b"strl",
+            _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf_body),
+        ),
     )
     body = (
         b"AVI "
@@ -1735,6 +1730,26 @@ def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
         + _riff_chunk(b"idx1", bytes(index))
     )
     return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
+    """REAL AVI/MJPEG writer, stdlib+numpy: a list of (H, W, 3) uint8
+    RGB frames -> a complete RIFF AVI (avih + strl headers, movi LIST
+    of per-frame '00dc' baseline-JPEG chunks, idx1 index). Every frame
+    is independently encoded by ``encode_jpeg`` — MJPEG is exactly
+    'each frame is a JPEG', which is why this class of video needs no
+    codec library."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    first = np.asarray(frames[0])
+    h, w, _ = first.shape
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+    strf = struct.pack(
+        "<I2i2H2I2i2I", 40, w, h, 1, 24, 0x47504A4D, w * h * 3, 0, 0, 0, 0
+    )  # BITMAPINFOHEADER, biCompression 'MJPG'
+    return _build_avi(payloads, fps, w, h, b"MJPG", strf)
 
 
 def index_avi(payload: bytes):
@@ -1785,10 +1800,33 @@ def decode_avi_frames(payload: bytes, max_frames: int | None = None):
     frame decoder rejects them — those fall back to the stub path).
     ``max_frames`` bounds decode work for sampling callers that only
     need the first frames."""
+    import numpy as np
+
     idx = index_avi(payload)
     if idx is None:
         return None
     fps, chunks = idx
+    fmt = parse_avi_video_format(payload)
+    if fmt is not None and fmt["compression"] == 1 and fmt["bitcount"] == 8:
+        # MS-RLE8: a genuinely INTER-FRAME codec — delta chunks encode
+        # only changed pixels (skip codes leave the canvas, i.e. the
+        # previous frame, in place), so decode is sequential from the
+        # keyframe; max_frames bounds the OUTPUT but every chunk up to
+        # it must be composited.
+        pal = fmt["palette"]
+        if pal is None:
+            return None
+        canvas = np.zeros((fmt["height"], fmt["width"]), dtype=np.uint8)
+        frames = []
+        for off, ln in chunks:
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+            if _rle8_decode_chunk(payload[off : off + ln], canvas) is None:
+                return None
+            frames.append(np.ascontiguousarray(pal[canvas]))
+        if not frames:
+            return None
+        return frames, fps
     frames = []
     for off, ln in chunks:
         if max_frames is not None and len(frames) >= max_frames:
@@ -1799,6 +1837,224 @@ def decode_avi_frames(payload: bytes, max_frames: int | None = None):
     if not frames:
         return None
     return frames, fps
+
+
+def parse_avi_video_format(payload: bytes):
+    """Parse the first video stream's strh/strf out of an AVI: returns
+    {handler, compression, bitcount, width, height, palette} (palette
+    is an (N, 3) uint8 RGB array for 8-bit formats, else None), or
+    None if no video stream header is found. Pure header walk — no
+    frame decode."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    found: dict | None = None
+    try:
+        def walk(start: int, end: int) -> None:
+            nonlocal found
+            pos = start
+            is_video = False
+            handler = b""
+            while pos + 8 <= end and found is None:
+                tag = payload[pos : pos + 4]
+                ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+                body_start = pos + 8
+                if tag == b"LIST":
+                    kind = payload[body_start : body_start + 4]
+                    if kind in (b"hdrl", b"strl"):
+                        walk(body_start + 4, body_start + ln)
+                elif tag == b"strh" and ln >= 8:
+                    is_video = payload[body_start : body_start + 4] == b"vids"
+                    handler = payload[body_start + 4 : body_start + 8]
+                elif tag == b"strf" and is_video and ln >= 40:
+                    b = payload[body_start : body_start + ln]
+                    w = int.from_bytes(b[4:8], "little", signed=True)
+                    h = int.from_bytes(b[8:12], "little", signed=True)
+                    bitcount = int.from_bytes(b[14:16], "little")
+                    compression = int.from_bytes(b[16:20], "little")
+                    palette = None
+                    if bitcount == 8:
+                        n = int.from_bytes(b[32:36], "little") or 256
+                        quads = b[40 : 40 + 4 * n]
+                        if len(quads) == 4 * n:
+                            q = np.frombuffer(quads, dtype=np.uint8)
+                            q = q.reshape(-1, 4)
+                            palette = np.ascontiguousarray(
+                                q[:, [2, 1, 0]]  # RGBQUAD is B,G,R,0
+                            )
+                    found = {
+                        "handler": handler,
+                        "compression": compression,
+                        "bitcount": bitcount,
+                        "width": w,
+                        "height": abs(h),
+                        "palette": palette,
+                    }
+                pos = body_start + ln + (ln & 1)
+
+        walk(12, min(len(payload), 8 + int.from_bytes(payload[4:8], "little")))
+    except (IndexError, ValueError, TypeError, struct.error):
+        return None
+    return found
+
+
+def _rle8_decode_chunk(data: bytes, canvas) -> object | None:
+    """Decode one MS-RLE8 (BI_RLE8) chunk ONTO the canvas (bottom-up
+    row order; escape codes: 00 00 = end of line, 00 01 = end of
+    bitmap, 00 02 dx dy = delta move leaving skipped pixels untouched
+    — the temporal-prediction primitive — 00 n>=3 = absolute run,
+    word-padded). Returns the canvas, or None on a malformed chunk."""
+    import numpy as np
+
+    h, w = canvas.shape
+    r = 0
+    x = 0
+    i = 0
+    while i + 2 <= len(data):
+        b0 = data[i]
+        b1 = data[i + 1]
+        i += 2
+        if b0 > 0:  # encoded run
+            if r >= h or x > w:
+                return None
+            y = h - 1 - r
+            end = min(x + b0, w)
+            canvas[y, x:end] = b1
+            x += b0
+        elif b1 == 0:  # end of line
+            r += 1
+            x = 0
+        elif b1 == 1:  # end of bitmap
+            return canvas
+        elif b1 == 2:  # delta: skip (dx, dy), canvas retained
+            if i + 2 > len(data):
+                return None
+            x += data[i]
+            r += data[i + 1]
+            i += 2
+        else:  # absolute mode: b1 literal indices, word-padded
+            n = b1
+            if i + n > len(data) or r >= h or x > w:
+                return None
+            y = h - 1 - r
+            end = min(x + n, w)
+            canvas[y, x:end] = np.frombuffer(
+                data[i : i + n], dtype=np.uint8
+            )[: end - x]
+            x += n
+            i += n + (n & 1)
+    return None  # ran out of data without an end-of-bitmap code
+
+
+def _rle8_encode_frame(idx, prev) -> bytes:
+    """Encode one frame of palette indices as an MS-RLE8 chunk.
+    ``prev`` is the previous frame's indices (None for the keyframe):
+    unchanged pixels are SKIPPED with delta codes so the decoder's
+    canvas carries them over — real temporal prediction."""
+    import numpy as np
+
+    h, w = idx.shape
+    out = bytearray()
+    for r in range(h):
+        y = h - 1 - r
+        row = idx[y]
+        changed = (
+            np.ones(w, dtype=bool) if prev is None else row != prev[y]
+        )
+        pos = np.nonzero(changed)[0]
+        x = 0
+        si = 0
+        while si < len(pos):
+            a = int(pos[si])
+            sj = si
+            while sj + 1 < len(pos) and pos[sj + 1] == pos[sj] + 1:
+                sj += 1
+            b = int(pos[sj]) + 1
+            si = sj + 1
+            gap = a - x
+            while gap > 0:  # skip unchanged pixels (delta move)
+                d = min(gap, 255)
+                out += bytes([0, 2, d, 0])
+                gap -= d
+            i = a
+            while i < b:
+                j = i + 1
+                while j < b and row[j] == row[i] and j - i < 255:
+                    j += 1
+                if j - i >= 3:  # encoded run
+                    out += bytes([j - i, int(row[i])])
+                    i = j
+                    continue
+                # literal stretch: extend until the next >=3 run
+                k = i
+                while k < b:
+                    j2 = k + 1
+                    while j2 < b and row[j2] == row[k] and j2 - k < 3:
+                        j2 += 1
+                    if j2 - k >= 3:
+                        break
+                    k = j2
+                n = k - i
+                while n >= 3:
+                    take = min(n, 255)
+                    out += bytes([0, take]) + bytes(
+                        int(v) for v in row[i : i + take]
+                    )
+                    if take & 1:
+                        out += b"\x00"  # word padding
+                    i += take
+                    n -= take
+                while n > 0:  # 1-2 leftovers: encoded pairs
+                    out += bytes([1, int(row[i])])
+                    i += 1
+                    n -= 1
+            x = b
+        out += bytes([0, 0])  # end of line
+    out[-2:] = bytes([0, 1])  # final EOL becomes end-of-bitmap
+    return bytes(out)
+
+
+def encode_avi_rle8(frames, fps: int = 10) -> bytes:
+    """REAL AVI/MS-RLE8 writer — a genuinely INTER-FRAME public video
+    codec (Microsoft Video RLE, BI_RLE8; the BMP/AVI RLE escape
+    grammar): frames share one <=256-color palette; frame 0 is the
+    keyframe, later frames encode only CHANGED pixels with delta-skip
+    codes referencing the decoder's canvas (temporal prediction).
+    Lossless for palettizable content, so roundtrips are bit-exact —
+    the GIF contract, but with real inter-frame dependency."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    stack = np.stack([np.asarray(f, dtype=np.uint8) for f in frames])
+    n, h, w, _ = stack.shape
+    packed = (
+        stack[:, :, :, 0].astype(np.int64) << 16
+        | stack[:, :, :, 1].astype(np.int64) << 8
+        | stack[:, :, :, 2].astype(np.int64)
+    )
+    colors, inverse = np.unique(packed, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"RLE8 supports <=256 colors, got {len(colors)}")
+    idx = inverse.reshape(n, h, w).astype(np.uint8)
+    payloads = [
+        _rle8_encode_frame(idx[f], idx[f - 1] if f else None)
+        for f in range(n)
+    ]
+    ncolors = len(colors)
+    quads = bytearray()
+    for c in colors:
+        quads.extend(
+            (int(c) & 0xFF, int(c) >> 8 & 0xFF, int(c) >> 16 & 0xFF, 0)
+        )  # RGBQUAD: B, G, R, reserved
+    strf = (
+        struct.pack(
+            "<I2i2H2I2i2I", 40, w, h, 1, 8, 1, w * h, 0, 0, ncolors, 0
+        )  # BITMAPINFOHEADER, biCompression 1 = BI_RLE8
+        + bytes(quads)
+    )
+    return _build_avi(payloads, fps, w, h, b"MRLE", strf, keyframes={0})
 
 
 # ---------------------------------------------------------------------------

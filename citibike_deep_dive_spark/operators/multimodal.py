@@ -18,10 +18,12 @@ local color tables), JPEG — baseline, progressive, AND
 ARITHMETIC-CODED (ITU-T T.81 sequential + Annex G spectral selection /
 successive approximation + the Annex D QM-coder for SOF9/SOF10,
 generic DHT/DQT/DAC, 4:4:4/4:2:2/4:2:0, restart markers) — and
-AVI/MJPEG video-frame decode are REAL too — pure stdlib+numpy
-implementations in ``operators/codecs.py`` (the arithmetic paths are
-interop-verified against libjpeg-turbo fixtures, tests/data/arith/).
-Only genuinely codec-library-bound formats (MP3/AAC audio, inter-frame
+AVI video-frame decode (MJPEG intra frames AND the MS-RLE8
+INTER-frame codec — delta chunks with canvas-carrying skip codes) are
+REAL too — pure stdlib+numpy implementations in
+``operators/codecs.py`` (the arithmetic paths are interop-verified
+against libjpeg-turbo fixtures, tests/data/arith/). Only genuinely
+codec-library-bound formats (MP3/AAC audio, modern motion-compensated
 video codecs like H.264/VP9) remain
 STUBBED: ``decode_stub`` raises NotImplementedError unless
 ``deterministic_fake=True``, which produces a seeded fake feature
@@ -952,8 +954,9 @@ def png_pixel_rows(media: DataFrame) -> DataFrame:
 
 
 def decode_stub(payload: bytes, kind: str, deterministic_fake: bool = False) -> list[float]:
-    """Codec-library-bound fallback ONLY (MP3/AAC audio, inter-frame
-    video codecs). Everything else never reaches this:
+    """Codec-library-bound fallback ONLY (MP3/AAC audio, modern
+    motion-compensated video codecs). Everything else never reaches
+    this:
     ``extract_features`` routes BMP / PNG / GIF / JPEG (baseline,
     progressive, arithmetic) payloads through the REAL decode paths
     (``decode_bmp_pixels`` / ``decode_png_pixels`` /
@@ -1067,7 +1070,12 @@ def video_frame_stats(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     batches bound memory to a batch of payloads, zero shuffle."""
     import numpy as np
 
-    from .codecs import decode_jpeg_pixels, index_avi
+    from .codecs import (
+        decode_avi_frames,
+        decode_jpeg_pixels,
+        index_avi,
+        parse_avi_video_format,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1078,13 +1086,32 @@ def video_frame_stats(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 if idx_ is None:
                     continue
                 fps, chunks = idx_
-                # index first, decode only the sampled chunk indices:
-                # at every_ms over a long clip the stride discards most
-                # frames, so fully decoding the container is wasted work
                 step = max(1, (fps * every_ms) // 1000) if fps else 1
-                for fi in range(0, len(chunks), step):
-                    off, ln = chunks[fi]
-                    px = decode_jpeg_pixels(raw[off : off + ln])
+                fmt = parse_avi_video_format(raw)
+                if fmt is not None and fmt["compression"] == 1:
+                    # inter-frame codec (MS-RLE8): delta chunks depend
+                    # on the canvas, so every frame up to the last
+                    # sampled one must decode — the classic keyframe-
+                    # dependency cost; the stride applies to the output
+                    dec = decode_avi_frames(raw)
+                    if dec is None:
+                        continue
+                    seq, _ = dec
+                    decoded = [
+                        (fi, seq[fi]) for fi in range(0, len(seq), step)
+                    ]
+                else:
+                    # intra-only (MJPEG): index first, decode ONLY the
+                    # sampled chunk indices — at every_ms over a long
+                    # clip the stride discards most frames
+                    decoded = [
+                        (fi, decode_jpeg_pixels(raw[c[0] : c[0] + c[1]]))
+                        for fi, c in (
+                            (fi, chunks[fi])
+                            for fi in range(0, len(chunks), step)
+                        )
+                    ]
+                for fi, px in decoded:
                     if px is None:
                         continue
                     h, w, _ = px.shape

@@ -1560,3 +1560,77 @@ def test_arith_jpeg_truncated_and_garbage_return_none():
         decode_jpeg_pixels(arith[:cut])
     corrupted = arith[:150] + bytes([arith[150] ^ 0xFF]) + arith[151:]
     decode_jpeg_pixels(corrupted)  # must not raise
+
+
+# ---------------------------------------------------------------------------
+# MS-RLE8 — inter-frame AVI video (BI_RLE8; round-13)
+# ---------------------------------------------------------------------------
+
+
+def _rle_frames(n, h=20, w=31, ncolors=12, seed=3):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncolors, 3)).astype(np.uint8)
+    base = pal[rng.integers(0, ncolors, (h, w))]
+    frames = []
+    for t in range(n):
+        f = base.copy()
+        f[5 + t : 9 + t, 4 + 2 * t : 10 + 2 * t] = pal[t % ncolors]
+        frames.append(f)
+    return frames
+
+
+def test_avi_rle8_interframe_roundtrip_exact():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_avi_frames,
+        encode_avi_rle8,
+        index_avi,
+        parse_avi_video_format,
+    )
+
+    frames = _rle_frames(5)
+    avi = encode_avi_rle8(frames, fps=6)
+    fmt = parse_avi_video_format(avi)
+    assert fmt["handler"] == b"MRLE" and fmt["compression"] == 1
+    assert (fmt["width"], fmt["height"]) == (31, 20)
+    out, fps = decode_avi_frames(avi)
+    assert fps == 6 and len(out) == 5
+    # RLE8 is lossless for palettized content AND inter-frame: every
+    # composited frame must be bit-exact, proving the delta-skip codes
+    # really carry the previous frame through the canvas
+    for o, f in zip(out, frames):
+        assert np.array_equal(o, f)
+    # temporal compression is real: delta chunks far below the keyframe
+    _, chunks = index_avi(avi)
+    sizes = [ln for _, ln in chunks]
+    assert all(s < sizes[0] / 3 for s in sizes[1:])
+    assert len(decode_avi_frames(avi, max_frames=2)[0]) == 2
+
+
+def test_avi_rle8_video_frame_stats(spark):
+    from citibike_deep_dive_spark.operators.codecs import encode_avi_rle8
+    from citibike_deep_dive_spark.operators.multimodal import video_frame_stats
+
+    frames = _rle_frames(6)
+    avi = encode_avi_rle8(frames, fps=2)  # 2 fps -> stride 2 at 1000 ms
+    media = _media_df(spark, [(1, "video", bytearray(avi), 31, 20, 3000)])
+    rows = video_frame_stats(media, every_ms=1000).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    flat = frames[2].reshape(-1, 3).astype(np.int64)
+    assert rows[1]["mean_r"] == flat[:, 0].sum() / len(flat)
+
+
+def test_avi_rle8_malformed_returns_none():
+    from citibike_deep_dive_spark.operators.codecs import (
+        decode_avi_frames,
+        encode_avi_rle8,
+    )
+
+    frames = _rle_frames(3)
+    avi = bytearray(encode_avi_rle8(frames, fps=4))
+    # truncate inside the movi list: must be None or partial, not raise
+    decode_avi_frames(bytes(avi[: len(avi) // 2]))
+    # >256 colors is rejected at encode time
+    rng = np.random.default_rng(9)
+    big = [rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)]
+    with pytest.raises(ValueError):
+        encode_avi_rle8(big)
