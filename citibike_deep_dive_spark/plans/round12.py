@@ -40,7 +40,6 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .catalog import register, table
@@ -99,70 +98,87 @@ def fft_fixed_point(samples: list[int]) -> list[tuple[int, int]]:
     return x
 
 
-_SAMPLES_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType()),
-        T.StructField("s", T.ArrayType(T.LongType())),
-    ]
-)
+def fft_fixed_point_batch(frames):
+    """Vectorized form of ``fft_fixed_point``: the EXACT same integer
+    arithmetic over an (m, 64) int64 array, all m rows at once.
 
+    Returns ``(re, im)``, each (m, 64) int64. Bit-parity argument:
+    numpy's ``>>`` on int64 is an arithmetic (floor) shift — identical
+    to Python's ``>>`` on negative ints — and every add/multiply is
+    exact int64 (magnitude bound |re|,|im| <= 6.6e6, products <= 7e12;
+    tests/test_round12_ops.py pins the bound), so each butterfly stage
+    reproduces the reference element for element. Parity is pinned by
+    test_batch_fft_matches_scalar_reference.
 
-def _wav_sample_arrays(docs: DataFrame, n: int) -> DataFrame:
-    """(media_id, s[n]): synthesize a REAL n-sample WAV per document
-    (same LCG family as the variable-length corpus) and decode it back
-    through the byte-level reader — one Arrow-batched round trip, no
-    shuffle, samples emitted as one array row per clip (the FFT/STFT
-    unit of work)."""
+    r13 optimization (guide §4.2): the FFT used to run as six Catalyst
+    ``transform()`` projections; higher-order-function lambdas are
+    interpreted per element, costing ~1 ms per 64-point FFT at sf0.1
+    (multimodal_stft_spectrogram: 34.8 s for 35k frames). The samples
+    already cross the Arrow boundary once for the codec round trip, so
+    the butterflies now run vectorized in numpy inside that same
+    ``mapInPandas`` — whole batches per stage, no extra boundary, plan
+    still exchange-free."""
     import numpy as np
 
-    from ..operators.multimodal import decode_wav_samples, encode_wav
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for mid in pdf["doc_id"]:
-                mid = int(mid)
-                idx = np.arange(n, dtype=np.int64)
-                s = ((mid % 99991) * 6007 + idx * 193 + 11) % 65536 - 32768
-                payload = encode_wav(s.astype(np.int16), _FFT_RATE)
-                decoded, _rate, _nch = decode_wav_samples(payload)
-                out.append([int(v) for v in decoded])
-            yield pd.DataFrame({"media_id": pdf["doc_id"], "s": out})
-
-    return docs.select("doc_id").mapInPandas(run, _SAMPLES_SCHEMA)
-
-
-def _wav64_sample_arrays(docs: DataFrame) -> DataFrame:
-    return _wav_sample_arrays(docs, _FFT_N)
+    x_re = np.ascontiguousarray(frames[:, _FFT_BITREV], dtype=np.int64)
+    x_im = np.zeros_like(x_re)
+    m = x_re.shape[0]
+    for t in range(1, _FFT_BITS + 1):
+        span, half = 1 << t, 1 << (t - 1)
+        twc = np.asarray(_FFT_TWIDDLES[t - 1][0], dtype=np.int64)
+        tws = np.asarray(_FFT_TWIDDLES[t - 1][1], dtype=np.int64)
+        re3 = x_re.reshape(m, _FFT_N // span, span)
+        im3 = x_im.reshape(m, _FFT_N // span, span)
+        a_re, b_re = re3[:, :, :half], re3[:, :, half:]
+        a_im, b_im = im3[:, :, :half], im3[:, :, half:]
+        pr = (b_re * twc - b_im * tws) >> _FFT_SCALE_BITS
+        pi = (b_re * tws + b_im * twc) >> _FFT_SCALE_BITS
+        x_re = np.concatenate([a_re + pr, a_re - pr], axis=2).reshape(m, _FFT_N)
+        x_im = np.concatenate([a_im + pi, a_im - pi], axis=2).reshape(m, _FFT_N)
+    return x_re, x_im
 
 
-def _long_array_sql(vals: list[int]) -> str:
-    return "array(" + ",".join(f"{v}L" for v in vals) + ")"
+def fft_power_bins(frames):
+    """(m, 64) int64 sample frames -> (m, 32) int64 half-spectrum bin
+    powers (k = 1..N/2), via the exact-integer batch FFT."""
+    re, im = fft_fixed_point_batch(frames)
+    re = re[:, 1 : _FFT_N // 2 + 1]
+    im = im[:, 1 : _FFT_N // 2 + 1]
+    return re * re + im * im
 
 
-def _spark_stage_expr(t: int) -> str:
-    span, half = 1 << t, 1 << (t - 1)
-    twc, tws = _FFT_TWIDDLES[t - 1]
-    c, s = _long_array_sql(twc), _long_array_sql(tws)
-    sh = _FFT_SCALE_BITS
-    return (
-        f"transform(sequence(0, {_FFT_N - 1}), i -> "
-        f"CASE WHEN (i % {span}) < {half} THEN named_struct("
-        f"'re', element_at(x, i+1).re + shiftright("
-        f"element_at(x, i+{half}+1).re * element_at({c}, (i % {span})+1)"
-        f" - element_at(x, i+{half}+1).im * element_at({s}, (i % {span})+1), {sh}),"
-        f"'im', element_at(x, i+1).im + shiftright("
-        f"element_at(x, i+{half}+1).re * element_at({s}, (i % {span})+1)"
-        f" + element_at(x, i+{half}+1).im * element_at({c}, (i % {span})+1), {sh}))"
-        f" ELSE named_struct("
-        f"'re', element_at(x, i-{half}+1).re - shiftright("
-        f"element_at(x, i+1).re * element_at({c}, (i % {span})-{half}+1)"
-        f" - element_at(x, i+1).im * element_at({s}, (i % {span})-{half}+1), {sh}),"
-        f"'im', element_at(x, i-{half}+1).im - shiftright("
-        f"element_at(x, i+1).re * element_at({s}, (i % {span})-{half}+1)"
-        f" + element_at(x, i+1).im * element_at({c}, (i % {span})-{half}+1), {sh}))"
-        f" END)"
+def fft_feature_frame(media_ids, frames):
+    """Shared final projection of the FFT-power queries: a pandas
+    DataFrame (media_id, n_bins, dominant_bin, dominant_power,
+    low_band_power, total_power) with dtypes matching the former
+    Catalyst projection (int32 for the two bin columns, int64
+    elsewhere). ``np.argmax`` returns the FIRST maximum, reproducing
+    the min-k tiebreak of the oracle's ``min(CASE WHEN p = maxp ...)``."""
+    import numpy as np
+
+    p = fft_power_bins(frames)
+    return pd.DataFrame(
+        {
+            "media_id": np.asarray(media_ids, dtype=np.int64),
+            "n_bins": np.full(p.shape[0], _FFT_N // 2, dtype=np.int32),
+            "dominant_bin": (np.argmax(p, axis=1) + 1).astype(np.int32),
+            "dominant_power": p.max(axis=1),
+            "low_band_power": p[:, : _FFT_N // 8].sum(axis=1),
+            "total_power": p.sum(axis=1),
+        }
     )
+
+
+FFT_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bins", T.IntegerType()),
+        T.StructField("dominant_bin", T.IntegerType()),
+        T.StructField("dominant_power", T.LongType()),
+        T.StructField("low_band_power", T.LongType()),
+        T.StructField("total_power", T.LongType()),
+    ]
+)
 
 
 def _duck_list_sql(vals: list[int]) -> str:
@@ -240,46 +256,38 @@ def multimodal_fft_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame
     scale shape, literal twiddles, exact-integer determinism contract).
     Emits per clip: dominant bin (ties to the smallest), its power, the
     low-band (k <= n/8) power, and total half-spectrum power — all
-    exact BIGINTs. Plan shape: Arrow decode -> six narrow array
-    projections -> one 32-element reduction per row; ZERO exchanges
-    (verified in PLANS.md), so the operator is a pure map at any scale."""
+    exact BIGINTs.
+
+    Plan shape (r13, guide §4.2): ONE Arrow-batched map that runs the
+    codec round trip and the vectorized exact-integer FFT
+    (``fft_fixed_point_batch``) on whole batches; ZERO exchanges, pure
+    map at any scale. The former six interpreted-HOF butterfly
+    projections cost ~1 ms per 64-point FFT; the batch FFT costs ~1 us
+    (sf0.1 A/B in OPTIMIZATION_r13.md). Values bit-identical: the
+    butterfly arithmetic is the same exact int64 ops, parity pinned by
+    tests and preflight."""
+    import numpy as np
+
+    from ..operators.multimodal import decode_wav_samples, encode_wav
+
     docs = table(spark, sf_dir, "documents")
-    samp = _wav64_sample_arrays(docs)
-    br = _long_array_sql(_FFT_BITREV)
-    x = samp.select(
-        "media_id",
-        F.expr(
-            f"transform(sequence(0, {_FFT_N - 1}), i -> named_struct("
-            f"'re', element_at(s, CAST(element_at({br}, i+1) + 1 AS INT)),"
-            f"'im', CAST(0 AS BIGINT)))"
-        ).alias("x"),
-    )
-    for t in range(1, _FFT_BITS + 1):
-        x = x.select("media_id", F.expr(_spark_stage_expr(t)).alias("x"))
-    pows = x.select(
-        "media_id",
-        F.expr(
-            f"transform(sequence(1, {_FFT_N // 2}), k -> named_struct("
-            f"'k', k,"
-            f"'p', element_at(x, k+1).re * element_at(x, k+1).re"
-            f" + element_at(x, k+1).im * element_at(x, k+1).im))"
-        ).alias("pows"),
-    ).withColumn("maxp", F.expr("array_max(transform(pows, e -> e.p))"))
-    return pows.select(
-        "media_id",
-        F.lit(_FFT_N // 2).cast("int").alias("n_bins"),
-        F.expr("array_min(transform(filter(pows, e -> e.p = maxp), e -> e.k))")
-        .cast("int")
-        .alias("dominant_bin"),
-        F.col("maxp").cast("long").alias("dominant_power"),
-        F.expr(
-            f"aggregate(pows, CAST(0 AS BIGINT),"
-            f" (a, e) -> a + CASE WHEN e.k <= {_FFT_N // 8} THEN e.p ELSE CAST(0 AS BIGINT) END)"
-        ).alias("low_band_power"),
-        F.expr("aggregate(pows, CAST(0 AS BIGINT), (a, e) -> a + e.p)").alias(
-            "total_power"
-        ),
-    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            decoded_rows = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                idx = np.arange(_FFT_N, dtype=np.int64)
+                s = ((mid % 99991) * 6007 + idx * 193 + 11) % 65536 - 32768
+                payload = encode_wav(s.astype(np.int16), _FFT_RATE)
+                decoded, _rate, _nch = decode_wav_samples(payload)
+                decoded_rows.append(np.asarray(decoded, dtype=np.int64))
+            frames = np.stack(decoded_rows)
+            yield fft_feature_frame(pdf["doc_id"].to_numpy(), frames)
+
+    return docs.select("doc_id").mapInPandas(run, FFT_FEATURES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -371,57 +379,73 @@ def multimodal_stft_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Emits (media_id, frame, dominant_bin, dominant_power, total_power):
     the frame-grain dominant-frequency track, i.e. the spectrogram
-    ridge. Plan: Arrow decode -> narrow frame posexplode (7x, no
-    shuffle) -> windowed bit-reversal projection -> six butterfly
-    projections -> 32-element reduction per frame; the only exchange in
-    the plan is the final noop-write — frames of one clip stay in the
-    source partition, so the operator is a pure map at 100 TB exactly
-    like the single-frame FFT."""
+    ridge.
+
+    Plan (r13, guide §4.2): ONE Arrow-batched map — codec round trip,
+    vectorized Hann windowing ((v * hann) >> 20, exact int64), and the
+    batch FFT over all (clips x 7 frames) of the batch at once, frame
+    fan-out done by row emission instead of ``posexplode``. ZERO
+    exchanges — frames of one clip stay in the source partition, pure
+    map at 100 TB. Was 34.8 s at sf0.1 as six interpreted-HOF butterfly
+    projections; the batch form is >20x faster (OPTIMIZATION_r13.md),
+    values bit-identical (same exact integer ops, preflight-exact)."""
+    import numpy as np
+
+    from ..operators.multimodal import decode_wav_samples, encode_wav
+
     docs = table(spark, sf_dir, "documents")
-    samp = _wav_sample_arrays(docs, _STFT_CLIP)
-    br = _long_array_sql(_FFT_BITREV)
-    hann = _long_array_sql(_STFT_HANN)
-    frames = samp.select(
-        "media_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {_STFT_FRAMES - 1}),"
-                f" f -> slice(s, f * {_STFT_HOP} + 1, {_FFT_N}))"
+    hann = None  # built lazily executor-side
+    gather = None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nonlocal hann, gather
+        if hann is None:
+            hann = np.asarray(_STFT_HANN, dtype=np.int64)
+            gather = (
+                np.arange(_STFT_FRAMES, dtype=np.intp)[:, None] * _STFT_HOP
+                + np.arange(_FFT_N, dtype=np.intp)[None, :]
             )
-        ).alias("frame", "fs"),
-    ).select("media_id", F.col("frame").cast("long").alias("frame"), "fs")
-    x = frames.select(
-        "media_id",
-        "frame",
-        F.expr(
-            f"transform(sequence(0, {_FFT_N - 1}), i -> named_struct("
-            f"'re', shiftright("
-            f"element_at(fs, CAST(element_at({br}, i+1) + 1 AS INT))"
-            f" * element_at({hann}, CAST(element_at({br}, i+1) + 1 AS INT)),"
-            f" {_FFT_SCALE_BITS}),"
-            f"'im', CAST(0 AS BIGINT)))"
-        ).alias("x"),
-    )
-    for t in range(1, _FFT_BITS + 1):
-        x = x.select("media_id", "frame", F.expr(_spark_stage_expr(t)).alias("x"))
-    pows = x.select(
-        "media_id",
-        "frame",
-        F.expr(
-            f"transform(sequence(1, {_FFT_N // 2}), k -> named_struct("
-            f"'k', k,"
-            f"'p', element_at(x, k+1).re * element_at(x, k+1).re"
-            f" + element_at(x, k+1).im * element_at(x, k+1).im))"
-        ).alias("pows"),
-    ).withColumn("maxp", F.expr("array_max(transform(pows, e -> e.p))"))
-    return pows.select(
-        "media_id",
-        "frame",
-        F.expr("array_min(transform(filter(pows, e -> e.p = maxp), e -> e.k))")
-        .cast("int")
-        .alias("dominant_bin"),
-        F.col("maxp").cast("long").alias("dominant_power"),
-        F.expr("aggregate(pows, CAST(0 AS BIGINT), (a, e) -> a + e.p)").alias(
-            "total_power"
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            decoded_rows = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                idx = np.arange(_STFT_CLIP, dtype=np.int64)
+                s = ((mid % 99991) * 6007 + idx * 193 + 11) % 65536 - 32768
+                payload = encode_wav(s.astype(np.int16), _FFT_RATE)
+                decoded, _rate, _nch = decode_wav_samples(payload)
+                decoded_rows.append(np.asarray(decoded, dtype=np.int64))
+            m = len(decoded_rows)
+            clips = np.stack(decoded_rows)  # (m, 256)
+            frames = clips[:, gather]  # (m, 7, 64)
+            windowed = ((frames * hann) >> _FFT_SCALE_BITS).reshape(
+                m * _STFT_FRAMES, _FFT_N
+            )
+            p = fft_power_bins(windowed)  # (m*7, 32)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(
+                        pdf["doc_id"].to_numpy(np.int64), _STFT_FRAMES
+                    ),
+                    "frame": np.tile(
+                        np.arange(_STFT_FRAMES, dtype=np.int64), m
+                    ),
+                    "dominant_bin": (np.argmax(p, axis=1) + 1).astype(np.int32),
+                    "dominant_power": p.max(axis=1),
+                    "total_power": p.sum(axis=1),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("frame", T.LongType()),
+                T.StructField("dominant_bin", T.IntegerType()),
+                T.StructField("dominant_power", T.LongType()),
+                T.StructField("total_power", T.LongType()),
+            ]
         ),
     )

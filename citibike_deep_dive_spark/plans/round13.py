@@ -44,12 +44,12 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from .catalog import register, table
 from .round12 import (
+    FFT_FEATURES_SCHEMA,
     _FFT_BITREV,
     _FFT_BITS,
     _FFT_N,
@@ -60,8 +60,8 @@ from .round12 import (
     _STFT_HOP,
     _duck_list_sql,
     _duck_stage_cte,
-    _long_array_sql,
-    _spark_stage_expr,
+    fft_feature_frame,
+    fft_power_bins,
 )
 
 _MEDIA_SCHEMA = T.StructType(
@@ -70,14 +70,6 @@ _MEDIA_SCHEMA = T.StructType(
         T.StructField("payload", T.BinaryType()),
     ]
 )
-
-_SAMPLES_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType()),
-        T.StructField("s", T.ArrayType(T.LongType())),
-    ]
-)
-
 
 # ---------------------------------------------------------------------------
 # GIF pixel stats — lossless LZW round trip, palette-formula oracle
@@ -363,32 +355,6 @@ def multimodal_flac_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FLACFFT_S = "((media_id % 99991) * 7321 + idx * 269 + 17) % 65536 - 32768"
 
 
-def _flac_fft_sample_arrays(docs: DataFrame) -> DataFrame:
-    """(media_id, s[64]): synthesize a REAL 2-frame FLAC per document
-    and decode it back through the full subframe grammar — the FFT
-    consumes genuinely-compressed audio, not raw PCM."""
-    import numpy as np
-
-    from ..operators.codecs import encode_flac
-    from ..operators.multimodal import decode_audio_samples
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for mid in pdf["doc_id"]:
-                mid = int(mid)
-                idx = np.arange(_FFT_N, dtype=np.int64)
-                s = ((mid % 99991) * 7321 + idx * 269 + 17) % 65536 - 32768
-                payload = encode_flac(
-                    s.astype(np.int16), 8000, block_size=_FLAC_BLOCK
-                )
-                decoded, _rate, _nch = decode_audio_samples(payload)
-                out.append([int(v) for v in decoded])
-            yield pd.DataFrame({"media_id": pdf["doc_id"], "s": out})
-
-    return docs.select("doc_id").mapInPandas(run, _SAMPLES_SCHEMA)
-
-
 def _flac_fft_oracle() -> str:
     br = _duck_list_sql(_FFT_BITREV)
     stages = "".join(
@@ -436,46 +402,37 @@ def multimodal_flac_fft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified fixed-point FFT pipeline over FLAC-COMPRESSED
     input: because FLAC is lossless, the oracle formula is unchanged —
     a matching hash proves the rice/fixed-predictor decode chain feeds
-    the spectral path bit-exactly. Same zero-exchange pure-map shape
-    as ``multimodal_fft_spectral_power``."""
+    the spectral path bit-exactly. Same zero-exchange pure-map shape as
+    ``multimodal_fft_spectral_power``, and the same r13 batch-FFT form
+    (guide §4.2): the butterflies run vectorized in numpy inside the
+    decode's own Arrow boundary instead of six interpreted-HOF
+    projections — exact int64 ops, values bit-identical."""
+    import numpy as np
+
+    from ..operators.codecs import encode_flac
+    from ..operators.multimodal import decode_audio_samples
+
     docs = table(spark, sf_dir, "documents")
-    samp = _flac_fft_sample_arrays(docs)
-    br = _long_array_sql(_FFT_BITREV)
-    x = samp.select(
-        "media_id",
-        F.expr(
-            f"transform(sequence(0, {_FFT_N - 1}), i -> named_struct("
-            f"'re', element_at(s, CAST(element_at({br}, i+1) + 1 AS INT)),"
-            f"'im', CAST(0 AS BIGINT)))"
-        ).alias("x"),
-    )
-    for t in range(1, _FFT_BITS + 1):
-        x = x.select("media_id", F.expr(_spark_stage_expr(t)).alias("x"))
-    pows = x.select(
-        "media_id",
-        F.expr(
-            f"transform(sequence(1, {_FFT_N // 2}), k -> named_struct("
-            f"'k', k,"
-            f"'p', element_at(x, k+1).re * element_at(x, k+1).re"
-            f" + element_at(x, k+1).im * element_at(x, k+1).im))"
-        ).alias("pows"),
-    ).withColumn("maxp", F.expr("array_max(transform(pows, e -> e.p))"))
-    return pows.select(
-        "media_id",
-        F.lit(_FFT_N // 2).cast("int").alias("n_bins"),
-        F.expr("array_min(transform(filter(pows, e -> e.p = maxp), e -> e.k))")
-        .cast("int")
-        .alias("dominant_bin"),
-        F.col("maxp").cast("long").alias("dominant_power"),
-        F.expr(
-            f"aggregate(pows, CAST(0 AS BIGINT),"
-            f" (a, e) -> a + CASE WHEN e.k <= {_FFT_N // 8} THEN e.p"
-            f" ELSE CAST(0 AS BIGINT) END)"
-        ).alias("low_band_power"),
-        F.expr("aggregate(pows, CAST(0 AS BIGINT), (a, e) -> a + e.p)").alias(
-            "total_power"
-        ),
-    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            decoded_rows = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                idx = np.arange(_FFT_N, dtype=np.int64)
+                s = ((mid % 99991) * 7321 + idx * 269 + 17) % 65536 - 32768
+                payload = encode_flac(
+                    s.astype(np.int16), 8000, block_size=_FLAC_BLOCK
+                )
+                decoded, _rate, _nch = decode_audio_samples(payload)
+                decoded_rows.append(np.asarray(decoded, dtype=np.int64))
+            yield fft_feature_frame(
+                pdf["doc_id"].to_numpy(), np.stack(decoded_rows)
+            )
+
+    return docs.select("doc_id").mapInPandas(run, FFT_FEATURES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -774,30 +731,6 @@ def multimodal_video_frame_track(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VAD_BASE = "((media_id % 99991) * 6577 + idx * 97 + 29) % 65536 - 32768"
 
 
-def _vad_sample_arrays(docs: DataFrame) -> DataFrame:
-    """(media_id, s[256]): amplitude-modulated LCG clips through the
-    REAL WAV byte round trip (same codec lineage as the verified STFT
-    query). Arrow-batched, no shuffle."""
-    import numpy as np
-
-    from ..operators.multimodal import decode_wav_samples, encode_wav
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for mid in pdf["doc_id"]:
-                mid = int(mid)
-                idx = np.arange(_STFT_CLIP, dtype=np.int64)
-                base = ((mid % 99991) * 6577 + idx * 97 + 29) % 65536 - 32768
-                s = np.where((idx >> 6) % 2 == 1, base >> 5, base)
-                payload = encode_wav(s.astype(np.int16), 8000)
-                decoded, _rate, _nch = decode_wav_samples(payload)
-                out.append([int(v) for v in decoded])
-            yield pd.DataFrame({"media_id": pdf["doc_id"], "s": out})
-
-    return docs.select("doc_id").mapInPandas(run, _SAMPLES_SCHEMA)
-
-
 def _vad_oracle() -> str:
     br = _duck_list_sql(_FFT_BITREV)
     hann = _duck_list_sql(_STFT_HANN)
@@ -876,60 +809,86 @@ def multimodal_vad_speech_segments(spark: SparkSession, sf_dir: str) -> DataFram
     active frames into segments (the classic frame - row_number() run
     trick). Emits per segment: start/end frame, length, total energy —
     all exact BIGINTs, cross-engine bit-exact under the r12 determinism
-    contract. Plan: the decode/FFT stages stay a pure map; the gate and
-    run windows hash-exchange on media_id over a 7-row-per-clip grain —
-    the cheapest possible shuffle, and the same shape a production VAD
-    over hour-long audio would use (frames of one clip co-partition)."""
+    contract.
+
+    Plan (r13, guide §4.2/§2.4): every frame of a clip lives in the
+    clip's own source row, so the gate and run-grouping are per-clip
+    LOCAL — the query is now ONE Arrow-batched map (codec round trip +
+    batch FFT + frame gating + run segmentation, all vectorized numpy)
+    with ZERO exchanges; the former two media_id window exchanges only
+    re-grouped rows that were already co-resident. Values unchanged
+    (exact int64 throughout, preflight-exact)."""
+    import numpy as np
+
+    from ..operators.multimodal import decode_wav_samples, encode_wav
+
     docs = table(spark, sf_dir, "documents")
-    samp = _vad_sample_arrays(docs)
-    br = _long_array_sql(_FFT_BITREV)
-    hann = _long_array_sql(_STFT_HANN)
-    frames = samp.select(
-        "media_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {_STFT_FRAMES - 1}),"
-                f" f -> slice(s, f * {_STFT_HOP} + 1, {_FFT_N}))"
+    hann = None  # built lazily executor-side
+    gather = None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nonlocal hann, gather
+        if hann is None:
+            hann = np.asarray(_STFT_HANN, dtype=np.int64)
+            gather = (
+                np.arange(_STFT_FRAMES, dtype=np.intp)[:, None] * _STFT_HOP
+                + np.arange(_FFT_N, dtype=np.intp)[None, :]
             )
-        ).alias("frame", "fs"),
-    ).select("media_id", F.col("frame").cast("long").alias("frame"), "fs")
-    x = frames.select(
-        "media_id",
-        "frame",
-        F.expr(
-            f"transform(sequence(0, {_FFT_N - 1}), i -> named_struct("
-            f"'re', shiftright("
-            f"element_at(fs, CAST(element_at({br}, i+1) + 1 AS INT))"
-            f" * element_at({hann}, CAST(element_at({br}, i+1) + 1 AS INT)),"
-            f" {_FFT_SCALE_BITS}),"
-            f"'im', CAST(0 AS BIGINT)))"
-        ).alias("x"),
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            decoded_rows = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                idx = np.arange(_STFT_CLIP, dtype=np.int64)
+                base = ((mid % 99991) * 6577 + idx * 97 + 29) % 65536 - 32768
+                s = np.where((idx >> 6) % 2 == 1, base >> 5, base)
+                payload = encode_wav(s.astype(np.int16), 8000)
+                decoded, _rate, _nch = decode_wav_samples(payload)
+                decoded_rows.append(np.asarray(decoded, dtype=np.int64))
+            m = len(decoded_rows)
+            clips = np.stack(decoded_rows)  # (m, 256)
+            windowed = ((clips[:, gather] * hann) >> _FFT_SCALE_BITS).reshape(
+                m * _STFT_FRAMES, _FFT_N
+            )
+            fp = fft_power_bins(windowed).sum(axis=1).reshape(m, _STFT_FRAMES)
+            active = fp * _STFT_FRAMES > fp.sum(axis=1, keepdims=True)
+            mids, starts, ends, counts, powers = [], [], [], [], []
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            for r in range(m):
+                f = 0
+                row_active = active[r]
+                while f < _STFT_FRAMES:
+                    if not row_active[f]:
+                        f += 1
+                        continue
+                    start = f
+                    while f < _STFT_FRAMES and row_active[f]:
+                        f += 1
+                    mids.append(doc_ids[r])
+                    starts.append(start)
+                    ends.append(f - 1)
+                    counts.append(f - start)
+                    powers.append(int(fp[r, start:f].sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": np.asarray(mids, dtype=np.int64),
+                    "seg_start": np.asarray(starts, dtype=np.int32),
+                    "seg_end": np.asarray(ends, dtype=np.int32),
+                    "n_frames": np.asarray(counts, dtype=np.int64),
+                    "seg_power": np.asarray(powers, dtype=np.int64),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("seg_start", T.IntegerType()),
+                T.StructField("seg_end", T.IntegerType()),
+                T.StructField("n_frames", T.LongType()),
+                T.StructField("seg_power", T.LongType()),
+            ]
+        ),
     )
-    for t in range(1, _FFT_BITS + 1):
-        x = x.select("media_id", "frame", F.expr(_spark_stage_expr(t)).alias("x"))
-    fpow = x.select(
-        "media_id",
-        "frame",
-        F.expr(
-            f"aggregate(transform(sequence(1, {_FFT_N // 2}), k ->"
-            f" element_at(x, k+1).re * element_at(x, k+1).re"
-            f" + element_at(x, k+1).im * element_at(x, k+1).im),"
-            f" CAST(0 AS BIGINT), (a, p) -> a + p)"
-        ).alias("fp"),
-    )
-    w_media = Window.partitionBy("media_id")
-    act = (
-        fpow.withColumn("tp", F.sum("fp").over(w_media))
-        .filter(F.col("fp") * _STFT_FRAMES > F.col("tp"))
-        .drop("tp")
-    )
-    w_run = Window.partitionBy("media_id").orderBy("frame")
-    runs = act.withColumn(
-        "grp", F.col("frame") - F.row_number().over(w_run)
-    )
-    return runs.groupBy("media_id", "grp").agg(
-        F.min("frame").cast("int").alias("seg_start"),
-        F.max("frame").cast("int").alias("seg_end"),
-        F.count(F.lit(1)).alias("n_frames"),
-        F.sum("fp").alias("seg_power"),
-    ).drop("grp")

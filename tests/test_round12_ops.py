@@ -158,3 +158,29 @@ def test_stft_plan_has_no_aggregation_exchange(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_batch_fft_matches_scalar_reference():
+    # r13: the butterflies moved from Catalyst HOF projections into a
+    # vectorized numpy implementation inside the decode's Arrow boundary
+    # (guide §4.2). The batch form must reproduce the scalar reference
+    # bit for bit — including negative inputs, whose >> must floor.
+    import numpy as np
+
+    from citibike_deep_dive_spark.plans.round12 import (
+        fft_fixed_point_batch,
+        fft_power_bins,
+    )
+
+    rng = np.random.RandomState(12345)
+    batch = rng.randint(-32768, 32768, size=(64, _FFT_N)).astype(np.int64)
+    batch[0] = [32767 if i % 2 == 0 else -32768 for i in range(_FFT_N)]
+    re, im = fft_fixed_point_batch(batch)
+    pows = fft_power_bins(batch)
+    for r in range(batch.shape[0]):
+        ref = fft_fixed_point([int(v) for v in batch[r]])
+        for i in range(_FFT_N):
+            assert (int(re[r][i]), int(im[r][i])) == ref[i], (r, i)
+        for k in range(1, _FFT_N // 2 + 1):
+            want = ref[k][0] ** 2 + ref[k][1] ** 2
+            assert int(pows[r][k - 1]) == want, (r, k)
