@@ -167,59 +167,77 @@ def cdc_gear_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every SF — verified); multibyte corpora would chunk over bytes
     (cast to binary) instead, same plan.
 
-    Distributed shape: one char explode (linear, 1 row per char); ALL
-    rolling-hash lags share one Window partitioned by doc_id (a single
-    exchange); the chunk_no cumulative cut reuses that same
-    doc-clustered distribution, and the (doc_id, chunk_no) content
-    groupBy reuses hash(doc_id) clustering — no second exchange; the
-    cross-corpus hash group is the only other shuffle (and ships one
-    16-byte digest per chunk, not the chunk text); top-20 is
-    TakeOrderedAndProject. Per-doc windows are the parallel grain at
-    100 TB — docs are bounded, and real deployments chunk at KB-MB
-    target sizes with the identical plan."""
+    Distributed shape (r13, guide §4.2/§8): chunking is a pure function
+    of one document's text, so the char explode + 31-lag rolling-hash
+    Window + collect_list reconstruction (which hash-exchanged a
+    ~5-column row PER CHARACTER of the corpus — a multi-byte-per-byte
+    shuffle blowup at 100 TB) are replaced by ONE Arrow-batched map
+    that emits (doc_id, chunk_len, chunk_hash) per chunk: the gear
+    rolling hash is a 31-tap integer convolution (numpy int64, exact —
+    max term sum 65535*(2^31-1) ~ 1.4e14), boundaries and md5s computed
+    doc-locally. Only 16-byte digests ever reach an exchange (the
+    cross-corpus hash group); top-20 is TakeOrderedAndProject.
+    sf0.1 A/B in OPTIMIZATION_r13.md; values preflight-exact."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
     docs = table(spark, sf_dir, "documents")
-    chars = (
-        docs.select(
-            "doc_id",
-            F.posexplode(F.split("text", "")).alias("pos", "c"),
-        )
-        # empty docs: Spark split('','') yields [''], DuckDB's
-        # generate_series(1,0) yields nothing — drop the phantom char
-        .filter(F.col("c") != "")
-        .select("doc_id", "pos", "c", F.ascii("c").cast("long").alias("a"))
-    )
-    gear = chars.withColumn("gv", (F.col("a") * F.lit(_GEAR_MULT)) % 65536)
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    h = F.col("gv")
-    for d in range(1, _GEAR_WINDOW):
-        h = h + F.coalesce(F.lag("gv", d).over(w_doc), F.lit(0)) * (1 << d)
-    hashed = gear.withColumn("h", h % _GEAR_MOD)
-    cut = hashed.withColumn(
-        "chunk_no",
-        F.coalesce(
-            F.sum(F.when(F.col("h") % _CDC_MASK == 0, 1).otherwise(0)).over(
-                w_doc.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
+    weights = None  # built lazily executor-side
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nonlocal weights
+        if weights is None:
+            weights = 1 << np.arange(_GEAR_WINDOW, dtype=np.int64)
+        for pdf in batches:
+            ids: list[int] = []
+            lens: list[int] = []
+            hashes: list[str] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if not text:
+                    continue  # null/empty: generate_series(1,0) emits nothing
+                n = len(text)
+                # codepoints, exactly F.ascii's semantics for any input
+                cp = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                gv = (cp * _GEAR_MULT) % 65536
+                # h[i] = sum_{d=0..30} gv[i-d] * 2^d  (missing -> 0),
+                # i.e. the unrolled lag() weighted sum, as a convolution
+                h = np.convolve(gv, weights)[:n] % _GEAR_MOD
+                bounds = (np.flatnonzero(h % _CDC_MASK == 0) + 1).tolist()
+                if not bounds or bounds[-1] != n:
+                    bounds.append(n)
+                did = int(did)
+                start = 0
+                for b in bounds:
+                    ids.append(did)
+                    lens.append(b - start)
+                    hashes.append(
+                        hashlib.md5(text[start:b].encode("utf-8")).hexdigest()
+                    )
+                    start = b
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "chunk_len": pd.array(lens, dtype="int64"),
+                    "chunk_hash": hashes,
+                }
+            )
+
+    chunks = docs.select("doc_id", "text").mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("chunk_len", T.LongType()),
+                T.StructField("chunk_hash", T.StringType()),
+            ]
         ),
-    )
-    # chunk identity = md5 over the RECONSTRUCTED chunk content (ADVICE
-    # r11: the old (len, sum(a*rn), sum(a*rn^2)) polynomial moments were
-    # a low-entropy signature that could both collide across distinct
-    # chunks AND silently wrap int64 on a boundary-free degenerate
-    # document; a 128-bit content hash has neither failure mode and
-    # needs no max-chunk-length guard). collect_list(struct(pos, c)) +
-    # array_sort is the order-preserving reconstruction — pos is unique
-    # within a doc, so the struct sort is total.
-    chunk_str = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ),
-        "",
-    )
-    chunks = cut.groupBy("doc_id", "chunk_no").agg(
-        F.count("*").cast("long").alias("chunk_len"),
-        F.md5(chunk_str.cast("binary")).alias("chunk_hash"),
     )
     sigs = chunks.groupBy("chunk_len", "chunk_hash").agg(
         F.count("*").cast("long").alias("n_copies"),
