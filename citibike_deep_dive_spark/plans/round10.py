@@ -57,6 +57,29 @@ _MEDIA_SCHEMA = T.StructType(
 )
 
 
+def png_pixels_for(mid: int):
+    """(h, w, 3) uint8 LCG pixel plane for one media id — the single
+    definition both the payload synthesizer and the fused phash
+    decode+DCT map (round10d) share."""
+    import numpy as np
+
+    w = mid % _PNG_W_MOD + 1
+    h = mid % _PNG_H_MOD + 1
+    idx = np.arange(h * w, dtype=np.int64)
+    return (
+        np.stack(
+            [
+                ((((mid % 100003) * 8191 + idx * 131 + c * 31 + 19) % 65536)
+                 * 25173 + 13849) % 65536 % 256
+                for c in (0, 1, 2)
+            ],
+            axis=1,
+        )
+        .astype(np.uint8)
+        .reshape(h, w, 3)
+    )
+
+
 def synthesize_png_media(docs: DataFrame) -> DataFrame:
     """(media_id, payload): one REAL PNG file per document — LCG pixels
     through the stdlib-zlib ``encode_png`` writer (filter type y % 5
@@ -69,21 +92,9 @@ def synthesize_png_media(docs: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for mid in pdf["doc_id"]:
-                mid = int(mid)
-                w = mid % _PNG_W_MOD + 1
-                h = mid % _PNG_H_MOD + 1
-                idx = np.arange(h * w, dtype=np.int64)
-                px = np.stack(
-                    [
-                        ((((mid % 100003) * 8191 + idx * 131 + c * 31 + 19) % 65536)
-                         * 25173 + 13849) % 65536 % 256
-                        for c in (0, 1, 2)
-                    ],
-                    axis=1,
-                ).astype(np.uint8).reshape(h, w, 3)
-                payloads.append(encode_png(px))
+            payloads = [
+                encode_png(png_pixels_for(int(mid))) for mid in pdf["doc_id"]
+            ]
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(run, _MEDIA_SCHEMA)

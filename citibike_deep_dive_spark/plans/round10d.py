@@ -38,9 +38,10 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .catalog import register, table
-from .round10 import _PNG_H_MOD, _PNG_W_MOD, synthesize_png_media
+from .round10 import _PNG_H_MOD, _PNG_W_MOD, png_pixels_for
 
 _PI = repr(math.pi)
 
@@ -139,84 +140,78 @@ def multimodal_image_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFram
     production variant. The oracle recomputes everything from the pixel
     formula, so a matching hash proves decode + DCT + sign-pack
     end to end."""
-    from ..operators.multimodal import png_pixel_rows
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_png_pixels, encode_png
 
     docs = table(spark, sf_dir, "documents")
-    px = png_pixel_rows(synthesize_png_media(docs))
-    uv = px.select(
-        "media_id",
-        "w",
-        "h",
-        "x",
-        "y",
-        "lum",
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, w - 1), "
-                "u -> transform(sequence(0, h - 1), v -> struct(u, v))))"
+
+    # r13 (guide §4.2/§2.4): the (w*h)^2 term fan-out ran as a pixel
+    # explode -> two broadcast joins -> coefficient exchange -> hash
+    # exchange -> dims join; every arithmetic step is exact int64, so
+    # the whole per-image DCT is now one numpy matrix product inside
+    # the decode's own Arrow boundary (coeff = Qw^T @ L @ Qh, max |t|
+    # sum ~4.6e16 — far inside int64), and the ONLY remaining exchange
+    # is the cross-image phash bucket-count window. The real
+    # encode_png -> decode_png_pixels byte round trip is unchanged —
+    # the query still proves the codec chain, preflight-exact.
+    q_by_size: dict[int, object] = {}
+
+    def _q(s: int):
+        m = q_by_size.get(s)
+        if m is None:
+            m = np.zeros((s, s), dtype=np.int64)
+            for s_, c, f, qv in _DCT_ROWS:
+                if s_ == s:
+                    m[c, f] = qv
+            q_by_size[s] = m
+        return m
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, widths, heights, phashes = [], [], [], []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w = mid % _PNG_W_MOD + 1
+                h = mid % _PNG_H_MOD + 1
+                decoded = decode_png_pixels(encode_png(png_pixels_for(mid)))
+                if decoded is None:
+                    continue
+                flat = decoded.reshape(-1, 3).astype(np.int64)
+                lum = flat[:, 0] + 2 * flat[:, 1] + 3 * flat[:, 2]
+                # L[x, y] with x = idx % w, y = idx // w
+                L = lum.reshape(h, w).T
+                coeff = _q(w).T @ L @ _q(h)  # [u, v], exact int64
+                bits = np.flatnonzero((coeff > 0).T.reshape(-1))  # v*w+u
+                bits = bits[bits != 0]  # DC (u=0,v=0) dropped by design:
+                # it only encodes brightness; 1x1 images land at phash=0
+                phash = int(np.sum(np.left_shift(np.int64(1), bits)))
+                mids.append(mid)
+                widths.append(w)
+                heights.append(h)
+                phashes.append(phash)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(mids, dtype="int64"),
+                    "width": pd.array(widths, dtype="int32"),
+                    "height": pd.array(heights, dtype="int32"),
+                    "phash": pd.array(phashes, dtype="int64"),
+                }
             )
-        ).alias("uvs"),
-    ).select(
-        "media_id",
-        "w",
-        "h",
-        "x",
-        "y",
-        "lum",
-        F.col("uvs.u").alias("u"),
-        F.col("uvs.v").alias("v"),
-    )
-    # literal DCT factor dimension, broadcast twice (width/height axes)
-    fac = spark.createDataFrame(_DCT_ROWS, "s long, c long, f long, q long")
-    fw = fac.select(
-        F.col("s").alias("w"), F.col("c").alias("x"), F.col("f").alias("u"),
-        F.col("q").alias("qx"),
-    )
-    fh = fac.select(
-        F.col("s").alias("h"), F.col("c").alias("y"), F.col("f").alias("v"),
-        F.col("q").alias("qy"),
-    )
-    uv = (
-        uv.join(F.broadcast(fw), ["w", "x", "u"])
-        .join(F.broadcast(fh), ["h", "y", "v"])
-        .select(
-            "media_id",
-            "w",
-            "h",
-            "u",
-            "v",
-            (F.col("lum") * F.col("qx") * F.col("qy")).alias("t"),
-        )
-    )
-    coeff = uv.groupBy("media_id", "w", "h", "u", "v").agg(
-        F.sum("t").alias("c")
-    )
-    ph = (
-        coeff.filter(~((F.col("u") == 0) & (F.col("v") == 0)))
-        .groupBy("media_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("c") > 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(v * w + u AS INT))"),
-                ).otherwise(F.lit(0).cast("long"))
-            )
-            .cast("long")
-            .alias("phash"),
-        )
-    )
-    # Output stays at MEDIA grain: 1x1 images have only the DC
-    # coefficient (dropped by design — it encodes brightness alone), so
-    # left-join back to the decoded dims and emit phash=0 for them
-    # rather than silently dropping the rows (they form the degenerate
-    # "no structure" bucket, exactly how production pHash treats
-    # constant images).
-    dims = px.groupBy("media_id").agg(
-        F.max("w").cast("int").alias("width"),
-        F.max("h").cast("int").alias("height"),
-    )
-    full = dims.join(ph, "media_id", "left").withColumn(
-        "phash", F.coalesce("phash", F.lit(0).cast("long"))
+
+    full = docs.select("doc_id").mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+                T.StructField("phash", T.LongType()),
+            ]
+        ),
     )
     return full.select(
         "media_id",
