@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.fanout import fan_out
 from .catalog import register, table
 
 _PNG_W_MOD = 6
@@ -149,7 +150,7 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     output collection."""
     from ..operators.multimodal import png_channel_stats
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id"))
     return png_channel_stats(synthesize_png_media(docs))
 
 

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .catalog import register, table
+from ..operators.fanout import fan_out
 from .round10 import _PNG_H_MOD, _PNG_W_MOD, png_pixels_for
 
 _PI = repr(math.pi)
@@ -147,7 +148,7 @@ def multimodal_image_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFram
 
     from ..operators.multimodal import decode_png_pixels, encode_png
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id"))
 
     # r13 (guide §4.2/§2.4): the (w*h)^2 term fan-out ran as a pixel
     # explode -> two broadcast joins -> coefficient exchange -> hash

@@ -186,7 +186,9 @@ def cdc_gear_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    docs = table(spark, sf_dir, "documents")
+    from ..operators.fanout import fan_out
+
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
     weights = None  # built lazily executor-side
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

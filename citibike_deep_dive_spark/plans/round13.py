@@ -47,6 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from ..operators.fanout import fan_out
 from .catalog import register, table
 from .round12 import (
     FFT_FEATURES_SCHEMA,
@@ -166,7 +167,7 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-fatal. Pure map, zero exchanges."""
     from ..operators.multimodal import gif_channel_stats
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id"))
     return gif_channel_stats(synthesize_gif_media(docs))
 
 
@@ -257,7 +258,7 @@ def multimodal_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly through the distributed path. Pure map, zero exchanges."""
     from ..operators.multimodal import tiff_channel_stats
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id"))
     return tiff_channel_stats(synthesize_tiff_media(docs))
 
 
@@ -343,7 +344,7 @@ def multimodal_flac_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample-order bugs hash-fatal. Pure map, zero exchanges."""
     from ..operators.multimodal import wav_audio_stats
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id"))
     return wav_audio_stats(synthesize_flac_media(docs))
 
 
@@ -412,7 +413,7 @@ def multimodal_flac_fft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.codecs import encode_flac
     from ..operators.multimodal import decode_audio_samples
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -542,7 +543,7 @@ def multimodal_g711_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     map, zero exchanges."""
     from ..operators.multimodal import wav_audio_stats
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id"))
     return wav_audio_stats(synthesize_g711_media(docs))
 
 
@@ -619,7 +620,9 @@ def multimodal_au_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw 16-bit BE PCM payload is the classic Unix/Java telephony
     container; lossless, so the oracle recomputes from the formula. The
     sign-sensitive ``poschk`` makes an endianness slip (the whole point
-    of the BE path) hash-fatal. Pure map, zero exchanges."""
+    of the BE path) hash-fatal. Pure map, zero exchanges (no fan_out:
+    PCM decode is trivial per row — the round-robin exchange measured
+    net-negative, 0.59 -> 0.66 s at sf0.1)."""
     from ..operators.multimodal import wav_audio_stats
 
     docs = table(spark, sf_dir, "documents")
@@ -712,7 +715,7 @@ def multimodal_video_frame_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode DROPS its row (rows_match catches it). Pure map."""
     from ..operators.multimodal import video_frame_stats
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id"))
     stats = video_frame_stats(synthesize_avi_media(docs), every_ms=_VID_EVERY_MS)
     return stats.select(
         "media_id", "frame_idx", "frame_ts_ms", "fps", "width", "height"
@@ -822,7 +825,7 @@ def multimodal_vad_speech_segments(spark: SparkSession, sf_dir: str) -> DataFram
 
     from ..operators.multimodal import decode_wav_samples, encode_wav
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id"))
     hann = None  # built lazily executor-side
     gather = None
 
