@@ -363,86 +363,95 @@ def multimodal_wav_spectral_features(spark: SparkSession, sf_dir: str) -> DataFr
     media_id. O(n log n) FFT would beat the O(n^2) DFT per clip at real
     clip lengths — the demo keeps the SQL-reproducible form; the
     decode->explode->agg plumbing is identical either way."""
-    from ..operators.multimodal import wav_sample_rows
+    from decimal import ROUND_HALF_UP, Decimal
 
-    docs = table(spark, sf_dir, "documents")
-    samp = wav_sample_rows(synthesize_wav_media(docs))
-    # Angle reduction: cos(2*pi*k*idx/n) = cos(2*pi*j/n) with
-    # j = (k*idx) mod n, so the trig surface is a TINY dimension
-    # broadcast to the hot n^2-term fan-out (one integer mod + hash
-    # lookup + integer multiply per term). Since r12 the dimension is
-    # literal build-time data shared verbatim with the oracle's VALUES
-    # — zero engine libm calls remain in the plan.
-    trig = spark.createDataFrame(
-        _TRIG_ROWS, "n long, j long, qc long, qs long"
-    )
-    terms = (
-        samp.select(
-            "media_id",
-            "n",
-            "s",
-            "idx",
-            F.explode(F.expr("sequence(1, CAST(n div 2 AS INT))")).alias("k"),
-        )
-        .withColumn("j", (F.col("k") * F.col("idx")) % F.col("n"))
-        .join(F.broadcast(trig), ["n", "j"])
-        .select(
-            "media_id",
-            "n",
-            "k",
-            (F.col("s") * F.col("qc")).alias("tc"),
-            (F.col("s") * F.col("qs")).alias("ts"),
-        )
-    )
-    bins = terms.groupBy("media_id", "n", "k").agg(
-        F.sum("tc").alias("re"), F.sum("ts").alias("im")
-    )
-    dre = F.col("re").cast("decimal(38,0)")
-    dim = F.col("im").cast("decimal(38,0)")
-    binsp = bins.select(
-        "media_id",
-        "n",
-        "k",
-        (dre * F.col("re") + dim * F.col("im")).alias("p"),
-    )
-    wmax = binsp.withColumn(
-        "pmax", F.max("p").over(Window.partitionBy("media_id"))
-    )
-    tot = F.sum("p")
-    return wmax.groupBy("media_id").agg(
-        F.count("*").cast("int").alias("n_bins"),
-        F.when(
-            tot > 0,
-            F.round(
-                F.sum(F.col("k") * F.col("p")).cast("double")
-                / tot.cast("double")
-                * 1000000.0,
-                0,
-            ).cast("long"),
-        )
-        .otherwise(F.lit(0).cast("long"))
-        .alias("spectral_centroid_micro"),
-        F.min(F.when(F.col("p") == F.col("pmax"), F.col("k")))
-        .cast("int")
-        .alias("dominant_bin"),
-        # r12: raw exact integer power as digit string (decimal(38,0)
-        # exceeds int64; ln — the function the heaps probe CONVICTED as
-        # cross-build divergent — left the hashed surface; consumers
-        # take log driver-side)
-        F.max("p").cast("string").alias("dominant_power_str"),
-        F.when(
-            tot > 0,
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("k") <= F.expr("n div 8"), F.col("p")
-                    ).otherwise(F.lit(0))
-                ).cast("double")
-                / tot.cast("double")
-                * 1000000.0,
-                0,
-            ).cast("long"),
-        )
-        .otherwise(F.lit(0).cast("long"))
-        .alias("low_band_ratio_micro"),
+    import numpy as np
+
+    from ..operators.multimodal import decode_wav_samples, encode_wav
+
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id"))
+
+    # r13 (guide §2.4/§8): the DFT is clip-local, so the former
+    # n^2/2-term-row explode -> broadcast trig join -> bin-sum exchange
+    # -> media window -> final agg (three exchanges of term/bin rows
+    # that grow with clip length) now runs inside the decode's own
+    # Arrow map. Bin sums are vectorized exact int64 (|sum| <= 2.3e12);
+    # squares and the feature sums use Python big ints (p <= ~5.3e24 —
+    # the decimal(38,0)/HUGEINT range), and the two micro-ratios
+    # reproduce Spark's round() exactly: IEEE divide over
+    # correctly-rounded int->double casts, then HALF_UP quantization of
+    # the shortest faithful repr (Double.toString semantics — faithful
+    # reprs cannot straddle a .5 boundary, see OPTIMIZATION_r13.md).
+    # The trig table is the SAME build-time literal _TRIG_ROWS data.
+    qc_by_n: dict[int, object] = {}
+    qs_by_n: dict[int, object] = {}
+
+    def _tables(n: int):
+        if n not in qc_by_n:
+            qc = np.zeros(n, dtype=np.int64)
+            qs = np.zeros(n, dtype=np.int64)
+            for n_, j, c, s in _TRIG_ROWS:
+                if n_ == n:
+                    qc[j] = c
+                    qs[j] = s
+            qc_by_n[n] = qc
+            qs_by_n[n] = qs
+        return qc_by_n[n], qs_by_n[n]
+
+    def _round_micro(num: int, den: int) -> int:
+        # CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6, HALF_UP
+        x = float(num) / float(den) * 1000000.0
+        return int(Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+    def run(batches):
+        for pdf in batches:
+            mids, nbins, cents, doms, pows, lows = [], [], [], [], [], []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                n = mid % _WAV_N_MOD + _WAV_N_BASE
+                rate = 8000 * (mid % _WAV_RATE_MOD + 1)
+                idx = np.arange(n, dtype=np.int64)
+                raw = ((mid % 99991) * 6007 + idx * 193 + 11) % 65536 - 32768
+                payload = encode_wav(raw.astype(np.int16), rate)
+                decoded, _rate, _nch = decode_wav_samples(payload)
+                s = np.asarray(decoded, dtype=np.int64)
+                qc, qs = _tables(n)
+                ks = np.arange(1, n // 2 + 1, dtype=np.int64)
+                j = (ks[:, None] * idx[None, :]) % n
+                re = (s[None, :] * qc[j]).sum(axis=1)  # exact int64
+                im = (s[None, :] * qs[j]).sum(axis=1)
+                p = [int(r) * int(r) + int(i) * int(i) for r, i in zip(re, im)]
+                maxp = max(p)
+                tot = sum(p)
+                kp = sum(int(k) * v for k, v in zip(ks, p))
+                low = sum(v for k, v in zip(ks, p) if k <= n // 8)
+                mids.append(mid)
+                nbins.append(n // 2)
+                cents.append(_round_micro(kp, tot) if tot > 0 else 0)
+                doms.append(int(ks[p.index(maxp)]))
+                pows.append(str(maxp))
+                lows.append(_round_micro(low, tot) if tot > 0 else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(mids, dtype="int64"),
+                    "n_bins": pd.array(nbins, dtype="int32"),
+                    "spectral_centroid_micro": pd.array(cents, dtype="int64"),
+                    "dominant_bin": pd.array(doms, dtype="int32"),
+                    "dominant_power_str": pows,
+                    "low_band_ratio_micro": pd.array(lows, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("n_bins", T.IntegerType()),
+                T.StructField("spectral_centroid_micro", T.LongType()),
+                T.StructField("dominant_bin", T.IntegerType()),
+                T.StructField("dominant_power_str", T.StringType()),
+                T.StructField("low_band_ratio_micro", T.LongType()),
+            ]
+        ),
     )
