@@ -207,34 +207,79 @@ def margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced by an ANN
     shortlist (ann_ivfpq_rerank_exact) feeding the SAME margin/mutual
     plan — the normalization and mutual-best logic is shortlist-local."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
     emb = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
-    dot = F.aggregate(
-        F.zip_with("xv", "yv", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-    def norm(c):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(c, lambda t: t * t), F.lit(0.0), lambda acc, v: acc + v
-            )
-        )
-
     x = emb.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("src_id"), F.col("v").alias("xv")
     )
     y = emb.filter(F.col("vec_id") % 2 == 1).select(
         F.col("vec_id").alias("tgt_id"), F.col("v").alias("yv")
     )
-    cos_i = F.round(dot / (norm(F.col("xv")) * norm(F.col("yv"))) * 10000, 0).cast(
-        "long"
+    # r13 (guide §4.2): the dense scoring block ran as interpreted
+    # zip_with/aggregate lambdas over the crossJoin — ~1 ms per 64-term
+    # dot product, 18.8 s to materialize the checkpoint at sf0.1. The
+    # odd side was ALREADY a JVM broadcast (crossJoin(F.broadcast));
+    # collecting the same bounded side (bitext corpora are
+    # per-language-pair shards) into a Python broadcast moves no more
+    # data, and the block scoring runs vectorized in numpy with the
+    # SAME IEEE operation order — the accumulation loops over
+    # dimensions exactly like the left fold (acc + x_j*y_j per step),
+    # norms likewise, sqrt/divide/multiply are single correctly-rounded
+    # IEEE ops — so every double is bit-identical and the engine-side
+    # round() sees the same values. cos_i stays a Spark-side round.
+    y_rows = y.collect()  # bounded: the broadcast side of the old plan
+    y_ids = np.asarray([r["tgt_id"] for r in y_rows], dtype=np.int64)
+    y_mat = np.asarray([r["yv"] for r in y_rows], dtype=np.float64)
+    ybc = spark.sparkContext.broadcast((y_ids, y_mat))
+
+    def run(batches):
+        import pandas as pd
+
+        ids, ymat = ybc.value
+        ny, dim = ymat.shape
+        ny_acc = np.zeros(ny)
+        for j in range(dim):
+            ny_acc = ny_acc + ymat[:, j] * ymat[:, j]
+        y_norm = np.sqrt(ny_acc)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["xv"]])
+            nx = X.shape[0]
+            acc = np.zeros((nx, ny))
+            nx_acc = np.zeros(nx)
+            for j in range(dim):
+                acc = acc + X[:, j, None] * ymat[None, :, j]
+                nx_acc = nx_acc + X[:, j] * X[:, j]
+            cos = acc / (np.sqrt(nx_acc)[:, None] * y_norm[None, :]) * 10000.0
+            yield pd.DataFrame(
+                {
+                    "src_id": np.repeat(pdf["src_id"].to_numpy(np.int64), ny),
+                    "tgt_id": np.tile(ids, nx),
+                    "c": cos.reshape(-1),
+                }
+            )
+
+    scored = x.mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("src_id", T.LongType()),
+                T.StructField("tgt_id", T.LongType()),
+                T.StructField("c", T.DoubleType()),
+            ]
+        ),
     )
     pairs = truncate_lineage(
-        x.crossJoin(F.broadcast(y)).select("src_id", "tgt_id", cos_i.alias("cos_i")),
+        scored.select(
+            "src_id", "tgt_id", F.round("c", 0).cast("long").alias("cos_i")
+        ),
         eager=False,
     )
     return _margin_from_pairs(pairs)
