@@ -237,36 +237,81 @@ def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     window pair), span unions (contiguity is guaranteed because
     consecutive marked positions <= 16 apart have overlapping or
     touching windows), and a long-division coverage ratio. Scale
-    shape: one linear gram explode (rows = chars, like CDC), with
-    grams HASHED TO 60-BIT LONGS map-side before anything shuffles —
-    the count groupBy and the repeated-position join move 8-byte keys,
-    not 16-char strings (the A/B at sf1 cut warm time ~3x; a false
-    repeat needs a 60-bit collision, ~n^2/2^61, and a second hash
-    window doubles the bits if a 100 TB corpus needs it); island
+    shape: gram hashing is DOC-LOCAL — one Arrow map (over a fanned-out
+    scan; fan_out is a no-op on well-split inputs) emits (doc_id, pos,
+    60-bit gram hash), so only 8-byte keys ever shuffle, never 16-char
+    strings (a false repeat needs a 60-bit collision, ~n^2/2^61, and a
+    second hash window doubles the bits if a 100 TB corpus needs it).
+    The r13 form replaced a Catalyst transform()/substring explode
+    (interpreted per element, ~us/gram in expression eval) plus a
+    vestigial checkpoint of the gram frame — the frame is consumed
+    exactly ONCE by the count window, so checkpointing it was a pure
+    write+read of rows-per-char at scale. The Python md5 window
+    reproduces portable_hash64 bit-exactly:
+    int(md5(utf8).hexdigest()[:15], 16) == conv(substring(md5(g),1,15),
+    16, 10) (same digest, same hex window, same base-16 parse). Island
     windows partition by doc_id; the final ranking is
     TakeOrderedAndProject. At 100 TB the gram count frame prunes to
     count>1 before the join — the overwhelmingly common unique grams
     never shuffle twice."""
+    import hashlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.fanout import fan_out
+
     docs = table(spark, sf_dir, "documents")
-    keyed = truncate_lineage(
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.when(
-                    F.length("text") >= _SPAN_L,
-                    F.expr(
-                        f"transform(sequence(1, length(text) - {_SPAN_L - 1}),"
-                        f" i -> struct(i AS pos,"
-                        f" substring(text, i, {_SPAN_L}) AS g))"
-                    ),
-                ).otherwise(F.array())
-            ).alias("pg"),
-        ).select(
-            "doc_id",
-            F.col("pg.pos").alias("pos"),
-            portable_hash64(F.col("pg.g")).alias("gh"),
+
+    def grams(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list[int] = []
+            poss: list[int] = []
+            ghs: list[int] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if not text:
+                    continue  # null/empty: the when() guard emits nothing
+                m = len(text) - _SPAN_L + 1
+                if m <= 0:
+                    continue  # shorter than one gram: otherwise(array())
+                did = int(did)
+                enc = text.encode("utf-8")
+                if len(enc) == len(text):  # ASCII: byte slice == char slice
+                    ghs.extend(
+                        int(md5(enc[i : i + _SPAN_L]).hexdigest()[:15], 16)
+                        for i in range(m)
+                    )
+                else:  # non-ASCII: slice code points, encode per gram
+                    ghs.extend(
+                        int(
+                            md5(
+                                text[i : i + _SPAN_L].encode("utf-8")
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        for i in range(m)
+                    )
+                ids.extend([did] * m)
+                poss.extend(range(1, m + 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "pos": pd.array(poss, dtype="int64"),
+                    "gh": pd.array(ghs, dtype="int64"),
+                }
+            )
+
+    keyed = fan_out(docs.select("doc_id", "text")).mapInPandas(
+        grams,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("pos", T.LongType()),
+                T.StructField("gh", T.LongType()),
+            ]
         ),
-        eager=False,
     )
     # repeated positions via ONE count-over-window on the hash key —
     # the groupBy+join-back form shuffled the gram frame twice (once to
