@@ -19,26 +19,21 @@ arithmetic up to ONE final division per order (micro-quantized on both
 engines), no logs, no exps — nothing for an engine version to round
 differently (the heaps_law lesson applied at the design stage).
 
-Distributed shape (100 TB read): char-n-gram explode is scan-parallel
-and linear (6x chars per doc); gram counts are map-side-combined
-groupBys at (doc, n, gram) grain; the hyp-ref overlap is an equi-join
-on (ref_doc, n, gram) — co-partitioned, never all-pairs; adjacent
-pairing is one lag window partitioned by source. Output is
-source-grain (bounded)."""
+Distributed shape (100 TB read): the clipped overlap o is a pure
+function of ONE pair's two texts, so it is computed pair-locally in an
+Arrow map over a lag(text) window partitioned by source — the corpus
+moves through exactly one exchange (twice: each text as hyp and as
+ref), never a corpus-wide gram frame. Output is source-grain
+(bounded)."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.lineage import truncate_lineage
 from .catalog import register, table
 
 _MAX_N = 6  # chrF standard: character n-grams of order 1..6
-
-# previously persisted gram frame, released on the next rebuild (see
-# the one-slot rebuild cache note in chrf_adjacent_doc_pairs)
-_LAST_GRAMS: DataFrame | None = None
 
 
 def _oracle() -> str:
@@ -118,134 +113,129 @@ def chrf_adjacent_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per order, integer floor-mean across orders and across pairs: no
     transcendental anywhere, version-proof by construction.
 
-    Scale shape: linear 6x-per-char gram explode (scan-parallel),
-    map-side-combined (doc, n, gram) counts, equi-join overlap on
-    (ref_doc, n, gram) — co-partitioned, never all-pairs; the adjacent
-    pairing is one lag window partitioned by source; output at bounded
+    Scale shape: the clipped overlap o is a pure function of one
+    pair's two texts, so it is computed PAIR-LOCALLY — a lag(text)
+    window partitioned by source pairs each doc with its predecessor,
+    and one Arrow map counts char n-grams of both sides and their
+    clipped intersection per order. The corpus crosses exactly one
+    exchange (each text twice: once as hyp, once as ref); per-task
+    memory is O(max doc length). The r13 form replaced a corpus-wide
+    (doc, n, gram)-grain frame (6x chars per doc) that was DISK_ONLY
+    persisted and sort-merge self-joined — ~12x corpus bytes through
+    three shuffles plus a CacheManager rebuild-cache global; all of
+    that machinery (and its 10x OOM hedges) is gone because nothing
+    bigger than a source partition's text stream is ever held or
+    shuffled. The final F_n division and its engine round() stay in
+    Spark SQL, bit-identical to the previous plan. Output at bounded
     source grain."""
-    from ..operators.fanout import fan_out
+    from typing import Iterator
 
-    # fan_out: the 6x-per-char gram explode is the dominant cost and
-    # must not inherit a single-file scan's one-task parallelism
-    # (no-op on well-split inputs — the 100 TB case)
-    docs = fan_out(table(spark, sf_dir, "documents")).select(
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.replace(F.lower("text"), F.lit(" "), F.lit("")).alias("c"),
     )
     w_src = Window.partitionBy("source").orderBy("doc_id")
-    # gram totals are length - n + 1, so the pair row carries both docs'
-    # char lengths and the totals never touch the gram frame
-    pairs = (
+    # pair rows are independent once formed, so the CPU-heavy gram
+    # counting runs after a round-robin repartition: the source window
+    # has bounded key cardinality (AQE coalesces its tiny local
+    # partitions to one task; at scale one giant source would pin one
+    # task), while round-robin pair rows distribute evenly at any
+    # scale — guide §2 skew handling, same reasoning as fan_out but on
+    # an already-shuffled frame
+    paired = (
         docs.select(
+            "source",
             F.col("doc_id").alias("hyp_id"),
             F.lag("doc_id").over(w_src).alias("ref_id"),
-            "source",
-            F.length("c").alias("len_h"),
-            F.lag(F.length("c")).over(w_src).alias("len_r"),
+            F.col("c").alias("ch"),
+            F.lag("c").over(w_src).alias("cr"),
         )
         .filter(F.col("ref_id").isNotNull())
+        .select("source", "hyp_id", "ch", "cr")  # project before the exchange
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    # gram counts at (doc, n, gram) grain; the sequence fan-out is
-    # guarded for docs shorter than n (sequence(1, 0) would step -1 —
-    # the ADVICE r9 boilerplate lesson)
-    orders = F.explode(
-        F.sequence(F.lit(1), F.lit(_MAX_N))
-    ).alias("n")
-    # DISK_ONLY persist, not a checkpoint: the gram-count frame is
-    # GRAM-grain (6x distinct n-grams per doc — the query's largest
-    # intermediate) and BOTH overlap-join sides read it. A
-    # localCheckpoint pins non-evictable blocks in the unified pool and
-    # starved the aggregate at 10x (AGGREGATE_OUT_OF_MEMORY, seen at
-    # sf1); plain recompute paid the explode twice (once per join
-    # side). DISK_ONLY materializes once, costs no execution memory,
-    # and both join branches reuse the same relation.
-    from pyspark import StorageLevel
 
-    # One-slot rebuild cache: the CacheManager holds persisted plans
-    # until an explicit unpersist, so repeated builds in a long-lived
-    # driver (sweeps, benches) would otherwise accumulate DISK_ONLY
-    # blocks. Each rebuild releases the previous round's frame (by
-    # then fully consumed — sweeps materialize each build before the
-    # next); a session restart makes the stale handle raise, which is
-    # safely ignored.
-    global _LAST_GRAMS
-    if _LAST_GRAMS is not None:
-        try:
-            _LAST_GRAMS.unpersist()
-        except Exception:
-            pass  # stale handle from a stopped session
-        _LAST_GRAMS = None
+    def overlaps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
 
-    grams = (
-        docs.select("doc_id", "c", orders)
-        .select(
-            "doc_id",
-            "n",
-            F.explode(
-                F.when(
-                    F.length("c") >= F.col("n"),
-                    F.expr("transform(sequence(1, length(c) - n + 1), "
-                           "i -> substring(c, i, n))"),
-                ).otherwise(F.array())
-            ).alias("g"),
-        )
-        .groupBy("doc_id", "n", "g")
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .persist(StorageLevel.DISK_ONLY)
-    )
-    _LAST_GRAMS = grams
-    # The gram-count frame is GRAM-grain (6x distinct n-grams per doc —
-    # the big side of every join here) and, being checkpoint-truncated,
-    # carries no size stats: without an explicit hint AQE's default
-    # estimate marks it broadcastable and the broadcast build OOMs at
-    # 10x; shuffle_hash OOMs too (its per-task hash relation cannot
-    # spill under 32 concurrent tasks). SORT-MERGE is the only
-    # spill-safe strategy for this big-big join — both keys are
-    # high-cardinality and co-partitionable, and at 100 TB this join
-    # would never fit a hash build anyway.
-    h = grams.select(
-        F.col("doc_id").alias("hyp_id"),
-        "n",
-        "g",
-        F.col("cnt").alias("hc"),
-    ).hint("merge")
-    r = grams.select(
-        F.col("doc_id").alias("ref_id"),
-        "n",
-        "g",
-        F.col("cnt").alias("rc"),
-    ).hint("merge")
-    overlap = (
-        pairs.join(h, "hyp_id")
-        .join(r, ["ref_id", "n", "g"])
-        .groupBy("hyp_id", "n")
-        .agg(F.sum(F.least("hc", "rc")).alias("o"))
+        def gram_counters(c: str) -> list[Counter]:
+            return [
+                Counter(c[i : i + n] for i in range(len(c) - n + 1))
+                for n in range(1, _MAX_N + 1)
+            ]
+
+        for pdf in batches:
+            srcs: list[str] = []
+            ids: list[int] = []
+            ns: list[int] = []
+            os_: list[int] = []
+            lh: list[object] = []
+            lr: list[object] = []
+            for src, hid, ch, cr in zip(
+                pdf["source"], pdf["hyp_id"], pdf["ch"], pdf["cr"]
+            ):
+                hid = int(hid)
+                hc = gram_counters(ch) if ch is not None else None
+                rc = gram_counters(cr) if cr is not None else None
+                len_h = len(ch) if ch is not None else None
+                len_r = len(cr) if cr is not None else None
+                for n in range(1, _MAX_N + 1):
+                    srcs.append(src)
+                    ids.append(hid)
+                    ns.append(n)
+                    os_.append(
+                        sum((hc[n - 1] & rc[n - 1]).values())
+                        if hc is not None and rc is not None
+                        else 0
+                    )
+                    lh.append(len_h)
+                    lr.append(len_r)
+            yield pd.DataFrame(
+                {
+                    "source": srcs,
+                    "hyp_id": pd.array(ids, dtype="int64"),
+                    "n": pd.array(ns, dtype="int64"),
+                    "o": pd.array(os_, dtype="int64"),
+                    "len_h": pd.array(lh, dtype="Int64"),
+                    "len_r": pd.array(lr, dtype="Int64"),
+                }
+            )
+
+    overlap = paired.mapInPandas(
+        overlaps,
+        T.StructType(
+            [
+                T.StructField("source", T.StringType()),
+                T.StructField("hyp_id", T.LongType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("o", T.LongType()),
+                T.StructField("len_h", T.LongType()),
+                T.StructField("len_r", T.LongType()),
+            ]
+        ),
     )
     th = F.greatest(F.col("len_h") - F.col("n") + 1, F.lit(0))
     tr = F.greatest(F.col("len_r") - F.col("n") + 1, F.lit(0))
-    per_order = (
-        pairs.select(
-            "*", F.explode(F.sequence(F.lit(1), F.lit(_MAX_N))).alias("n")
+    per_order = overlap.select(
+        "source",
+        "hyp_id",
+        "n",
+        F.when(
+            (4 * tr + th) > 0,
+            F.round(
+                F.lit(5.0)
+                * F.coalesce("o", F.lit(0))
+                * 1000000
+                / (4 * tr + th),
+                0,
+            ).cast("long"),
         )
-        .join(overlap, ["hyp_id", "n"], "left")
-        .select(
-            "source",
-            "hyp_id",
-            "n",
-            F.when(
-                (4 * tr + th) > 0,
-                F.round(
-                    F.lit(5.0)
-                    * F.coalesce("o", F.lit(0))
-                    * 1000000
-                    / (4 * tr + th),
-                    0,
-                ).cast("long"),
-            )
-            .otherwise(F.lit(0).cast("long"))
-            .alias("f_micro"),
-        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("f_micro"),
     )
     per_pair = (
         per_order.groupBy("source", "hyp_id")
