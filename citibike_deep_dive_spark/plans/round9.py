@@ -206,33 +206,91 @@ def triplet_semihard_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor, and the tiny positive frame broadcasts back onto the SAME
     pair stream for the semi-hard filter — two corpus scans total,
     nothing corpus-sized ever exchanges. 4dp-rounded cosines with
-    cand_id tiebreaks keep both rankings engine-exact."""
+    cand_id tiebreaks keep both rankings engine-exact.
+
+    r13 (guide §4.2, the margin_bitext pattern): the pair cosines ran
+    as interpreted zip_with/aggregate lambdas — and the pair frame is
+    consumed TWICE (pos and neg branches), so the interpreted scoring
+    ran twice. The bounded anchor side (already a JVM broadcast) now
+    also feeds a Python broadcast and the block scores vectorized in
+    numpy with the SAME IEEE operation order (accumulate over
+    dimensions exactly like the left fold, norms likewise, one
+    multiply then one divide — each a single correctly-rounded op), so
+    every double is bit-identical; cos_sim stays the engine-side
+    round(, 4)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
     emb = fan_out(table(spark, sf_dir, "embeddings")).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    from ..operators.similarity import _dot, _norm
-
-    anchors = (
+    a_rows = (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < _TRIPLET_ANCHORS)
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
-        .select(
-            F.col("vec_id").alias("anchor_id"),
-            F.col("label").alias("ql"),
-            F.col("embedding").alias("q_emb"),
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )  # bounded: the broadcast side of the old plan
+    a_ids = np.asarray([r["vec_id"] for r in a_rows], dtype=np.int64)
+    a_lbl = np.asarray([r["label"] for r in a_rows], dtype=np.int64)
+    a_mat = np.asarray([r["embedding"] for r in a_rows], dtype=np.float64)
+    abc = spark.sparkContext.broadcast((a_ids, a_lbl, a_mat))
+
+    def score(batches):
+        import pandas as pd
+
+        ids, lbl, amat = abc.value
+        na, dim = amat.shape
+        na_acc = np.zeros(na)
+        for j in range(dim):
+            na_acc = na_acc + amat[:, j] * amat[:, j]
+        a_norm = np.sqrt(na_acc)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            nx = X.shape[0]
+            acc = np.zeros((nx, na))
+            nx_acc = np.zeros(nx)
+            for j in range(dim):
+                acc = acc + X[:, j, None] * amat[None, :, j]
+                nx_acc = nx_acc + X[:, j] * X[:, j]
+            cos = acc / (np.sqrt(nx_acc)[:, None] * a_norm[None, :])
+            yield pd.DataFrame(
+                {
+                    "anchor_id": np.tile(ids, nx),
+                    "cand_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), na),
+                    "ql": np.tile(lbl, nx),
+                    "cl": np.repeat(pdf["label"].to_numpy(np.int64), na),
+                    "c": cos.reshape(-1),
+                }
+            )
+
+    pairs = (
+        emb.select("vec_id", "label", "embedding")
+        .mapInPandas(
+            score,
+            T.StructType(
+                [
+                    T.StructField("anchor_id", T.LongType()),
+                    T.StructField("cand_id", T.LongType()),
+                    T.StructField("ql", T.LongType()),
+                    T.StructField("cl", T.LongType()),
+                    T.StructField("c", T.DoubleType()),
+                ]
+            ),
         )
-    )
-    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
-        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
-    )
-    pairs = emb.join(
-        F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id")
-    ).select(
-        "anchor_id",
-        F.col("vec_id").alias("cand_id"),
-        "ql",
-        F.col("label").alias("cl"),
-        F.round(cos, 4).alias("cos_sim"),
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            "ql",
+            "cl",
+            F.round("c", 4).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), "cand_id")
     pos = (
