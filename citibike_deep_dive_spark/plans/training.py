@@ -5929,38 +5929,98 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-stable across partition schedules and engines.
     At 100 TB: doc sub-vectors are the corpus scan, queries broadcast,
     two keyed aggregations — linear, no all-pairs beyond the candidate
-    set you'd gate with IVF/LSH upstream."""
+    set you'd gate with IVF/LSH upstream.
+
+    r13 (guide §4.2, the margin_bitext/triplet pattern): the
+    (doc_sub x query_sub) cosine grid ran as interpreted
+    zip_with/aggregate lambdas — 192 interpreted 8-dim cosines per
+    doc. The 3-query side (bounded by definition) now feeds a Python
+    broadcast and one Arrow map over the fanned-out corpus scan scores
+    the grid vectorized with the SAME IEEE operation order (accumulate
+    over dimensions exactly like the left fold, norms likewise, one
+    multiply then one divide — each a single correctly-rounded op), so
+    every raw cosine is bit-identical. The per-(query, doc, q_sub) max
+    over doc subs folds INSIDE the map: engine `max(round(cos, 4))`
+    equals `round(max(cos), 4)` because HALF_UP rounding is monotone
+    (x <= y implies round(x) <= round(y); NaN sorts greatest in both
+    engines and numpy's max propagates it), so the round stays
+    engine-side and the first keyed aggregate disappears from the
+    plan."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    q_rows = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded: the broadcast side of the old plan
+    q_ids: list[int] = []
+    q_subs: list[int] = []
+    q_vecs: list[np.ndarray] = []
+    for r in sorted(q_rows, key=lambda r: r["vec_id"]):
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        for s in range(_LI_SUBS):
+            q_ids.append(int(r["vec_id"]))
+            q_subs.append(s)
+            q_vecs.append(v[s * _LI_DIM : (s + 1) * _LI_DIM])
+    q_mat = np.asarray(q_vecs, dtype=np.float64)  # (nq, _LI_DIM)
+    qbc = spark.sparkContext.broadcast(
+        (np.asarray(q_ids, dtype=np.int64), np.asarray(q_subs, dtype=np.int64), q_mat)
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        ids, subs, qmat = qbc.value
+        nq = qmat.shape[0]
+        nq_acc = np.zeros(nq)
+        for j in range(_LI_DIM):
+            nq_acc = nq_acc + qmat[:, j] * qmat[:, j]
+        q_norm = np.sqrt(nq_acc)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            nd = X.shape[0]
+            S = X.reshape(nd, _LI_SUBS, _LI_DIM)  # doc sub-vectors
+            acc = np.zeros((nd, _LI_SUBS, nq))
+            nd_acc = np.zeros((nd, _LI_SUBS))
+            for j in range(_LI_DIM):
+                acc = acc + S[:, :, j, None] * qmat[None, None, :, j]
+                nd_acc = nd_acc + S[:, :, j] * S[:, :, j]
+            cos = acc / (q_norm[None, None, :] * np.sqrt(nd_acc)[:, :, None])
+            best = cos.max(axis=1)  # max over doc subs -> (nd, nq)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(ids, nd),
+                    "doc_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), nq),
+                    "q_sub": np.tile(subs, nd),
+                    "m": best.reshape(-1),
+                }
+            )
+
     emb = fan_out(table(spark, sf_dir, "embeddings"))
-    sub = emb.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_LI_SUBS - 1))).alias("sub_id"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).select(
-        "vec_id",
-        "sub_id",
-        F.expr(f"slice(v, sub_id * {_LI_DIM} + 1, {_LI_DIM})").alias("sv"),
-    )
-    q = sub.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("sub_id").alias("q_sub"),
-        F.col("sv").alias("qv"),
-    )
-    d = sub.filter(F.col("vec_id") >= 3).select(
-        F.col("vec_id").alias("doc_id"), F.col("sv").alias("dv")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("dv"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
-    cos = F.round(dot / (nrm(F.col("qv")) * nrm(F.col("dv"))), 4)
     pairs = (
-        d.join(F.broadcast(q))
-        .groupBy("query_id", "doc_id", "q_sub")
-        .agg(F.max(cos).alias("best"))
+        emb.filter(F.col("vec_id") >= 3)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            score,
+            T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("q_sub", T.LongType()),
+                    T.StructField("m", T.DoubleType()),
+                ]
+            ),
+        )
+        .select("query_id", "doc_id", "q_sub", F.round("m", 4).alias("best"))
     )
     scored = pairs.groupBy("query_id", "doc_id").agg(
         F.sum(F.col("best").cast("decimal(10,4)")).cast("double").alias("maxsim")
