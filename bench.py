@@ -166,7 +166,20 @@ def _wait_for_idle() -> tuple[list[float] | None, bool]:
 # next idle window, and if the floor is never met it still emits (the
 # driver must always get a line) but stamps ``cores_floor_unmet`` so
 # no future round mistakes the payload for a clean comparison point.
-CORES_FLOOR = float(os.environ.get("SPARK_GRAFT_CORES_FLOOR", "12"))
+# The floor is RELATIVE to the requested core count: the driver also
+# runs this bench at a deliberately lower $SPARK_GRAFT_CPUS to measure
+# scaling, and a healthy host at 8 requested procs is not contended —
+# an absolute floor of 12 would stall that run through every retry and
+# then mislabel it. The probe itself reads well below procs even idle
+# (pool-startup overhead: ~12-21 of 32 on this host), so the scaled
+# floor reuses the ratio the absolute default was calibrated at:
+# 12/32 = 0.375 x procs (32 procs -> 12, unchanged; 8 procs -> 3).
+CORES_FLOOR = float(
+    os.environ.get(
+        "SPARK_GRAFT_CORES_FLOOR",
+        str(min(12.0, 0.375 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")))),
+    )
+)
 CORES_RETRIES = 6
 
 
