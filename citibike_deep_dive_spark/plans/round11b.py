@@ -257,49 +257,61 @@ def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     from typing import Iterator
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    from ..functions.md5vec import md5_hash60_windows16
     from ..operators.fanout import fan_out
 
     docs = table(spark, sf_dir, "documents")
 
     def grams(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r14 (guide §4.2): the per-gram ``hashlib.md5`` call chain
+        # (slice -> md5() -> hexdigest -> int(,16), ~0.85 us/gram) was
+        # the dominant map cost at sf1 (~14M grams). All grams are
+        # 16-byte single-block messages, so the whole doc hashes as one
+        # vectorized numpy MD5 over sliding windows — bit-identical by
+        # construction (tests pin it vs hashlib) — and the id/pos
+        # columns build as numpy ranges instead of Python list extends.
         md5 = hashlib.md5
+        empty = np.empty(0, dtype=np.int64)
         for pdf in batches:
-            ids: list[int] = []
-            poss: list[int] = []
-            ghs: list[int] = []
+            id_parts: list[np.ndarray] = []
+            pos_parts: list[np.ndarray] = []
+            gh_parts: list[np.ndarray] = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 if not text:
                     continue  # null/empty: the when() guard emits nothing
                 m = len(text) - _SPAN_L + 1
                 if m <= 0:
                     continue  # shorter than one gram: otherwise(array())
-                did = int(did)
                 enc = text.encode("utf-8")
                 if len(enc) == len(text):  # ASCII: byte slice == char slice
-                    ghs.extend(
-                        int(md5(enc[i : i + _SPAN_L]).hexdigest()[:15], 16)
-                        for i in range(m)
-                    )
+                    gh_parts.append(md5_hash60_windows16(enc))
                 else:  # non-ASCII: slice code points, encode per gram
-                    ghs.extend(
-                        int(
-                            md5(
-                                text[i : i + _SPAN_L].encode("utf-8")
-                            ).hexdigest()[:15],
-                            16,
+                    gh_parts.append(
+                        np.fromiter(
+                            (
+                                int(
+                                    md5(
+                                        text[i : i + _SPAN_L].encode("utf-8")
+                                    ).hexdigest()[:15],
+                                    16,
+                                )
+                                for i in range(m)
+                            ),
+                            dtype=np.int64,
+                            count=m,
                         )
-                        for i in range(m)
                     )
-                ids.extend([did] * m)
-                poss.extend(range(1, m + 1))
+                id_parts.append(np.full(m, int(did), dtype=np.int64))
+                pos_parts.append(np.arange(1, m + 1, dtype=np.int64))
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.array(ids, dtype="int64"),
-                    "pos": pd.array(poss, dtype="int64"),
-                    "gh": pd.array(ghs, dtype="int64"),
+                    "doc_id": np.concatenate(id_parts) if id_parts else empty,
+                    "pos": np.concatenate(pos_parts) if pos_parts else empty,
+                    "gh": np.concatenate(gh_parts) if gh_parts else empty,
                 }
             )
 

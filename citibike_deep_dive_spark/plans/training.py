@@ -4828,54 +4828,106 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     production scale you'd run a 64-bit simhash with 4x16-bit bands —
     identical plan shape, vastly stronger pruning; the band join keys
     are md5-derived and therefore uniform, the same skew contract as the
-    minhash LSH path. Verification (bit_count of xor) is one codegen'd
-    instruction pair per candidate."""
-    from ..functions.lineage import truncate_lineage
+    minhash LSH path.
+
+    r14 (guide §3/§4.2): the band SELF-JOIN form materialized every
+    within-bucket candidate through the JVM join (34.6M pair rows at
+    sf1 — each a join-probe row build plus interpreted-width codegen
+    predicate evaluation) even though candidates are BUCKET-LOCAL by
+    construction: a (band, band_value) bucket already holds everything
+    it can pair. The rewrite groups the band frame by (b, bv) — there
+    are only BANDS·2^4 = 64 buckets, each an explicit non-AQE-coalesced
+    exchange partition — and generates + filters pairs inside the
+    bucket with vectorized numpy (uint16 XOR, 64K-entry popcount
+    lookup, blockwise upper-triangle masks), so only surviving pairs
+    (hamming <= 3, first agreeing band) ever become rows. The
+    first-band predicate (emit a pair only from its first agreeing
+    band — the join form's distinct-free dedup) is reproduced exactly:
+    band j agrees iff ((sa ^ sb) >> 4j) & 15 == 0, so a bucket-b pair
+    survives iff no band j < b has a zero nibble in the XOR. The band
+    frame is consumed ONCE now, so the join form's lazy checkpoint
+    (which existed only to share the vote aggregation between the two
+    join aliases) is gone. Shuffle volume: 4 rows x 16 bytes per doc —
+    the pair explosion never crosses the exchange. At production width
+    (4 x 16-bit bands) the same plan shape applies with 2^16 uniform
+    buckets per band; see simhash64_hamming_pairs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
     docs = table(spark, sf_dir, "documents")
     sh = simhash(docs, bits=16)
-    # the band frame feeds BOTH join aliases; without the lazy checkpoint
-    # the token explode + vote aggregation runs twice (the shared-bands
-    # fix the minhash LSH path got in round 6, applied to simhash)
-    bands = truncate_lineage(
-        sh.select(
-            "doc_id",
-            "simhash",
-            F.explode(
-                F.array(*[F.lit(b) for b in range(_HAMMING_BANDS)])
-            ).alias("b"),
-        ).withColumn("bv", F.expr("shiftright(simhash, 4 * b) & 15")),
-        eager=False,
-    )
-    a = bands.select(
-        F.col("b"), F.col("bv"),
-        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sa"),
-    )
-    b = bands.select(
-        F.col("b"), F.col("bv"),
-        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sb"),
-    )
-    # Dedup multi-band collisions WITHOUT a distinct: emit a pair only
-    # from its FIRST agreeing band (no earlier band may also agree) — a
-    # codegen predicate instead of a 2.8M-row shuffle at sf0.1
-    # (interleaved A/B: distinct 8.2 s vs first-band 2.9 s).
-    first_band = None
-    for j in range(_HAMMING_BANDS - 1):
-        earlier_differs = F.expr(
-            f"(shiftright(sa, {4 * j}) & 15) != (shiftright(sb, {4 * j}) & 15)"
-        ) | (F.col("b") <= j)
-        first_band = (
-            earlier_differs if first_band is None else first_band & earlier_differs
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_HAMMING_BANDS)])
+        ).alias("b"),
+    ).withColumn("bv", F.expr("shiftright(simhash, 4 * b) & 15"))
+
+    n_buckets = _HAMMING_BANDS << 4  # fixed by the algorithm, not the host
+    # 64K-entry popcount LUT, built once on the driver and shipped in the
+    # closure (64 KB) — numpy 1.x has no vectorized bit_count.
+    pop16 = np.unpackbits(
+        np.arange(65536, dtype=">u2").view(np.uint8)
+    ).reshape(65536, 16).sum(axis=1, dtype=np.uint8)
+
+    def bucket_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(key[0])
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "doc_id_a": pd.array([], dtype="int64"),
+                "doc_id_b": pd.array([], dtype="int64"),
+                "hamming": pd.array([], dtype="int64"),
+            }
         )
-    cand = (
-        a.join(b, ["b", "bv"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .filter(first_band)
-        .select("doc_id_a", "doc_id_b", "sa", "sb")
-    )
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return cand.filter(hamming <= _HAMMING_MAX).select(
-        "doc_id_a", "doc_id_b", hamming.cast("long").alias("hamming")
+        if n < 2:
+            return empty
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")  # doc_ids are unique
+        ids = ids[order]
+        shv = pdf["simhash"].to_numpy(np.int64)[order].astype(np.uint16)
+        rows_a: list[np.ndarray] = []
+        rows_b: list[np.ndarray] = []
+        rows_h: list[np.ndarray] = []
+        blk = max(1, 4_000_000 // n)  # bound the per-block pair grid
+        for i0 in range(0, n - 1, blk):
+            m = min(blk, n - 1 - i0)
+            # rows r -> doc i0+r, cols c -> doc i0+1+c; j > i  <=>  c >= r
+            xv = shv[i0 : i0 + m, None] ^ shv[None, i0 + 1 :]
+            keep = pop16[xv] <= _HAMMING_MAX
+            keep &= np.arange(xv.shape[1])[None, :] >= np.arange(m)[:, None]
+            for j in range(b):  # first-band dedup: no earlier band agrees
+                keep &= ((xv >> (4 * j)) & 15) != 0
+            r, c = np.nonzero(keep)
+            if len(r):
+                rows_a.append(ids[i0 + r])
+                rows_b.append(ids[i0 + 1 + c])
+                rows_h.append(pop16[xv[r, c]].astype(np.int64))
+        if not rows_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_id_a": np.concatenate(rows_a),
+                "doc_id_b": np.concatenate(rows_b),
+                "hamming": np.concatenate(rows_h),
+            }
+        )
+
+    return (
+        bands.repartition(n_buckets, "b", "bv")
+        .groupBy("b", "bv")
+        .applyInPandas(
+            bucket_pairs,
+            T.StructType(
+                [
+                    T.StructField("doc_id_a", T.LongType()),
+                    T.StructField("doc_id_b", T.LongType()),
+                    T.StructField("hamming", T.LongType()),
+                ]
+            ),
+        )
     )
 
 
