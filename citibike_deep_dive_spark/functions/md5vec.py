@@ -93,10 +93,19 @@ def md5_hash60_block16(msgs32: np.ndarray) -> np.ndarray:
     ).astype(np.int64)
 
 
+def windows16_words(data: bytes, width: int = 16) -> np.ndarray:
+    """The (N, 4) little-endian uint32 word matrix of every ``width``-byte
+    sliding window of ``data`` — the input shape ``md5_hash60_block16``
+    wants. Split out so a caller hashing MANY strings can concatenate the
+    word matrices and run the 64-round kernel ONCE per Arrow batch
+    (the kernel's ~500 elementwise ops amortize over lane count; per-doc
+    launches pay them per doc)."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(buf, width)
+    return np.ascontiguousarray(win).view("<u4")
+
+
 def md5_hash60_windows16(data: bytes, width: int = 16) -> np.ndarray:
     """60-bit MD5 gram keys for every ``width``-byte sliding window of
     ``data`` (``len(data) - width + 1`` of them), vectorized."""
-    buf = np.frombuffer(data, dtype=np.uint8)
-    win = np.lib.stride_tricks.sliding_window_view(buf, width)
-    words = np.ascontiguousarray(win).view("<u4")
-    return md5_hash60_block16(words)
+    return md5_hash60_block16(windows16_words(data, width))

@@ -261,7 +261,7 @@ def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    from ..functions.md5vec import md5_hash60_windows16
+    from ..functions.md5vec import md5_hash60_block16, windows16_words
     from ..operators.fanout import fan_out
 
     docs = table(spark, sf_dir, "documents")
@@ -270,16 +270,21 @@ def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r14 (guide §4.2): the per-gram ``hashlib.md5`` call chain
         # (slice -> md5() -> hexdigest -> int(,16), ~0.85 us/gram) was
         # the dominant map cost at sf1 (~14M grams). All grams are
-        # 16-byte single-block messages, so the whole doc hashes as one
-        # vectorized numpy MD5 over sliding windows — bit-identical by
-        # construction (tests pin it vs hashlib) — and the id/pos
-        # columns build as numpy ranges instead of Python list extends.
+        # 16-byte single-block messages, so the MD5 runs as ONE
+        # vectorized numpy pass over every gram of the whole Arrow
+        # batch (per-doc kernel launches would pay the 64-round loop's
+        # ~500 elementwise-op overhead per DOC — a net loss for short
+        # docs) — bit-identical by construction (tests pin it vs
+        # hashlib) — and the id/pos columns build as numpy ranges
+        # instead of Python list extends.
         md5 = hashlib.md5
         empty = np.empty(0, dtype=np.int64)
         for pdf in batches:
             id_parts: list[np.ndarray] = []
             pos_parts: list[np.ndarray] = []
-            gh_parts: list[np.ndarray] = []
+            gh_parts: list = []  # None = ASCII doc, filled after the kernel
+            word_parts: list[np.ndarray] = []  # (m, 4) uint32 per ASCII doc
+            sizes: list[int] = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 if not text:
                     continue  # null/empty: the when() guard emits nothing
@@ -288,7 +293,9 @@ def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue  # shorter than one gram: otherwise(array())
                 enc = text.encode("utf-8")
                 if len(enc) == len(text):  # ASCII: byte slice == char slice
-                    gh_parts.append(md5_hash60_windows16(enc))
+                    word_parts.append(windows16_words(enc))
+                    sizes.append(m)
+                    gh_parts.append(None)  # deferred to the batch kernel
                 else:  # non-ASCII: slice code points, encode per gram
                     gh_parts.append(
                         np.fromiter(
@@ -307,6 +314,13 @@ def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 id_parts.append(np.full(m, int(did), dtype=np.int64))
                 pos_parts.append(np.arange(1, m + 1, dtype=np.int64))
+            if word_parts:  # one 64-round pass over ALL grams of the batch
+                all_gh = md5_hash60_block16(np.concatenate(word_parts))
+                bounds = np.cumsum(sizes)[:-1]
+                ascii_gh = iter(np.split(all_gh, bounds))
+                gh_parts = [
+                    next(ascii_gh) if g is None else g for g in gh_parts
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": np.concatenate(id_parts) if id_parts else empty,
