@@ -512,17 +512,39 @@ def sparse_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal aggregation in the hot pair loop (the A/B against
     micro-unit+decimal sums: 1.49 -> 0.96 s warm at sf0.1), and the
     cosine is one double division over two IEEE-exact sqrts, rounded at
-    the edge — no float accumulation order anywhere. The per-document
-    norm rides ON each posting row through the checkpoint, so the pair
-    aggregation needs no post-hoc norm joins (min() passes the constant
-    through). The self-join key is the 60-bit portable md5 hash of the
-    shingle, not the string — an 8-byte shuffle key instead of ~25-byte
-    text (A/B 1.03 -> 0.68 s warm), identical on both engines by the
-    shared-hash-family rule so a collision (p ~ terms^2 / 2^61) would
-    produce the same pair on both sides. Distributed shape: one shingle
-    explode, two map-side-combined aggregations (df, norms), one
-    equi-join on uniform hashed keys (bucketed, never all-pairs), one
-    pair-grain aggregation."""
+    the edge — no float accumulation order anywhere. The pairing key is
+    the 60-bit portable md5 hash of the shingle, not the string — an
+    8-byte shuffle key instead of ~25-byte text (A/B 1.03 -> 0.68 s
+    warm), identical on both engines by the shared-hash-family rule so
+    a collision (p ~ terms^2 / 2^61) would produce the same pair on
+    both sides.
+
+    r14 (guide §2.3/§3.1/§4.2, the simhash_hamming_pairs pattern):
+    candidate pairs are KEY-LOCAL — a shingle's posting list already
+    holds every pair it can produce (max 25 postings/key at sf1) — so
+    the posting SELF-JOIN (a BroadcastHashJoin that rebuilt and shipped
+    the full 2.6M-row posting relation every run, a linearly-growing
+    broadcast that is exactly guide §3.1's failure mode at corpus
+    scale) is replaced by ONE hash exchange of the narrow (doc_id, k,
+    w) postings and vectorized numpy pair generation inside a
+    mapInPandas: runs of equal key are paired with per-run-length
+    triu_indices batches, products are int64-exact, and only (doc_a,
+    doc_b, w_a*w_b) rows reach the pair aggregation. The per-document
+    norm no longer rides on every posting/pair row (it was 16 of every
+    48 exchange bytes for the ~11.3M-pair exchange at sf1 — near-zero
+    combining, mean shared_terms ~ 1.12); norms broadcast-join back
+    onto the aggregated pair frame (47K-row broadcasts) before the
+    threshold filter. Same output bit-for-bit: integer products summed
+    in any order, strict doc_a < doc_b reproduced by the within-run
+    id sort + da != db mask (covering hash-collision duplicates
+    exactly like the join's inequality did). Distributed shape: one
+    shingle explode, two map-side-combined aggregations (df, norms),
+    one posting exchange on uniform hashed keys, pair generation
+    key-local, one pair-grain aggregation."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     from ..operators.fanout import fan_out
 
     docs = table(spark, sf_dir, "documents")
@@ -567,29 +589,90 @@ def sparse_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
+    # Narrow checkpoint: (doc_id, k, w) only — norms are derived FROM the
+    # checkpoint (one 2.6M->47K aggregation, consumed twice as tiny
+    # broadcasts) instead of riding every posting and pair row.
+    w = truncate_lineage(w, eager=False)
     nrm = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
     )
-    # Attach the norm to every posting BEFORE the checkpoint: the pair
-    # aggregation then carries both norms for free and the warm path has
-    # no post-aggregation joins (the norm is constant within each side's
-    # group, so min() just passes it through).
-    w = truncate_lineage(
-        w.join(nrm, "doc_id").select("doc_id", "k", "w", "n2"), eager=False
+
+    def pairgen(batches):
+        # Pair every run of equal k: postings sort by (k, doc_id), runs
+        # group by length, and each length-L cohort pairs with one
+        # triu_indices(L, 1) batch — no per-key Python loop. max
+        # postings/key is df-capped at _SC_MAX_DF, so L is bounded.
+        ks: list = []
+        ids: list = []
+        wv: list = []
+        for pdf in batches:
+            if len(pdf):
+                ks.append(pdf["k"].to_numpy(np.int64))
+                ids.append(pdf["doc_id"].to_numpy(np.int64))
+                wv.append(pdf["w"].to_numpy(np.int64))
+        if not ks:
+            return
+        k = np.concatenate(ks)
+        did = np.concatenate(ids)
+        wgt = np.concatenate(wv)
+        order = np.lexsort((did, k))
+        k, did, wgt = k[order], did[order], wgt[order]
+        bnd = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        lens = np.diff(np.r_[bnd, len(k)])
+        out_a: list = []
+        out_b: list = []
+        out_p: list = []
+        for run_len in np.unique(lens):
+            if run_len < 2:
+                continue
+            starts = bnd[lens == run_len]
+            iu, ju = np.triu_indices(int(run_len), 1)
+            ia = (starts[:, None] + iu[None, :]).ravel()
+            ib = (starts[:, None] + ju[None, :]).ravel()
+            out_a.append(did[ia])
+            out_b.append(did[ib])
+            out_p.append(wgt[ia] * wgt[ib])
+        if not out_a:
+            return
+        da = np.concatenate(out_a)
+        db = np.concatenate(out_b)
+        pr = np.concatenate(out_p)
+        # strict doc_a < doc_b, exactly like the join's inequality: ids
+        # sort ascending within a run, so only collision-duplicate rows
+        # of the SAME doc can pair equal — drop them.
+        good = da != db
+        da, db, pr = da[good], db[good], pr[good]
+        chunk = 2_000_000  # bound the per-yield Arrow frame
+        for s in range(0, len(da), chunk):
+            yield pd.DataFrame(
+                {
+                    "doc_a": da[s : s + chunk],
+                    "doc_b": db[s : s + chunk],
+                    "p": pr[s : s + chunk],
+                }
+            )
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("doc_a", T.LongType()),
+            T.StructField("doc_b", T.LongType()),
+            T.StructField("p", T.LongType()),
+        ]
     )
-    a, b = w.alias("a"), w.alias("b")
-    dots = (
-        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(
-            F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("dot"),
-            F.count("*").cast("long").alias("shared_terms"),
-            F.min("a.n2").alias("na"),
-            F.min("b.n2").alias("nb"),
-        )
+    # Explicit-N keyed repartition (defaultParallelism, the repo's
+    # scale-adaptive hedge): a plain repartition("k") would let AQE
+    # coalesce the ~62 MB posting exchange to 1-2 tasks and serialize
+    # the CPU-heavy pair map behind it.
+    prods = w.repartition(
+        spark.sparkContext.defaultParallelism, "k"
+    ).mapInPandas(pairgen, pair_schema)
+    dots = prods.groupBy("doc_a", "doc_b").agg(
+        F.sum("p").cast("long").alias("dot"),
+        F.count("*").cast("long").alias("shared_terms"),
     )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb"))
+    dots = dots.join(F.broadcast(na), "doc_a").join(F.broadcast(nb), "doc_b")
     cos = F.col("dot").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )

@@ -112,3 +112,84 @@ def test_simhash_bucket_pairs_match_join_form(spark):
     got = {(r.doc_id_a, r.doc_id_b, r.hamming) for r in got_df.collect()}
     assert len(got) == len(exp)
     assert got == exp
+
+def test_sparse_cosine_pairgen_matches_join_form(spark):
+    """The key-local numpy pair map behind sparse_cosine_neardup_pairs
+    must reproduce the posting self-join exactly, including the
+    hash-collision edge (same doc twice under one key pairs with OTHER
+    docs twice but never with itself) — compare against the r13 join
+    form rebuilt inline at sf0.01."""
+    from pyspark.sql import functions as F
+
+    from citibike_deep_dive_spark.plans import CATALOG
+    from citibike_deep_dive_spark.plans.catalog import table
+    from citibike_deep_dive_spark.functions.portable import portable_hash64
+    from citibike_deep_dive_spark.plans.round8d import (
+        _SC_MAX_DF,
+        _SC_THRESHOLD,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    toks = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 3)
+    tri = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws)-2),"
+                    " i -> concat(ws[i-1],' ',ws[i],' ',ws[i+1]))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    n = tri.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    dfq = tri.groupBy("g").agg(F.count("*").cast("long").alias("df"))
+    w = (
+        tri.join(dfq, "g")
+        .crossJoin(F.broadcast(n))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _SC_MAX_DF))
+        .select(
+            "doc_id",
+            portable_hash64(F.col("g")).alias("k"),
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(F.col("n").cast("double") / F.col("df")) * 1000, 0
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
+    )
+    wn = w.join(nrm, "doc_id")
+    a, b = wn.alias("a"), wn.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("dot"),
+            F.count("*").cast("long").alias("shared_terms"),
+            F.min("a.n2").alias("na"),
+            F.min("b.n2").alias("nb"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    join_form = dots.filter(cos >= _SC_THRESHOLD).select(
+        "doc_a", "doc_b", "shared_terms", F.round(cos, 4).alias("cosine")
+    )
+    exp = {tuple(r) for r in join_form.collect()}
+    got_df = CATALOG["sparse_cosine_neardup_pairs"].build(spark, sf_dir)
+    got = {tuple(r) for r in got_df.collect()}
+    assert len(got) == len(exp)
+    assert got == exp
