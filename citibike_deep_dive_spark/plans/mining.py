@@ -703,14 +703,16 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing more at any corpus size, which is the point of doing the
     allocation analytically instead of simulating it."""
     docs = fan_out(table(spark, sf_dir, "documents"))
-    per_source = truncate_lineage(
+    # r14 checkpoint audit: per_source feeds ONLY the (checkpointed)
+    # sized frame — its own checkpoint was a redundant write+read inside
+    # sized's one-time materialization, dropped.
+    per_source = (
         docs.select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
         .groupBy("source")
         .agg(
             F.count("*").alias("avail_tokens"),
             F.countDistinct("tok").alias("vocab_w"),
-        ),
-        eager=False,
+        )
     )
     me, bn, bd = _WF_MAX_EPOCHS, _WF_BUDGET_NUM, _WF_BUDGET_DEN
     cap = F.col("avail_tokens") * me

@@ -237,12 +237,12 @@ def importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     bg = dsir_doc_buckets(docs)
     lw = dsir_weights(bg, dsir_model(bg))
-    w = truncate_lineage(
-        lw.join(docs.select("doc_id", "source"), "doc_id").select(
-            "source",
-            F.round(F.exp("dsir_logw") * 1000000, 0).cast("long").alias("w_mu"),
-        ),
-        eager=False,
+    # r14 checkpoint audit: w feeds exactly ONE aggregation — the
+    # checkpoint was a doc-grain write+read inside a single execution
+    # (it only ever subsidized warm re-runs of the same df), dropped.
+    w = lw.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source",
+        F.round(F.exp("dsir_logw") * 1000000, 0).cast("long").alias("w_mu"),
     )
     dw = F.col("w_mu").cast("decimal(38,0)")
     agg = w.groupBy("source").agg(

@@ -142,7 +142,13 @@ def knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(
         _dot(F.col("qemb"), F.col("cemb")) / (F.col("qnorm") * F.col("cnorm")), 4
     )
-    ranked = truncate_lineage(
+    # r14 checkpoint audit: the rank frame flows through ONE window chain
+    # (sized -> terms -> svals are stacked windows over the same
+    # partitioning, not separate plan consumers — the old "both read it"
+    # comment was wrong), so its checkpoint only subsidized warm re-runs
+    # of the same df while paying a (q x c)-grain write+read inside every
+    # single execution. Dropped.
+    ranked = (
         c.crossJoin(F.broadcast(q))
         .select(
             "qid",
@@ -157,9 +163,8 @@ def knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("qid").orderBy(F.desc("cs"), "cid")
             ),
         )
-        .drop("cs"),
-        eager=False,
-    )  # sized scalars and the term frame both read it
+        .drop("cs")
+    )
     # Everything between the checkpointed rank frame and the corpus-grain
     # rollup is WINDOW arithmetic over the one qid partitioning — no
     # joins, no broadcasts (a sized/totals broadcast-join formulation
@@ -592,14 +597,14 @@ def stl_additive_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-grain aggregation, day-count-bounded windows and a 7-row
     seasonal frame — nothing data-grain after the first rollup."""
     ev = table(spark, sf_dir, "events")
-    daily = truncate_lineage(
-        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
-            (F.dayofweek(F.min("ts")) - 1).cast("int").alias("dow"),
-            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
-            .cast("long")
-            .alias("yc"),
-        ),
-        eager=False,
+    # r14 checkpoint audit: daily feeds only ma -> detr, and detr is
+    # checkpointed — daily's own checkpoint was a redundant write+read
+    # inside detr's one-time materialization, dropped.
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        (F.dayofweek(F.min("ts")) - 1).cast("int").alias("dow"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("yc"),
     )
     w7 = Window.orderBy("day").rowsBetween(-3, 3)
     ma = daily.select(

@@ -462,10 +462,12 @@ def knn_label_error_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= _CL_K)
     )
-    # checkpoint the k-bounded neighbor frame: the in-cell pair scan
-    # (the expensive interpreted-HOF cosine pass) runs once; re-executions
-    # replay K rows per vector (3.3 -> ~0.2 s warm at sf0.1)
-    knn = truncate_lineage(knn, eager=False)
+    # r14 checkpoint audit: knn feeds ONE chain (votes -> top -> filter)
+    # — the old checkpoint paid a K-per-vector write+read inside every
+    # single execution and only subsidized warm re-runs of the same df
+    # (the 3.3 -> 0.2 s warm it bought was re-execution replay, not
+    # plan cost). Dropped; the honest per-execution number includes the
+    # in-cell pair scan.
     votes = knn.groupBy("vec_id", "true_label", "nbr_label").agg(
         F.count("*").cast("long").alias("v")
     )
@@ -889,7 +891,9 @@ def knn_shapley_ivf_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(
         _dot(F.col("qemb"), F.col("cemb")) / (F.col("qnorm") * F.col("cnorm")), 4
     )
-    ranked = truncate_lineage(
+    # r14 checkpoint audit: single window-chain consumer (same as
+    # knn_shapley_values) — checkpoint dropped.
+    ranked = (
         c.join(F.broadcast(q), F.col("cell") == F.col("ccell"))
         .select(
             "qid",
@@ -904,8 +908,7 @@ def knn_shapley_ivf_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("qid").orderBy(F.desc("cs"), "cid")
             ),
         )
-        .drop("cs"),
-        eager=False,
+        .drop("cs")
     )
     wq = Window.partitionBy("qid").orderBy("rn")
     wall = Window.partitionBy("qid").rowsBetween(

@@ -140,9 +140,9 @@ def min_k_prob_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s_mu"),
     )
-    # doc-grain checkpoint: the token explode + corpus join + bottom-k
-    # window run once; re-executions replay one row per document
-    mink = truncate_lineage(mink, eager=False)
+    # r14 checkpoint audit: mink feeds ONE global rank — the checkpoint
+    # paid a doc-grain write+read inside every single execution and only
+    # subsidized warm re-runs of the same df. Dropped.
     return (
         mink.withColumn(
             "rank",

@@ -171,9 +171,8 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_occurrences"),
         F.max("score_mu").cast("long").alias("score_mu"),
     )
-    # phrase-grain checkpoint: the token-grain explode/window/rollup
-    # chain runs once; re-executions rank the deduped phrase frame
-    uniq = truncate_lineage(uniq, eager=False)
+    # r14 checkpoint audit: uniq feeds ONE global rank — the checkpoint
+    # only subsidized warm re-runs of the same df. Dropped.
     return (
         uniq.withColumn(
             "rank",
