@@ -81,6 +81,22 @@ HEADLINE = [
     "dsir_importance_weights",
     "chunk_dedup_reconstruct",
     "ann_ivfpq_rerank_exact",
+    # round-14 additions (VERDICT r13 item 10: additions are
+    # contract-legal; never remove or rename): the sf1-sensitive rows
+    # the r13/r14 rewrites actually live in, so the driver's own bench
+    # sees them instead of only the floor-bound sf0.1 set — the FFT
+    # family's heaviest member, the doc-local CDC chunker, the
+    # window-local chrF scorer, the batched-MD5 span miner, the numpy
+    # MaxSim grid, the key-local sparse-cosine pair generator, and the
+    # two codec-decode rows this round's entropy-decoder work feeds
+    "multimodal_stft_spectrogram",
+    "cdc_gear_chunk_dedup",
+    "chrf_adjacent_doc_pairs",
+    "repeated_substring_spans",
+    "late_interaction_maxsim",
+    "sparse_cosine_neardup_pairs",
+    "multimodal_video_frame_track",
+    "multimodal_flac_fft_power",
 ]
 
 

@@ -268,8 +268,23 @@ def main() -> None:
 
     with open("/proc/loadavg") as fh:
         load = [round(float(x), 2) for x in fh.read().split()[:3]]
-    print(json.dumps({"sf": REPLICAS / 10.0, "replicas": REPLICAS,
-                      "queries": results, "loadavg_after": load}))
+    # Same one-line JSON contract as bench.py (VERDICT r13 item 8):
+    # metric/value/unit/queries{name: sec}/sf on stdout so scale
+    # evidence is first-class round over round; the per-query
+    # Spark/DuckDB pairs ride along under queries_detail.
+    total = round(sum(r["spark"] for r in results.values()), 3)
+    print(json.dumps({
+        "metric": "sf1_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: v["spark"] for k, v in results.items()},
+        "sf": REPLICAS / 10.0,
+        "replicas": REPLICAS,
+        "queries_detail": results,
+        "duckdb_total": round(sum(r["duckdb"] for r in results.values()), 3),
+        "duckdb_version": duckdb.__version__,
+        "loadavg_after": load,
+    }))
     spark.stop()
 
 

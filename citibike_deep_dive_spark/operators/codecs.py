@@ -637,7 +637,7 @@ class _SegBits:
         if tab is None:
             raise ValueError("scan references an undefined Huffman table")
         code16 = self.peek16()
-        maxcode, mincode, valptr, vals = tab
+        maxcode, mincode, valptr, vals = tab[0], tab[1], tab[2], tab[3]
         for length in range(1, 17):
             c = code16 >> (16 - length)
             if c <= maxcode[length]:
@@ -648,7 +648,15 @@ class _SegBits:
 
 def _decode_tables(bits: list[int], vals: list[int]):
     """Build the canonical (maxcode, mincode, valptr, vals) arrays the
-    fast decoder walks. maxcode[l] = -1 marks an empty length."""
+    fast decoder walks, plus a 256-entry prefix LUT (fast_len,
+    fast_val) covering every code of <= 8 bits — the libjpeg-style
+    first-level table the sequential hot loop hits for virtually every
+    symbol. maxcode[l] = -1 marks an empty length. The LUT is exact:
+    for a canonical table the first length whose maxcode admits the
+    peeked prefix is always >= its mincode, so filling
+    [mincode, maxcode] ranges in increasing length order reproduces
+    the F.2.2.3 walk bit-for-bit; codes longer than 8 bits leave
+    fast_len at 0 and fall back to that walk."""
     maxcode = [-1] * 17
     mincode = [0] * 17
     valptr = [0] * 17
@@ -662,7 +670,27 @@ def _decode_tables(bits: list[int], vals: list[int]):
             k += bits[length - 1]
             maxcode[length] = code - 1
         code <<= 1
-    return maxcode, mincode, valptr, list(vals)
+    vals = list(vals)
+    fast_len = [0] * 256
+    fast_val = [0] * 256
+    try:
+        for length in range(1, 9):
+            if maxcode[length] >= 0:
+                shift = 8 - length
+                for c in range(mincode[length], maxcode[length] + 1):
+                    v = vals[valptr[length] + c - mincode[length]]
+                    for i in range(c << shift, (c + 1) << shift):
+                        if fast_len[i] == 0:  # walk returns the SHORTEST
+                            fast_len[i] = length  # match on (malformed)
+                            fast_val[i] = v  # overlapping tables
+
+    except IndexError:
+        # truncated DHT (sum(bits) > len(vals)): keep the old lazy
+        # behavior — the slow walk only faults if the stream actually
+        # references the missing code
+        fast_len = [0] * 256
+        fast_val = [0] * 256
+    return maxcode, mincode, valptr, vals, fast_len, fast_val
 
 
 def _split_entropy_segments(payload: bytes, pos: int):
@@ -675,10 +703,14 @@ def _split_entropy_segments(payload: bytes, pos: int):
     start = pos
     i = pos
     n = len(payload)
-    while i + 1 < n:
-        if payload[i] != 0xFF:
-            i += 1
-            continue
+    find = payload.find
+    while True:
+        # jump straight to the next 0xFF (C-level scan) instead of
+        # walking byte-by-byte in Python; search stops at n-2 so a
+        # trailing lone 0xFF falls through like the old `i + 1 < n`
+        i = find(0xFF, i, n - 1)
+        if i < 0:
+            break
         nxt = payload[i + 1]
         if nxt == 0x00:
             i += 2
@@ -780,6 +812,215 @@ def _prog_block(rd, comp, coef, ss, se, ah, al, dc_tab, ac_tab, state) -> None:
         state["eobrun"] -= 1
 
 
+# bit masks / sign-extension thresholds indexed by width — shared by the
+# fast sequential scan loop so no (1 << n) - 1 is rebuilt per symbol
+_JMASK = tuple((1 << i) - 1 for i in range(288))
+_JHALF = (0,) + tuple(1 << (i - 1) for i in range(1, 288))
+
+
+def _decode_scan_seq_fast(
+    payload, pos, scan_comps, htabs, restart_interval, mcus_x, mcus_y
+):
+    """Sequential-scan (ss=0, se=63, ah=al=0) entropy decode with the
+    bit reader inlined into locals and the 8-bit Huffman LUT from
+    ``_decode_tables`` — semantically identical to running
+    ``_prog_block`` per block (same EOFError 0xFF-pad budget, same
+    malformed-stream ValueErrors, same EOB-run carry), but one tight
+    loop instead of ~8 method calls per symbol. This is the MJPEG /
+    baseline-JPEG hot path: ~95% of decode time was the per-symbol
+    Huffman walk (guide §4's per-payload constant)."""
+    segments, end = _split_entropy_segments(payload, pos)
+    nc = len(scan_comps)
+    plan = []
+    for c in scan_comps:
+        dtab = htabs.get((0, c.get("td", 0)))
+        atab = htabs.get((1, c.get("ta", 0)))
+        plan.append(
+            (
+                dtab,
+                dtab[4] if dtab is not None else None,
+                dtab[5] if dtab is not None else None,
+                atab,
+                atab[4] if atab is not None else None,
+                atab[5] if atab is not None else None,
+            )
+        )
+    # flatten the scan's block order once: a list of (component index,
+    # zigzag coefficient list) per MCU / per data unit
+    if nc > 1:
+        unit_blocks = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                ub = []
+                for ci, c in enumerate(scan_comps):
+                    grid, v, hh = c["coef"], c["v"], c["h"]
+                    for by in range(v):
+                        row = grid[my * v + by]
+                        for bx in range(hh):
+                            ub.append((ci, row[mx * hh + bx]))
+                unit_blocks.append(ub)
+    else:
+        c0 = scan_comps[0]
+        grid = c0["coef"]
+        unit_blocks = [
+            [(0, grid[br][bc])]
+            for br in range(c0["bh"])
+            for bc in range(c0["bw"])
+        ]
+    for c in scan_comps:
+        c["pred"] = 0
+
+    MASK = _JMASK
+    HALF = _JHALF
+    preds = [0] * nc
+    data = segments[0]
+    dn = len(data)
+    dp = 0
+    acc = 0
+    nb = 0
+    padded = 0
+    eobrun = 0
+    seg_idx = 0
+    n_unit = 0
+    for ub in unit_blocks:
+        if restart_interval and n_unit and n_unit % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            data = segments[seg_idx]
+            dn = len(data)
+            dp = 0
+            acc = 0
+            nb = 0
+            padded = 0
+            eobrun = 0
+            preds = [0] * nc
+        n_unit += 1
+        for ci, coef in ub:
+            dtab, dfl, dfv, atab, afl, afv = plan[ci]
+            if dtab is None:
+                raise ValueError("scan references an undefined Huffman table")
+            # ---- DC symbol
+            while nb < 16:
+                if dp < dn:
+                    acc = (acc << 8) | data[dp]
+                    dp += 1
+                else:
+                    padded += 1
+                    if padded > 4:
+                        raise EOFError
+                    acc = (acc << 8) | 0xFF
+                nb += 8
+            L = dfl[(acc >> (nb - 8)) & 0xFF]
+            if L:
+                s = dfv[(acc >> (nb - 8)) & 0xFF]
+            else:
+                code16 = (acc >> (nb - 16)) & 0xFFFF
+                dmax, dmin, dvp, dvals = dtab[0], dtab[1], dtab[2], dtab[3]
+                for L in range(1, 17):
+                    c16 = code16 >> (16 - L)
+                    if c16 <= dmax[L]:
+                        s = dvals[dvp[L] + c16 - dmin[L]]
+                        break
+                else:
+                    raise ValueError("invalid Huffman code")
+            nb -= L
+            acc &= MASK[nb]
+            if s:
+                while nb < s:
+                    if dp < dn:
+                        acc = (acc << 8) | data[dp]
+                        dp += 1
+                    else:
+                        padded += 1
+                        if padded > 4:
+                            raise EOFError
+                        acc = (acc << 8) | 0xFF
+                    nb += 8
+                nb -= s
+                v = (acc >> nb) & MASK[s]
+                acc &= MASK[nb]
+                pred = preds[ci] + (v if v >= HALF[s] else v - MASK[s])
+            else:
+                pred = preds[ci]
+            preds[ci] = pred
+            coef[0] = pred
+            # ---- AC band
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            if atab is None:
+                raise ValueError("scan references an undefined Huffman table")
+            k = 1
+            while k <= 63:
+                while nb < 16:
+                    if dp < dn:
+                        acc = (acc << 8) | data[dp]
+                        dp += 1
+                    else:
+                        padded += 1
+                        if padded > 4:
+                            raise EOFError
+                        acc = (acc << 8) | 0xFF
+                    nb += 8
+                L = afl[(acc >> (nb - 8)) & 0xFF]
+                if L:
+                    sym = afv[(acc >> (nb - 8)) & 0xFF]
+                else:
+                    code16 = (acc >> (nb - 16)) & 0xFFFF
+                    amax, amin, avp, avals = atab[0], atab[1], atab[2], atab[3]
+                    for L in range(1, 17):
+                        c16 = code16 >> (16 - L)
+                        if c16 <= amax[L]:
+                            sym = avals[avp[L] + c16 - amin[L]]
+                            break
+                    else:
+                        raise ValueError("invalid Huffman code")
+                nb -= L
+                acc &= MASK[nb]
+                size = sym & 0xF
+                if size == 0:
+                    run = sym >> 4
+                    if run == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << run) - 1
+                    if run:
+                        while nb < run:
+                            if dp < dn:
+                                acc = (acc << 8) | data[dp]
+                                dp += 1
+                            else:
+                                padded += 1
+                                if padded > 4:
+                                    raise EOFError
+                                acc = (acc << 8) | 0xFF
+                            nb += 8
+                        nb -= run
+                        eobrun += (acc >> nb) & MASK[run]
+                        acc &= MASK[nb]
+                    break
+                k += sym >> 4
+                if k > 63:
+                    raise ValueError("AC run past band end")
+                while nb < size:
+                    if dp < dn:
+                        acc = (acc << 8) | data[dp]
+                        dp += 1
+                    else:
+                        padded += 1
+                        if padded > 4:
+                            raise EOFError
+                        acc = (acc << 8) | 0xFF
+                    nb += 8
+                nb -= size
+                v = (acc >> nb) & MASK[size]
+                acc &= MASK[nb]
+                coef[k] = v if v >= HALF[size] else v - MASK[size]
+                k += 1
+    return end
+
+
 def _decode_scan(
     payload, pos, comps, scan_comps, htabs, restart_interval, ss, se, ah, al,
     mcus_x, mcus_y,
@@ -787,6 +1028,10 @@ def _decode_scan(
     """Decode one (baseline or progressive) scan's entropy data into the
     components' persistent coefficient grids. Returns the offset just
     past the scan data."""
+    if (ss, se, ah, al) == (0, 63, 0, 0):
+        return _decode_scan_seq_fast(
+            payload, pos, scan_comps, htabs, restart_interval, mcus_x, mcus_y
+        )
     segments, end = _split_entropy_segments(payload, pos)
     rd = _SegBits(segments[0])
     seg_idx = 0
@@ -2595,25 +2840,48 @@ def decode_tiff_pixels(payload: bytes):
 # ---------------------------------------------------------------------------
 
 
+def _crc_tables():
+    """Byte-indexed CRC tables (the standard table-driven form): one
+    table lookup per input byte instead of the 8-step bitwise loop —
+    the bitwise loops were ~26% of a FLAC decode (every frame is
+    CRC-16'd whole)."""
+    t8 = []
+    for b in range(256):
+        crc = b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        t8.append(crc)
+    t16 = []
+    for b in range(256):
+        crc = b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+        t16.append(crc)
+    return t8, t16
+
+
+_CRC8_TAB, _CRC16_TAB = _crc_tables()
+
+
 def _crc8(data: bytes) -> int:
     """CRC-8, poly 0x07, init 0 (FLAC frame header)."""
     crc = 0
+    tab = _CRC8_TAB
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = tab[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     """CRC-16, poly 0x8005, init 0 (FLAC frame footer)."""
     crc = 0
+    tab = _CRC16_TAB
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
-            )
+        crc = ((crc << 8) & 0xFF00) ^ tab[(crc >> 8) ^ b]
     return crc
 
 
@@ -2834,7 +3102,12 @@ _FLAC_BPS = (0, 8, 12, 0, 16, 20, 24, 32)
 
 
 def _flac_residual(rd: _FlacBitReader, bs: int, order: int):
-    """Decode one residual section: rice/rice2 partitions with escapes."""
+    """Decode one residual section: rice/rice2 partitions with escapes.
+    The rice hot loop keeps the whole bit-reader state (byte pos,
+    accumulator, bit count) in locals — one fused unary+remainder+
+    zigzag per residual with zero method calls; state is written back
+    to ``rd`` at every exit so the surrounding subframe/header reads
+    see the exact same stream position as the method-call form."""
     method = rd.read(2)
     if method > 1:
         raise ValueError("reserved residual method")
@@ -2842,28 +3115,80 @@ def _flac_residual(rd: _FlacBitReader, bs: int, order: int):
     escape = (1 << plen) - 1
     part_order = rd.read(4)
     n_parts = 1 << part_order
-    res = []
-    for p in range(n_parts):
-        count = (bs >> part_order) - (order if p == 0 else 0)
-        if count < 0:
-            raise ValueError("bad partition layout")
-        param = rd.read(plen)
-        if param == escape:
-            nbits = rd.read(5)
-            for _ in range(count):
-                res.append(rd.read_signed(nbits) if nbits else 0)
-        else:
-            read_unary = rd.read_unary
-            read = rd.read
-            append = res.append
-            for _ in range(count):
-                u = (read_unary() << param) | read(param)
-                append((u >> 1) ^ -(u & 1))
+    res: list[int] = []
+    MASK = _JMASK
+    d = rd.data
+    p = rd.pos
+    acc = rd.acc
+    nb = rd.nbits
+    try:
+        for part in range(n_parts):
+            count = (bs >> part_order) - (order if part == 0 else 0)
+            if count < 0:
+                raise ValueError("bad partition layout")
+            while nb < plen:
+                acc = (acc << 8) | d[p]
+                p += 1
+                nb += 8
+            nb -= plen
+            param = (acc >> nb) & MASK[plen]
+            acc &= MASK[nb]
+            if param == escape:
+                rd.pos, rd.acc, rd.nbits = p, acc, nb
+                nbits = rd.read(5)
+                if nbits:
+                    for _ in range(count):
+                        res.append(rd.read_signed(nbits))
+                else:
+                    res.extend([0] * count)
+                p, acc, nb = rd.pos, rd.acc, rd.nbits
+            else:
+                append = res.append
+                pm = MASK[param]
+                for _ in range(count):
+                    if acc:
+                        t = acc.bit_length()
+                        q = nb - t
+                        nb = t - 1
+                        acc &= MASK[nb]
+                    else:
+                        q = nb
+                        while True:
+                            b = d[p]
+                            p += 1
+                            if b:
+                                break
+                            q += 8
+                        t = b.bit_length()
+                        q += 8 - t
+                        nb = t - 1
+                        acc = b & MASK[nb]
+                    if param:
+                        while nb < param:
+                            acc = (acc << 8) | d[p]
+                            p += 1
+                            nb += 8
+                        nb -= param
+                        u = (q << param) | ((acc >> nb) & pm)
+                        acc &= MASK[nb]
+                    else:
+                        u = q
+                    append((u >> 1) ^ -(u & 1))
+    finally:
+        rd.pos, rd.acc, rd.nbits = p, acc, nb
     return res
 
 
 def _flac_subframe(rd: _FlacBitReader, bs: int, bps: int):
-    """Decode one subframe to a list of bs samples."""
+    """Decode one subframe to an int64 array of bs samples. The FIXED
+    recurrences are exact k-fold cumulative sums (an order-k fixed
+    predictor is, by construction, D^k x = residual), so they run as
+    ``order`` numpy cumsums seeded from the warmup's finite
+    differences instead of a per-sample Python loop — bit-identical
+    because every intermediate is itself a stream value difference
+    bounded far inside int64."""
+    import numpy as np
+
     if rd.read(1):
         raise ValueError("bad subframe pad bit")
     stype = rd.read(6)
@@ -2873,40 +3198,23 @@ def _flac_subframe(rd: _FlacBitReader, bs: int, bps: int):
         bps -= wasted
     if stype == 0:  # CONSTANT
         v = rd.read_signed(bps)
-        out = [v] * bs
+        out = np.full(bs, v, dtype=np.int64)
     elif stype == 1:  # VERBATIM
-        out = [rd.read_signed(bps) for _ in range(bs)]
-    elif 8 <= stype <= 12:  # FIXED order 0-4 (recurrences specialized:
-        # the generic coef sum costs a Python generator per SAMPLE)
+        out = np.asarray(
+            [rd.read_signed(bps) for _ in range(bs)], dtype=np.int64
+        )
+    elif 8 <= stype <= 12:  # FIXED order 0-4
         order = stype - 8
-        out = [rd.read_signed(bps) for _ in range(order)]
-        res = _flac_residual(rd, bs, order)
-        append = out.append
-        if order == 0:
-            out = res
-        elif order == 1:
-            p1 = out[0]
-            for r in res:
-                p1 = r + p1
-                append(p1)
-        elif order == 2:
-            p2, p1 = out[0], out[1]
-            for r in res:
-                v = r + 2 * p1 - p2
-                append(v)
-                p2, p1 = p1, v
-        elif order == 3:
-            p3, p2, p1 = out[0], out[1], out[2]
-            for r in res:
-                v = r + 3 * p1 - 3 * p2 + p3
-                append(v)
-                p3, p2, p1 = p2, p1, v
-        else:
-            p4, p3, p2, p1 = out[0], out[1], out[2], out[3]
-            for r in res:
-                v = r + 4 * p1 - 6 * p2 + 4 * p3 - p4
-                append(v)
-                p4, p3, p2, p1 = p3, p2, p1, v
+        warm = np.asarray(
+            [rd.read_signed(bps) for _ in range(order)], dtype=np.int64
+        )
+        z = np.asarray(_flac_residual(rd, bs, order), dtype=np.int64)
+        # z holds D^order x for i >= order; integrate down one
+        # difference level at a time, seeding each level with the
+        # corresponding finite difference of the warmup samples
+        for j in range(order - 1, -1, -1):
+            z = int(np.diff(warm, n=j)[-1]) + np.cumsum(z)
+        out = np.concatenate([warm, z]) if order else z
     elif stype >= 32:  # LPC order 1-32
         order = stype - 31
         out = [rd.read_signed(bps) for _ in range(order)]
@@ -2919,10 +3227,11 @@ def _flac_subframe(rd: _FlacBitReader, bs: int, bps: int):
         for r in res:
             pred = sum(c * out[-k - 1] for k, c in enumerate(coefs)) >> shift
             out.append(r + pred)
+        out = np.asarray(out, dtype=np.int64)
     else:
         raise ValueError("reserved subframe type")
     if wasted:
-        out = [v << wasted for v in out]
+        out = out << wasted
     return out
 
 
@@ -2962,7 +3271,8 @@ def decode_flac_samples(payload: bytes):
         if info is None or not info["rate"]:
             return None
 
-        channels_out: list[list[int]] = [[] for _ in range(info["channels"])]
+        channels_out: list[list] = [[] for _ in range(info["channels"])]
+        nsamp = 0
         while pos + 2 <= len(payload):
             if payload[pos] != 0xFF or (payload[pos + 1] & 0xFC) != 0xF8:
                 return None
@@ -3012,17 +3322,12 @@ def decode_flac_samples(payload: bytes):
                 a = _flac_subframe(rd, bs, bps + extra0)
                 b = _flac_subframe(rd, bs, bps + extra1)
                 if chan_code == 8:  # left/side
-                    subs = [a, [left - side for left, side in zip(a, b)]]
+                    subs = [a, a - b]
                 elif chan_code == 9:  # side/right
-                    subs = [[side + right for side, right in zip(a, b)], b]
+                    subs = [a + b, b]
                 else:  # mid/side
-                    left = []
-                    right = []
-                    for mid, side in zip(a, b):
-                        m2 = (mid << 1) | (side & 1)
-                        left.append((m2 + side) >> 1)
-                        right.append((m2 - side) >> 1)
-                    subs = [left, right]
+                    m2 = (a << 1) | (b & 1)
+                    subs = [(m2 + b) >> 1, (m2 - b) >> 1]
             else:
                 return None
             rd.align()
@@ -3031,20 +3336,21 @@ def decode_flac_samples(payload: bytes):
             if _crc16(payload[header_start:frame_end]) != footer_crc:
                 return None
             for ch, sub in enumerate(subs):
-                channels_out[ch].extend(sub)
+                channels_out[ch].append(sub)
+            nsamp += len(subs[0])
             pos = frame_end + 2
             total = info["total"]
-            if total and len(channels_out[0]) >= total:
+            if total and nsamp >= total:
                 break
-        if not channels_out[0]:
+        if not nsamp:
             return None
-        n = len(channels_out[0])
+        n = nsamp
         total = info["total"]
         if total:
             n = min(n, total)
         inter = np.empty(n * info["channels"], dtype=np.int64)
         for ch in range(info["channels"]):
-            inter[ch :: info["channels"]] = channels_out[ch][:n]
+            inter[ch :: info["channels"]] = np.concatenate(channels_out[ch])[:n]
         return inter.astype(np.int32), rate, info["channels"]
     except (IndexError, ValueError, struct.error):
         return None
