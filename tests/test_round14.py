@@ -193,3 +193,157 @@ def test_sparse_cosine_pairgen_matches_join_form(spark):
     got = {tuple(r) for r in got_df.collect()}
     assert len(got) == len(exp)
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# r14 codec hot-loop rewrites: every fast kernel pinned against a
+# straight-off-the-spec reference implementation (the forms the code
+# used before the rewrite)
+# ---------------------------------------------------------------------------
+
+
+def test_crc_tables_match_bitwise_reference():
+    from citibike_deep_dive_spark.operators.codecs import _crc8, _crc16
+
+    def ref8(data):
+        crc = 0
+        for b in data:
+            crc ^= b
+            for _ in range(8):
+                crc = (
+                    ((crc << 1) ^ 0x07) & 0xFF
+                    if crc & 0x80
+                    else (crc << 1) & 0xFF
+                )
+        return crc
+
+    def ref16(data):
+        crc = 0
+        for b in data:
+            crc ^= b << 8
+            for _ in range(8):
+                crc = (
+                    ((crc << 1) ^ 0x8005) & 0xFFFF
+                    if crc & 0x8000
+                    else (crc << 1) & 0xFFFF
+                )
+        return crc
+
+    rng = np.random.default_rng(5)
+    for n in (0, 1, 7, 256, 4093):
+        data = bytes(rng.integers(0, 256, size=n).astype(np.uint8))
+        assert _crc8(data) == ref8(data)
+        assert _crc16(data) == ref16(data)
+
+
+def test_huffman_prefix_lut_matches_canonical_walk():
+    """The 256-entry first-level LUT must reproduce the T.81 F.2.2.3
+    maxcode walk for every possible 8-bit prefix, on random valid
+    canonical tables (codes of length 1..16)."""
+    from citibike_deep_dive_spark.operators.codecs import _decode_tables
+
+    rng = np.random.default_rng(6)
+    for _ in range(40):
+        # random canonical code-length histogram that stays feasible
+        # (kraft sum <= 1): greedily place up to the remaining budget
+        bits = [0] * 16
+        budget = 1.0
+        nvals = 0
+        for length in range(1, 17):
+            cap = int(budget * (1 << length)) - 1
+            if cap <= 0:
+                continue
+            take = int(rng.integers(0, min(cap, 8) + 1))
+            bits[length - 1] = take
+            budget -= take / (1 << length)
+            nvals += take
+        if nvals == 0:
+            bits[1] = 1
+            nvals = 1
+        vals = list(rng.integers(0, 256, size=nvals).astype(int))
+        tab = _decode_tables(bits, vals)
+        maxcode, mincode, valptr, tvals, fast_len, fast_val = tab
+        for prefix in range(256):
+            code16 = prefix << 8  # low bits irrelevant for len <= 8
+            walk = None
+            for length in range(1, 9):
+                c = code16 >> (16 - length)
+                if c <= maxcode[length]:
+                    walk = (length, tvals[valptr[length] + c - mincode[length]])
+                    break
+            if walk is None:
+                assert fast_len[prefix] == 0
+            else:
+                assert (fast_len[prefix], fast_val[prefix]) == walk
+
+
+def test_flac_fixed_cumsum_matches_scalar_recurrence():
+    """The k-fold-cumsum FIXED reconstruction must equal the per-sample
+    recurrences for all orders over random warmups/residuals."""
+    rng = np.random.default_rng(7)
+    for order in range(5):
+        for _ in range(20):
+            bs = int(rng.integers(order + 1, 400))
+            warm = [int(v) for v in rng.integers(-32768, 32768, size=order)]
+            res = [int(v) for v in rng.integers(-(1 << 17), 1 << 17, size=bs - order)]
+            # scalar reference (the pre-rewrite specialized recurrences)
+            out = list(warm)
+            if order == 0:
+                out = list(res)
+            elif order == 1:
+                p1 = out[0]
+                for r in res:
+                    p1 = r + p1
+                    out.append(p1)
+            elif order == 2:
+                p2, p1 = out[0], out[1]
+                for r in res:
+                    v = r + 2 * p1 - p2
+                    out.append(v)
+                    p2, p1 = p1, v
+            elif order == 3:
+                p3, p2, p1 = out[0], out[1], out[2]
+                for r in res:
+                    v = r + 3 * p1 - 3 * p2 + p3
+                    out.append(v)
+                    p3, p2, p1 = p2, p1, v
+            else:
+                p4, p3, p2, p1 = out[0], out[1], out[2], out[3]
+                for r in res:
+                    v = r + 4 * p1 - 6 * p2 + 4 * p3 - p4
+                    out.append(v)
+                    p4, p3, p2, p1 = p3, p2, p1, v
+            # vectorized form (mirrors _flac_subframe)
+            w = np.asarray(warm, dtype=np.int64)
+            z = np.asarray(res, dtype=np.int64)
+            for j in range(order - 1, -1, -1):
+                z = int(np.diff(w, n=j)[-1]) + np.cumsum(z)
+            got = np.concatenate([w, z]) if order else z
+            assert got.tolist() == out
+
+
+def test_flac_rice_inline_reader_long_unary_runs():
+    """Rice decode with quotients spanning multiple all-zero bytes and
+    param=0 codes — the inline reader's rare branches — against the
+    values the writer encoded."""
+    from citibike_deep_dive_spark.operators.codecs import (
+        _FlacBitReader,
+        _FlacBitWriter,
+        _flac_residual,
+        _zigzag_encode,
+    )
+
+    for param in (0, 3, 14):
+        values = [0, 1, -1, 5, -200, 3000, -70000, 12, 0, -1, 99999, -7]
+        bw = _FlacBitWriter()
+        bw.write(0, 2)  # method 0: 4-bit rice
+        bw.write(0, 4)  # partition order 0
+        bw.write(param, 4)
+        for v in values:
+            u = _zigzag_encode(v)
+            bw.write_unary(u >> param)
+            bw.write(u, param)
+        bw.align()
+        rd = _FlacBitReader(bytes(bw.buf), 0)
+        got = _flac_residual(rd, bs=len(values), order=0)
+        assert got == values
